@@ -1,0 +1,282 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query surface (SURVEY.md §2.6, §2.7, §2.9).
+  *
+  * The reference's own query surface is tiny (ORM point lookups + keyset
+  * pagination, `auditing/db/DataCollector.py:40-55`, `Service.py:49-50`);
+  * the engine inherits the full relational algebra from Spark SQL. Each
+  * query here exercises one family over the TESTDATA tables and is paired
+  * with a DuckDB oracle in [[oracle]].
+  *
+  * Determinism rules (the driver hash-compares values):
+  *   - money/double sums go through DECIMAL casts so the sum is exact and
+  *     order-independent, then cast back to double — both engines then
+  *     produce bit-identical doubles;
+  *   - every query ends in a total ORDER BY;
+  *   - no `round()` (Spark HALF_UP vs DuckDB HALF_EVEN), no raw
+  *     double aggregation.
+  */
+object Relational {
+
+  private val dec = "decimal(18,2)"
+
+  /** TPC-H Q1-shaped pricing summary: multi-aggregate hash aggregation
+    * with exact decimal arithmetic. (SURVEY §2.6 — engine-side groupBy/agg.)
+    */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("sum_disc_price"),
+        sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")) *
+          (lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(4,2)")))
+          .cast("double").as("sum_charge"),
+        (sum(col("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("l_extendedprice").cast(dec)).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Top-k by computed measure: sort+limit (the reference's only ordering is
+    * keyset pagination, Service.py:49-50 — this is the general form). */
+  def q02TopRevenueOrders(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** Multi-way join + agg with a broadcast dimension (SURVEY §1.1.4 dim
+    * tables are broadcast-joined; nation/region are tiny at any SF). */
+  def q03RevenueByNation(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast(dec)).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+
+  /** Broadcast fact⋈dim join + min/max aggregation. */
+  def q04BrandStats(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        min(col("p_retailprice")).as("min_price"),
+        max(col("p_retailprice")).as("max_price"))
+      .orderBy(col("p_brand"))
+
+  /** Window functions: lag / row_number / exact running sum per key over the
+    * events stream table (the replay/reset detector shape from SURVEY §2.9 —
+    * `lag(f_count) over (partition by dev_eui order by tmst)`). */
+  def q05WindowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prev_event_id", lag(col("event_id"), 1).over(w))
+      .withColumn("running_value",
+        sum(col("value").cast(dec)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .select(col("user_id"), col("rn"), col("event_id"), col("prev_event_id"),
+        col("running_value"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Set operations (SURVEY §2.9: union/intersect/except). Tags each branch
+    * so one result covers all three. */
+  def q06SetOps(s: SparkSession, d: String): DataFrame = {
+    val custNations = customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+    val suppNations = supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct()
+    custNations.intersect(suppNations).withColumn("op", lit("both"))
+      .unionByName(custNations.except(suppNations).withColumn("op", lit("cust_only")))
+      .unionByName(suppNations.except(custNations).withColumn("op", lit("supp_only")))
+      .orderBy(col("op"), col("nationkey"))
+  }
+
+  /** ROLLUP grouping sets (SURVEY §2.6 note: inherited from Spark, must work
+    * over the fact table). Null grouping keys are coalesced to 'ALL' so the
+    * oracle compare is independent of engine null-ordering defaults. */
+  def q07Rollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** Keyset pagination — the reference's only real query shape
+    * (Service.py:49-50: `id > from_id ORDER BY id LIMIT size`). */
+  def q08KeysetPage(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderkey") > 1000)
+      .orderBy(col("o_orderkey"))
+      .limit(100)
+
+  /** Semi/anti joins (SURVEY §2.9): customers with vs without orders,
+    * counted per nation. */
+  def q09SemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d).select(col("o_custkey"))
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+      .withColumn("has_orders", lit(true))
+    val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+      .withColumn("has_orders", lit(false))
+    withOrders.unionByName(withoutOrders)
+      .orderBy(col("c_nationkey"), col("has_orders"))
+  }
+
+  /** Exact distinct aggregation (SURVEY §2.6 — engine-side countDistinct). */
+  def q10Distinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Scalar-subquery shape: orders above the global average price. The
+    * average is computed with exact decimal arithmetic on both sides so the
+    * comparison boundary is deterministic. */
+  def q11AboveAvg(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val avgDf = o.agg(
+      (sum(col("o_totalprice").cast(dec)).cast("double") / count(lit(1))).as("avg_price"))
+    o.crossJoin(avgDf)
+      .filter(col("o_totalprice") > col("avg_price"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_above"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Conditional (pivot-style) aggregation over the events table. */
+  def q12EventPivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase", lit(1)).otherwise(lit(0))).as("n_purchase"),
+        sum(when(col("event_type") === "click", lit(1)).otherwise(lit(0))).as("n_click"),
+        sum(when(col("event_type") === "error", lit(1)).otherwise(lit(0))).as("n_error"),
+        sum(when(col("event_type") === "purchase", col("value").cast(dec))
+          .otherwise(lit(0).cast(dec))).cast("double").as("purchase_value"))
+      .orderBy(col("user_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"  -> (q01PricingSummary _),
+    "q02_top_revenue"      -> (q02TopRevenueOrders _),
+    "q03_revenue_by_nation"-> (q03RevenueByNation _),
+    "q04_brand_stats"      -> (q04BrandStats _),
+    "q05_window_lag"       -> (q05WindowLag _),
+    "q06_set_ops"          -> (q06SetOps _),
+    "q07_rollup"           -> (q07Rollup _),
+    "q08_keyset_page"      -> (q08KeysetPage _),
+    "q09_semi_anti"        -> (q09SemiAnti _),
+    "q10_distinct"         -> (q10Distinct _),
+    "q11_above_avg"        -> (q11AboveAvg _),
+    "q12_event_pivot"      -> (q12EventPivot _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_top_revenue" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q03_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q04_brand_stats" ->
+      """SELECT p_brand, COUNT(*) AS n_lines,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |  MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q05_window_lag" ->
+      """SELECT user_id,
+        |  ROW_NUMBER() OVER w AS rn, event_id,
+        |  LAG(event_id, 1) OVER w AS prev_event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, rn""".stripMargin,
+    "q06_set_ops" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT nationkey, 'both' AS op FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' AS op FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT nationkey, 'supp_only' AS op FROM (SELECT nationkey FROM sn EXCEPT SELECT nationkey FROM cn)
+        |ORDER BY op, nationkey""".stripMargin,
+    "q07_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  COUNT(*) AS n, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q08_keyset_page" ->
+      """SELECT * FROM orders WHERE o_orderkey > 1000
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q09_semi_anti" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers, TRUE AS has_orders
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey
+        |UNION ALL
+        |SELECT c_nationkey, COUNT(*) AS n_customers, FALSE AS has_orders
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey, has_orders""".stripMargin,
+    "q10_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q11_above_avg" ->
+      """WITH a AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n_above, MAX(o_totalprice) AS max_price
+        |FROM orders, a WHERE o_totalprice > avg_price
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q12_event_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local dev harness mirroring the driver's correctness gate:
+runs DuckDB oracle SQL against the sfDir parquet tables and compares with
+the parquet dumps written by `graft.Verify`.
+
+Usage: python3 tools/parity.py <sfDir> <verifyOutDir>
+
+(Dev tool only — the Scala library has no Python dependency.)
+"""
+import json, sys, glob, os
+import duckdb
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        qdir = f"{out_dir}/{name}"
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            got = con.execute(f"SELECT * FROM '{files[0]}'").fetchdf()
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+            n_bad += 1; continue
+        if list(got.dtypes) != list(exp.dtypes):
+            print(f"FAIL {name}: dtypes differ: " + str(
+                [(c, str(a), str(b)) for c, a, b in
+                 zip(got.columns, got.dtypes, exp.dtypes) if a != b]))
+            n_bad += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_bad += 1; continue
+        # sort rows for order-insensitive compare, then exact value compare
+        gs = got.sort_values(by=list(got.columns), ignore_index=True)
+        es = exp.sort_values(by=list(exp.columns), ignore_index=True)
+        eq_sorted = gs.equals(es)
+        eq_ordered = got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+        if eq_ordered:
+            print(f"OK   {name} ({len(got)} rows, ordered)"); n_ok += 1
+        elif eq_sorted:
+            print(f"WARN {name}: matches only after row sort"); n_ok += 1
+        else:
+            diff = (gs != es) & ~(gs.isna() & es.isna())
+            bad_cols = [c for c in gs.columns if diff[c].any()]
+            print(f"FAIL {name}: value mismatch in {bad_cols}")
+            for c in bad_cols[:3]:
+                idx = diff[c].idxmax()
+                print(f"  {c}[{idx}]: spark={gs[c][idx]!r} oracle={es[c][idx]!r}")
+            n_bad += 1
+    print(f"== {n_ok} ok, {n_bad} bad")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

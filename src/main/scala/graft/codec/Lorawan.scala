@@ -322,7 +322,7 @@ object Lorawan {
   private def encodeCmd(cid: Int, up: Boolean, json: Option[String]): Array[Byte] = {
     def field(name: String): Option[String] =
       json.flatMap { j =>
-        val m = ("\"" + name + "\"\\s*:\\s*([^,}\\]]+|\\[[^\\]]*\\])").r.findFirstMatchIn(j)
+        val m = ("\"" + name + "\"\\s*:\\s*(\\[[^\\]]*\\]|[^,}\\]]+)").r.findFirstMatchIn(j)
         m.map(_.group(1))
       }
     def num(name: String): Int = field(name).map(_.trim.toInt).getOrElse(0)

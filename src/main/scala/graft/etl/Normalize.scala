@@ -1,0 +1,285 @@
+package graft.etl
+
+import graft.functions.PhyFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-source normalization pipelines (SURVEY §2.3 P1-P18, §2.4 F0) —
+  * declarative column programs; all JSON decoding via `from_json`, all PHY
+  * decoding via the pure-Scala codec UDF. Stateful enrichment (device map,
+  * pairing, location, verification) is NOT here — it lives in graft.state
+  * and runs after normalization, exactly like the reference's in-memory
+  * dicts run after per-message parsing.
+  *
+  * Input contract: a DataFrame of raw messages with columns
+  *   topic: String (null for TTN), message: String,
+  *   data_collector_id: Long, organization_id: Long,
+  *   gw: String (per-collector config, TTN v2), gw_name: String (TTN v3),
+  *   arrival_ts: Timestamp (event arrival; used for `date` so tests are
+  *   deterministic — the reference stamps datetime.now() at process time,
+  *   P15).
+  * Output: the full packet schema of [[PacketSchema.packet]] plus
+  * `route` ∈ {radio, app, join, raw, location} for downstream state ops.
+  */
+object Normalize {
+
+  import PacketSchema._
+
+  private def nullCol(name: String): Column = {
+    val f = packet.fields(packet.fieldIndex(name))
+    lit(null).cast(f.dataType).as(name)
+  }
+
+  /** Splice the flat phy_decode struct into packet columns. */
+  private def phyCols(phy: Column): Seq[Column] = Seq(
+    phy("m_type").as("m_type"), phy("major").as("major"), phy("mic").as("mic"),
+    phy("join_eui").as("join_eui"),
+    phy("dev_nonce").as("dev_nonce"),
+    phy("dev_addr").as("dev_addr"), phy("adr").as("adr"), phy("ack").as("ack"),
+    phy("adr_ack_req").as("adr_ack_req"), phy("f_pending").as("f_pending"),
+    phy("class_b").as("class_b"), phy("f_count").as("f_count"),
+    phy("f_opts").as("f_opts"), phy("f_port").as("f_port"),
+    phy("error").as("error"))
+
+  // ------------------------------------------------------------ ChirpStack
+
+  /** F0e topic router (LoraServerIOCollector.py:287,307-309,403-409,450). */
+  def chirpstackRoute(topic: Column): Column =
+    when(topic.endsWith("/join"), "join")
+      .when(topic.rlike("^gateway/.*") &&
+        (topic.endsWith("rx") || topic.endsWith("tx") || topic.endsWith("up")), "radio")
+      .when(topic.rlike("application/.*?/(device|node)/(.*)/rx"), "app")
+      .otherwise("raw")
+
+  /** P10 CRC enum → int (LoraServerIOCollector.py:523-531). */
+  def crcStatusInt(c: Column): Column =
+    when(c === "CRC_OK", 1).when(c === "BAD_CRC", -1).when(c === "NO_CRC", 0)
+      .otherwise(lit(null).cast("int"))
+
+  /** ChirpStack gateway radio path, JSON dialect (P8 + P3 + P15;
+    * LoraServerIOCollector.py:339-366). F0h encoding sniff: rows whose
+    * message fails JSON decode fall through with null parsed fields — feed
+    * them to [[chirpstackProtoRadio]] or the raw route.
+    *
+    * Reference quirk preserved: tmst/freq/gateway/modu/datr come from
+    * txInfo when present, else rxInfo (the `x_info` variable is simply the
+    * last one assigned, :354-360); chan/rfch/stat/codr/rssi/lsnr/size come
+    * only from rxInfo. */
+  def chirpstackJsonRadio(df: DataFrame): DataFrame = {
+    val m = from_json(col("message"), chirpstackGateway)
+    val phy = PhyFunctions.phy_decode_b64(m("phyPayload"))
+    val x = coalesce(m("txInfo"), m("rxInfo")) // tmst/freq/gateway source
+    df.filter(length(m("phyPayload")) <= 300) // F0c size guard
+      .select(Seq(
+        col("arrival_ts").as("date"),
+        col("topic"),
+        col("data_collector_id"), col("organization_id"),
+        x("mac").as("gateway"),
+        x("timestamp").as("tmst"),
+        m("rxInfo")("channel").as("chan"),
+        m("rxInfo")("rfChain").as("rfch"),
+        (x("frequency") / 1e6).as("freq"),
+        m("rxInfo")("crcStatus").as("stat"),
+        x("dataRate")("modulation").as("modu"),
+        to_json(struct(
+          x("dataRate")("spreadFactor").as("spread_factor"),
+          x("dataRate")("bandwidth").as("bandwidth"))).as("datr"),
+        m("rxInfo")("codeRate").as("codr"),
+        m("rxInfo")("loRaSNR").as("lsnr"),
+        m("rxInfo")("rssi").as("rssi"),
+        m("rxInfo")("size").as("size"),
+        m("phyPayload").as("data")) ++
+        phyCols(phy) ++ Seq(
+        nullCol("dev_eui"), // stateful F1 fills this
+        nullCol("latitude"), nullCol("longitude"), nullCol("altitude"),
+        nullCol("app_name"), nullCol("dev_name"),
+        lit("radio").as("route")): _*)
+  }
+
+  /** ChirpStack gateway radio path, protobuf dialect after MessageToJson
+    * (P9; LoraServerIOCollector.py:321-338). gatewayID arrives base64 →
+    * lowercase hex. */
+  def chirpstackProtoRadio(df: DataFrame): DataFrame = {
+    val m = from_json(col("message"), chirpstackProto)
+    val phy = PhyFunctions.phy_decode_b64(m("phyPayload"))
+    val lmi = m("txInfo")("loRaModulationInfo")
+    df.filter(length(m("phyPayload")) <= 300)
+      .select(Seq(
+        col("arrival_ts").as("date"),
+        col("topic"),
+        col("data_collector_id"), col("organization_id"),
+        lower(hex(unbase64(m("rxInfo")("gatewayID")))).as("gateway"),
+        nullCol("tmst"),
+        m("rxInfo")("channel").as("chan"),
+        m("rxInfo")("rfChain").as("rfch"),
+        (m("txInfo")("frequency") / 1e6).as("freq"),
+        crcStatusInt(m("rxInfo")("crcStatus")).as("stat"),
+        nullCol("modu"),
+        to_json(struct(
+          lmi("spreadingFactor").as("spread_factor"),
+          lmi("bandwidth").as("bandwidth"))).as("datr"),
+        lmi("codeRate").as("codr"),
+        m("rxInfo")("loRaSNR").as("lsnr"),
+        m("rxInfo")("rssi").as("rssi"),
+        m("rxInfo")("size").as("size"),
+        m("phyPayload").as("data")) ++
+        phyCols(phy) ++ Seq(
+        nullCol("dev_eui"),
+        nullCol("latitude"), nullCol("longitude"), nullCol("altitude"),
+        nullCol("app_name"), nullCol("dev_name"),
+        lit("radio").as("route")): _*)
+  }
+
+  // --------------------------------------------------------- generic MQTT
+
+  /** P5 datr parse: 'SF7BW125' → {"spread_factor":"7","bandwidth":"125"}
+    * (GenericMqttCollector.py:197-205 — values are STRINGS there, unlike
+    * ChirpStack's ints; preserved). */
+  def datrParse(datr: Column): Column =
+    when(datr.isNotNull, to_json(struct(
+      regexp_extract(datr, "SF(.*)BW(.*)", 1).as("spread_factor"),
+      regexp_extract(datr, "SF(.*)BW(.*)", 2).as("bandwidth"))))
+
+  /** P6 dev_eui from topic: 'lora/(.*)/' capture, strip '-'
+    * (GenericMqttCollector.py:188-195). */
+  def devEuiFromTopic(topic: Column): Column = {
+    val captured = regexp_extract(topic, "lora/(.*)/", 1)
+    when(captured =!= "", regexp_replace(captured, "-", ""))
+  }
+
+  /** Generic packet-forwarder MQTT normalization (P2, P4-P7, P15;
+    * GenericMqttCollector.py:119-176). */
+  def genericMqtt(df: DataFrame): DataFrame = {
+    val m = from_json(col("message"), PacketSchema.genericMqtt)
+    val phy = PhyFunctions.phy_decode_b64(m("data")) // P2 pad inside UDF
+    df.filter(m("data").isNotNull) // F0b missing-data filter
+      .select(Seq(
+        col("arrival_ts").as("date"),
+        col("topic"),
+        col("data_collector_id"), col("organization_id"),
+        nullCol("gateway"),
+        m("tmst").as("tmst"),
+        m("chan").as("chan"),
+        m("rfch").as("rfch"),
+        m("freq").as("freq"),
+        m("stat").as("stat"),
+        m("modu").as("modu"),
+        datrParse(m("datr")).as("datr"),
+        m("codr").as("codr"),
+        m("lsnr").as("lsnr"),
+        m("rssi").as("rssi"),
+        m("size").as("size"),
+        m("data").as("data"),
+        // P7: '/joined' topic forces JoinAccept
+        when(col("topic").contains("/joined"), "JoinAccept")
+          .otherwise(phy("m_type")).as("m_type"),
+        phy("major").as("major"), phy("mic").as("mic"),
+        phy("join_eui").as("join_eui"),
+        phy("dev_nonce").as("dev_nonce"),
+        phy("dev_addr").as("dev_addr"), phy("adr").as("adr"), phy("ack").as("ack"),
+        phy("adr_ack_req").as("adr_ack_req"), phy("f_pending").as("f_pending"),
+        phy("class_b").as("class_b"), phy("f_count").as("f_count"),
+        phy("f_opts").as("f_opts"), phy("f_port").as("f_port"),
+        phy("error").as("error"),
+        coalesce(devEuiFromTopic(col("topic")), phy("dev_eui")).as("dev_eui"),
+        nullCol("latitude"), nullCol("longitude"), nullCol("altitude"),
+        nullCol("app_name"), nullCol("dev_name"),
+        lit("radio").as("route")): _*)
+  }
+
+  // --------------------------------------------------------------- TTN v2
+
+  /** F0g + P11: classify a TTN v2 websocket frame and strip the
+    * fixed-offset envelope (TTNCollector.py:176-212). */
+  def ttnV2Kind(raw: Column): Column =
+    when(raw.contains("gateway downlink"), "downlink")
+      .when(raw.contains("gateway uplink"), "uplink")
+      .when(raw.contains("gateway join request"), "join_request")
+      .when(raw.contains("gateway join accept"), "join_accept")
+      .when(raw.contains("gateway status") && raw.contains("location"), "status")
+      .otherwise("raw")
+
+  private def stripOffsets(msg: Column, kind: Column): Column = {
+    def strip(n: Int) = expr(s"substring(message_unesc, ${n + 1}, length(message_unesc) - ${n + 2})")
+    when(kind === "downlink", strip(20))
+      .when(kind === "uplink", strip(18))
+      .when(kind === "join_request", strip(24))
+      .when(kind === "join_accept", strip(23))
+      .when(kind === "status", strip(18))
+  }
+
+  /** TTN v2 normalization (P11, P12, P14-config; TTNCollector.py:160-262).
+    * Emits parse-kind rows as route=radio and status rows as
+    * route=location (lat/lon/alt filled) for the F4 state op. */
+  def ttnV2(df: DataFrame): DataFrame = {
+    val base = df
+      .filter(length(col("message")) > 1) // F0a keepalive filter
+      .withColumn("message_unesc", regexp_replace(col("message"), "\\\\\"", "\""))
+      .withColumn("kind", ttnV2Kind(col("message_unesc")))
+      .withColumn("payload_json", stripOffsets(col("message_unesc"), col("kind")))
+    val m = from_json(col("payload_json"), PacketSchema.ttnV2)
+    val phy = PhyFunctions.phy_decode_b64(m("payload"))
+    base.select(Seq(
+      col("arrival_ts").as("date"),
+      lit(null).cast("string").as("topic"), // TTN messages carry no topic
+      col("data_collector_id"), col("organization_id"),
+      regexp_replace(col("gw"), "^eui-", "").as("gateway"),
+      // P12: ISO timestamp → epoch millis
+      unix_millis(to_timestamp(m("timestamp"))).as("tmst"),
+      nullCol("chan"), nullCol("rfch"),
+      m("frequency").as("freq"),
+      nullCol("stat"), nullCol("modu"), nullCol("datr"),
+      m("coding_rate").as("codr"),
+      m("snr").as("lsnr"),
+      m("rssi").as("rssi"),
+      nullCol("size"),
+      m("payload").as("data")) ++
+      phyCols(phy) ++ Seq(
+      coalesce(m("dev_eui"), lit(null).cast("string")).as("dev_eui"),
+      m("status")("location")("latitude").as("latitude"),
+      m("status")("location")("longitude").as("longitude"),
+      m("status")("location")("altitude").as("altitude"),
+      nullCol("app_name"), nullCol("dev_name"),
+      when(col("kind") === "status", "location")
+        .when(col("kind") === "raw", "raw")
+        .otherwise("radio").as("route")): _*)
+  }
+
+  // --------------------------------------------------------------- TTN v3
+
+  /** TTN v3 normalization (F0d, F0f, P13; TTNv3Collector.py:205-330). */
+  def ttnV3(df: DataFrame): DataFrame = {
+    val m = from_json(col("message"), PacketSchema.ttnV3)("result")
+    val d = m("data")
+    val phy = PhyFunctions.phy_decode_b64(d("raw_payload"))
+    val name = m("name")
+    df.filter(name =!= "events.stream.start") // F0d
+      .select(Seq(
+        col("arrival_ts").as("date"),
+        lit(null).cast("string").as("topic"),
+        col("data_collector_id"), col("organization_id"),
+        m("identifiers")(0)("gateway_ids")("eui").as("gateway"),
+        // P13: event time → epoch millis (reference stores float seconds;
+        // we keep integral millis — same instant, wider precision)
+        unix_millis(to_timestamp(m("time"))).as("tmst"),
+        nullCol("chan"), nullCol("rfch"),
+        when(name === "gs.up.receive", d("settings")("frequency").cast("long") / 1e6)
+          .otherwise(d("request")("rx1_frequency") / 1e6).as("freq"),
+        nullCol("stat"), nullCol("modu"), nullCol("datr"),
+        when(name === "gs.up.receive", d("settings")("coding_rate")).as("codr"),
+        d("rx_metadata")(0)("snr").as("lsnr"),
+        d("rx_metadata")(0)("rssi").as("rssi"),
+        nullCol("size"),
+        d("raw_payload").as("data")) ++
+        phyCols(phy) ++ Seq(
+        nullCol("dev_eui"),
+        d("antenna_locations")(0)("latitude").as("latitude"),
+        d("antenna_locations")(0)("longitude").as("longitude"),
+        d("antenna_locations")(0)("altitude").as("altitude"),
+        nullCol("app_name"), nullCol("dev_name"),
+        when(name === "gs.status.receive" &&
+          d("antenna_locations").isNotNull, "location")
+          .when(name.isin("gs.up.receive", "gs.down.send"), "radio")
+          .otherwise("raw").as("route")): _*)
+  }
+}

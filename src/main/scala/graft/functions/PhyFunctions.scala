@@ -1,0 +1,134 @@
+package graft.functions
+
+import graft.codec.{Lorawan, LorawanCrypto}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Spark-facing LoRaWAN codec surface (reference C1-C10,
+  * lorawanwrapper/utils/lorawanWrapper.go) as typed UDFs returning flat
+  * structs.
+  *
+  * The decode output is FLAT (one nullable field per packet column) rather
+  * than the reference's nested JSON tree: the reference immediately
+  * flattens the tree per m_type anyway (PhyParser.py:5-73), and a flat
+  * struct lets Catalyst prune unread fields at the scan.
+  *
+  * UDFs (not custom Expressions) are the right first shape here: the codec
+  * is branch-heavy byte fiddling that wouldn't gain from codegen splicing,
+  * and a UDF keeps the pure-Scala codec testable in isolation. Promote to
+  * `Expression with doGenCode` only if bench shows the boundary matters.
+  */
+object PhyFunctions {
+
+  /** Flat decode result = the packet columns the PHY contributes
+    * (FIXTURES.md §3b, reference Service.py:7-46). All nullable; which
+    * subset is set depends on m_type, exactly like PhyParser.py:21-71. */
+  final case class PhyRow(
+      m_type: String, major: String, mic: String,
+      join_eui: String, dev_eui: String, dev_nonce: Option[Int],
+      join_accept_bytes: Array[Byte],
+      dev_addr: String, adr: Option[Boolean], adr_ack_req: Option[Boolean],
+      ack: Option[Boolean], f_pending: Option[Boolean], class_b: Option[Boolean],
+      f_count: Option[Long], f_opts: String, f_port: Option[Int],
+      frm_payload: Array[Byte],
+      error: String)
+
+  def toRow(phy: Lorawan.Phy): PhyRow = phy match {
+    case p if p.error.isDefined =>
+      PhyRow(null, null, null, null, null, None, null, null, None, None, None,
+        None, None, None, null, None, null, p.error.get)
+    case p =>
+      val jr = p.joinRequest
+      val mac = p.mac
+      // f_opts rendered as a JSON array string — the at-rest encoding the
+      // reference uses (PhyParser.py:40-46 json.dumps)
+      val fOptsJson = mac.filter(_.fhdr.fOpts.nonEmpty).map { m =>
+        m.fhdr.fOpts.map { c =>
+          c.payload match {
+            case Some(pl) => s"""{"cid": "${c.cid}", "payload": $pl}"""
+            case None     => s"""{"cid": "${c.cid}"}"""
+          }
+        }.mkString("[", ", ", "]")
+      }.orNull
+      PhyRow(
+        m_type = p.mType, major = p.major, mic = p.mic,
+        join_eui = jr.map(_.joinEui).orNull,
+        dev_eui = jr.map(_.devEui).orNull,
+        dev_nonce = jr.map(_.devNonce),
+        join_accept_bytes = p.joinAcceptBytes.orNull,
+        dev_addr = mac.map(_.fhdr.devAddr).orNull,
+        adr = mac.map(_.fhdr.fCtrl.adr),
+        adr_ack_req = mac.map(_.fhdr.fCtrl.adrAckReq),
+        ack = mac.map(_.fhdr.fCtrl.ack),
+        f_pending = mac.map(_.fhdr.fCtrl.fPending),
+        class_b = mac.map(_.fhdr.fCtrl.classB),
+        f_count = mac.map(_.fhdr.fCnt.toLong),
+        f_opts = fOptsJson,
+        f_port = mac.flatMap(_.fPort),
+        frm_payload = mac.flatMap(_.frmPayload).orNull,
+        error = null)
+  }
+
+  /** C1 phy_decode over raw bytes. */
+  val phyDecode = udf { (bytes: Array[Byte]) =>
+    toRow(Lorawan.parse(bytes))
+  }
+
+  /** C1 over the base64-text form the collectors carry (with the P2 '='
+    * padding fix applied first, GenericMqttCollector.py:128). */
+  val phyDecodeB64 = udf { (b64: String) =>
+    if (b64 == null)
+      toRow(Lorawan.Phy.err("Unmarshal Error: null payload"))
+    else
+      try toRow(Lorawan.parse(Lorawan.b64decode(Lorawan.b64pad(b64))))
+      catch {
+        case e: IllegalArgumentException =>
+          toRow(Lorawan.Phy.err(s"Unmarshal Error: bad base64: ${e.getMessage}"))
+      }
+  }
+
+  def phy_decode(c: Column): Column = phyDecode(c)
+  def phy_decode_b64(c: Column): Column = phyDecodeB64(c)
+
+  /** Encode a JoinRequest from fields (inverse direction, C10) — used by
+    * the codec round-trip oracle query and tests. */
+  val encodeJoinRequest = udf { (joinEui: String, devEui: String, devNonce: Int, micHex: String) =>
+    Lorawan.encode(Lorawan.Phy("JoinRequest", "LoRaWANR1", micHex,
+      Some(Lorawan.JoinRequest(joinEui, devEui, devNonce)), None, None, None))
+  }
+
+  /** Encode a data frame from fields (no FOpts). */
+  val encodeDataFrame = udf { (mType: String, devAddr: String, adr: Boolean,
+                               ack: Boolean, fCnt: Int, fPort: Option[Int],
+                               frm: Array[Byte], micHex: String) =>
+    Lorawan.encode(Lorawan.Phy(mType, "LoRaWANR1", micHex, None, None,
+      Some(Lorawan.MacPayload(
+        Lorawan.Fhdr(devAddr, Lorawan.FCtrl(adr, adrAckReq = false, ack = ack,
+          fPending = false, classB = false, fOptsLen = 0), fCnt, Nil),
+        fPort, Option(frm))), None))
+  }
+
+  /** C8/C9: compute a valid MIC / validate a candidate key. Key as
+    * big-endian hex (the reference's AES128Key text form). */
+  val signPacketUdf = udf { (bytes: Array[Byte], keyHex: String) =>
+    LorawanCrypto.signPacket(bytes, Lorawan.hexToBytes(keyHex))
+  }
+  val micValid = udf { (bytes: Array[Byte], keyHex: String) =>
+    LorawanCrypto.validateJoinRequestMic(Lorawan.hexToBytes(keyHex), bytes)
+  }
+
+  /** C7: session keys from a JR/JA pair. */
+  final case class SessionKeysRow(nwkSKey: String, appSKey: String)
+  val sessionKeys = udf { (jr: Array[Byte], ja: Array[Byte], appKeyHex: String) =>
+    LorawanCrypto.sessionKeysFromJoins(jr, ja, appKeyHex)
+      .map(k => SessionKeysRow(k.nwkSKey, k.appSKey))
+  }
+
+  /** FRMPayload decrypt (C1's optional appSKey path, lorawanWrapper.go:546-551). */
+  val frmDecrypt = udf { (frm: Array[Byte], devAddr: String, fCnt: Long,
+                          uplink: Boolean, keyHex: String) =>
+    if (frm == null) null
+    else LorawanCrypto.cryptFrmPayload(Lorawan.hexToBytes(keyHex),
+      Lorawan.hexToLe(devAddr), fCnt, uplink, frm)
+  }
+}

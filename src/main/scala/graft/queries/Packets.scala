@@ -1,0 +1,236 @@
+package graft.queries
+
+import graft.Tables._
+import graft.etl.Normalize
+import graft.functions.PhyFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Packet-pipeline operators exercised as oracle-checkable batch queries.
+  *
+  * The TESTDATA tables carry no LoRaWAN payloads, so these queries
+  * SYNTHESIZE wire payloads deterministically from `events` columns,
+  * push them through the real codec (encode → decode), and the DuckDB
+  * oracle computes the expected decoded fields directly from the same
+  * source columns with plain SQL — a true end-to-end check that the codec
+  * is the identity on the synthesized domain. Codec correctness against
+  * the reference's golden vectors is separately pinned by LorawanSpec.
+  *
+  * The F-op analogs (q22-q25) restate the reference's stateful semantics
+  * (SURVEY §2.5 F1/F2/F4/F5) as window-function programs over the events
+  * table — the batch-queryable twin of the streaming state ops in
+  * graft.state, with the same last-write-wins / flush-on-next / take-once /
+  * threshold-crossing semantics.
+  */
+object Packets {
+
+  /** q20: codec round-trip — encode a JoinRequest per event row, decode it,
+    * emit the decoded fields (C1/C10, lorawanWrapper.go:533-567 +
+    * jsonUnmarshaler.go). */
+  def q20CodecRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val joinEui = lpad(lower(hex(col("user_id") + 1)), 16, "0")
+    val devEui = lpad(lower(hex(col("event_id") + 1)), 16, "0")
+    val devNonce = (col("event_id") % 65536).cast("int")
+    val mic = lpad(lower(hex(col("event_id") % 100000)), 8, "0")
+    val bytes = PhyFunctions.encodeJoinRequest(joinEui, devEui, devNonce, mic)
+    val phy = PhyFunctions.phy_decode(bytes)
+    e.select(
+        col("event_id"),
+        phy("m_type").as("m_type"),
+        phy("major").as("major"),
+        phy("join_eui").as("join_eui"),
+        phy("dev_eui").as("dev_eui"),
+        phy("dev_nonce").as("dev_nonce"),
+        phy("mic").as("mic"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q21: the scalar projection zoo (P2 b64pad, P5 datr parse, P6 topic
+    * dev_eui, P10 CRC map) on synthesized inputs. */
+  def q21ScalarOps(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val sf = (col("event_id") % 6 + 7).cast("string")
+    val bw = (when(col("event_id") % 2 === 0, 125).otherwise(250)).cast("string")
+    val datr = concat(lit("SF"), sf, lit("BW"), bw)
+    val topic = concat(lit("lora/ab-"), col("event_id"), lit("/up"))
+    val crc = when(col("event_id") % 3 === 0, "CRC_OK")
+      .when(col("event_id") % 3 === 1, "BAD_CRC").otherwise("NO_CRC")
+    val rawB64 = expr("substring('QUJDREVGRw', 1, cast(event_id % 7 + 4 as int))")
+    e.select(
+        col("event_id"),
+        Normalize.datrParse(datr).as("datr_parsed"),
+        Normalize.devEuiFromTopic(topic).as("dev_eui"),
+        Normalize.crcStatusInt(crc).as("stat"),
+        // P2 base64 right-pad as a pure column expression
+        concat(rawB64, expr(
+          "repeat('=', cast((4 - length(substring('QUJDREVGRw', 1, cast(event_id % 7 + 4 as int))) % 4) % 4 as int))"))
+          .as("data_padded"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q22: F1 device-map analog — last-write-wins keyed state as a window
+    * program. 'signup' events write the map; every event reads it
+    * (LoraServerIOCollector.py:287-304,436-446). */
+  def q22DeviceMapLww(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events(s, d)
+      .withColumn("dev_eui",
+        last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("dev_eui"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q23: F2 pairing analog — buffer-size-1, flush-on-next-event: a 'view'
+    * is enriched by the immediately following event iff it is a 'click'
+    * (LoraServerIOCollector.py:368-399,411-459). */
+  def q23PairingAsOf(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_id", lead(col("event_id"), 1).over(w))
+      .filter(col("event_type") === "view")
+      .select(
+        col("event_id"), col("user_id"),
+        when(col("next_type") === "click", col("next_id")).as("paired_with"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q24: F4 location take-once analog — an 'error' event holds a value;
+    * the NEXT non-error event consumes it, and it is consumed at most once
+    * (TTNCollector.py:202-209,241-247: read-and-clear). */
+  def q24LocationTakeOnce(s: SparkSession, d: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wPrev = wAll.rowsBetween(Window.unboundedPreceding, -1)
+    val wCur = wAll.rowsBetween(Window.unboundedPreceding, 0)
+    events(s, d)
+      .withColumn("held_val",
+        last(when(col("event_type") === "error", col("value")), ignoreNulls = true).over(wCur))
+      .withColumn("held_ts",
+        last(when(col("event_type") === "error", col("ts")), ignoreNulls = true).over(wCur))
+      .withColumn("prev_consumer_ts",
+        last(when(col("event_type") =!= "error", col("ts")), ignoreNulls = true).over(wPrev))
+      .filter(col("event_type") =!= "error")
+      .select(
+        col("event_id"), col("user_id"),
+        when(col("held_ts").isNotNull &&
+          (col("prev_consumer_ts").isNull || col("held_ts") > col("prev_consumer_ts")),
+          col("held_val")).as("location"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q25: F5 verification-gate analog — running (total, ok) counters per
+    * key; emit the first row where `total ≥ 5 ∧ ok/total > 0.8` flips true
+    * (BaseCollector.py:85-110, thresholds :11-12). */
+  def q25VerificationGate(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("total", count(lit(1)).over(w))
+      .withColumn("ok",
+        sum(when(col("event_type").isin("click", "view", "purchase"), 1).otherwise(0)).over(w))
+      .withColumn("verified",
+        col("total") >= 5 && col("ok") * lit(5) > col("total") * lit(4))
+      .withColumn("was_verified", lag(col("verified"), 1, false).over(wSeq))
+      .filter(col("verified") && !col("was_verified"))
+      .select(col("user_id"), col("event_id"), col("total"), col("ok"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** q27: the reference's ORM point-lookup shapes (Q1-Q4,
+    * DataCollector.py:40-55) — conjunctive selection + first-row. */
+  def q27PointLookup(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .filter(col("c_nationkey") === 5 && col("c_mktsegment") === "BUILDING" &&
+        col("c_acctbal") > 0)
+      .orderBy(col("c_custkey"))
+      .limit(1)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_codec_roundtrip"    -> (q20CodecRoundtrip _),
+    "q21_scalar_ops"         -> (q21ScalarOps _),
+    "q22_device_map_lww"     -> (q22DeviceMapLww _),
+    "q23_pairing_asof"       -> (q23PairingAsOf _),
+    "q24_location_take_once" -> (q24LocationTakeOnce _),
+    "q25_verification_gate"  -> (q25VerificationGate _),
+    "q27_point_lookup"       -> (q27PointLookup _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q20_codec_roundtrip" ->
+      """SELECT event_id,
+        |  'JoinRequest' AS m_type, 'LoRaWANR1' AS major,
+        |  lpad(lower(hex(user_id + 1)), 16, '0') AS join_eui,
+        |  lpad(lower(hex(event_id + 1)), 16, '0') AS dev_eui,
+        |  CAST(event_id % 65536 AS INTEGER) AS dev_nonce,
+        |  lpad(lower(hex(event_id % 100000)), 8, '0') AS mic
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q21_scalar_ops" ->
+      """SELECT event_id,
+        |  '{"spread_factor":"' || CAST(event_id % 6 + 7 AS VARCHAR) ||
+        |    '","bandwidth":"' || (CASE WHEN event_id % 2 = 0 THEN '125' ELSE '250' END) ||
+        |    '"}' AS datr_parsed,
+        |  'ab' || CAST(event_id AS VARCHAR) AS dev_eui,
+        |  CAST(CASE WHEN event_id % 3 = 0 THEN 1 WHEN event_id % 3 = 1 THEN -1 ELSE 0 END AS INTEGER) AS stat,
+        |  substring('QUJDREVGRw', 1, CAST(event_id % 7 + 4 AS INTEGER)) ||
+        |    repeat('=', CAST((4 - length(substring('QUJDREVGRw', 1, CAST(event_id % 7 + 4 AS INTEGER))) % 4) % 4 AS INTEGER)) AS data_padded
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q22_device_map_lww" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dev_eui
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q23_pairing_asof" ->
+      """WITH x AS (
+        |  SELECT event_id, user_id, event_type,
+        |    LEAD(event_type, 1) OVER w AS next_type,
+        |    LEAD(event_id, 1) OVER w AS next_id
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id,
+        |  CASE WHEN next_type = 'click' THEN next_id END AS paired_with
+        |FROM x WHERE event_type = 'view' ORDER BY event_id""".stripMargin,
+    "q24_location_take_once" ->
+      """WITH x AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS held_val,
+        |    last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS held_ts,
+        |    last_value(CASE WHEN event_type <> 'error' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_consumer_ts
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CASE WHEN held_ts IS NOT NULL AND
+        |            (prev_consumer_ts IS NULL OR held_ts > prev_consumer_ts)
+        |       THEN held_val END AS location
+        |FROM x WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+    "q25_verification_gate" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |    COUNT(*) OVER wc AS total,
+        |    CAST(SUM(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END) OVER wc AS BIGINT) AS ok
+        |  FROM events
+        |  WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |y AS (
+        |  SELECT user_id, event_id, total, ok,
+        |    (total >= 5 AND ok * 5 > total * 4) AS verified,
+        |    COALESCE(LAG(total >= 5 AND ok * 5 > total * 4, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id), FALSE) AS was_verified
+        |  FROM x)
+        |SELECT user_id, event_id, total, ok FROM y
+        |WHERE verified AND NOT was_verified
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q27_point_lookup" ->
+      """SELECT * FROM customer
+        |WHERE c_nationkey = 5 AND c_mktsegment = 'BUILDING' AND c_acctbal > 0
+        |ORDER BY c_custkey LIMIT 1""".stripMargin,
+  )
+}

@@ -1,0 +1,195 @@
+package graft.etl
+
+import graft.SparkSuite
+import graft.codec.Lorawan
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end normalization tests: synthesized source messages (shapes per
+  * FIXTURES.md §2, golden PHY payloads from §1) → packet rows. */
+class NormalizeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val jrBytes: Array[Byte] =
+    Array(0x00.toByte) ++ Lorawan.hexToLe("55d239ac716f234d") ++
+      Lorawan.hexToLe("b827eb891cf50003") ++
+      Array(0xb7.toByte, 0xc9.toByte) ++ Lorawan.hexToBytes("7005c4a5")
+  private val jrB64 = Lorawan.b64encode(jrBytes)
+
+  private val upBytes: Array[Byte] =
+    Array(0x40.toByte) ++ Lorawan.hexToLe("017fc1c4") ++
+      Array(0x82.toByte) ++ Array(17.toByte, 0.toByte) ++
+      Array(0x03.toByte, 0x05.toByte) ++ Array(93.toByte) ++
+      Lorawan.b64decode("/2EyELe4m4F5txMSp93Gi+Od7uT0wI/xFFPlKA==") ++
+      Lorawan.hexToBytes("7934d552")
+  private val upB64 = Lorawan.b64encode(upBytes)
+
+  private def rawDf(rows: Seq[(String, String)]): DataFrame =
+    rows.toDF("topic", "message")
+      .withColumn("data_collector_id", lit(7L))
+      .withColumn("organization_id", lit(3L))
+      .withColumn("gw", lit("eui-aabbccddeeff0011"))
+      .withColumn("gw_name", lit("test-gw"))
+      .withColumn("arrival_ts", to_timestamp(lit("2024-06-01 12:00:00")))
+
+  test("ChirpStack JSON rx message normalizes (P8+P3+P15)") {
+    val msg =
+      s"""{"phyPayload":"$upB64","rxInfo":{"channel":2,"rfChain":1,"crcStatus":1,
+         |"codeRate":"4/5","rssi":-57,"loRaSNR":9.5,"size":28,"timestamp":3216387843,
+         |"frequency":868300000,"mac":"aabbccddeeff0011",
+         |"dataRate":{"modulation":"LORA","spreadFactor":7,"bandwidth":125}}}"""
+        .stripMargin.replace("\n", "")
+    val out = Normalize.chirpstackJsonRadio(rawDf(Seq(("gateway/aabb/rx", msg))))
+      .collect().head
+    assert(out.getAs[String]("gateway") == "aabbccddeeff0011")
+    assert(out.getAs[Long]("tmst") == 3216387843L)
+    assert(out.getAs[Int]("chan") == 2)
+    assert(out.getAs[Double]("freq") == 868.3)
+    assert(out.getAs[Int]("stat") == 1)
+    assert(out.getAs[String]("modu") == "LORA")
+    assert(out.getAs[String]("datr") == """{"spread_factor":7,"bandwidth":125}""")
+    assert(out.getAs[String]("codr") == "4/5")
+    assert(out.getAs[Double]("lsnr") == 9.5)
+    assert(out.getAs[String]("data") == upB64)
+    assert(out.getAs[String]("m_type") == "UnconfirmedDataUp")
+    assert(out.getAs[String]("dev_addr") == "017fc1c4")
+    assert(out.getAs[Long]("f_count") == 17L)
+    assert(out.getAs[String]("mic") == "7934d552")
+    assert(out.getAs[Long]("data_collector_id") == 7L)
+    assert(out.getAs[String]("route") == "radio")
+  }
+
+  test("ChirpStack oversized phyPayload dropped (F0c)") {
+    val msg = s"""{"phyPayload":"${"A" * 301}","rxInfo":{"channel":1}}"""
+    assert(Normalize.chirpstackJsonRadio(rawDf(Seq(("gateway/x/rx", msg)))).count() == 0)
+  }
+
+  test("ChirpStack protobuf-dialect up message normalizes (P9+P10)") {
+    val gwIdB64 = Lorawan.b64encode(Lorawan.hexToBytes("aabbccddeeff0011"))
+    val msg =
+      s"""{"phyPayload":"$jrB64","rxInfo":{"gatewayID":"$gwIdB64","channel":5,
+         |"rfChain":0,"crcStatus":"CRC_OK","rssi":-101,"loRaSNR":-3.2,"size":23},
+         |"txInfo":{"frequency":915200000,"loRaModulationInfo":{
+         |"spreadingFactor":10,"bandwidth":125,"codeRate":"4/5"}}}"""
+        .stripMargin.replace("\n", "")
+    val out = Normalize.chirpstackProtoRadio(rawDf(Seq(("gateway/aabb/up", msg))))
+      .collect().head
+    assert(out.getAs[String]("gateway") == "aabbccddeeff0011")
+    assert(out.getAs[Int]("stat") == 1)
+    assert(out.getAs[Double]("freq") == 915.2)
+    assert(out.getAs[String]("datr") == """{"spread_factor":10,"bandwidth":125}""")
+    assert(out.getAs[String]("m_type") == "JoinRequest")
+    assert(out.getAs[String]("join_eui") == "55d239ac716f234d")
+    assert(out.getAs[String]("dev_eui") == null) // F1 fills later from map
+    assert(out.getAs[Int]("dev_nonce") == 51639)
+  }
+
+  test("ChirpStack topic router (F0e)") {
+    val routes = Seq("gateway/gw1/rx", "gateway/gw1/tx", "gateway/gw1/up",
+      "application/1/device/abc/rx", "application/1/node/abc/rx",
+      "application/1/device/abc/join", "other/topic")
+      .toDF("topic")
+      .select(col("topic"), Normalize.chirpstackRoute(col("topic")).as("route"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(routes("gateway/gw1/rx") == "radio")
+    assert(routes("gateway/gw1/tx") == "radio")
+    assert(routes("gateway/gw1/up") == "radio")
+    assert(routes("application/1/device/abc/rx") == "app")
+    assert(routes("application/1/device/abc/join") == "join")
+    assert(routes("other/topic") == "raw")
+  }
+
+  test("generic MQTT normalizes; datr/dev_eui scalar ops (P4-P7)") {
+    val unpadded = jrB64.stripSuffix("=").stripSuffix("=") // P2 must re-pad
+    val msg =
+      s"""{"data":"$unpadded","chan":0,"stat":1,"lsnr":7.8,"rssi":-45,
+         |"tmst":123456789,"rfch":1,"freq":867.5,"modu":"LORA","datr":"SF7BW125",
+         |"codr":"4/5","size":23}""".stripMargin.replace("\n", "")
+    val out = Normalize.genericMqtt(rawDf(Seq(("lora/ab-cd-ef/up", msg))))
+      .collect().head
+    assert(out.getAs[String]("dev_eui") == "abcdef") // P6 topic regex, '-' stripped
+    assert(out.getAs[String]("datr") == """{"spread_factor":"7","bandwidth":"125"}""")
+    assert(out.getAs[String]("m_type") == "JoinRequest") // P2 padding worked
+    assert(out.getAs[String]("join_eui") == "55d239ac716f234d")
+    assert(out.getAs[Long]("tmst") == 123456789L)
+    // F0b: no 'data' key → dropped
+    assert(Normalize.genericMqtt(rawDf(Seq(("t", """{"chan":1}""")))).count() == 0)
+    // P7: '/joined' topic forces JoinAccept
+    val joined = Normalize.genericMqtt(
+      rawDf(Seq(("lora/ab/joined", s"""{"data":"$unpadded"}""")))).collect().head
+    assert(joined.getAs[String]("m_type") == "JoinAccept")
+  }
+
+  test("TTN v2 uplink + status frames (P11, P12, F0a, F0g)") {
+    val payloadJson =
+      s"""{"payload":"$upB64","snr":8.5,"rssi":-61,
+         |"timestamp":"2024-06-01T10:20:30.5Z","frequency":868.1,
+         |"coding_rate":"4/5","dev_eui":"B827EB891CF50003"}"""
+        .stripMargin.replace("\n", "")
+    val uplinkFrame = "a[\"gateway uplink " + payloadJson.replace("\"", "\\\"") + "\"]"
+    val statusJson = """{"status":{"location":{"latitude":-34.6,"longitude":-58.4,"altitude":25.0}}}"""
+    val statusFrame = "a[\"gateway status " + statusJson.replace("\"", "\\\"") + "\"]"
+    val out = Normalize.ttnV2(rawDf(Seq(
+      (null, "h"),                    // F0a keepalive: dropped
+      (null, uplinkFrame),
+      (null, statusFrame))))
+      .orderBy(col("route"))
+      .collect()
+    assert(out.length == 2)
+    val location = out(0); val up = out(1)
+    assert(up.getAs[String]("route") == "radio")
+    assert(up.getAs[String]("gateway") == "aabbccddeeff0011") // eui- stripped
+    assert(up.getAs[Long]("tmst") == 1717237230500L)          // epoch millis
+    assert(up.getAs[Double]("freq") == 868.1)
+    assert(up.getAs[Double]("lsnr") == 8.5)
+    assert(up.getAs[String]("m_type") == "UnconfirmedDataUp")
+    assert(up.getAs[String]("dev_eui") == "B827EB891CF50003")
+    assert(up.getAs[String]("data") == upB64)
+    assert(location.getAs[String]("route") == "location")
+    assert(location.getAs[Double]("latitude") == -34.6)
+    assert(location.getAs[Double]("altitude") == 25.0)
+  }
+
+  test("TTN v3 uplink / downlink / status / stream-start (F0d, F0f, P13)") {
+    def rec(name: String, data: String) =
+      s"""{"result":{"name":"$name","time":"2024-06-01T10:20:30Z",
+         |"identifiers":[{"gateway_ids":{"gateway_id":"g1","eui":"AABBCCDDEEFF0011"}}],
+         |"data":$data}}""".stripMargin.replace("\n", "")
+    val up = rec("gs.up.receive",
+      s"""{"raw_payload":"$upB64","rx_metadata":[{"snr":7.25,"rssi":-80}],
+         |"settings":{"frequency":"868500000","coding_rate":"4/5"}}"""
+        .stripMargin.replace("\n", ""))
+    val down = rec("gs.down.send",
+      s"""{"raw_payload":"$jrB64","request":{"rx1_frequency":869525000}}""")
+    val status = rec("gs.status.receive",
+      """{"antenna_locations":[{"latitude":52.1,"longitude":4.4,"altitude":7.0}]}""")
+    val start = rec("events.stream.start", "{}")
+    val out = Normalize.ttnV3(rawDf(Seq(
+      (null, up), (null, down), (null, status), (null, start))))
+      .collect()
+    assert(out.length == 3) // stream.start dropped
+    val upRow = out.find(_.getAs[String]("codr") == "4/5").get
+    assert(upRow.getAs[Double]("freq") == 868.5)
+    assert(upRow.getAs[Long]("tmst") == 1717237230000L)
+    assert(upRow.getAs[String]("gateway") == "AABBCCDDEEFF0011")
+    assert(upRow.getAs[Double]("lsnr") == 7.25)
+    assert(upRow.getAs[String]("route") == "radio")
+    val downRow = out.find(r => r.getAs[String]("m_type") == "JoinRequest").get
+    assert(downRow.getAs[Double]("freq") == 869.525)
+    assert(downRow.getAs[String]("codr") == null)
+    val statusRow = out.find(_.getAs[String]("route") == "location").get
+    assert(statusRow.getAs[Double]("latitude") == 52.1)
+  }
+
+  test("parse-error rows carry error and no fields (PhyParser.py:10-12)") {
+    val msg = s"""{"phyPayload":"!!!notb64!!!","rxInfo":{"channel":1,"rfChain":0,
+      |"crcStatus":1,"codeRate":"4/5","rssi":-57,"loRaSNR":1.0,"size":4,
+      |"timestamp":1,"frequency":868100000,"mac":"aa",
+      |"dataRate":{"modulation":"LORA","spreadFactor":7,"bandwidth":125}}}"""
+      .stripMargin.replace("\n", "")
+    val out = Normalize.chirpstackJsonRadio(rawDf(Seq(("gateway/x/rx", msg))))
+      .collect().head
+    assert(out.getAs[String]("error") != null)
+    assert(out.getAs[String]("m_type") == null)
+  }
+}

@@ -93,7 +93,8 @@ object Normalize {
         nullCol("dev_eui"), // stateful F1 fills this
         nullCol("latitude"), nullCol("longitude"), nullCol("altitude"),
         nullCol("app_name"), nullCol("dev_name"),
-        lit("radio").as("route")): _*)
+        lit("radio").as("route"),
+        col("seq"), col("message").as("raw_message")): _*)
   }
 
   /** ChirpStack gateway radio path, protobuf dialect after MessageToJson
@@ -127,7 +128,8 @@ object Normalize {
         nullCol("dev_eui"),
         nullCol("latitude"), nullCol("longitude"), nullCol("altitude"),
         nullCol("app_name"), nullCol("dev_name"),
-        lit("radio").as("route")): _*)
+        lit("radio").as("route"),
+        col("seq"), col("message").as("raw_message")): _*)
   }
 
   // --------------------------------------------------------- generic MQTT
@@ -184,7 +186,8 @@ object Normalize {
         coalesce(devEuiFromTopic(col("topic")), phy("dev_eui")).as("dev_eui"),
         nullCol("latitude"), nullCol("longitude"), nullCol("altitude"),
         nullCol("app_name"), nullCol("dev_name"),
-        lit("radio").as("route")): _*)
+        lit("radio").as("route"),
+        col("seq"), col("message").as("raw_message")): _*)
   }
 
   // --------------------------------------------------------------- TTN v2
@@ -242,7 +245,8 @@ object Normalize {
       nullCol("app_name"), nullCol("dev_name"),
       when(col("kind") === "status", "location")
         .when(col("kind") === "raw", "raw")
-        .otherwise("radio").as("route")): _*)
+        .otherwise("radio").as("route"),
+      col("seq"), col("message").as("raw_message")): _*)
   }
 
   // --------------------------------------------------------------- TTN v3
@@ -280,6 +284,8 @@ object Normalize {
         when(name === "gs.status.receive" &&
           d("antenna_locations").isNotNull, "location")
           .when(name.isin("gs.up.receive", "gs.down.send"), "radio")
-          .otherwise("raw").as("route")): _*)
+          .otherwise("raw").as("route"),
+        col("seq"), col("message").as("raw_message"),
+        col("gw_name")): _*)
   }
 }

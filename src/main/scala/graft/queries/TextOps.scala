@@ -1,0 +1,321 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline surface (BASELINE.json north star). All
+  * implemented as declarative column programs (higher-order array
+  * functions, no UDFs → whole-stage codegen end to end).
+  *
+  * Scale notes (100 TB design):
+  *   - shingling/minhashing is per-row map work — embarrassingly parallel,
+  *     no shuffle;
+  *   - exact-Jaccard (q33) uses an inverted-index join on shingles instead
+  *     of a cross join: pairs with zero shingle overlap are never
+  *     materialized;
+  *   - MinHash-LSH (q34) shuffles only (band, band_hash) buckets — the
+  *     classic sub-quadratic near-dup path; candidates are then verified
+  *     with exact Jaccard so the output is deterministic (LSH affects
+  *     recall only; 32 bands × 4 rows ⇒ P(miss | j ≥ 0.8) < 1e-7);
+  *   - exact dedup (q32) is one hash-aggregate on a content digest.
+  */
+object TextOps {
+
+  /** Word 3-gram shingle set as a column program. `slice(w, 1, 0)` is the
+    * empty-array-of-string literal for the <3-token edge case (a bare
+    * `sequence(1, 0)` would count DOWN in Spark). */
+  private val shingles: String =
+    """CASE WHEN size(split(text, ' ')) < 3 THEN slice(split(text, ' '), 1, 0)
+      |ELSE array_distinct(
+      |  transform(sequence(1, size(split(text, ' ')) - 2),
+      |    i -> concat_ws(' ', element_at(split(text, ' '), i),
+      |                        element_at(split(text, ' '), i + 1),
+      |                        element_at(split(text, ' '), i + 2)))) END"""
+      .stripMargin.replace("\n", " ")
+
+  private val duckShingles: String =
+    """list_distinct([array_to_string(w[i:i+2], ' ')
+      |  for i in range(1, greatest(len(w) - 2, 0) + 1)])"""
+      .stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------ q30 stats
+
+  /** q30: token counting + quality scoring (length/stopword/alpha ratios). */
+  def q30TextStats(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTokens = size(toks).cast("long")
+    val stop = array(Seq("the", "a", "of", "is", "and", "to").map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stop, t))).cast("long")
+    val nAlnumSpace = length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+    val stopRatio = nStop.cast("double") / nTokens
+    val quality =
+      lit(0.4) * least(lit(1.0), nTokens.cast("double") / 100.0) +
+        lit(0.3) * (lit(1.0) - stopRatio) +
+        lit(0.3) * (nAlnumSpace.cast("double") / length(col("text")))
+    documents(s, d).select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_computed"),
+        nStop.as("n_stopwords"),
+        stopRatio.as("stop_ratio"),
+        ((length(col("text")) - nTokens + 1).cast("double") / nTokens).as("avg_word_len"),
+        quality.as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ----------------------------------------------------------- q31 langid
+
+  /** q31: n-gram/marker-word language ID heuristic with a deterministic
+    * argmax (ties break en > es > de > fr > zh). */
+  def q31LangId(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def score(words: Seq[String]) = {
+      val set = array(words.map(lit): _*)
+      size(filter(toks, t => array_contains(set, t))).cast("long")
+    }
+    val en = score(Seq("the", "a", "is", "of"))
+    val es = score(Seq("el", "la", "los", "de"))
+    val de = score(Seq("der", "die", "und", "das"))
+    val fr = score(Seq("le", "les", "est", "une"))
+    val zh = score(Seq("的", "是", "不"))
+    val pred =
+      when(en >= es && en >= de && en >= fr && en >= zh, "en")
+        .when(es >= de && es >= fr && es >= zh, "es")
+        .when(de >= fr && de >= zh, "de")
+        .when(fr >= zh, "fr")
+        .otherwise("zh")
+    documents(s, d).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        en.as("s_en"), es.as("s_es"), de.as("s_de"), fr.as("s_fr"), zh.as("s_zh"),
+        pred.as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------ q32 exact dedup
+
+  /** q32: exact dedup — hash-aggregate on a content digest, keep min id.
+    * One shuffle on the digest; at 100 TB this is the map-side-combinable
+    * canonical dedup. */
+  def q32DedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("content_md5"))
+      .groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+      .orderBy(col("keep_id"))
+
+  // --------------------------------------------------- q33 n-gram Jaccard
+
+  /** q33: exact n-gram Jaccard near-dup pairs (threshold 0.8) via an
+    * inverted-index join on shingles — never materializes zero-overlap
+    * pairs. */
+  def q33NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), expr(shingles).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    val inv = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Shared DuckDB oracle for q33/q34: exact pairwise Jaccard (feasible at
+    * oracle SF; the Spark side must match it exactly, which also proves
+    * LSH recall). */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |sh AS (SELECT doc_id, $duckShingles sh FROM w),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------ q34 MinHash-LSH
+
+  /** q34: MinHash (128 perms) + banded LSH (32×4) candidates + exact
+    * verification. Permutation i over the base hash
+    * h = xxhash64(s) mod p (p = 1e9+7): h_i = (2i+1)·h + i²+7 — products
+    * stay < 2^39, safe under Spark 4's default ANSI overflow checking. */
+  def q34MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), expr(shingles).as("sh"))
+      .withColumn("sig", expr(
+        """aggregate(sh, array_repeat(CAST(9223372036854775807 AS BIGINT), 128),
+          |  (acc, s) -> zip_with(acc,
+          |     transform(sequence(0, 127),
+          |       i -> (CAST(2*i+1 AS BIGINT) * pmod(xxhash64(s), CAST(1000000007 AS BIGINT)))
+          |            + CAST(i*i+7 AS BIGINT)),
+          |     (a, h) -> least(a, h)))""".stripMargin.replace("\n", " ")))
+    val bands = docs.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, 31), b -> struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bh))"))
+          .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = docs.select(col("doc_id"), col("sh"))
+    cands
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --------------------------------------------------------- q35 SimHash
+
+  /** q35: 64-bit SimHash over tokens + hamming-distance near-dups via
+    * 4×16-bit chunk pigeonhole blocking. Token hash is md5-derived so the
+    * DuckDB oracle can mirror it bit-for-bit. */
+  def q35Simhash(s: SparkSession, d: String): DataFrame = {
+    // token hash: low 60 bits of md5 (15 hex chars) — mirrors in DuckDB
+    val docs = documents(s, d)
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  transform(array_distinct(split(text, ' ')),
+          |    t -> conv(substring(md5(t), 1, 15), 16, 10)),
+          |  array_repeat(CAST(0 AS BIGINT), 60),
+          |  (acc, h) -> zip_with(acc,
+          |    transform(sequence(0, 59),
+          |      j -> CASE WHEN CAST(h AS BIGINT) & shiftleft(CAST(1 AS BIGINT), j) <> 0
+          |                THEN 1 ELSE -1 END),
+          |    (a, v) -> a + CAST(v AS BIGINT)))""".stripMargin.replace("\n", " ")).as("bitsum"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 59), CAST(0 AS BIGINT),
+          |  (acc, j) -> acc + CASE WHEN element_at(bitsum, j + 1) > 0
+          |                         THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("doc_id"), col("simhash"))
+    // 4 chunks of 15 bits: hamming ≤ 3 ⇒ some chunk equal (pigeonhole)
+    val chunks = docs.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          "transform(sequence(0, 3), c -> struct(c AS c, (simhash div shiftleft(CAST(1 AS BIGINT), c*15)) % 32768 AS ch))"))
+          .as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ch").as("ch"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.ch") === col("y.ch") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------- q38 fingerprinting
+
+  /** q38: document fingerprinting — content digest + polynomial rolling
+    * hash over tokens (mod 1e9+7), both mirrored exactly in the oracle. */
+  def q38Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+        col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("content_md5"),
+        expr(
+          """aggregate(
+            |  transform(split(text, ' '), w -> CAST(length(w)*17 + ascii(substring(w, 1, 1)) AS BIGINT)),
+            |  CAST(0 AS BIGINT),
+            |  (acc, v) -> pmod(acc * 31 + v, CAST(1000000007 AS BIGINT)))"""
+            .stripMargin.replace("\n", " ")).as("rolling_hash"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_text_stats"     -> (q30TextStats _),
+    "q31_langid"         -> (q31LangId _),
+    "q32_dedup_exact"    -> (q32DedupExact _),
+    "q33_ngram_jaccard"  -> (q33NgramJaccard _),
+    "q34_minhash_lsh"    -> (q34MinhashLsh _),
+    "q35_simhash"        -> (q35Simhash _),
+    "q38_fingerprint"    -> (q38Fingerprint _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q30_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_computed,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','of','is','and','to'))) AS BIGINT) AS n_stopwords,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','of','is','and','to'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio,
+        |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_word_len,
+        |  0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+        |  + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','is','and','to'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')))
+        |  + 0.3 * (CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / length(text)) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_langid" ->
+      """WITH x AS (SELECT doc_id, lang AS labeled_lang,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','is','of'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','de'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('le','les','est','une'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('的','是','不'))) AS BIGINT) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, labeled_lang, s_en, s_es, s_de, s_fr, s_zh,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang
+        |FROM x ORDER BY doc_id""".stripMargin,
+    "q32_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q33_ngram_jaccard" -> jaccardOracle(0.8),
+    "q34_minhash_lsh"   -> jaccardOracle(0.8),
+    "q35_simhash" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  list_transform(list_distinct(string_split(text, ' ')),
+         |    t -> CAST(list_reduce(
+         |           list_prepend(CAST(0 AS BIGINT),
+         |             [CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c) - 48
+         |                        ELSE ascii(c) - 87 END AS BIGINT)
+         |              for c in string_split_regex(substring(md5(t), 1, 15), '')]),
+         |           (a, b) -> a * 16 + b) AS BIGINT)) hs
+         |  FROM documents),
+         |bs AS (SELECT doc_id,
+         |  [list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END for h in hs])
+         |   for j in range(0, 60)] AS bitsum FROM h),
+         |sh AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [CAST(CASE WHEN bitsum[j+1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS BIGINT)
+         |     for j in range(0, 60)]), (a, b) -> a + b) AS simhash
+         |  FROM bs)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q38_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS content_md5,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ' '),
+        |      w -> CAST(length(w)*17 + ascii(substring(w, 1, 1)) AS BIGINT))),
+        |    (acc, v) -> (acc * 31 + v) % 1000000007) AS rolling_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,238 @@
+package graft.state
+
+import org.apache.spark.sql.streaming.GroupState
+
+/** The reference's stateful quartet (SURVEY §2.5) as keyed-state
+  * processors, usable from `groupByKey(...).flatMapGroupsWithState` in
+  * Structured Streaming and directly (via [[runOrdered]]) in batch tests.
+  *
+  *   - F1 device-identity map: unbounded last-write-wins
+  *     `dev_addr → {dev_eui, app_name, dev_name}`
+  *     (LoraServerIOCollector.py:83,287-304,380-387,436-446)
+  *   - F2 gateway⋈application pairing: buffer size exactly 1,
+  *     flush-on-next-event, match on f_count (:368-399,403-459)
+  *   - F3 join passthrough: map update + raw-log envelope (:287-304)
+  *   - F4 last-known-location: take-once, cleared after first use
+  *     (TTNCollector.py:202-209,241-247; TTNv3Collector.py:229-240,299-305)
+  *   - F5 verification gate: total/verified counters,
+  *     `verified := total ≥ 5 ∧ ratio > 0.8`, drop failing rows while
+  *     unverified (BaseCollector.py:85-110)
+  *
+  * State is keyed by data_collector_id — the reference's state objects
+  * live on the per-collector client/socket, so per-collector keying
+  * reproduces the semantics that matter while sharding state across
+  * executors at scale. Records are processed in `seq` order within each
+  * key (the source stamps a monotonic per-collector sequence), which is
+  * the ONLY ordering F2 depends on — SURVEY §7.4 hard part 2.
+  */
+object StateOps {
+
+  /** Normalized packet subset the state machine manipulates; the full
+    * packet row travels in `packetJson` untouched (columns the state ops
+    * never touch stay out of the state machine). */
+  final case class Rec(
+      seq: Long,
+      collectorId: Long,
+      route: String,         // radio | app | join | location | raw
+      topic: Option[String],
+      message: String,       // the raw message for the envelope log
+      // radio-route fields the ops read/write
+      devAddr: Option[String],
+      fCount: Option[Long],
+      devEui: Option[String],
+      appName: Option[String],
+      devName: Option[String],
+      latitude: Option[Double],
+      longitude: Option[Double],
+      altitude: Option[Double],
+      gwName: Option[String],
+      packetJson: Option[String], // full packet row as JSON (None: no packet)
+      arrivalTs: Long)
+
+  final case class Msg(topic: Option[String], message: String, dataCollectorId: Long)
+
+  final case class Envelope(
+      ts: Long,
+      collectorId: Long,
+      packet: Option[Rec],    // enriched packet (None for raw-log envelopes)
+      messages: Seq[Msg])
+
+  final case class DeviceInfo(devEui: Option[String], appName: Option[String],
+                              devName: Option[String], fromApp: Boolean)
+
+  // ------------------------------------------------------- F1+F2+F3 state
+
+  final case class ChirpState(
+      devices: Map[String, DeviceInfo],
+      prev: Option[Rec],
+      prevMsgs: Seq[Msg])
+
+  object ChirpState { val empty: ChirpState = ChirpState(Map.empty, None, Nil) }
+
+  /** One step of the ChirpStack state machine (reference on_message,
+    * LoraServerIOCollector.py:225-491). Returns (new state, emitted
+    * envelopes). Pure — trivially testable, wrapped for Spark below. */
+  def chirpStep(st: ChirpState, r: Rec): (ChirpState, Seq[Envelope]) = {
+    val msg = Msg(r.topic, r.message, r.collectorId)
+    def env(p: Option[Rec], ms: Seq[Msg]) =
+      Envelope(r.arrivalTs, r.collectorId, p, ms)
+
+    r.route match {
+      case "join" =>
+        // F1 upsert (dev_eui only) + F3 raw-log envelope (:287-304)
+        val m = r.devAddr.fold(st.devices) { da =>
+          st.devices + (da -> DeviceInfo(r.devEui, None, None, fromApp = false))
+        }
+        (st.copy(devices = m), Seq(env(None, Seq(msg))))
+
+      case "radio" =>
+        // flush any pending packet first (:370-376)
+        val (afterFlush, flushed) = st.prev match {
+          case Some(p) => (st.copy(prev = None, prevMsgs = Nil),
+            Seq(env(Some(p), st.prevMsgs)))
+          case None => (st, Nil)
+        }
+        r.devAddr match {
+          case Some(da) =>
+            afterFlush.devices.get(da) match {
+              case Some(info) =>
+                // map hit: enrich + emit (:382-387)
+                val enriched = r.copy(
+                  devEui = info.devEui,
+                  appName = if (info.fromApp) info.appName else r.appName,
+                  devName = if (info.fromApp) info.devName else r.devName)
+                (afterFlush, flushed :+ env(Some(enriched), Seq(msg)))
+              case None =>
+                // map miss: buffer as prev_packet (:389-399)
+                (afterFlush.copy(prev = Some(r), prevMsgs = Seq(msg)), flushed)
+            }
+          case None =>
+            // no dev_addr (join request / error row): emit directly (:478-491)
+            (afterFlush, flushed :+ env(Some(r), Seq(msg)))
+        }
+
+      case "app" =>
+        st.prev match {
+          case Some(p) =>
+            val cleared = st.copy(prev = None, prevMsgs = Nil)
+            if (p.fCount.isDefined && p.fCount == r.fCount) {
+              // pair hit (:415-446): location + gw_name + F1 upsert + enrich
+              val newDevices = p.devAddr.fold(cleared.devices) { da =>
+                cleared.devices + (da -> DeviceInfo(r.devEui, r.appName, r.devName, fromApp = true))
+              }
+              val enriched = p.copy(
+                latitude = r.latitude.orElse(p.latitude),
+                longitude = r.longitude.orElse(p.longitude),
+                altitude = r.altitude.orElse(p.altitude),
+                gwName = r.gwName.orElse(p.gwName),
+                devEui = r.devEui, appName = r.appName, devName = r.devName)
+              (cleared.copy(devices = newDevices),
+                Seq(env(Some(enriched), st.prevMsgs :+ msg)))
+            } else {
+              // f_count mismatch: emit un-enriched (:478-491 via fallthrough)
+              (cleared, Seq(env(Some(p), st.prevMsgs :+ msg)))
+            }
+          case None =>
+            // no pending gateway packet: app message dropped (reference
+            // emits nothing — standard_packet stays empty)
+            (st, Nil)
+        }
+
+      case _ => // raw / unparseable (:450-474)
+        val (afterFlush, flushed) = st.prev match {
+          case Some(p) => (st.copy(prev = None, prevMsgs = Nil),
+            Seq(env(Some(p), st.prevMsgs)))
+          case None => (st, Nil)
+        }
+        (afterFlush, flushed :+ env(None, Seq(msg)))
+    }
+  }
+
+  /** Spark hook: use from
+    * `ds.groupByKey(_.collectorId).flatMapGroupsWithState(...)(chirpFlatMap)`.
+    * Sorts the batch's records by seq — cross-batch order is the source's
+    * responsibility (monotonic seq per collector). */
+  def chirpFlatMap(key: Long, it: Iterator[Rec],
+                   state: GroupState[ChirpState]): Iterator[Envelope] = {
+    var st = state.getOption.getOrElse(ChirpState.empty)
+    val out = Seq.newBuilder[Envelope]
+    it.toSeq.sortBy(_.seq).foreach { r =>
+      val (st2, envs) = chirpStep(st, r)
+      st = st2
+      out ++= envs
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  // ------------------------------------------------------------- F4 state
+
+  final case class LocState(lat: Double, lon: Double, alt: Double)
+
+  /** F4 location take-once step: location rows set the held value; the
+    * next radio row consumes and CLEARS it (TTNCollector.py:241-247 —
+    * take-once, not sticky). Non-radio rows pass through as raw-log
+    * envelopes, mirroring the TTN collectors' save-everything behavior. */
+  def locationStep(st: Option[LocState], r: Rec): (Option[LocState], Seq[Envelope]) = {
+    val msg = Msg(r.topic, r.message, r.collectorId)
+    r.route match {
+      case "location" =>
+        val next = for (la <- r.latitude; lo <- r.longitude; al <- r.altitude)
+          yield LocState(la, lo, al)
+        (next.orElse(st), Seq(Envelope(r.arrivalTs, r.collectorId, None, Seq(msg))))
+      case "radio" =>
+        st match {
+          case Some(l) =>
+            val enriched = r.copy(latitude = Some(l.lat), longitude = Some(l.lon),
+              altitude = Some(l.alt))
+            (None, Seq(Envelope(r.arrivalTs, r.collectorId, Some(enriched), Seq(msg))))
+          case None =>
+            (None, Seq(Envelope(r.arrivalTs, r.collectorId, Some(r), Seq(msg))))
+        }
+      case _ =>
+        (st, Seq(Envelope(r.arrivalTs, r.collectorId, None, Seq(msg))))
+    }
+  }
+
+  def locationFlatMap(key: Long, it: Iterator[Rec],
+                      state: GroupState[LocState]): Iterator[Envelope] = {
+    var st = state.getOption
+    val out = Seq.newBuilder[Envelope]
+    it.toSeq.sortBy(_.seq).foreach { r =>
+      val (st2, envs) = locationStep(st, r)
+      st = st2
+      out ++= envs
+    }
+    st match {
+      case Some(s) => state.update(s)
+      case None    => if (state.exists) state.remove()
+    }
+    out.result().iterator
+  }
+
+  // ------------------------------------------------------------- F5 state
+
+  final case class VerifState(total: Long, ok: Long, verified: Boolean)
+  object VerifState { val empty: VerifState = VerifState(0, 0, verified = false) }
+
+  final case class VerifOut(rec: Option[Rec], statusChange: Option[Boolean])
+
+  /** F5 verification-gate step (BaseCollector.py:85-110): while
+    * unverified, every message is counted and FAILING messages are
+    * dropped; `verified := total ≥ 5 ∧ ok/total > 0.8` latches on (the
+    * reference never un-verifies without the 600 s timer, which is
+    * driver-side). Emits a statusChange record on the flip. */
+  def verifStep(st: VerifState, passes: Boolean, r: Rec,
+                minPackets: Long = 5, ratio: Double = 0.8): (VerifState, Seq[VerifOut]) = {
+    if (st.verified) (st, Seq(VerifOut(Some(r), None)))
+    else {
+      val total = st.total + 1
+      val ok = st.ok + (if (passes) 1 else 0)
+      val verified = total >= minPackets && ok.toDouble / total > ratio
+      val st2 = VerifState(total, ok, verified)
+      val pass = if (passes) Seq(VerifOut(Some(r), None)) else Nil
+      val flip = if (verified) Seq(VerifOut(None, Some(true))) else Nil
+      (st2, pass ++ flip)
+    }
+  }
+}

@@ -25,7 +25,8 @@ class NormalizeSpec extends SparkSuite {
   private val upB64 = Lorawan.b64encode(upBytes)
 
   private def rawDf(rows: Seq[(String, String)]): DataFrame =
-    rows.toDF("topic", "message")
+    rows.zipWithIndex.map { case ((t, m), i) => (t, m, i.toLong) }
+      .toDF("topic", "message", "seq")
       .withColumn("data_collector_id", lit(7L))
       .withColumn("organization_id", lit(3L))
       .withColumn("gw", lit("eui-aabbccddeeff0011"))

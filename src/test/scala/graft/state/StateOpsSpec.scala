@@ -1,0 +1,218 @@
+package graft.state
+
+import graft.SparkSuite
+import graft.state.StateOps._
+import graft.streaming.Pipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Scripted-sequence tests for the stateful quartet — the ordering cases
+  * of LoraServerIOCollector.py:370-399,411-459 and
+  * TTNCollector.py:202-247 (SURVEY §5.2 item 3). */
+class StateOpsSpec extends SparkSuite {
+
+  private def rec(seq: Long, route: String, devAddr: String = null,
+                  fCount: java.lang.Long = null, devEui: String = null,
+                  appName: String = null, devName: String = null,
+                  lat: java.lang.Double = null, msg: String = "m"): Rec =
+    Rec(seq, 1L, route, Some(s"t$seq"), msg,
+      Option(devAddr), Option(fCount).map(_.toLong), Option(devEui),
+      Option(appName), Option(devName),
+      Option(lat).map(_.toDouble), Option(lat).map(_.toDouble), Option(lat).map(_.toDouble),
+      None, Some("{}"), 1000 + seq)
+
+  private def run(recs: Rec*): (ChirpState, Seq[Envelope]) =
+    recs.foldLeft((ChirpState.empty, Seq.empty[Envelope])) {
+      case ((st, acc), r) =>
+        val (st2, out) = chirpStep(st, r)
+        (st2, acc ++ out)
+    }
+
+  test("F2 pair-hit: buffered gateway packet merges with matching app message") {
+    val (st, out) = run(
+      rec(1, "radio", devAddr = "aa01", fCount = 7L),
+      rec(2, "app", fCount = 7L, devEui = "deadbeef", appName = "ap", devName = "dv", lat = 1.5))
+    assert(out.size == 1)
+    val env = out.head
+    assert(env.packet.get.devEui.contains("deadbeef"))
+    assert(env.packet.get.appName.contains("ap"))
+    assert(env.packet.get.latitude.contains(1.5))
+    assert(env.messages.size == 2) // gateway msg + app msg
+    // F1 updated through the pairing path
+    assert(st.devices("aa01") == DeviceInfo(Some("deadbeef"), Some("ap"), Some("dv"), fromApp = true))
+    assert(st.prev.isEmpty)
+  }
+
+  test("F2 f_count mismatch: packet emitted un-enriched, map untouched") {
+    val (st, out) = run(
+      rec(1, "radio", devAddr = "aa01", fCount = 7L),
+      rec(2, "app", fCount = 8L, devEui = "deadbeef"))
+    assert(out.size == 1)
+    assert(out.head.packet.get.devEui.isEmpty)
+    assert(out.head.messages.size == 2)
+    assert(st.devices.isEmpty)
+  }
+
+  test("F2 flush-on-next-event: second radio packet flushes the buffer") {
+    val (st, out) = run(
+      rec(1, "radio", devAddr = "aa01", fCount = 7L),
+      rec(2, "radio", devAddr = "bb02", fCount = 9L))
+    assert(out.size == 1)         // first packet flushed un-enriched
+    assert(out.head.packet.get.devAddr.contains("aa01"))
+    assert(st.prev.get.devAddr.contains("bb02")) // second now buffered
+  }
+
+  test("F1+F3 join-then-data: map hit enriches immediately, join logs raw envelope") {
+    val (st, out) = run(
+      rec(1, "join", devAddr = "aa01", devEui = "cafe01"),
+      rec(2, "radio", devAddr = "aa01", fCount = 3L))
+    assert(out.size == 2)
+    assert(out(0).packet.isEmpty)                  // F3 raw-log envelope
+    assert(out(1).packet.get.devEui.contains("cafe01"))
+    assert(st.prev.isEmpty)
+    // join-sourced entries carry no app/dev names (fromApp = false)
+    assert(!st.devices("aa01").fromApp)
+  }
+
+  test("radio with no dev_addr (JoinRequest) emits straight through") {
+    val (_, out) = run(rec(1, "radio"))
+    assert(out.size == 1 && out.head.packet.isDefined)
+  }
+
+  test("raw message flushes pending buffer then logs itself") {
+    val (st, out) = run(
+      rec(1, "radio", devAddr = "aa01", fCount = 7L),
+      rec(2, "raw"))
+    assert(out.size == 2)
+    assert(out(0).packet.get.devAddr.contains("aa01"))
+    assert(out(1).packet.isEmpty)
+    assert(st.prev.isEmpty)
+  }
+
+  test("app with no pending packet is dropped silently") {
+    val (_, out) = run(rec(1, "app", fCount = 7L, devEui = "x"))
+    assert(out.isEmpty)
+  }
+
+  test("F4 location take-once: consumed by next radio, then cleared") {
+    val l = rec(1, "location", lat = 9.0)
+    val r1 = rec(2, "radio"); val r2 = rec(3, "radio")
+    val (st1, o1) = locationStep(None, l)
+    val (st2, o2) = locationStep(st1, r1)
+    val (st3, o3) = locationStep(st2, r2)
+    assert(o1.head.packet.isEmpty)
+    assert(o2.head.packet.get.latitude.contains(9.0))
+    assert(st2.isEmpty)                         // cleared after one use
+    assert(o3.head.packet.get.latitude.isEmpty) // not sticky
+    assert(st3.isEmpty)
+  }
+
+  test("F5 verification gate: threshold flip at total≥5 ∧ ratio>0.8") {
+    var st = VerifState.empty
+    val results = (1 to 6).map { i =>
+      val passes = i != 1 // one failure then passes: at i=6, ok=5/6 > 0.8
+      val (st2, out) = verifStep(st, passes, rec(i, "radio"))
+      st = st2
+      (out.exists(_.rec.isDefined), out.exists(_.statusChange.contains(true)))
+    }
+    assert(results(0) == ((false, false))) // failing row dropped
+    assert(!results.take(5).exists(_._2))  // not verified through i=5 (4/5 = 0.8 not > 0.8)
+    assert(results(5)._2)                  // flips at i=6 (5/6)
+    assert(st.verified)
+    // once verified, failing rows pass through uncounted
+    val (st3, out3) = verifStep(st, passes = false, rec(99, "radio"))
+    assert(out3.head.rec.isDefined && st3 == st)
+  }
+
+  // ------------------------------------------------------ pipeline e2e
+
+  private val chirpSeq: Seq[(String, String, Long)] = {
+    val up = graft.codec.Lorawan.b64encode(
+      Array(0x40.toByte) ++ graft.codec.Lorawan.hexToLe("017fc1c4") ++
+        Array(0x80.toByte) ++ Array(7.toByte, 0.toByte) ++
+        Array(1.toByte) ++ Array(10.toByte, 20.toByte) ++
+        graft.codec.Lorawan.hexToBytes("00000000"))
+    def gw(seqNo: Long) =
+      (s"gateway/gw1/rx",
+        s"""{"phyPayload":"$up","rxInfo":{"channel":1,"rfChain":0,"crcStatus":1,
+           |"codeRate":"4/5","rssi":-60,"loRaSNR":9.0,"size":17,"timestamp":${1000 + seqNo},
+           |"frequency":868100000,"mac":"aabb","dataRate":{"modulation":"LORA",
+           |"spreadFactor":7,"bandwidth":125}}}""".stripMargin.replace("\n", ""),
+        seqNo)
+    Seq(
+      gw(1), // buffered (dev_addr 017fc1c4 unknown)
+      ("application/1/device/cafe01/rx",
+        """{"devEUI":"cafe01","applicationName":"app1","deviceName":"dev1","fCnt":7,
+          |"rxInfo":[{"name":"gw-name","location":{"latitude":1.0,"longitude":2.0,"altitude":3.0}}]}"""
+          .stripMargin.replace("\n", ""), 2L), // pairs with gw(1)
+      gw(3), // map hit now → enriched immediately
+      ("application/1/device/x/join",
+        """{"devAddr":"11223344","devEUI":"feed01"}""", 4L)) // F1 upsert + raw log
+  }
+
+  test("ChirpStack pipeline end-to-end (batch): normalize → state → envelopes") {
+    implicit val s = spark
+    import s.implicits._
+    val df = chirpSeq.toDF("topic", "message", "seq")
+      .withColumn("data_collector_id", org.apache.spark.sql.functions.lit(1L))
+      .withColumn("organization_id", org.apache.spark.sql.functions.lit(2L))
+      .withColumn("arrival_ts",
+        org.apache.spark.sql.functions.to_timestamp(
+          org.apache.spark.sql.functions.lit("2024-06-01 12:00:00")))
+    val envs = Pipeline.chirpEnvelopes(Pipeline.toChirpRecs(df))
+      .collect().sortBy(_.ts)
+    assert(envs.length == 3)
+    val paired = envs(0)
+    assert(paired.packet.get.devEui.contains("cafe01"))
+    assert(paired.packet.get.latitude.contains(1.0))
+    assert(paired.messages.size == 2)
+    val enriched = envs(1)
+    assert(enriched.packet.get.devEui.contains("cafe01"))
+    assert(enriched.packet.get.appName.contains("app1"))
+    assert(enriched.messages.size == 1)
+    val joinLog = envs(2)
+    assert(joinLog.packet.isEmpty)
+
+    // K1 envelope frame: packet struct materializes with enrichment
+    val frame = Pipeline.envelopeFrame(
+      Pipeline.chirpEnvelopes(Pipeline.toChirpRecs(df)))
+    val rows = frame.orderBy("ts").collect()
+    assert(rows.length == 3)
+    val pkt = rows(0).getStruct(rows(0).fieldIndex("packet"))
+    assert(pkt.getAs[String]("dev_eui") == "cafe01")
+    assert(pkt.getAs[Double]("latitude") == 1.0)
+    assert(pkt.getAs[String]("dev_addr") == "017fc1c4")
+    assert(pkt.getAs[String]("datr") == """{"spread_factor":7,"bandwidth":125}""")
+  }
+
+  test("ChirpStack pipeline in Structured Streaming equals batch result") {
+    implicit val s = spark
+    import s.implicits._
+    val df = chirpSeq.toDF("topic", "message", "seq")
+      .withColumn("data_collector_id", org.apache.spark.sql.functions.lit(1L))
+      .withColumn("organization_id", org.apache.spark.sql.functions.lit(2L))
+      .withColumn("arrival_ts",
+        org.apache.spark.sql.functions.to_timestamp(
+          org.apache.spark.sql.functions.lit("2024-06-01 12:00:00")))
+    val batchRecs = Pipeline.toChirpRecs(df).collect().sortBy(_.seq)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Rec]
+    val q = Pipeline.chirpEnvelopes(stream.toDS())
+      .writeStream.format("memory").queryName("chirp_envs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two micro-batches split mid-pairing: state must carry across
+      stream.addData(batchRecs.take(1).toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(batchRecs.drop(1).toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("chirp_envs").as[Envelope].collect().sortBy(_.ts)
+      val batch = Pipeline.chirpEnvelopes(Pipeline.toChirpRecs(df))
+        .collect().sortBy(_.ts)
+      assert(streamed.length == batch.length)
+      assert(streamed.map(_.packet.flatMap(_.devEui)).toSeq ==
+        batch.map(_.packet.flatMap(_.devEui)).toSeq)
+    } finally q.stop()
+  }
+}

@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ queriesPkg.Packets.queries ++
-      queriesPkg.TextOps.queries ++ queriesPkg.Vectors.queries
+      queriesPkg.TextOps.queries ++ queriesPkg.Vectors.queries ++
+      queriesPkg.Streams.queries ++ queriesPkg.Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ queriesPkg.Packets.oracle ++
-      queriesPkg.TextOps.oracle ++ queriesPkg.Vectors.oracle
+      queriesPkg.TextOps.oracle ++ queriesPkg.Vectors.oracle ++
+      queriesPkg.Streams.oracle ++ queriesPkg.Media.oracle
 }

@@ -1,0 +1,116 @@
+package graft.control
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Control plane (SURVEY §3.1/§3.3): collector configs → running streaming
+  * queries, lifecycle events, status-delta emission. The reference's
+  * Orchestrator.py re-expressed as (a) pure, testable decision functions
+  * and (b) a thin driver-side manager that starts/stops StreamingQueries.
+  */
+object Orchestrator {
+
+  /** Collector config — the S4 REST bootstrap / S5 control-event payload
+    * (Orchestrator.py:309-329, FIXTURES.md §2h). */
+  final case class CollectorConfig(
+      id: Long,
+      ctype: String,            // chirpstack | ttn | ttn_v3 | generic_mqtt
+      organizationId: Long,
+      topics: Seq[String],
+      gatewayIdCsv: String,     // TTN v2: comma-separated gateway ids
+      gatewayName: String,
+      enabled: Boolean,
+      verified: Boolean)
+
+  /** F9 fan-out: one TTN v2 config becomes one collector per gateway in
+    * the CSV (Orchestrator.py:279-291). Pure. */
+  def fanOut(c: CollectorConfig): Seq[CollectorConfig] =
+    if (c.ctype == "ttn" && c.gatewayIdCsv != null && c.gatewayIdCsv.nonEmpty)
+      c.gatewayIdCsv.split(",").toSeq.map(g =>
+        c.copy(gatewayIdCsv = g, gatewayName = g))
+    else Seq(c)
+
+  /** Config DataFrame flavor of the fan-out (for bulk bootstrap). */
+  def fanOutDf(configs: DataFrame): DataFrame =
+    configs.withColumn("gateway_id",
+      explode_outer(split(col("gateway_id_csv"), ",")))
+
+  // ----------------------------------------------------------- F7 deltas
+
+  final case class Status(connected: Boolean, verified: Boolean)
+  final case class StatusEvent(collectorId: Long, status: String, verified: Boolean)
+
+  /** F7 status-change detection: compare current statuses against the
+    * cache, emit deltas only (Orchestrator.py:88-135). Pure. */
+  def statusDeltas(cache: Map[Long, Status],
+                   current: Map[Long, Status]): (Map[Long, Status], Seq[StatusEvent]) = {
+    val events = current.toSeq.sortBy(_._1).flatMap { case (id, st) =>
+      if (cache.get(id).contains(st)) Nil
+      else Seq(StatusEvent(id,
+        if (st.connected) "CONNECTED" else "DISCONNECTED", st.verified))
+    }
+    (current, events)
+  }
+
+  // ------------------------------------------------- F5 timeout (driver)
+
+  /** The 600 s verification timer (BaseCollector.py:26,43-53): collectors
+    * still unverified past the deadline are disabled with FAILED_VERIFY.
+    * Pure decision function; the driver calls it on a clock tick. */
+  def verifyTimeouts(nowMs: Long, startedMs: Map[Long, Long],
+                     verified: Set[Long], timeoutMs: Long = 600000L): Seq[Long] =
+    startedMs.toSeq.sortBy(_._1).collect {
+      case (id, t0) if !verified.contains(id) && nowMs - t0 >= timeoutMs => id
+    }
+
+  // --------------------------------------------------- F9 lifecycle core
+
+  sealed trait Event { def id: Long }
+  final case class Created(id: Long, config: CollectorConfig) extends Event
+  final case class Deleted(id: Long) extends Event
+  final case class Enabled(id: Long) extends Event
+  final case class Disabled(id: Long) extends Event
+  final case class Updated(id: Long, config: CollectorConfig) extends Event
+  final case class FailedVerify(id: Long) extends Event
+
+  final case class Plan(start: Seq[CollectorConfig], stop: Seq[Long])
+
+  /** F9 lifecycle decisions (Orchestrator.py:138-243) as a pure function
+    * from (running set, event) to start/stop actions. */
+  def lifecycle(running: Map[Long, CollectorConfig], ev: Event): Plan = ev match {
+    case Created(_, c) if c.enabled => Plan(fanOut(c), Nil)
+    case Created(_, _)              => Plan(Nil, Nil)
+    case Deleted(id)                => Plan(Nil, if (running.contains(id)) Seq(id) else Nil)
+    case Enabled(id)                => Plan(Nil, Nil) // driver re-creates from config store
+    case Disabled(id)               => Plan(Nil, if (running.contains(id)) Seq(id) else Nil)
+    case Updated(id, c) =>
+      Plan(if (c.enabled) fanOut(c) else Nil, if (running.contains(id)) Seq(id) else Nil)
+    case FailedVerify(id)           => Plan(Nil, if (running.contains(id)) Seq(id) else Nil)
+  }
+
+  /** Driver-side manager: applies [[lifecycle]] plans to real
+    * StreamingQueries. `build` is the per-collector query factory
+    * (source → pipeline → sink). */
+  final class QueryManager(build: CollectorConfig => StreamingQuery) {
+    private var running: Map[Long, (CollectorConfig, Seq[StreamingQuery])] = Map.empty
+
+    def runningIds: Set[Long] = running.keySet
+
+    def handle(ev: Event): Unit = synchronized {
+      val plan = lifecycle(running.view.mapValues(_._1).toMap, ev)
+      plan.stop.foreach { id =>
+        running.get(id).foreach(_._2.foreach(_.stop()))
+        running -= id
+      }
+      plan.start.groupBy(_.id).foreach { case (id, configs) =>
+        running += id -> (configs.head, configs.map(build))
+      }
+    }
+
+    def stopAll(): Unit = synchronized {
+      running.values.foreach(_._2.foreach(_.stop()))
+      running = Map.empty
+    }
+  }
+}

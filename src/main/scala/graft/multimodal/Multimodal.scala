@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata (BASELINE.json north star).
+  *
+  * The Spark-side machinery — schema, size-aware partitioning, batch-shaped
+  * decode, feature columns — is real and tested; the pixel/sample decoding
+  * itself is a clearly-marked DETERMINISTIC STUB (`decodeStub`), because
+  * this container ships no image/audio libraries. Swapping in a real
+  * decoder is a one-function change: keep the signature
+  * `binary → struct(width, height, channels, n_frames, features)`.
+  *
+  * Scale notes (100 TB of media):
+  *   - media rows are orders of magnitude wider than metadata rows — always
+  *     project metadata-only queries BEFORE touching the binary column so
+  *     parquet column pruning skips the blobs entirely;
+  *   - decode is per-row map work; partition by byte size
+  *     (`repartitionByRange` on `octet_length`) so one straggler partition
+  *     doesn't hold 10 GB of video while others hold thumbnails;
+  *   - a real decoder batches per-partition (the JNI/FFmpeg analog of
+  *     mapInPandas): `mapPartitions` with a reusable decoder instance, not
+  *     a per-row UDF, when decode has setup cost.
+  */
+object Multimodal {
+
+  /** Synthesize a media table from `documents`: UTF-8 bytes stand in for
+    * the blob; type assigned round-robin. Real pipelines read
+    * `spark.read.format("binaryFile")` or parquet with a binary column. */
+  def mediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      struct(
+        col("source").as("origin"),
+        col("n_chars").as("declared_bytes")).as("metadata"))
+
+  /** 1-based byte accessor on the (ASCII-synthesized) binary column. */
+  private def byteAt(media: Column, pos1: Column): Column =
+    ascii(decode(media, "UTF-8").substr(pos1, lit(1))).cast("long")
+
+  /** Byte-sum as a pure column fold (codegen-friendly, no UDF). */
+  private def byteSum(media: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), octet_length(media)), i => byteAt(media, i)),
+      lit(0L), (acc, b) => acc + b)
+
+  /** DETERMINISTIC STUB decode — stands in for the real image/audio
+    * decoder. Width/height derive from the first two bytes, frames from
+    * 256-byte chunks; features are [total bytes, first byte, last byte,
+    * byte-sum mod 997] — all cheap column programs, all oracle-verifiable. */
+  def decodeStub(media: Column): Column = struct(
+    (byteAt(media, lit(1)) % 64 + 1).cast("int").as("width"),
+    (byteAt(media, lit(2)) % 64 + 1).cast("int").as("height"),
+    lit(3).as("channels"),
+    ceil(octet_length(media) / lit(256.0)).cast("int").as("n_frames"),
+    array(
+      octet_length(media).cast("double"),
+      byteAt(media, lit(1)).cast("double"),
+      byteAt(media, octet_length(media).cast("long")).cast("double"),
+      pmod(byteSum(media), lit(997L)).cast("double")).as("features"))
+
+  /** Stub "resize": halve stub dimensions — metadata-only transform. */
+  def resizeStub(decoded: Column): Column =
+    decoded
+      .withField("width", greatest((decoded("width") / 2).cast("int"), lit(1)))
+      .withField("height", greatest((decoded("height") / 2).cast("int"), lit(1)))
+
+  /** Frame sampling for "video" rows: every k-th 256-byte chunk index. */
+  def frameSample(decoded: Column, k: Int): Column =
+    filter(sequence(lit(0), decoded("n_frames") - 1), i => i % k === 0)
+}

@@ -149,7 +149,32 @@ object Packets {
       .orderBy(col("c_custkey"))
       .limit(1)
 
+  /** q28: AppKey search (C9, lorawanWrapper.go:245-385) — the one workload
+    * where the reference would want a cluster: candidateKeys ⋈ joinPackets
+    * filtered on MIC validity. Packets are synthesized and signed with the
+    * key derived from their user_id; Spark must FIND that key by testing
+    * every candidate (AES-CMAC per pair, broadcast candidate set, no
+    * shuffle of the packet side); the oracle knows it by construction. */
+  def q28KeyBruteforce(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).filter(col("event_id") < 200)
+    val keyHex = lpad(lower(hex(col("user_id"))), 32, "0")
+    val jr = PhyFunctions.encodeJoinRequest(
+      lpad(lower(hex(col("user_id") + 1)), 16, "0"),
+      lpad(lower(hex(col("event_id") + 1)), 16, "0"),
+      (col("event_id") % 65536).cast("int"),
+      lit("00000000"))
+    val signed = e.select(col("event_id"),
+      PhyFunctions.signPacketUdf(jr, keyHex).as("bytes"))
+    val candidates = events(s, d)
+      .select(lpad(lower(hex(col("user_id"))), 32, "0").as("cand_key")).distinct()
+    signed.crossJoin(broadcast(candidates))
+      .filter(PhyFunctions.micValid(col("bytes"), col("cand_key")))
+      .select(col("event_id"), col("cand_key").as("found_key"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_key_bruteforce"     -> (q28KeyBruteforce _),
     "q20_codec_roundtrip"    -> (q20CodecRoundtrip _),
     "q21_scalar_ops"         -> (q21ScalarOps _),
     "q22_device_map_lww"     -> (q22DeviceMapLww _),
@@ -160,6 +185,9 @@ object Packets {
   )
 
   val oracle: Map[String, String] = Map(
+    "q28_key_bruteforce" ->
+      """SELECT event_id, lpad(lower(hex(user_id)), 32, '0') AS found_key
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
     "q20_codec_roundtrip" ->
       """SELECT event_id,
         |  'JoinRequest' AS m_type, 'LoRaWANR1' AS major,

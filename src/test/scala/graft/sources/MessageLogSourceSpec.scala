@@ -1,0 +1,85 @@
+package graft.sources
+
+import graft.SparkSuite
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.streaming.OutputMode
+
+/** DSv2 message-log source: batch read, micro-batch incremental read,
+  * and end-to-end into the ChirpStack pipeline. */
+class MessageLogSourceSpec extends SparkSuite {
+
+  private val fmt = "graft.sources.MessageLogSource"
+
+  private def writeFile(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+  private def line(seq: Long, topic: String, message: String) =
+    s"""{"topic":${if (topic == null) "null" else "\"" + topic + "\""},""" +
+      s""""message":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .writeValueAsString(message)},""" +
+      s""""data_collector_id":1,"organization_id":2,"seq":$seq,"arrival_ts":${1700000000000000L + seq}}"""
+
+  test("batch read sees all files with the declared schema") {
+    val dir = Files.createTempDirectory("msglog").toString
+    writeFile(dir, "000001.jsonl", Seq(line(1, "t/a", "m1"), line(2, "t/b", "m2")))
+    writeFile(dir, "000002.jsonl", Seq(line(3, null, "m3")))
+    val df = spark.read.format(fmt).load(dir)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("topic", "message", "data_collector_id", "organization_id", "seq", "arrival_ts"))
+    val rows = df.orderBy("seq").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(0) == "t/a" && rows(0).getString(1) == "m1")
+    assert(rows(2).isNullAt(0))
+    assert(rows(0).getAs[java.sql.Timestamp]("arrival_ts").getTime == 1700000000000L + 0)
+  }
+
+  test("micro-batch stream picks up new files incrementally") {
+    val dir = Files.createTempDirectory("msglog").toString
+    writeFile(dir, "000001.jsonl", Seq(line(1, "t/a", "m1")))
+    val q = spark.readStream.format(fmt).load(dir)
+      .writeStream.format("memory").queryName("msglog_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("msglog_out").count() == 1)
+      writeFile(dir, "000002.jsonl", Seq(line(2, "t/b", "m2"), line(3, "t/c", "m3")))
+      q.processAllAvailable()
+      assert(spark.table("msglog_out").count() == 3)
+      // no re-reads: offsets advanced past both files
+      q.processAllAvailable()
+      assert(spark.table("msglog_out").count() == 3)
+    } finally q.stop()
+  }
+
+  test("source feeds the ChirpStack streaming pipeline end-to-end") {
+    implicit val s = spark
+    val up = graft.codec.Lorawan.b64encode(
+      Array(0x40.toByte) ++ graft.codec.Lorawan.hexToLe("017fc1c4") ++
+        Array(0x80.toByte) ++ Array(7.toByte, 0.toByte) ++
+        Array(1.toByte) ++ Array(10.toByte) ++
+        graft.codec.Lorawan.hexToBytes("00000000"))
+    val gwMsg =
+      s"""{"phyPayload":"$up","rxInfo":{"channel":1,"rfChain":0,"crcStatus":1,"codeRate":"4/5","rssi":-60,"loRaSNR":9.0,"size":13,"timestamp":111,"frequency":868100000,"mac":"aabb","dataRate":{"modulation":"LORA","spreadFactor":7,"bandwidth":125}}}"""
+    val appMsg =
+      """{"devEUI":"cafe01","applicationName":"app1","deviceName":"dev1","fCnt":7,"rxInfo":[{"name":"gw","location":{"latitude":1.0,"longitude":2.0,"altitude":3.0}}]}"""
+    val dir = Files.createTempDirectory("msglog").toString
+    writeFile(dir, "000001.jsonl", Seq(
+      line(1, "gateway/gw1/rx", gwMsg),
+      line(2, "application/1/device/cafe01/rx", appMsg)))
+    val raw = spark.readStream.format(fmt).load(dir)
+    val envs = graft.streaming.Pipeline.chirpEnvelopes(
+      graft.streaming.Pipeline.toChirpRecs(raw))
+    val q = envs.writeStream.format("memory").queryName("msglog_envs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      import s.implicits._
+      val out = spark.table("msglog_envs")
+        .as[graft.state.StateOps.Envelope].collect()
+      assert(out.length == 1)
+      assert(out.head.packet.get.devEui.contains("cafe01"))
+      assert(out.head.messages.size == 2)
+    } finally q.stop()
+  }
+}

@@ -17,14 +17,22 @@ object LorawanCrypto {
 
   // ------------------------------------------------------------- AES core
 
+  // Cipher.getInstance dominates per-call cost (provider lookup); hot
+  // paths (CMAC = 3+ block ops per MIC, key brute-force = thousands of
+  // MICs per row) reuse a thread-local instance and only re-init the key.
+  private val encCipher = ThreadLocal.withInitial[Cipher](() =>
+    Cipher.getInstance("AES/ECB/NoPadding"))
+  private val decCipher = ThreadLocal.withInitial[Cipher](() =>
+    Cipher.getInstance("AES/ECB/NoPadding"))
+
   private def aesEncryptBlock(key: Array[Byte], block: Array[Byte]): Array[Byte] = {
-    val c = Cipher.getInstance("AES/ECB/NoPadding")
+    val c = encCipher.get()
     c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"))
     c.doFinal(block)
   }
 
   private def aesDecryptBlock(key: Array[Byte], block: Array[Byte]): Array[Byte] = {
-    val c = Cipher.getInstance("AES/ECB/NoPadding")
+    val c = decCipher.get()
     c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"))
     c.doFinal(block)
   }
@@ -56,6 +64,11 @@ object LorawanCrypto {
   /** AES-CMAC (RFC 4493). Verified against the RFC's test vectors in
     * LorawanCryptoSpec. */
   def aesCmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
+    // one key schedule for the whole CMAC (n+1 block encryptions)
+    val c = encCipher.get()
+    c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"))
+    def aesEncryptBlock(unused: Array[Byte], block: Array[Byte]): Array[Byte] =
+      c.doFinal(block)
     val zero = new Array[Byte](16)
     val l = aesEncryptBlock(key, zero)
     val k1 = {

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.sql.catalyst.expressions.XXH64
+
+/** Hot-path text kernels as JIT'd UDF loops.
+  *
+  * The declarative higher-order-function forms (`transform`/`aggregate`/
+  * `zip_with`) are NOT whole-stage-codegen'd — Catalyst interprets each
+  * lambda per element — so per-row kernels with tight loops are 10-50×
+  * faster (measured: MinHash signatures 13.5 s → ~1 s at sf0.1). Each UDF
+  * reproduces its declarative twin bit-for-bit:
+  *   - [[shingles]]: word 3-grams over `split(text, ' ')` semantics
+  *     (split keeps empty tokens, like Spark's regex split);
+  *   - [[minhashSig]]: h_i = (2i+1)·(xxhash64(s) mod p) + i²+7, the exact
+  *     arithmetic of the former column program (same XXH64 seed 42);
+  *   - [[simhash]]: md5-low-60-bit token hashes, ±1 bit votes — mirrored
+  *     by the DuckDB oracle in TextOps.
+  */
+object TextFunctions {
+
+  private val P = 1000000007L
+
+  def shingleSet(text: String): Array[String] = {
+    val w = text.split(" ", -1)
+    if (w.length < 3) Array.empty
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + 2 < w.length) {
+        seen.add(w(i) + " " + w(i + 1) + " " + w(i + 2))
+        i += 1
+      }
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
+
+  val shingles = udf { (text: String) =>
+    if (text == null) Array.empty[String] else shingleSet(text)
+  }
+
+  private def xxh64(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+  }
+
+  /** 128-permutation MinHash signature over a shingle set. */
+  val minhashSig = udf { (sh: Seq[String]) =>
+    val sig = Array.fill(128)(Long.MaxValue)
+    sh.foreach { s =>
+      val h = java.lang.Math.floorMod(xxh64(s), P)
+      var i = 0
+      while (i < 128) {
+        val x = (2L * i + 1L) * h + (i.toLong * i + 7L)
+        if (x < sig(i)) sig(i) = x
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** 60-bit SimHash over distinct tokens, md5-derived token hashes
+    * (low 15 hex chars) — mirrored exactly by the DuckDB oracle. */
+  val simhash = udf { (text: String) =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](60)
+    val seen = new java.util.HashSet[String]()
+    text.split(" ", -1).foreach { t =>
+      if (seen.add(t)) {
+        val digest = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // low 60 bits of the first 15 hex chars = first 7.5 bytes big-endian
+        var h = 0L
+        var i = 0
+        while (i < 15) {
+          val nib =
+            if (i % 2 == 0) (digest(i / 2) >> 4) & 0xf else digest(i / 2) & 0xf
+          h = h * 16 + nib
+          i += 1
+        }
+        var j = 0
+        while (j < 60) {
+          votes(j) += (if (((h >> j) & 1L) != 0) 1 else -1)
+          j += 1
+        }
+        md.reset()
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** Exact Jaccard between two string sets (verification kernel). */
+  val jaccard = udf { (a: Seq[String], b: Seq[String]) =>
+    if (a.isEmpty && b.isEmpty) 0.0
+    else {
+      val sa = a.toSet
+      var common = 0
+      b.foreach(s => if (sa.contains(s)) common += 1)
+      common.toDouble / (a.size + b.size - common)
+    }
+  }
+
+  /** Dot product over float vectors in double, left-to-right — identical
+    * fold to the declarative/oracle form, JIT'd. */
+  val dotF = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.size, b.size)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  def dot_f(a: Column, b: Column): Column = dotF(a, b)
+}

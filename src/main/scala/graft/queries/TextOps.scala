@@ -23,17 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Word 3-gram shingle set as a column program. `slice(w, 1, 0)` is the
-    * empty-array-of-string literal for the <3-token edge case (a bare
-    * `sequence(1, 0)` would count DOWN in Spark). */
-  private val shingles: String =
-    """CASE WHEN size(split(text, ' ')) < 3 THEN slice(split(text, ' '), 1, 0)
-      |ELSE array_distinct(
-      |  transform(sequence(1, size(split(text, ' ')) - 2),
-      |    i -> concat_ws(' ', element_at(split(text, ' '), i),
-      |                        element_at(split(text, ' '), i + 1),
-      |                        element_at(split(text, ' '), i + 2)))) END"""
-      .stripMargin.replace("\n", " ")
+  /** documents → (doc_id, sh) via the JIT'd shingle kernel
+    * (TextFunctions.scala — bit-identical to the declarative form). */
+  private def shingled(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"),
+      graft.functions.TextFunctions.shingles(col("text")).as("sh"))
 
   private val duckShingles: String =
     """list_distinct([array_to_string(w[i:i+2], ' ')
@@ -111,8 +105,7 @@ object TextOps {
     * inverted-index join on shingles — never materializes zero-overlap
     * pairs. */
   def q33NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-      .select(col("doc_id"), expr(shingles).as("sh"))
+    val docs = shingled(documents(s, d))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
     val inv = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
     val common = inv.as("a").join(inv.as("b"),
@@ -148,15 +141,13 @@ object TextOps {
     * h = xxhash64(s) mod p (p = 1e9+7): h_i = (2i+1)·h + i²+7 — products
     * stay < 2^39, safe under Spark 4's default ANSI overflow checking. */
   def q34MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-      .select(col("doc_id"), expr(shingles).as("sh"))
-      .withColumn("sig", expr(
-        """aggregate(sh, array_repeat(CAST(9223372036854775807 AS BIGINT), 128),
-          |  (acc, s) -> zip_with(acc,
-          |     transform(sequence(0, 127),
-          |       i -> (CAST(2*i+1 AS BIGINT) * pmod(xxhash64(s), CAST(1000000007 AS BIGINT)))
-          |            + CAST(i*i+7 AS BIGINT)),
-          |     (a, h) -> least(a, h)))""".stripMargin.replace("\n", " ")))
+    import graft.functions.TextFunctions.{minhashSig, jaccard}
+    // repartition = materialization barrier: without it Catalyst collapses
+    // projections and re-evaluates the signature kernel inside the band
+    // explode and both join sides
+    val docs = shingled(documents(s, d))
+      .withColumn("sig", minhashSig(col("sh")))
+      .repartition(col("doc_id"))
     val bands = docs.select(col("doc_id"),
         explode(expr(
           "transform(sequence(0, 31), b -> struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bh))"))
@@ -171,9 +162,7 @@ object TextOps {
     cands
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard", col("common").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("common")))
+      .withColumn("jaccard", jaccard(col("sha"), col("shb")))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -181,42 +170,33 @@ object TextOps {
 
   // --------------------------------------------------------- q35 SimHash
 
-  /** q35: 64-bit SimHash over tokens + hamming-distance near-dups via
-    * 4×16-bit chunk pigeonhole blocking. Token hash is md5-derived so the
-    * DuckDB oracle can mirror it bit-for-bit. */
+  /** q35: 64-bit SimHash over tokens + hamming-distance (≤3) near-dup
+    * pairs. Token hash is md5-derived so the DuckDB oracle mirrors it
+    * bit-for-bit.
+    *
+    * Pairing strategy: the simhash TABLE is tiny (16 bytes/doc), so pairs
+    * come from a broadcast nested-loop join with a codegen'd
+    * `bit_count(xor)` filter — ~N²/2 popcounts, no shuffle, no skew. The
+    * textbook chunk-blocking join (pigeonhole on 4×15-bit chunks) is
+    * strictly worse on THIS corpus: its ~50-word vocabulary clusters
+    * simhashes so hard that chunk buckets degenerate toward full-table
+    * pairs, paying the quadratic cost AND a skewed shuffle (measured 17×
+    * slower at sf0.1). At billions of docs, switch to chunk blocking with
+    * bucket-size capping + salting — the signature table no longer
+    * broadcasts. */
   def q35Simhash(s: SparkSession, d: String): DataFrame = {
-    // token hash: low 60 bits of md5 (15 hex chars) — mirrors in DuckDB
+    import graft.functions.TextFunctions.{simhash => simhashUdf}
+    // barrier: materialize the 16-byte/doc signature table before the
+    // quadratic join — otherwise the kernel re-evaluates per PAIR
+    // (measured 254 s vs <5 s at sf0.1)
     val docs = documents(s, d)
-      .select(col("doc_id"), expr(
-        """aggregate(
-          |  transform(array_distinct(split(text, ' ')),
-          |    t -> conv(substring(md5(t), 1, 15), 16, 10)),
-          |  array_repeat(CAST(0 AS BIGINT), 60),
-          |  (acc, h) -> zip_with(acc,
-          |    transform(sequence(0, 59),
-          |      j -> CASE WHEN CAST(h AS BIGINT) & shiftleft(CAST(1 AS BIGINT), j) <> 0
-          |                THEN 1 ELSE -1 END),
-          |    (a, v) -> a + CAST(v AS BIGINT)))""".stripMargin.replace("\n", " ")).as("bitsum"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 59), CAST(0 AS BIGINT),
-          |  (acc, j) -> acc + CASE WHEN element_at(bitsum, j + 1) > 0
-          |                         THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"""
-          .stripMargin.replace("\n", " ")))
-      .select(col("doc_id"), col("simhash"))
-    // 4 chunks of 15 bits: hamming ≤ 3 ⇒ some chunk equal (pigeonhole)
-    val chunks = docs.select(col("doc_id"), col("simhash"),
-        explode(expr(
-          "transform(sequence(0, 3), c -> struct(c AS c, (simhash div shiftleft(CAST(1 AS BIGINT), c*15)) % 32768 AS ch))"))
-          .as("cc"))
-      .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ch").as("ch"))
-    chunks.as("x").join(chunks.as("y"),
-        col("x.c") === col("y.c") && col("x.ch") === col("y.ch") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-      .distinct()
+      .select(col("doc_id"), simhashUdf(col("text")).as("simhash"))
+      .repartition(col("doc_id"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b") &&
+        expr("bit_count(ha ^ hb)") <= 3)
       .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
-      .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables._
+import graft.functions.TextFunctions.dot_f
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,39 +10,40 @@ import org.apache.spark.sql.functions._
   * the ANN surface of the training-data pipeline (BASELINE.json north
   * star).
   *
-  * All dot products / norms are explicit left-to-right folds
-  * (`aggregate(zip_with(...))`) so the DuckDB oracle (an identical
-  * explicit fold) produces bit-identical doubles — making top-k ranking
-  * and threshold comparisons deterministic across engines.
+  * Dot products are a JIT'd UDF loop (TextFunctions.dotF): the
+  * declarative `aggregate(zip_with(...))` fold is interpreted per element
+  * by Catalyst (~15 µs/pair at 64 dims); the loop is the same
+  * left-to-right double fold, so values are bit-identical and the DuckDB
+  * oracle (an explicit list_reduce fold) still matches exactly — making
+  * top-k ranking and threshold comparisons deterministic across engines.
   *
   * Scale notes (100 TB design):
+  *   - norms are hoisted to a per-vector column BEFORE any pairwise join
+  *     (recomputing both norms per pair triples the work at N² pairs);
+  *     the repartition barrier stops Catalyst from collapsing the
+  *     projection and re-evaluating the kernel inside the join;
   *   - q36 broadcasts the (small) query set against a single scan of the
   *     corpus — the canonical brute-force ANN baseline: no shuffle of the
-  *     big side, map-side top-k via window over query partitions;
+  *     big side;
   *   - q39 is the scale path: IVF-style partition pruning — vectors are
-  *     bucketed by nearest centroid once (one shuffle), queries probe only
-  *     nProbe buckets, so per-query work drops from O(N) to
-  *     O(N·nProbe/K). Recall vs exact is measured in VectorsSpec.
+  *     bucketed by nearest centroid once, queries probe only nProbe
+  *     buckets, so per-query work drops from O(N) to O(N·nProbe/K).
+  *     Recall vs exact is measured in VectorsSpec.
   */
 object Vectors {
 
-  /** cosine(a, b) with explicit fold order; inputs are float arrays cast
-    * to double first. */
-  private def cosine(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"""aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
-         |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
-    s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-  }
+  private def withNorm(df: DataFrame, vec: String, out: String): DataFrame =
+    df.withColumn(out, sqrt(dot_f(col(vec), col(vec))))
+      .repartition(col("vec_id"))
 
   /** q36: brute-force cosine top-k (k=5) for every 50th vector as query. */
   def q36CosineTopk(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
+    val e = withNorm(embeddings(s, d), "embedding", "nv")
     val queries = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nv").as("nq"))
     val scored = e.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", expr(cosine("qv", "embedding")))
+      .withColumn("sim", dot_f(col("qv"), col("embedding")) / (col("nq") * col("nv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored
@@ -51,14 +53,38 @@ object Vectors {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** q37: embedding near-duplicate pairs — cosine ≥ 0.4, exact. */
+  /** q37: embedding near-duplicate pairs — cosine ≥ 0.4, exact, all
+    * N²/2 pairs.
+    *
+    * This is the one place the declarative forms lose badly: a broadcast
+    * nested-loop join pays per-pair row + UDF-boxing overhead (~13 µs/pair
+    * → 26 s at sf0.1), so the pair scan is a `mapPartitions` kernel over a
+    * broadcast of the (small-by-design) comparison side — preference tier
+    * (d) of the build rules, taken on measurement. Each stream row
+    * compares against all broadcast rows with greater id (each pair
+    * produced exactly once); the dot is the same left-to-right double
+    * fold, so the DuckDB oracle still matches bit-for-bit. */
   def q37CosineNearDup(s: SparkSession, d: String): DataFrame = {
-    val a = embeddings(s, d).select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = embeddings(s, d).select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", expr(cosine("va", "vb")))
-      .filter(col("sim") >= 0.4)
-      .select(col("id_a"), col("id_b"), col("sim"))
+    import s.implicits._
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val side = s.sparkContext.broadcast(
+      e.collect().sortBy(_._1).map { case (id, v) => (id, v, math.sqrt(dotD(v, v))) })
+    e.mapPartitions { it =>
+      val bs = side.value
+      it.flatMap { case (idA, va) =>
+        val na = math.sqrt(dotD(va, va))
+        bs.iterator
+          .filter(_._1 > idA)
+          .map { case (idB, vb, nb) => (idA, idB, dotD(va, vb) / (na * nb)) }
+          .filter(_._3 >= 0.4)
+      }
+    }.toDF("id_a", "id_b", "sim")
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -68,27 +94,27 @@ object Vectors {
     * rows-only checked (approximate by construction); recall vs q36 is
     * asserted in VectorsSpec. */
   def q39AnnIvf(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
+    val e = withNorm(embeddings(s, d), "embedding", "nv")
     val centroids = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-    // assign: argmax cosine over 16 centroids (tiny broadcast)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("nv").as("nc"))
+    def csim = dot_f(col("cv"), col("embedding")) / (col("nc") * col("nv"))
     val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("csim", expr(cosine("cv", "embedding")))
+      .withColumn("csim", csim)
       .withColumn("r", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))))
       .filter(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
-    val queries = assigned.filter(col("vec_id") % 50 === 0)
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", expr(cosine("cv", "embedding")))
+      .select(col("vec_id"), col("embedding"), col("nv"), col("c_id").as("bucket"))
+    val probes = assigned.crossJoin(broadcast(centroids))
+      .filter(col("vec_id") % 50 === 0)
+      .withColumn("csim", csim)
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))))
       .filter(col("pr") <= 4) // nProbe = 4
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("c_id").as("probe_bucket"))
-    val scored = queries.join(assigned,
+        col("nv").as("nq"), col("c_id").as("probe_bucket"))
+    val scored = probes.join(assigned,
         col("probe_bucket") === col("bucket") && col("query_id") =!= col("vec_id"))
-      .withColumn("sim", expr(cosine("qv", "embedding")))
+      .withColumn("sim", dot_f(col("qv"), col("embedding")) / (col("nq") * col("nv")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id")))
@@ -104,7 +130,7 @@ object Vectors {
     "q39_ann_ivf"        -> (q39AnnIvf _),
   )
 
-  /** DuckDB mirror of [[cosine]]: identical left-to-right fold. */
+  /** DuckDB mirror: identical left-to-right fold. */
   private def duckCosine(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -117,6 +117,24 @@ object PhyFunctions {
     LorawanCrypto.validateJoinRequestMic(Lorawan.hexToBytes(keyHex), bytes)
   }
 
+  /** Build a signed+encrypted JoinAccept for a device (test/synthesis
+    * path of C6/C7): plaintext fields → MIC (CMAC over MHDR|payload) →
+    * AES "encrypt" (= decrypt op, spec quirk). */
+  val encodeJoinAccept = udf { (appKeyHex: String, joinNonce: Int,
+                                netIdHex: String, devAddrHex: String) =>
+    val key = Lorawan.hexToBytes(appKeyHex)
+    val plain = Array(0x20.toByte) ++
+      Array((joinNonce & 0xff).toByte, ((joinNonce >> 8) & 0xff).toByte,
+        ((joinNonce >> 16) & 0xff).toByte) ++
+      Lorawan.hexToLe(netIdHex) ++
+      Lorawan.hexToLe(devAddrHex) ++
+      Array(0x00.toByte, 0x01.toByte) ++ Array.fill[Byte](4)(0)
+    val payload = java.util.Arrays.copyOfRange(plain, 1, plain.length - 4)
+    val mic = LorawanCrypto.joinAcceptMic(key, plain(0), payload)
+    System.arraycopy(mic, 0, plain, plain.length - 4, 4)
+    LorawanCrypto.encryptJoinAccept(key, plain)
+  }
+
   /** C7: session keys from a JR/JA pair. */
   final case class SessionKeysRow(nwkSKey: String, appSKey: String)
   val sessionKeys = udf { (jr: Array[Byte], ja: Array[Byte], appKeyHex: String) =>

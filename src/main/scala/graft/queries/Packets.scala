@@ -173,8 +173,43 @@ object Packets {
       .orderBy(col("event_id"))
   }
 
+  /** q29: session-key derivation over a JoinRequest ⋈ JoinAccept as-of
+    * pairing (C7, lorawanWrapper.go:111-159 + the upstream JR⋈JA self-join
+    * SURVEY §2.8 calls for). JR rows pair with the next JA row per device
+    * (as-of via window lead); keys derive from the pair + AppKey.
+    * Rows-only check: AES is not SQL-expressible — crypto correctness is
+    * pinned by LorawanCryptoSpec. */
+  def q29SessionKeys(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, d).filter(col("event_id") < 400)
+    val appKey = lpad(lower(hex(col("user_id"))), 32, "0")
+    val devAddr = lpad(lower(hex(col("user_id") + 7)), 8, "0")
+    // alternate rows act as JR / JA "packets" of the same device
+    val tagged = e.withColumn("kind",
+        when(col("event_id") % 2 === 0, "jr").otherwise("ja"))
+      .withColumn("jr_bytes", PhyFunctions.signPacketUdf(
+        PhyFunctions.encodeJoinRequest(
+          lpad(lower(hex(col("user_id") + 1)), 16, "0"),
+          lpad(lower(hex(col("event_id") + 1)), 16, "0"),
+          (col("event_id") % 65536).cast("int"), lit("00000000")),
+        appKey))
+      .withColumn("ja_bytes", PhyFunctions.encodeJoinAccept(
+        appKey, (col("event_id") % 16777216).cast("int"), lit("aabbcc"), devAddr))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val paired = tagged
+      .withColumn("next_kind", lead(col("kind"), 1).over(w))
+      .withColumn("next_ja", lead(col("ja_bytes"), 1).over(w))
+      .filter(col("kind") === "jr" && col("next_kind") === "ja")
+    val keys = PhyFunctions.sessionKeys(col("jr_bytes"), col("next_ja"), appKey)
+    paired.select(col("event_id"), col("user_id"),
+        keys("nwkSKey").as("nwk_s_key"), keys("appSKey").as("app_s_key"))
+      .filter(col("nwk_s_key").isNotNull)
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_key_bruteforce"     -> (q28KeyBruteforce _),
+    "q29_session_keys"       -> (q29SessionKeys _),
     "q20_codec_roundtrip"    -> (q20CodecRoundtrip _),
     "q21_scalar_ops"         -> (q21ScalarOps _),
     "q22_device_map_lww"     -> (q22DeviceMapLww _),

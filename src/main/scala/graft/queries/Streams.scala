@@ -70,14 +70,26 @@ object Streams {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q17: F6 last_seen tracking — per-key max arrival time
+    * (LoraServerIOCollector.py:400,448 etc., as the groupBy/max shape). */
+  def q17LastSeen(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(eventTime).as("last_seen"), count(lit(1)).as("n_messages"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_tumbling_window" -> (q13TumblingWindow _),
+    "q17_last_seen"       -> (q17LastSeen _),
     "q14_session_window"  -> (q14SessionWindow _),
     "q15_config_fanout"   -> (q15ConfigFanout _),
     "q16_status_changes"  -> (q16StatusChanges _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q17_last_seen" ->
+      """SELECT user_id, MAX(ts) AS last_seen, COUNT(*) AS n_messages
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q13_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n,

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Side-output event channels (SURVEY §2.2 K2/K3): status deltas and
+  * error/test events, expressed Spark-idiomatically as a dead-letter-style
+  * split of one stream into routed frames — the reference publishes these
+  * to separate RabbitMQ queues (PacketPersistence.py:63-108,
+  * Orchestrator.py:100-123).
+  */
+object Events {
+
+  /** K3 error route: split an envelope frame into (clean, errors). A row
+    * is an error when its packet carries a parse error — the reference's
+    * FAILED_PARSING path (PacketPersistence.py:63-70). The error frame has
+    * the event shape {data_collector_id, type, message}. */
+  def splitErrors(envelopes: DataFrame): (DataFrame, DataFrame) = {
+    val isError = col("packet").isNotNull && col("packet")("error").isNotNull
+    val clean = envelopes.filter(!isError)
+    val errors = envelopes.filter(isError).select(
+      col("data_collector_id"),
+      lit("FAILED_PARSING").as("type"),
+      col("packet")("error").as("message"),
+      col("ts"))
+    (clean, errors)
+  }
+
+  /** K2 status events as a frame (from Orchestrator.statusDeltas output). */
+  def statusFrame(events: Seq[graft.control.Orchestrator.StatusEvent],
+                  spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    events.toDF("collectorId", "status", "verified")
+      .select(col("collectorId").as("data_collector_id"), col("status"),
+        col("verified"))
+  }
+
+  /** K1 idempotency key for effective exactly-once at the consumer
+    * (SURVEY §2.2: the reference is at-least-once with silent drops,
+    * Publisher.py:113-114; we keep at-least-once delivery but document
+    * the dedup key instead of silently improving semantics). */
+  def idempotencyKey: Column =
+    sha2(concat_ws("|",
+      col("data_collector_id"), col("ts"),
+      coalesce(col("packet")("mic"), lit("")),
+      coalesce(col("packet")("data"), lit(""))), 256)
+}

@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** ANN quality: the IVF scale path (q39) must recover most of the exact
+  * top-k (q36) — measured, not assumed. */
+class VectorsSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q39 IVF top-k recall vs exact q36 is ≥ 0.5 at nProbe=4/16") {
+    val exact = Vectors.q36CosineTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Vectors.q39AnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // random 64-d embeddings are a worst case for IVF (no cluster
+    // structure); 4/16 buckets ≈ 25% of the corpus scanned, and measured
+    // recall is ~0.58 — well above the 0.25 scanned-fraction baseline,
+    // which is what proves the bucketing correlates with similarity. The
+    // bound asserts the machinery works, not production recall.
+    assert(recall >= 0.5, s"IVF recall $recall")
+    // every approximate neighbor must carry the true cosine (exact
+    // verification discipline: sims match the brute-force values)
+    val exactSims = Vectors.q36CosineTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    Vectors.q39AnnIvf(spark, sf).collect().foreach { r =>
+      val k = (r.getLong(0), r.getLong(2))
+      exactSims.get(k).foreach(s => assert(s == r.getDouble(3)))
+    }
+  }
+
+  test("q37 near-dup pairs are symmetric-free and thresholded") {
+    val rows = Vectors.q37CosineNearDup(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
+}

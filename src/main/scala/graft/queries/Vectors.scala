@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.functions.TextFunctions.dot_f
+import graft.functions.GraftFunctions.{dot => dot_f}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,12 +10,12 @@ import org.apache.spark.sql.functions._
   * the ANN surface of the training-data pipeline (BASELINE.json north
   * star).
   *
-  * Dot products are a JIT'd UDF loop (TextFunctions.dotF): the
-  * declarative `aggregate(zip_with(...))` fold is interpreted per element
-  * by Catalyst (~15 µs/pair at 64 dims); the loop is the same
-  * left-to-right double fold, so values are bit-identical and the DuckDB
-  * oracle (an explicit list_reduce fold) still matches exactly — making
-  * top-k ranking and threshold comparisons deterministic across engines.
+  * Dot products use the native codegen expression
+  * `graft.functions.DotProductF` (a primitive loop spliced into
+  * whole-stage codegen — no UDF boxing, no interpreted HOF fold). It is
+  * the same left-to-right double fold as the DuckDB oracle's explicit
+  * list_reduce, so values are bit-identical and top-k ranking /
+  * threshold comparisons are deterministic across engines.
   *
   * Scale notes (100 TB design):
   *   - norms are hoisted to a per-vector column BEFORE any pairwise join

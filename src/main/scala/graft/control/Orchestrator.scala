@@ -89,6 +89,24 @@ object Orchestrator {
     case FailedVerify(id)           => Plan(Nil, if (running.contains(id)) Seq(id) else Nil)
   }
 
+  /** F10 test-connection probe (BaseCollector.py:65-83): start the
+    * collector's query, wait up to `timeoutMs` for first progress
+    * (= source reachable and producing batches), then stop. Returns
+    * SUCCESS/ERROR as a boolean — the reference's 30 s probe window. */
+  def testProbe(build: () => StreamingQuery, timeoutMs: Long = 30000L): Boolean =
+    try {
+      val q = build()
+      try {
+        val deadline = System.currentTimeMillis() + timeoutMs
+        var ok = false
+        while (!ok && System.currentTimeMillis() < deadline) {
+          ok = q.lastProgress != null
+          if (!ok) Thread.sleep(50)
+        }
+        ok
+      } finally q.stop()
+    } catch { case _: Exception => false }
+
   /** Driver-side manager: applies [[lifecycle]] plans to real
     * StreamingQueries. `build` is the per-collector query factory
     * (source → pipeline → sink). */

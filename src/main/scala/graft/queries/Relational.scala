@@ -181,7 +181,33 @@ object Relational {
           .otherwise(lit(0).cast(dec))).cast("double").as("purchase_value"))
       .orderBy(col("user_id"))
 
+  /** CUBE grouping sets (SURVEY §2.6/§2.9 — all 4 combinations). */
+  def q18Cube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Exact interpolated percentiles (median/p95) — Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition on
+    * doubles. */
+  def q19Percentiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_cube"             -> (q18Cube _),
+    "q19_percentiles"      -> (q19Percentiles _),
     "q01_pricing_summary"  -> (q01PricingSummary _),
     "q02_top_revenue"      -> (q02TopRevenueOrders _),
     "q03_revenue_by_nation"-> (q03RevenueByNation _),
@@ -197,6 +223,19 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q18_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q19_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.95) AS p95,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,

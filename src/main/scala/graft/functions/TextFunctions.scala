@@ -46,14 +46,22 @@ object TextFunctions {
     XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
   }
 
-  /** 128-permutation MinHash signature over a shingle set. */
+  /** 128-permutation MinHash signature over a shingle set:
+    * h_i(s) = ((2i+1)·h + i²+7) mod p with h = xxhash64(s) mod p.
+    *
+    * The `mod p` is load-bearing: WITHOUT it each h_i is monotone in h,
+    * so all 128 "permutations" pick the same argmin shingle and MinHash
+    * degenerates to a single trial (caught as a recall miss on a
+    * 9-shingle doc pair at j=0.89). Affine-mod-p maps with a_i ≠ 0 are
+    * pairwise independent, restoring the banding math
+    * (P(miss | j≥0.8) = (1-j⁴)^32 < 1e-7). */
   val minhashSig = udf { (sh: Seq[String]) =>
     val sig = Array.fill(128)(Long.MaxValue)
     sh.foreach { s =>
       val h = java.lang.Math.floorMod(xxh64(s), P)
       var i = 0
       while (i < 128) {
-        val x = (2L * i + 1L) * h + (i.toLong * i + 7L)
+        val x = java.lang.Math.floorMod((2L * i + 1L) * h + (i.toLong * i + 7L), P)
         if (x < sig(i)) sig(i) = x
         i += 1
       }

@@ -88,7 +88,6 @@ object Pipeline {
       Normalize.chirpstackProtoRadio(radio.filter(col("dialect") === "proto")),
       lit(null).cast("string"))
 
-    val joinM = from_json(col("message"), PacketSchema.chirpstackJoin)
     val joins = emptyRec(routed.filter(col("route") === "join"), "join")
       .drop("devAddr", "devEui")
       .withColumn("devAddr", get_json_object(col("message"), "$.devAddr"))

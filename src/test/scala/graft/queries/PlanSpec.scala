@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.SparkSuite
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan audit (the "explain and iterate" discipline): these
   * assertions pin the plan properties the 100 TB design depends on —
@@ -51,6 +52,39 @@ class PlanSpec extends SparkSuite {
     val p = plan(TextOps.q32DedupExact(spark, sf))
     // two HashAggregate nodes around the exchange = partial + final
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("bucketed tables join without a shuffle (the 100 TB co-location path)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '$wh'")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force a non-broadcast join so bucket co-location is what's on trial
+    // (AQE has its own threshold knob)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.Tables.orders(spark, sf).write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_bkt.orders_b")
+      graft.Tables.lineitem(spark, sf).write.mode("overwrite")
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_bkt.lineitem_b")
+      val joined = spark.table("graft_bkt.lineitem_b")
+        .join(spark.table("graft_bkt.orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      // co-located buckets: NO exchange on either join key (the only
+      // exchange in the plan is the final groupBy's)
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP DATABASE IF EXISTS graft_bkt CASCADE")
+    }
   }
 
   test("q01 aggregation runs inside whole-stage codegen") {

@@ -51,6 +51,10 @@ object TextOps {
     documents(s, d).select(
         col("doc_id"),
         nTokens.as("n_tokens"),
+        // BPE-ish subword count: alpha runs, digit runs, single symbols
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+          .as("n_subtokens"),
         length(col("text")).cast("long").as("n_chars_computed"),
         nStop.as("n_stopwords"),
         stopRatio.as("stop_ratio"),
@@ -217,7 +221,50 @@ object TextOps {
             .stripMargin.replace("\n", " ")).as("rolling_hash"))
       .orderBy(col("doc_id"))
 
+  /** q42: the deduplicated corpus — documents surviving near-dup removal
+    * (keep the smallest doc_id of every near-dup relation; drop every
+    * doc_b). The actual training-set deliverable that q33/q34 pair
+    * detection feeds. */
+  def q42NeardupSurvivors(s: SparkSession, d: String): DataFrame = {
+    val dupBs = q33NgramJaccard(s, d).select(col("doc_b").as("doc_id")).distinct()
+    documents(s, d)
+      .join(dupBs, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q43: reproducible train/val/test split via multiplicative hashing —
+    * deterministic, engine-independent (plain modular arithmetic, no
+    * engine hash), the standard trick for stable splits across pipeline
+    * re-runs. 80/10/10. */
+  def q43TrainSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bucket", (col("doc_id") * 2654435761L) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("lang"), col("split"))
+
+  /** q44: per-source cap (domain-mixing): keep at most 5 docs per source,
+    * chosen by the same reproducible hash order — the "don't let one
+    * domain dominate" sampling op. */
+  def q44SourceCap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(((col("doc_id") * 2654435761L) % 1000003).asc, col("doc_id"))
+    documents(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_neardup_survivors" -> (q42NeardupSurvivors _),
+    "q43_train_split"       -> (q43TrainSplit _),
+    "q44_source_cap"        -> (q44SourceCap _),
     "q30_text_stats"     -> (q30TextStats _),
     "q31_langid"         -> (q31LangId _),
     "q32_dedup_exact"    -> (q32DedupExact _),
@@ -228,9 +275,34 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q42_neardup_survivors" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles sh FROM w),
+         |p AS (SELECT b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM p WHERE j >= 0.8)
+         |ORDER BY doc_id""".stripMargin,
+    "q43_train_split" ->
+      """SELECT lang,
+        |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "q44_source_cap" ->
+      """WITH r AS (SELECT source, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT source, rk, doc_id FROM r WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin,
     "q30_text_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_subtokens,
         |  CAST(length(text) AS BIGINT) AS n_chars_computed,
         |  CAST(len(list_filter(string_split(text, ' '),
         |    t -> t IN ('the','a','of','is','and','to'))) AS BIGINT) AS n_stopwords,

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities (the 100 TB toolbox the build rules call
+  * for: "salting for skew, AQE for runtime re-plan").
+  *
+  * AQE's skew-join splitting handles sort-merge joins automatically; the
+  * explicit salt is for the cases AQE can't touch — aggregations over a
+  * hot key, and shuffle-hash joins against a small-but-not-broadcastable
+  * side. Both utilities are semantics-preserving (proved in SkewSpec).
+  */
+object Skew {
+
+  /** Salted two-phase aggregation: count/sum-style aggregates over a
+    * skewed key. Phase 1 aggregates on (key, salt) — spreading one hot
+    * key over `salts` reducers — phase 2 merges the partials.
+    *
+    * Correct for any algebraic aggregate; exposed here for counts+sums
+    * (the common hot-key shapes). */
+  def saltedCountSum(df: DataFrame, key: Column, valueCol: Column,
+                     salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(valueCol).as("__s"))
+      .groupBy(col("key"))
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as("total"))
+
+  /** Salted join: replicate the small side `salts` times, salt the big
+    * side's key — the one hot key now lands on `salts` tasks instead of
+    * one. Use when the small side is too big to broadcast but small
+    * enough to replicate `salts`×. */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                 smallKey: String, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(col(bigKey), monotonically_increasing_id()), lit(salts)))
+    val replicatedSmall = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    saltedBig.join(replicatedSmall,
+        saltedBig(bigKey) === replicatedSmall(smallKey) &&
+          saltedBig("__salt") === replicatedSmall("__salt"))
+      .drop("__salt")
+  }
+}

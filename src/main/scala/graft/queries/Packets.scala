@@ -140,6 +140,27 @@ object Packets {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q26: the error route (K3 dead-letter, PhyParser.py:10-12) driven
+    * through the oracle gate — a mixed stream of valid JoinRequests and
+    * garbage payloads; decode must tag exactly the garbage rows with an
+    * error and leave their fields null. */
+  def q26DecodeErrors(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val valid = PhyFunctions.encodeJoinRequest(
+      lpad(lower(hex(col("user_id") + 1)), 16, "0"),
+      lpad(lower(hex(col("event_id") + 1)), 16, "0"),
+      (col("event_id") % 65536).cast("int"), lit("00000000"))
+    val payload = when(col("event_id") % 3 === 0,
+      base64(valid)).otherwise(concat(lit("!garbage!"), col("event_id")))
+    val phy = PhyFunctions.phy_decode_b64(payload)
+    e.select(
+        col("event_id"),
+        phy("error").isNotNull.as("is_error"),
+        phy("m_type").as("m_type"),
+        phy("dev_eui").as("dev_eui"))
+      .orderBy(col("event_id"))
+  }
+
   /** q27: the reference's ORM point-lookup shapes (Q1-Q4,
     * DataCollector.py:40-55) — conjunctive selection + first-row. */
   def q27PointLookup(s: SparkSession, d: String): DataFrame =
@@ -208,6 +229,7 @@ object Packets {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_decode_errors"      -> (q26DecodeErrors _),
     "q28_key_bruteforce"     -> (q28KeyBruteforce _),
     "q29_session_keys"       -> (q29SessionKeys _),
     "q20_codec_roundtrip"    -> (q20CodecRoundtrip _),
@@ -220,6 +242,12 @@ object Packets {
   )
 
   val oracle: Map[String, String] = Map(
+    "q26_decode_errors" ->
+      """SELECT event_id,
+        |  (event_id % 3 <> 0) AS is_error,
+        |  CASE WHEN event_id % 3 = 0 THEN 'JoinRequest' END AS m_type,
+        |  CASE WHEN event_id % 3 = 0 THEN lpad(lower(hex(event_id + 1)), 16, '0') END AS dev_eui
+        |FROM events ORDER BY event_id""".stripMargin,
     "q28_key_bruteforce" ->
       """SELECT event_id, lpad(lower(hex(user_id)), 32, '0') AS found_key
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,

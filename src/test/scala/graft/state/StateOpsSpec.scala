@@ -185,6 +185,34 @@ class StateOpsSpec extends SparkSuite {
     assert(pkt.getAs[String]("datr") == """{"spread_factor":7,"bandwidth":125}""")
   }
 
+  test("pipeline state runs on the RocksDB store (the 100 TB state backend)") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Rec]
+      val q = Pipeline.chirpEnvelopes(stream.toDS())
+        .writeStream.format("memory").queryName("rocksdb_envs")
+        .outputMode(OutputMode.Append).start()
+      try {
+        stream.addData(rec(1, "join", devAddr = "aa01", devEui = "cafe01"))
+        q.processAllAvailable()
+        // state (the device map) must survive into the next micro-batch
+        stream.addData(rec(2, "radio", devAddr = "aa01", fCount = 3L))
+        q.processAllAvailable()
+        val out = spark.table("rocksdb_envs").as[Envelope].collect().sortBy(_.ts)
+        assert(out.length == 2)
+        assert(out(1).packet.get.devEui.contains("cafe01")) // enriched from RocksDB state
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("ChirpStack pipeline in Structured Streaming equals batch result") {
     implicit val s = spark
     import s.implicits._

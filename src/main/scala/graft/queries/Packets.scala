@@ -228,7 +228,52 @@ object Packets {
       .orderBy(col("event_id"))
   }
 
+  /** q50: the reference's ACTUAL workload end-to-end as one benchable
+    * query — synthesized ChirpStack message stream (join + gateway-radio
+    * messages) through route → normalize → PHY decode → keyed state
+    * (F1/F2/F3) → envelope frame, aggregated. The reference processes
+    * this path one GIL-bound Python callback + one FFI call per message
+    * (SURVEY §4.3); here it is codegen'd normalization at partition
+    * parallelism with one state shuffle. Rows-only check (envelope
+    * emission depends on the state machine; its semantics are pinned by
+    * StateOpsSpec + the q22-q25 window-analog oracles). */
+  def q50PipelineE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val e = events(s, d)
+    val devAddr = lpad(lower(hex(col("user_id") + 7)), 8, "0")
+    val phyB64 = base64(PhyFunctions.encodeDataFrame(
+      lit("UnconfirmedDataUp"), devAddr, lit(true), lit(false),
+      (col("event_id") % 65536).cast("int"),
+      lit(null).cast("int"), lit(null).cast("binary"), lit("00000000")))
+    val joinMsg = concat(lit("""{"devAddr":""""), devAddr,
+      lit("""","devEUI":"cafe"""), col("user_id"), lit("\"}"))
+    val radioMsg = concat(
+      lit("""{"phyPayload":""""), phyB64,
+      lit("""","rxInfo":{"channel":1,"rfChain":0,"crcStatus":1,"codeRate":"4/5",
+             |"rssi":-60,"loRaSNR":9.0,"size":17,"timestamp":""".stripMargin.replace("\n", "")),
+      col("event_id"),
+      lit(""","frequency":868100000,"mac":"aabb","dataRate":{"modulation":"LORA","spreadFactor":7,"bandwidth":125}}}"""))
+    val raw = e.select(
+      when(col("event_id") % 5 === 0, concat(lit("application/1/device/d"), col("user_id"), lit("/join")))
+        .otherwise(lit("gateway/gw1/rx")).as("topic"),
+      when(col("event_id") % 5 === 0, joinMsg).otherwise(radioMsg).as("message"),
+      (col("user_id") % 8).as("data_collector_id"),
+      lit(1L).as("organization_id"),
+      col("event_id").as("seq"),
+      timestamp_micros(expr("ts div 1000")).as("arrival_ts"))
+    val envs = graft.streaming.Pipeline.envelopeFrame(
+      graft.streaming.Pipeline.chirpEnvelopes(
+        graft.streaming.Pipeline.toChirpRecs(raw)))
+    envs.groupBy(col("data_collector_id"))
+      .agg(
+        count(lit(1)).as("n_envelopes"),
+        sum(when(col("packet").isNotNull, 1).otherwise(0)).as("n_packets"),
+        sum(when(col("packet")("dev_eui").isNotNull, 1).otherwise(0)).as("n_enriched"))
+      .orderBy(col("data_collector_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_pipeline_e2e"       -> (q50PipelineE2e _),
     "q26_decode_errors"      -> (q26DecodeErrors _),
     "q28_key_bruteforce"     -> (q28KeyBruteforce _),
     "q29_session_keys"       -> (q29SessionKeys _),

@@ -182,6 +182,29 @@ class NormalizeSpec extends SparkSuite {
     assert(statusRow.getAs[Double]("latitude") == 52.1)
   }
 
+  test("all four dialect outputs union into one packet stream (SURVEY §2.9)") {
+    val unpadded = jrB64
+    val gw = rawDf(Seq(("gateway/g/rx",
+      s"""{"phyPayload":"$upB64","rxInfo":{"channel":1,"rfChain":0,"crcStatus":1,"codeRate":"4/5","rssi":-57,"loRaSNR":9.5,"size":28,"timestamp":1,"frequency":868300000,"mac":"aa","dataRate":{"modulation":"LORA","spreadFactor":7,"bandwidth":125}}}""")))
+    val generic = rawDf(Seq(("lora/ab/up", s"""{"data":"$unpadded"}""")))
+    val v2frame = "a[\"gateway uplink " +
+      s"""{"payload":"$upB64","timestamp":"2024-06-01T10:20:30Z"}""".replace("\"", "\\\"") + "\"]"
+    val v3rec =
+      s"""{"result":{"name":"gs.up.receive","time":"2024-06-01T10:20:30Z","identifiers":[{"gateway_ids":{"gateway_id":"g","eui":"AA"}}],"data":{"raw_payload":"$upB64","rx_metadata":[{"snr":1.0,"rssi":-80}],"settings":{"frequency":"868500000","coding_rate":"4/5"}}}}"""
+    val unified = Normalize.chirpstackJsonRadio(gw)
+      .unionByName(Normalize.genericMqtt(generic).drop("gw_name"), allowMissingColumns = true)
+      .unionByName(Normalize.ttnV2(rawDf(Seq((null, v2frame)))), allowMissingColumns = true)
+      .unionByName(Normalize.ttnV3(rawDf(Seq((null, v3rec)))), allowMissingColumns = true)
+    val rows = unified.collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getAs[String]("m_type") != null))
+    // every dialect lands in the SAME packet schema (union by name succeeded
+    // and all packet columns resolve)
+    graft.etl.PacketSchema.packetColumns.foreach { c =>
+      assert(unified.columns.contains(c), s"missing packet column $c")
+    }
+  }
+
   test("parse-error rows carry error and no fields (PhyParser.py:10-12)") {
     val msg = s"""{"phyPayload":"!!!notb64!!!","rxInfo":{"channel":1,"rfChain":0,
       |"crcStatus":1,"codeRate":"4/5","rssi":-57,"loRaSNR":1.0,"size":4,

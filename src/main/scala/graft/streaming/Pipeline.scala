@@ -27,8 +27,11 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
   */
 object Pipeline {
 
+  /** The full packet row as a typed struct (field order = Pkt field
+    * order = PacketSchema column order) — carried through the state
+    * machine without serialization. */
   private val packetStructCol: Column =
-    to_json(struct(PacketSchema.packetColumns.map(col): _*))
+    struct(PacketSchema.packetColumns.map(col): _*)
 
   /** Normalized radio rows (any dialect) → Rec rows. */
   private def radioRecs(norm: DataFrame, gwName: Column): DataFrame =
@@ -45,7 +48,7 @@ object Pipeline {
       col("dev_name").as("devName"),
       col("latitude"), col("longitude"), col("altitude"),
       gwName.as("gwName"),
-      packetStructCol.as("packetJson"),
+      packetStructCol.as("packet"),
       col("date").cast("long").as("arrivalTs"))
 
   private def emptyRec(df: DataFrame, route: String): DataFrame =
@@ -64,7 +67,7 @@ object Pipeline {
       lit(null).cast("double").as("longitude"),
       lit(null).cast("double").as("altitude"),
       lit(null).cast("string").as("gwName"),
-      lit(null).cast("string").as("packetJson"),
+      lit(null).cast(PacketSchema.packet).as("packet"),
       col("arrival_ts").cast("long").as("arrivalTs"))
 
   /** ChirpStack: route + per-route normalization → Dataset[Rec].
@@ -109,7 +112,7 @@ object Pipeline {
       appM("rxInfo")(0)("location")("longitude").as("longitude"),
       appM("rxInfo")(0)("location")("altitude").as("altitude"),
       appM("rxInfo")(0)("name").as("gwName"),
-      lit(null).cast("string").as("packetJson"),
+      lit(null).cast(PacketSchema.packet).as("packet"),
       col("arrival_ts").cast("long").as("arrivalTs"))
 
     val raws = emptyRec(routed.filter(col("route") === "raw"), "raw")
@@ -154,7 +157,7 @@ object Pipeline {
     * ops' outputs. */
   def envelopeFrame(envs: Dataset[Envelope]): DataFrame = {
     val p = col("packet")
-    val pkt = from_json(p("packetJson"), PacketSchema.packet)
+    val pkt = p("packet") // the typed Pkt struct, no deserialization needed
     val enriched = pkt
       .withField("dev_eui", coalesce(p("devEui"), pkt("dev_eui")))
       .withField("app_name", coalesce(p("appName"), pkt("app_name")))

@@ -19,7 +19,7 @@ class StateOpsSpec extends SparkSuite {
       Option(devAddr), Option(fCount).map(_.toLong), Option(devEui),
       Option(appName), Option(devName),
       Option(lat).map(_.toDouble), Option(lat).map(_.toDouble), Option(lat).map(_.toDouble),
-      None, Some("{}"), 1000 + seq)
+      None, None, 1000 + seq)
 
   private def run(recs: Rec*): (ChirpState, Seq[Envelope]) =
     recs.foldLeft((ChirpState.empty, Seq.empty[Envelope])) {

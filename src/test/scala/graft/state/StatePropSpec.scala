@@ -15,7 +15,7 @@ object StatePropSpec extends Properties("ChirpState") {
     fCnt <- Gen.option(Gen.choose(0L, 3L))
     devEui <- Gen.option(Gen.oneOf("e1", "e2"))
   } yield Rec(0, 1L, route, Some("t"), "m", devAddr, fCnt, devEui,
-    None, None, None, None, None, None, Some("{}"), 0)
+    None, None, None, None, None, None, None, 0)
 
   private def runAll(recs: List[Rec]): (ChirpState, Seq[Envelope]) =
     recs.zipWithIndex.foldLeft((ChirpState.empty, Seq.empty[Envelope])) {

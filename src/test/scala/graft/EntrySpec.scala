@@ -1,0 +1,19 @@
+package graft
+
+/** The driver's smoke contract: entry() returns rows on sf0.001, and
+  * every declared query has either an oracle or a documented rows-only
+  * reason. */
+class EntrySpec extends SparkSuite {
+
+  test("entry flagship query returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle map covers every query except the documented rows-only set") {
+    val rowsOnly = Set("q29_session_keys", "q39_ann_ivf", "q50_pipeline_e2e")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == rowsOnly, s"unexpected rows-only queries: $missing")
+    // no orphan oracle entries
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+}

@@ -185,6 +185,48 @@ class StateOpsSpec extends SparkSuite {
     assert(pkt.getAs[String]("datr") == """{"spread_factor":7,"bandwidth":125}""")
   }
 
+  test("TTN v3 pipeline end-to-end: status location consumed once by the next uplink") {
+    implicit val s = spark
+    import s.implicits._
+    val up = graft.codec.Lorawan.b64encode(
+      Array(0x40.toByte) ++ graft.codec.Lorawan.hexToLe("017fc1c4") ++
+        Array(0x80.toByte) ++ Array(7.toByte, 0.toByte) ++
+        graft.codec.Lorawan.hexToBytes("00000000"))
+    def rec(name: String, data: String, seqNo: Long) =
+      (null: String,
+        s"""{"result":{"name":"$name","time":"2024-06-01T10:0$seqNo:00Z",
+           |"identifiers":[{"gateway_ids":{"gateway_id":"g1","eui":"AABB"}}],
+           |"data":$data}}""".stripMargin.replace("\n", ""), seqNo)
+    val status = rec("gs.status.receive",
+      """{"antenna_locations":[{"latitude":52.0,"longitude":4.0,"altitude":7.0}]}""", 1)
+    val up1 = rec("gs.up.receive",
+      s"""{"raw_payload":"$up","rx_metadata":[{"snr":7.0,"rssi":-80}],
+         |"settings":{"frequency":"868500000","coding_rate":"4/5"}}"""
+        .stripMargin.replace("\n", ""), 2)
+    val up2 = rec("gs.up.receive",
+      s"""{"raw_payload":"$up","rx_metadata":[{"snr":6.0,"rssi":-82}],
+         |"settings":{"frequency":"868500000","coding_rate":"4/5"}}"""
+        .stripMargin.replace("\n", ""), 3)
+    val df = Seq(status, up1, up2).toDF("topic", "message", "seq")
+      .withColumn("data_collector_id", org.apache.spark.sql.functions.lit(9L))
+      .withColumn("organization_id", org.apache.spark.sql.functions.lit(2L))
+      .withColumn("gw_name", org.apache.spark.sql.functions.lit("gw-cfg"))
+      // distinct arrival seconds so envelope ts gives a total order
+      .withColumn("arrival_ts", org.apache.spark.sql.functions.expr(
+        "timestampadd(SECOND, cast(seq as int), timestamp'2024-06-01 12:00:00')"))
+    val frame = Pipeline.envelopeFrame(
+      Pipeline.ttnEnvelopes(Pipeline.toTtnRecs(df, v3 = true)))
+      .orderBy("ts").collect()
+    assert(frame.length == 3)
+    assert(frame(0).isNullAt(frame(0).fieldIndex("packet"))) // status = raw log
+    val first = frame(1).getStruct(frame(1).fieldIndex("packet"))
+    assert(first.getAs[Double]("latitude") == 52.0)          // take-once applied
+    assert(first.getAs[String]("gateway") == "AABB")
+    assert(first.getAs[String]("dev_addr") == "017fc1c4")
+    val second = frame(2).getStruct(frame(2).fieldIndex("packet"))
+    assert(second.isNullAt(second.fieldIndex("latitude")))   // NOT sticky
+  }
+
   test("pipeline state runs on the RocksDB store (the 100 TB state backend)") {
     implicit val s = spark
     import s.implicits._

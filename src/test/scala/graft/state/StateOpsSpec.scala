@@ -227,6 +227,38 @@ class StateOpsSpec extends SparkSuite {
     assert(second.isNullAt(second.fieldIndex("latitude")))   // NOT sticky
   }
 
+  test("TTN v2 pipeline end-to-end: SockJS frames through toTtnRecs -> state -> frame") {
+    implicit val s = spark
+    import s.implicits._
+    val up = graft.codec.Lorawan.b64encode(
+      Array(0x40.toByte) ++ graft.codec.Lorawan.hexToLe("017fc1c4") ++
+        Array(0x80.toByte) ++ Array(7.toByte, 0.toByte) ++
+        graft.codec.Lorawan.hexToBytes("00000000"))
+    def frame(kind: String, json: String) =
+      "a[\"gateway " + kind + " " + json.replace("\"", "\\\"") + "\"]"
+    val status = frame("status",
+      """{"status":{"location":{"latitude":-34.6,"longitude":-58.4,"altitude":25.0}}}""")
+    val uplink = frame("uplink",
+      s"""{"payload":"$up","snr":8.5,"rssi":-61,"timestamp":"2024-06-01T10:20:30Z","frequency":868.1,"coding_rate":"4/5"}""")
+    val df = Seq((null: String, status, 1L), (null: String, uplink, 2L), (null: String, "h", 3L))
+      .toDF("topic", "message", "seq")
+      .withColumn("data_collector_id", org.apache.spark.sql.functions.lit(4L))
+      .withColumn("organization_id", org.apache.spark.sql.functions.lit(2L))
+      .withColumn("gw", org.apache.spark.sql.functions.lit("eui-aabbcc"))
+      .withColumn("arrival_ts", org.apache.spark.sql.functions.expr(
+        "timestampadd(SECOND, cast(seq as int), timestamp'2024-06-01 12:00:00')"))
+    val out = Pipeline.envelopeFrame(
+      Pipeline.ttnEnvelopes(Pipeline.toTtnRecs(df, v3 = false)))
+      .orderBy("ts").collect()
+    assert(out.length == 2) // keepalive 'h' dropped (F0a)
+    assert(out(0).isNullAt(out(0).fieldIndex("packet"))) // status = raw log
+    val pkt = out(1).getStruct(out(1).fieldIndex("packet"))
+    assert(pkt.getAs[Double]("latitude") == -34.6)  // take-once from status
+    assert(pkt.getAs[String]("gateway") == "aabbcc") // eui- stripped
+    assert(pkt.getAs[Long]("tmst") == 1717237230000L)
+    assert(pkt.getAs[String]("dev_addr") == "017fc1c4")
+  }
+
   test("pipeline state runs on the RocksDB store (the 100 TB state backend)") {
     implicit val s = spark
     import s.implicits._

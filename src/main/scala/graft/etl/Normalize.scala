@@ -69,7 +69,10 @@ object Normalize {
     val m = from_json(col("message"), chirpstackGateway)
     val phy = PhyFunctions.phy_decode_b64(m("phyPayload"))
     val x = coalesce(m("txInfo"), m("rxInfo")) // tmst/freq/gateway source
-    df.filter(length(m("phyPayload")) <= 300) // F0c size guard
+    // F0c size guard: only OVERSIZED payloads drop; a payload-less message
+    // still yields a metadata-only radio packet (LoraServerIOCollector
+    // .py:311-315 guards inside `if 'phyPayload' in mqtt_messsage`).
+    df.filter(m("phyPayload").isNull || length(m("phyPayload")) <= 300)
       .select(Seq(
         col("arrival_ts").as("date"),
         col("topic"),
@@ -104,7 +107,8 @@ object Normalize {
     val m = from_json(col("message"), chirpstackProto)
     val phy = PhyFunctions.phy_decode_b64(m("phyPayload"))
     val lmi = m("txInfo")("loRaModulationInfo")
-    df.filter(length(m("phyPayload")) <= 300)
+    // F0c: same null-safe size guard as the JSON dialect (only oversized drops)
+    df.filter(m("phyPayload").isNull || length(m("phyPayload")) <= 300)
       .select(Seq(
         col("arrival_ts").as("date"),
         col("topic"),

@@ -261,9 +261,7 @@ object Packets {
       lit(1L).as("organization_id"),
       col("event_id").as("seq"),
       timestamp_micros(expr("ts div 1000")).as("arrival_ts"))
-    val envs = graft.streaming.Pipeline.envelopeFrame(
-      graft.streaming.Pipeline.chirpEnvelopes(
-        graft.streaming.Pipeline.toChirpRecs(raw)))
+    val envs = graft.streaming.Pipeline.chirpEnvelopeFrameBatch(raw)
     envs.groupBy(col("data_collector_id"))
       .agg(
         count(lit(1)).as("n_envelopes"),

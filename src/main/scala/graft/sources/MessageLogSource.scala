@@ -113,11 +113,13 @@ object MsgReaderFactory extends PartitionReaderFactory {
 
 class MessageLogReader(file: String) extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val lines = scala.io.Source.fromFile(file, "UTF-8").getLines()
+  private val source = scala.io.Source.fromFile(file, "UTF-8")
+  private val lines = source.getLines()
   private var current: InternalRow = _
+  private var closed = false
 
   override def next(): Boolean = {
-    if (!lines.hasNext) return false
+    if (!lines.hasNext) { close(); return false }
     val node = mapper.readTree(lines.next())
     def str(f: String): Any =
       if (node.hasNonNull(f)) UTF8String.fromString(node.get(f).asText) else null
@@ -131,5 +133,6 @@ class MessageLogReader(file: String) extends PartitionReader[InternalRow] {
     true
   }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit =
+    if (!closed) { closed = true; source.close() }
 }

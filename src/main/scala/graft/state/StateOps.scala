@@ -101,11 +101,16 @@ object StateOps {
 
     r.route match {
       case "join" =>
-        // F1 upsert (dev_eui only) + F3 raw-log envelope (:287-304)
+        // F1 upsert (dev_eui only) + F3 raw-log envelope (:287-304).
+        // The reference appends the join msg to packet_writter_message —
+        // which still holds a buffered radio msg if one is pending — then
+        // resets the MESSAGE buffer but NOT prev_packet, so the later
+        // prev flush goes out with empty messages (:292-304 vs :370-376).
         val m = r.devAddr.fold(st.devices) { da =>
           st.devices + (da -> DeviceInfo(r.devEui, None, None, fromApp = false))
         }
-        (st.copy(devices = m), Seq(env(None, Seq(msg))))
+        (st.copy(devices = m, prevMsgs = Nil),
+          Seq(env(None, st.prevMsgs :+ msg)))
 
       case "radio" =>
         // flush any pending packet first (:370-376)
@@ -184,7 +189,10 @@ object StateOps {
       out ++= envs
     }
     state.update(st)
-    out.result().iterator
+    // Persistence gate: the reference's save() drops envelopes with zero
+    // messages (PacketPersistence.py:28-31) — the only way one arises is a
+    // prev flush whose message buffer was absorbed by an interleaved join.
+    out.result().iterator.filter(_.messages.nonEmpty)
   }
 
   // ------------------------------------------------------------- F4 state
@@ -250,7 +258,12 @@ object StateOps {
     else {
       val total = st.total + 1
       val ok = st.ok + (if (passes) 1 else 0)
-      val verified = total >= minPackets && ok.toDouble / total > ratio
+      // Reference ordering: verify_message returns early on failure, so
+      // the threshold is only evaluated after a PASSING message
+      // (BaseCollector.py:92-109). From empty state the distinction is
+      // unobservable (ratio can't first cross 0.8 on a fail), but it
+      // matters for restored nonzero counters.
+      val verified = passes && total >= minPackets && ok.toDouble / total > ratio
       val st2 = VerifState(total, ok, verified)
       val pass = if (passes) Seq(VerifOut(Some(r), None)) else Nil
       val flip = if (verified) Seq(VerifOut(None, Some(true))) else Nil

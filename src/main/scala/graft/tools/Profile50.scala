@@ -1,0 +1,66 @@
+package graft.tools
+
+import graft.queries.Packets
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage profiler for q50 (not part of the driver contract):
+  * times each pipeline stage separately to attribute the end-to-end cost. */
+object Profile50 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"  $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+
+    // replicate q50's synthesized raw-message frame
+    val raw: DataFrame = {
+      import graft.functions.PhyFunctions
+      val e = graft.Tables.events(spark, sfDir)
+      val devAddr = lpad(lower(hex(col("user_id") + 7)), 8, "0")
+      val phyB64 = base64(PhyFunctions.encodeDataFrame(
+        lit("UnconfirmedDataUp"), devAddr, lit(true), lit(false),
+        (col("event_id") % 65536).cast("int"),
+        lit(null).cast("int"), lit(null).cast("binary"), lit("00000000")))
+      val joinMsg = concat(lit("""{"devAddr":""""), devAddr,
+        lit("""","devEUI":"cafe"""), col("user_id"), lit("\"}"))
+      val radioMsg = concat(
+        lit("""{"phyPayload":""""), phyB64,
+        lit("""","rxInfo":{"channel":1,"rfChain":0,"crcStatus":1,"codeRate":"4/5",
+               |"rssi":-60,"loRaSNR":9.0,"size":17,"timestamp":""".stripMargin.replace("\n", "")),
+        col("event_id"),
+        lit(""","frequency":868100000,"mac":"aabb","dataRate":{"modulation":"LORA","spreadFactor":7,"bandwidth":125}}}"""))
+      e.select(
+        when(col("event_id") % 5 === 0, concat(lit("application/1/device/d"), col("user_id"), lit("/join")))
+          .otherwise(lit("gateway/gw1/rx")).as("topic"),
+        when(col("event_id") % 5 === 0, joinMsg).otherwise(radioMsg).as("message"),
+        (col("user_id") % 8).as("data_collector_id"),
+        lit(1L).as("organization_id"),
+        col("event_id").as("seq"),
+        timestamp_micros(expr("ts div 1000")).as("arrival_ts"))
+    }
+
+    for (round <- 1 to 2) {
+      println(s"-- round $round --")
+      time("raw (synth only)")(raw.count())
+      val recs = graft.streaming.Pipeline.toChirpRecs(raw)
+      time("toChirpRecs (normalize)")(recs.count())
+      val envs = graft.streaming.Pipeline.chirpEnvelopes(recs)
+      time("chirpEnvelopes (state)")(envs.count())
+      val frame = graft.streaming.Pipeline.envelopeFrame(envs)
+      time("envelopeFrame")(frame.count())
+      time("q50 full")(Packets.q50PipelineE2e(spark, sfDir).count())
+    }
+    spark.stop()
+  }
+}

@@ -1,6 +1,9 @@
 package org.apache.spark.sql
 
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.types.StructType
 
 /** Package-private-API bridge: Spark 4 made `Column` opaque
   * (ColumnNode-backed) and gated Expression↔Column conversion behind
@@ -10,4 +13,18 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `RDD[InternalRow]` → DataFrame without a catalyst↔external row trip
+    * (`private[sql] SparkSession.internalCreateDataFrame` — the hook every
+    * DSv2 source uses internally). For per-partition imperative operators
+    * (graft.state.ChirpFoldInternal) whose input/output stay in the
+    * Tungsten format. */
+  def internalCreateDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+                              schema: StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
+  /** The analyzed-plan output rows of `df` as `RDD[InternalRow]` (the
+    * classic `queryExecution.toRdd`). */
+  def toInternalRdd(df: DataFrame): RDD[InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
 }

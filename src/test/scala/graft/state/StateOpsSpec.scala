@@ -124,6 +124,76 @@ class StateOpsSpec extends SparkSuite {
     assert(out3.head.rec.isDefined && st3 == st)
   }
 
+  test("join absorbs buffered messages; the later flush is dropped by the save() gate") {
+    // LoraServerIOCollector.py:292-304: the join appends its message to the
+    // packet_writter_message that still holds the buffered radio message and
+    // resets the MESSAGE buffer only — prev_packet stays pending, so its
+    // flush goes out message-less and PacketPersistence.save() drops it.
+    val (st, out) = run(
+      rec(1, "radio", devAddr = "aa01", fCount = 7L),   // buffered
+      rec(2, "join", devAddr = "bb02", devEui = "feed"), // absorbs msg t1
+      rec(3, "radio", devAddr = "cc03", fCount = 1L))   // flushes prev, empty msgs
+    assert(out.size == 2)
+    val joinEnv = out(0)
+    assert(joinEnv.packet.isEmpty && joinEnv.messages.map(_.topic) == Seq(Some("t1"), Some("t2")))
+    val flush = out(1)
+    assert(flush.packet.get.devAddr.contains("aa01") && flush.messages.isEmpty)
+    assert(st.prev.get.devAddr.contains("cc03"))
+    // persistence gate: the message-less flush never reaches the sink
+    assert(Seq(joinEnv, flush).filter(_.messages.nonEmpty) == Seq(joinEnv))
+  }
+
+  test("internal-row batch fold equals the typed state machine on random interleavings") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+
+    def mkUp(daHex: String, fCnt: Int): String = graft.codec.Lorawan.b64encode(
+      Array(0x40.toByte) ++ graft.codec.Lorawan.hexToLe(daHex) ++
+        Array(0x80.toByte) ++ Array((fCnt & 0xff).toByte, ((fCnt >> 8) & 0xff).toByte) ++
+        Array(1.toByte) ++ Array(10.toByte, 20.toByte) ++
+        graft.codec.Lorawan.hexToBytes("00000000"))
+
+    val das = Seq("017fc1c4", "0a0b0c0d", "11223344", "deadbeef", "00000001", "cafebabe")
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 400).map { i =>
+      val cid = (i % 3).toLong
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => // radio (some devAddrs never joined → buffering)
+          val da = das(rnd.nextInt(das.length)); val f = rnd.nextInt(3)
+          ("gateway/gw1/rx",
+            s"""{"phyPayload":"${mkUp(da, f)}","rxInfo":{"channel":1,"rfChain":0,"crcStatus":1,"codeRate":"4/5","rssi":-60,"loRaSNR":9.0,"size":17,"timestamp":$i,"frequency":868100000,"mac":"aabb","dataRate":{"modulation":"LORA","spreadFactor":7,"bandwidth":125}}}""",
+            cid, i.toLong)
+        case 4 | 5 => // app pairing attempt, fCnt may or may not match
+          val f = rnd.nextInt(3)
+          (s"application/1/device/dev$i/rx",
+            s"""{"devEUI":"eui$i","applicationName":"app$i","deviceName":"dev$i","fCnt":$f,"rxInfo":[{"name":"gw","location":{"latitude":$i.0,"longitude":2.0,"altitude":3.0}}]}""",
+            cid, i.toLong)
+        case 6 | 7 => // join — sometimes while a packet is buffered
+          val da = das(rnd.nextInt(das.length))
+          (s"application/1/device/j$i/join",
+            s"""{"devAddr":"$da","devEUI":"joined$i"}""", cid, i.toLong)
+        case _ => // raw
+          ("some/other/topic", s"""not-json-$i""", cid, i.toLong)
+      }
+    }
+    val raw = rows.toDF("topic", "message", "data_collector_id", "seq_")
+      .withColumn("organization_id", lit(7L))
+      .withColumn("seq", col("seq_")).drop("seq_")
+      .withColumn("arrival_ts", timestamp_micros(col("seq") * 1000000L))
+
+    val typed = Pipeline.envelopeFrame(
+      Pipeline.chirpEnvelopes(Pipeline.toChirpRecs(raw)))
+    val fast = Pipeline.chirpEnvelopeFrameBatch(raw)
+
+    assert(fast.schema.map(f => (f.name, f.dataType)) ==
+      typed.schema.map(f => (f.name, f.dataType)))
+    val t = typed.collect().map(_.toString).sorted.toSeq
+    val f = fast.collect().map(_.toString).sorted.toSeq
+    assert(f.size == t.size)
+    assert(f == t)
+  }
+
   // ------------------------------------------------------ pipeline e2e
 
   private val chirpSeq: Seq[(String, String, Long)] = {

@@ -35,9 +35,15 @@ object StatePropSpec extends Properties("ChirpState") {
       radioOut + buffered == radioIn
     }
 
-  property("every envelope carries at least one message (PacketPersistence.py:28)") =
+  property("message-less envelopes arise only from a join absorbing the " +
+    "buffer, and the save() gate drops them (PacketPersistence.py:28-31)") =
     forAll(Gen.listOfN(30, genRec)) { recs =>
-      runAll(recs)._2.forall(_.messages.nonEmpty)
+      val envs = runAll(recs)._2
+      val empties = envs.filter(_.messages.isEmpty)
+      // each one is a prev flush (has a packet) and needs a join to have
+      // emptied the buffer first; the persistence layer then discards it
+      empties.forall(_.packet.isDefined) &&
+        empties.size <= recs.count(_.route == "join")
     }
 
   property("device map only grows via join/app routes; LWW holds") =

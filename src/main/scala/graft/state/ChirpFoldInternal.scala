@@ -69,6 +69,7 @@ object ChirpFoldInternal {
   private val ROUTE_JOIN = UTF8String.fromString("join")
   private val ROUTE_RADIO = UTF8String.fromString("radio")
   private val ROUTE_APP = UTF8String.fromString("app")
+  private val ROUTE_DROP = UTF8String.fromString("drop")
 
   // boxing accessors for the opaque packet-struct copy
   private val pktAccessors: Array[(InternalRow, Int) => Any] =
@@ -162,6 +163,7 @@ object ChirpFoldInternal {
 
     private def step(row: InternalRow): Unit = {
       val route = row.getUTF8String(ROUTE)
+      if (route == ROUTE_DROP) return // F0c oversized: inert (:313-315)
       val ts = row.getLong(ARRIVAL_TS)
       val msg = msgStruct(row)
 

@@ -100,6 +100,11 @@ object StateOps {
       Envelope(r.arrivalTs, r.collectorId, p, ms)
 
     r.route match {
+      case "drop" =>
+        // F0c oversized payload: the reference returns before touching any
+        // state (LoraServerIOCollector.py:313-315) — the row is inert
+        (st, Nil)
+
       case "join" =>
         // F1 upsert (dev_eui only) + F3 raw-log envelope (:287-304).
         // The reference appends the join msg to packet_writter_message —

@@ -70,12 +70,106 @@ object Pipeline {
       lit(null).cast(PacketSchema.packet).as("packet"),
       col("arrival_ts").cast("long").as("arrivalTs"))
 
-  /** ChirpStack: route + per-route normalization → Dataset[Rec].
-    * F0h encoding sniff: the protobuf dialect (after transport-side
-    * MessageToJson) is recognized by its `rxInfo.gatewayID` /
-    * `txInfo.loRaModulationInfo` shape; plain JSON otherwise
-    * (LoraServerIOCollector.py:238-280). */
+  /** ChirpStack: route + normalization → Dataset[Rec] in ONE projection
+    * over ONE scan. Each message is JSON-parsed at most twice (its own
+    * dialect's schema + the proto-shape sniff) instead of once per
+    * route×dialect branch; per-column CASE on route/dialect replaces the
+    * 5-way filtered union (which re-scanned the source five times — fatal
+    * on a real source at scale). F0h encoding sniff: the protobuf dialect
+    * (after transport-side MessageToJson) is recognized by its
+    * `rxInfo.gatewayID` / `txInfo.loRaModulationInfo` shape; plain JSON
+    * otherwise (LoraServerIOCollector.py:238-280).
+    *
+    * F0c becomes route="drop" instead of a filter — a filter on a parsed
+    * column would be pushed below the projection and re-run the parse;
+    * the state ops ignore drop rows (reference: early return, :313-315).
+    * Equivalence with the branch-per-route form is pinned by
+    * StateOpsSpec ("fused single-pass normalize equals the 5-branch union"). */
   def toChirpRecs(df: DataFrame)(implicit s: SparkSession): Dataset[Rec] = {
+    import s.implicits._
+    import graft.etl.PacketSchema
+    val route0 = Normalize.chirpstackRoute(col("topic"))
+    val mj = from_json(col("message"), PacketSchema.chirpstackGateway)
+    val mp = from_json(col("message"), PacketSchema.chirpstackProto)
+    val ma = from_json(col("message"), PacketSchema.chirpstackApp)
+    // PERMISSIVE from_json nulls the whole record on a type clash (proto
+    // crcStatus is a string), so every field picks its dialect's parse
+    val isProto = mp("rxInfo")("gatewayID").isNotNull ||
+      mp("txInfo")("loRaModulationInfo").isNotNull
+    val pay = when(isProto, mp("phyPayload")).otherwise(mj("phyPayload"))
+    val oversized = route0 === "radio" && pay.isNotNull && length(pay) > 300
+    val route = when(oversized, "drop").otherwise(route0)
+    val phy = graft.functions.PhyFunctions.phy_decode_b64(pay)
+    val x = coalesce(mj("txInfo"), mj("rxInfo")) // json-dialect x_info quirk
+    val lmi = mp("txInfo")("loRaModulationInfo")
+    def pj(j: Column, p: Column) = when(isProto, p).otherwise(j)
+    // packet.dev_eui stays null here — the F1 device map fills it later
+    val phyFields = Seq("m_type", "major", "mic", "join_eui",
+      "dev_nonce", "dev_addr", "adr", "ack", "adr_ack_req", "f_pending",
+      "class_b", "f_count", "f_opts", "f_port", "error")
+    def nul(name: String) = {
+      val f = PacketSchema.packet.fields(PacketSchema.packet.fieldIndex(name))
+      lit(null).cast(f.dataType)
+    }
+    val pktCols: Seq[Column] = PacketSchema.packetColumns.map {
+      case "date" => col("arrival_ts").as("date")
+      case "topic" => col("topic")
+      case "data_collector_id" => col("data_collector_id")
+      case "organization_id" => col("organization_id")
+      case "gateway" => pj(x("mac"),
+        lower(hex(unbase64(mp("rxInfo")("gatewayID"))))).as("gateway")
+      case "tmst" => pj(x("timestamp"), nul("tmst")).as("tmst")
+      case "chan" => pj(mj("rxInfo")("channel"), mp("rxInfo")("channel")).as("chan")
+      case "rfch" => pj(mj("rxInfo")("rfChain"), mp("rxInfo")("rfChain")).as("rfch")
+      case "freq" => pj(x("frequency") / 1e6,
+        mp("txInfo")("frequency") / 1e6).as("freq")
+      case "stat" => pj(mj("rxInfo")("crcStatus"),
+        Normalize.crcStatusInt(mp("rxInfo")("crcStatus"))).as("stat")
+      case "modu" => pj(x("dataRate")("modulation"), nul("modu")).as("modu")
+      case "datr" => pj(
+        to_json(struct(
+          x("dataRate")("spreadFactor").as("spread_factor"),
+          x("dataRate")("bandwidth").as("bandwidth"))),
+        to_json(struct(
+          lmi("spreadingFactor").as("spread_factor"),
+          lmi("bandwidth").as("bandwidth")))).as("datr")
+      case "codr" => pj(mj("rxInfo")("codeRate"), lmi("codeRate")).as("codr")
+      case "lsnr" => pj(mj("rxInfo")("loRaSNR"), mp("rxInfo")("loRaSNR")).as("lsnr")
+      case "rssi" => pj(mj("rxInfo")("rssi"), mp("rxInfo")("rssi")).as("rssi")
+      case "size" => pj(mj("rxInfo")("size"), mp("rxInfo")("size")).as("size")
+      case "data" => pay.as("data")
+      case f if phyFields.contains(f) => phy(f).as(f)
+      case other => nul(other).as(other) // dev_eui, lat/lon/alt, app/dev_name
+    }
+    val appLoc = ma("rxInfo")(0)("location")
+    df.select(
+      col("seq"),
+      col("data_collector_id").as("collectorId"),
+      route.as("route"),
+      col("topic"),
+      col("message"),
+      when(route === "radio", phy("dev_addr"))
+        .when(route === "join", get_json_object(col("message"), "$.devAddr"))
+        .as("devAddr"),
+      when(route === "radio", phy("f_count"))
+        .when(route === "app", ma("fCnt")).as("fCount"),
+      when(route === "join", get_json_object(col("message"), "$.devEUI"))
+        .when(route === "app", ma("devEUI")).as("devEui"),
+      when(route === "app", ma("applicationName")).as("appName"),
+      when(route === "app", ma("deviceName")).as("devName"),
+      when(route === "app", appLoc("latitude")).cast("double").as("latitude"),
+      when(route === "app", appLoc("longitude")).cast("double").as("longitude"),
+      when(route === "app", appLoc("altitude")).cast("double").as("altitude"),
+      when(route === "app", ma("rxInfo")(0)("name")).as("gwName"),
+      when(route === "radio", struct(pktCols: _*))
+        .otherwise(lit(null).cast(PacketSchema.packet)).as("packet"),
+      col("arrival_ts").cast("long").as("arrivalTs")).as[Rec]
+  }
+
+  /** The original branch-per-route form of [[toChirpRecs]] — kept as the
+    * readable reference implementation and the equivalence oracle for the
+    * fused single-pass version (StateOpsSpec). */
+  private[graft] def toChirpRecsUnion(df: DataFrame)(implicit s: SparkSession): Dataset[Rec] = {
     import s.implicits._
     val routed = df.withColumn("route", Normalize.chirpstackRoute(col("topic")))
 

@@ -53,35 +53,62 @@ object Vectors {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Left-to-right double dot fold — same order as the DuckDB oracle's
+    * explicit list_reduce, so sims are bit-identical across engines.
+    * (IEEE multiply is commutative, so dot(a,b) ≡ dot(b,a) bit-for-bit
+    * and block-pair orientation does not matter.) */
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Blocks for the q37 all-pairs scan. Sized so one block (~N/B vectors)
+    * fits comfortably in a task; at cluster scale B grows ~√(N/blockCap)
+    * and the replication factor per side stays (B+1)/2. */
+  private val PairBlocks = 8
+
   /** q37: embedding near-duplicate pairs — cosine ≥ 0.4, exact, all
     * N²/2 pairs.
     *
-    * This is the one place the declarative forms lose badly: a broadcast
-    * nested-loop join pays per-pair row + UDF-boxing overhead (~13 µs/pair
-    * → 26 s at sf0.1), so the pair scan is a `mapPartitions` kernel over a
-    * broadcast of the (small-by-design) comparison side — preference tier
-    * (d) of the build rules, taken on measurement. Each stream row
-    * compares against all broadcast rows with greater id (each pair
-    * produced exactly once); the dot is the same left-to-right double
-    * fold, so the DuckDB oracle still matches bit-for-bit. */
+    * Block-partitioned pair join: every vector is assigned to block
+    * b = id mod B, each unordered block pair (i ≤ j) becomes one cogroup
+    * key, and a vector is replicated to the pairs its block participates
+    * in (left copy to (b, j≥b), right copy to (i≤b, b)) — so each
+    * unordered vector pair is scored exactly once, on the cluster, with
+    * per-task memory bounded by one block. Nothing is collected to the
+    * driver and no side is broadcast: this is the shape that survives a
+    * 100× corpus (the N²/2 work is inherent to an exact scan; the ANN
+    * path for scale is q39).
+    *
+    * The per-pair kernel stays the tight primitive loop (a declarative
+    * broadcast NLJ measured ~13 µs/pair in row + boxing overhead); the
+    * dot is the same left-to-right double fold as the oracle, so values
+    * are bit-identical. */
   def q37CosineNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val nB = PairBlocks
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    def dotD(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-      acc
+    val left = e.flatMap { case (id, v) =>
+      val b = (id % nB).toInt
+      (b until nB).map(j => (b * nB + j, id, v))
     }
-    val side = s.sparkContext.broadcast(
-      e.collect().sortBy(_._1).map { case (id, v) => (id, v, math.sqrt(dotD(v, v))) })
-    e.mapPartitions { it =>
-      val bs = side.value
-      it.flatMap { case (idA, va) =>
+    val right = e.flatMap { case (id, v) =>
+      val b = (id % nB).toInt
+      (0 to b).map(i => (i * nB + b, id, v))
+    }
+    left.groupByKey(_._1).cogroup(right.groupByKey(_._1)) { (key, la, ra) =>
+      val diagonal = key / nB == key % nB // same block on both sides
+      val rb = ra.map { case (_, id, v) => (id, v, math.sqrt(dotD(v, v))) }.toArray
+      la.flatMap { case (_, idA, va) =>
         val na = math.sqrt(dotD(va, va))
-        bs.iterator
-          .filter(_._1 > idA)
-          .map { case (idB, vb, nb) => (idA, idB, dotD(va, vb) / (na * nb)) }
+        rb.iterator
+          .filter(t => !diagonal || t._1 > idA) // diagonal: dedup + no self
+          .map { case (idB, vb, nb) =>
+            val sim = dotD(va, vb) / (na * nb)
+            if (idA < idB) (idA, idB, sim) else (idB, idA, sim)
+          }
           .filter(_._3 >= 0.4)
       }
     }.toDF("id_a", "id_b", "sim")

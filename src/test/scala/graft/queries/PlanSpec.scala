@@ -41,6 +41,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q37 all-pairs scan is a distributed block-pair cogroup (no driver collect)") {
+    val p = plan(Vectors.q37CosineNearDup(spark, sf))
+    // the pair scan must be a CoGroup over the block-pair key — NOT a
+    // mapPartitions over a driver-collected broadcast (the r2 shape) and
+    // NOT a broadcast nested-loop join of the whole corpus
+    assert(p.contains("CoGroup"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q27 point lookup pushes all three conjuncts") {
     val p = plan(Packets.q27PointLookup(spark, sf))
     assert(p.contains("EqualTo(c_nationkey,5)"), p)

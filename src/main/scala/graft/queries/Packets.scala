@@ -239,7 +239,13 @@ object Packets {
     * StateOpsSpec + the q22-q25 window-analog oracles). */
   def q50PipelineE2e(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
-    val e = events(s, d)
+    // The sf parquet is one file → one scan partition, which would run the
+    // whole map-side normalize on a single core. A real message source
+    // (MQTT consumer, log replay) delivers many partitions; spread the
+    // narrow 3-column event rows first so synth+normalize run at full
+    // parallelism. (At cluster scale the source is already partitioned and
+    // this is a no-op-sized shuffle of the keys.)
+    val e = events(s, d).repartition(s.sparkContext.defaultParallelism)
     val devAddr = lpad(lower(hex(col("user_id") + 7)), 8, "0")
     val phyB64 = base64(PhyFunctions.encodeDataFrame(
       lit("UnconfirmedDataUp"), devAddr, lit(true), lit(false),

@@ -70,15 +70,24 @@ object Pipeline {
       lit(null).cast(PacketSchema.packet).as("packet"),
       col("arrival_ts").cast("long").as("arrivalTs"))
 
-  /** ChirpStack: route + normalization → Dataset[Rec] in ONE projection
-    * over ONE scan. Each message is JSON-parsed at most twice (its own
-    * dialect's schema + the proto-shape sniff) instead of once per
-    * route×dialect branch; per-column CASE on route/dialect replaces the
-    * 5-way filtered union (which re-scanned the source five times — fatal
-    * on a real source at scale). F0h encoding sniff: the protobuf dialect
-    * (after transport-side MessageToJson) is recognized by its
-    * `rxInfo.gatewayID` / `txInfo.loRaModulationInfo` shape; plain JSON
-    * otherwise (LoraServerIOCollector.py:238-280).
+  /** ChirpStack: route + normalization → Dataset[Rec] over ONE scan, as a
+    * STAGED column program so each message pays exactly ONE full
+    * `from_json` (its own dialect's) instead of one per dialect schema:
+    *
+    *   A1: route from the topic + F0h dialect sniff via `get_json_object`
+    *       on `$.rxInfo.gatewayID` / `$.txInfo.loRaModulationInfo` — a
+    *       streaming path probe, no full parse (the same detection the
+    *       branch-per-route oracle form uses;
+    *       LoraServerIOCollector.py:238-280);
+    *   A2: the single route-gated `from_json` (gateway | proto | app);
+    *   B:  payload extraction + PHY decode, once;
+    *   C:  Rec assembly from cheap field references.
+    *
+    * The stages survive optimization because CollapseProject never inlines
+    * a non-cheap expression referenced more than once — measured: the r2
+    * single-projection form re-parsed every row with all three schemas
+    * (~26 s of q50's 29 s at sf0.1), this form parses once (from_json is
+    * CodegenFallback, so the projection is interpreted either way).
     *
     * F0c becomes route="drop" instead of a filter — a filter on a parsed
     * column would be pushed below the projection and re-run the parse;
@@ -89,17 +98,31 @@ object Pipeline {
     import s.implicits._
     import graft.etl.PacketSchema
     val route0 = Normalize.chirpstackRoute(col("topic"))
-    val mj = from_json(col("message"), PacketSchema.chirpstackGateway)
-    val mp = from_json(col("message"), PacketSchema.chirpstackProto)
-    val ma = from_json(col("message"), PacketSchema.chirpstackApp)
-    // PERMISSIVE from_json nulls the whole record on a type clash (proto
-    // crcStatus is a string), so every field picks its dialect's parse
-    val isProto = mp("rxInfo")("gatewayID").isNotNull ||
-      mp("txInfo")("loRaModulationInfo").isNotNull
-    val pay = when(isProto, mp("phyPayload")).otherwise(mj("phyPayload"))
-    val oversized = route0 === "radio" && pay.isNotNull && length(pay) > 300
-    val route = when(oversized, "drop").otherwise(route0)
-    val phy = graft.functions.PhyFunctions.phy_decode_b64(pay)
+    val isProtoShape =
+      get_json_object(col("message"), "$.rxInfo.gatewayID").isNotNull ||
+        get_json_object(col("message"), "$.txInfo.loRaModulationInfo").isNotNull
+    val a1 = df.select(
+      col("seq"), col("data_collector_id"), col("organization_id"),
+      col("topic"), col("message"), col("arrival_ts"),
+      route0.as("route0"),
+      (route0 === "radio" && isProtoShape).as("is_proto"))
+    val a2 = a1.select(col("*"),
+      when(col("route0") === "radio" && !col("is_proto"),
+        from_json(col("message"), PacketSchema.chirpstackGateway)).as("mj"),
+      when(col("is_proto"),
+        from_json(col("message"), PacketSchema.chirpstackProto)).as("mp"),
+      when(col("route0") === "app",
+        from_json(col("message"), PacketSchema.chirpstackApp)).as("ma"))
+    val pay0 = when(col("is_proto"), col("mp")("phyPayload"))
+      .otherwise(col("mj")("phyPayload"))
+    val b = a2.select(col("*"), pay0.as("pay"),
+      graft.functions.PhyFunctions.phy_decode_b64(pay0).as("phy"))
+
+    val isProto = col("is_proto")
+    val mj = col("mj"); val mp = col("mp"); val ma = col("ma")
+    val pay = col("pay"); val phy = col("phy")
+    val oversized = col("route0") === "radio" && pay.isNotNull && length(pay) > 300
+    val route = when(oversized, "drop").otherwise(col("route0"))
     val x = coalesce(mj("txInfo"), mj("rxInfo")) // json-dialect x_info quirk
     val lmi = mp("txInfo")("loRaModulationInfo")
     def pj(j: Column, p: Column) = when(isProto, p).otherwise(j)
@@ -142,7 +165,7 @@ object Pipeline {
       case other => nul(other).as(other) // dev_eui, lat/lon/alt, app/dev_name
     }
     val appLoc = ma("rxInfo")(0)("location")
-    df.select(
+    b.select(
       col("seq"),
       col("data_collector_id").as("collectorId"),
       route.as("route"),

@@ -27,6 +27,7 @@ object Profile50 {
     val raw: DataFrame = {
       import graft.functions.PhyFunctions
       val e = graft.Tables.events(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism)
       val devAddr = lpad(lower(hex(col("user_id") + 7)), 8, "0")
       val phyB64 = base64(PhyFunctions.encodeDataFrame(
         lit("UnconfirmedDataUp"), devAddr, lit(true), lit(false),
@@ -50,15 +51,25 @@ object Profile50 {
         timestamp_micros(expr("ts div 1000")).as("arrival_ts"))
     }
 
+    // NOTE: .count() over a projection column-prunes the expensive exprs
+    // away — use queryExecution.toRdd.count() to force full-row
+    // materialization of every stage. q50 uses the BATCH fold path
+    // (chirpEnvelopeFrameBatch), not the typed chirpEnvelopes.
     for (round <- 1 to 2) {
       println(s"-- round $round --")
-      time("raw (synth only)")(raw.count())
+      time("raw (synth, full rows)")(raw.queryExecution.toRdd.count())
       val recs = graft.streaming.Pipeline.toChirpRecs(raw)
-      time("toChirpRecs (normalize)")(recs.count())
-      val envs = graft.streaming.Pipeline.chirpEnvelopes(recs)
-      time("chirpEnvelopes (state)")(envs.count())
-      val frame = graft.streaming.Pipeline.envelopeFrame(envs)
-      time("envelopeFrame")(frame.count())
+      time("toChirpRecs (full rows)")(recs.toDF().queryExecution.toRdd.count())
+      val sorted = recs.toDF().repartition(col("collectorId"))
+        .sortWithinPartitions(col("collectorId"), col("seq"))
+      time("normalize+shuffle+sort")(sorted.queryExecution.toRdd.count())
+      // NOTE: chirpEnvelopeFrameBatch triggers the AQE stage materialization
+      // (shuffle map stage = synth+normalize) EAGERLY at construction — time
+      // construction + count together or the cost lands outside the timer.
+      time("batch fold (normalize+state)") {
+        graft.streaming.Pipeline.chirpEnvelopeFrameBatch(raw)
+          .queryExecution.toRdd.count()
+      }
       time("q50 full")(Packets.q50PipelineE2e(spark, sfDir).count())
     }
     spark.stop()

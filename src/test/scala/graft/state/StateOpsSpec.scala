@@ -194,6 +194,50 @@ class StateOpsSpec extends SparkSuite {
     assert(f == t)
   }
 
+  test("fused single-pass normalize equals the 5-branch union over mixed dialects") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+
+    def mkUp(daHex: String, fCnt: Int): String = graft.codec.Lorawan.b64encode(
+      Array(0x40.toByte) ++ graft.codec.Lorawan.hexToLe(daHex) ++
+        Array(0x80.toByte) ++ Array((fCnt & 0xff).toByte, ((fCnt >> 8) & 0xff).toByte) ++
+        Array(1.toByte) ++ Array(10.toByte, 20.toByte) ++
+        graft.codec.Lorawan.hexToBytes("00000000"))
+    def jsonRadio(pay: String) =
+      s"""{"phyPayload":"$pay","rxInfo":{"channel":1,"rfChain":0,"crcStatus":1,"codeRate":"4/5","rssi":-60,"loRaSNR":9.0,"size":17,"timestamp":42,"frequency":868100000,"mac":"aabb","dataRate":{"modulation":"LORA","spreadFactor":7,"bandwidth":125}}}"""
+    def protoRadio(pay: String) =
+      s"""{"phyPayload":"$pay","rxInfo":{"gatewayID":"qrs=","channel":2,"rfChain":1,"crcStatus":"CRC_OK","rssi":-50,"loRaSNR":7.5,"size":17,"timestamp":123},"txInfo":{"frequency":867500000,"loRaModulationInfo":{"spreadingFactor":9,"bandwidth":125,"codeRate":"4/5"}}}"""
+    val oversized = "A" * 301
+    val cases: Seq[(String, String)] = Seq(
+      "gateway/gw1/rx" -> jsonRadio(mkUp("017fc1c4", 7)),          // json dialect
+      "gateway/gw2/up" -> protoRadio(mkUp("0a0b0c0d", 3)),         // proto dialect
+      "gateway/gw1/rx" -> jsonRadio(oversized),                    // oversized json → drop
+      "gateway/gw2/up" -> protoRadio(oversized),                   // oversized proto → drop
+      "gateway/gw1/rx" -> """{"rxInfo":{"channel":3,"rfChain":0,"crcStatus":1,"codeRate":"4/5","rssi":-61,"loRaSNR":8.0,"size":0,"timestamp":77,"frequency":868300000,"mac":"ccdd","dataRate":{"modulation":"LORA","spreadFactor":12,"bandwidth":125}}}""", // payload-less
+      "gateway/gw1/tx" -> "not json at all",                       // malformed radio
+      "application/1/device/d9/rx" ->
+        """{"devEUI":"eui9","applicationName":"app9","deviceName":"dev9","fCnt":7,"rxInfo":[{"name":"gw","location":{"latitude":9.0,"longitude":2.0,"altitude":3.0}}]}""",
+      "application/1/device/j1/join" -> """{"devAddr":"11223344","devEUI":"feed01"}""",
+      "some/other/topic" -> "not-json-raw")
+    val raw = cases.zipWithIndex
+      .map { case ((t, m), i) => (t, m, (i % 2).toLong, i.toLong) }
+      .toDF("topic", "message", "data_collector_id", "seq")
+      .withColumn("organization_id", lit(7L))
+      .withColumn("arrival_ts", timestamp_micros(col("seq") * 1000000L))
+
+    val fused = Pipeline.toChirpRecs(raw).collect().toSeq.sortBy(_.seq)
+    val union = Pipeline.toChirpRecsUnion(raw).collect().toSeq.sortBy(_.seq)
+    // the union form FILTERS oversized payloads inside the per-dialect
+    // normalizers; the fused form routes them to "drop" (same downstream
+    // semantics — state ops ignore drop rows)
+    assert(fused.filter(_.route == "drop").map(_.seq) == Seq(2L, 3L))
+    assert(fused.filterNot(_.route == "drop") == union)
+    // routes land where expected
+    assert(fused.map(_.route) ==
+      Seq("radio", "radio", "drop", "drop", "radio", "radio", "app", "join", "raw"))
+  }
+
   // ------------------------------------------------------ pipeline e2e
 
   private val chirpSeq: Seq[(String, String, Long)] = {

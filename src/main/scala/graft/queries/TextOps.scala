@@ -195,17 +195,29 @@ object TextOps {
     * pairs. Token hash is md5-derived so the DuckDB oracle mirrors it
     * bit-for-bit.
     *
-    * Pairing strategy: the simhash TABLE is tiny (16 bytes/doc), so pairs
-    * come from a broadcast nested-loop join with a codegen'd
-    * `bit_count(xor)` filter — ~N²/2 popcounts, no shuffle, no skew. The
-    * textbook chunk-blocking join (pigeonhole on 4×15-bit chunks) is
-    * strictly worse on THIS corpus: its ~50-word vocabulary clusters
-    * simhashes so hard that chunk buckets degenerate toward full-table
-    * pairs, paying the quadratic cost AND a skewed shuffle (measured 17×
-    * slower at sf0.1). At billions of docs, switch to chunk blocking with
-    * bucket-size capping + salting — the signature table no longer
-    * broadcasts. */
-  def q35Simhash(s: SparkSession, d: String): DataFrame = {
+    * Two physically different plans with identical output (equivalence
+    * pinned by TextOpsSpec), picked by corpus size:
+    *
+    *   - small (signature table broadcasts): broadcast nested-loop join
+    *     with a codegen'd `bit_count(xor)` filter — ~N²/2 popcounts, no
+    *     shuffle, no skew. On THIS clustered corpus (~50-word vocabulary)
+    *     it also beats blocking at sf0.1 (measured 17×) because the
+    *     degenerate chunk buckets approach full-table pairs anyway.
+    *   - large ([[q35SimhashBlocked]]): pigeonhole chunk blocking — the
+    *     signature table no longer fits a broadcast, so candidates come
+    *     from a bucketed equi-join instead of an all-pairs scan. */
+  def q35Simhash(s: SparkSession, d: String): DataFrame =
+    // parquet-footer count: cheap plan-choice probe, no full scan
+    if (documents(s, d).count() <= BroadcastDocLimit)
+      q35SimhashBroadcast(s, d)
+    else q35SimhashBlocked(s, d)
+
+  /** ~16 bytes/doc of (doc_id, simhash): 1M docs ≈ 16 MB — above the
+    * default 10 MB autoBroadcastJoinThreshold a broadcast stops being the
+    * right physical plan, so switch to the blocked join. */
+  private val BroadcastDocLimit = 1000000L
+
+  private[queries] def q35SimhashBroadcast(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions.{simhash => simhashUdf}
     // barrier: materialize the 16-byte/doc signature table before the
     // quadratic join — otherwise the kernel re-evaluates per PAIR
@@ -217,6 +229,36 @@ object TextOps {
     val b = docs.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
     a.join(broadcast(b), col("doc_a") < col("doc_b") &&
         expr("bit_count(ha ^ hb)") <= 3)
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The 100 TB path: pigeonhole on 4 × 16-bit chunks — a pair with
+    * hamming ≤ 3 differs in at most 3 chunks, so it shares at least one
+    * identical chunk and is found by an equi-join on (chunk index, chunk
+    * value). Both sides shuffle on the chunk key (no broadcast, no
+    * all-pairs scan); `distinct()` dedups pairs sharing several chunks
+    * before the exact popcount verify. Skew note: a pathologically
+    * clustered corpus degenerates buckets toward all-pairs — AQE skew-join
+    * splits oversized buckets; bucket capping/salting would change the
+    * output, so it is deliberately NOT applied. */
+  private[queries] def q35SimhashBlocked(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.{simhash => simhashUdf}
+    val docs = documents(s, d)
+      .select(col("doc_id"), simhashUdf(col("text")).as("simhash"))
+      .repartition(col("doc_id"))
+    val keyed = docs.select(col("doc_id"), col("simhash"),
+        explode(expr("transform(sequence(0, 3), i -> " +
+          "struct(i AS ci, shiftright(simhash, i * 16) & 65535 AS cv))")).as("k"))
+      .select(col("doc_id"), col("simhash"), col("k.ci").as("ci"), col("k.cv").as("cv"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .filter(expr("bit_count(ha ^ hb)") <= 3)
       .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -28,18 +28,19 @@ object Bench {
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => fn(spark, sfDir).count())
 
-    // A query that throws records NEGATIVE elapsed time (failure marker,
-    // excluded from `total`) so a fast failure can't pose as a fast success.
+    // A query that throws serializes as null in `queries` (so consumers
+    // summing/plotting per-query values never see a corrupted number)
+    // and its name lands in `errors`; sum(non-null queries) == `value`.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) secs else -secs)
+      (name, if (ok) Some(secs) else None)
     }
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.flatMap(_._2).sum
     val errs = failed.mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

@@ -31,6 +31,21 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ChirpFoldInternal {
 
+  /** The exact input column layout the ordinals below index into (the
+    * `Pipeline.toChirpRecs` select order). Callers verify their frame
+    * against it via [[requireInputSchema]] BEFORE folding, so a column
+    * reorder in toChirpRecs fails fast instead of silently corrupting
+    * the fold (getLong on a string offset, wrong-field reads). */
+  val expectedInput: Seq[String] = Seq("seq", "collectorId", "route",
+    "topic", "message", "devAddr", "fCount", "devEui", "appName",
+    "devName", "latitude", "longitude", "altitude", "gwName", "packet",
+    "arrivalTs")
+
+  def requireInputSchema(schema: StructType): Unit =
+    require(schema.fieldNames.toSeq == expectedInput,
+      s"ChirpFoldInternal input columns [${schema.fieldNames.mkString(", ")}] " +
+        s"do not match the ordinal layout [${expectedInput.mkString(", ")}]")
+
   // input column ordinals (radioRecs column order, see Pipeline.radioRecs)
   private final val SEQ = 0
   private final val COLLECTOR = 1

@@ -253,10 +253,14 @@ object StateOps {
   final case class VerifOut(rec: Option[Rec], statusChange: Option[Boolean])
 
   /** F5 verification-gate step (BaseCollector.py:85-110): while
-    * unverified, every message is counted and FAILING messages are
-    * dropped; `verified := total ≥ 5 ∧ ok/total > 0.8` latches on (the
-    * reference never un-verifies without the 600 s timer, which is
-    * driver-side). Emits a statusChange record on the flip. */
+    * unverified, every message is counted but NONE is emitted — the
+    * caller's gate skips the message unless `verify_message` returns
+    * True, which happens only for the threshold-crossing message
+    * (LoraServerIOCollector.py:232-235: early return while unverified);
+    * that crossing message IS processed. `verified := total ≥ 5 ∧
+    * ok/total > 0.8` latches on (the reference never un-verifies without
+    * the 600 s timer, which is driver-side). Emits a statusChange record
+    * on the flip. */
   def verifStep(st: VerifState, passes: Boolean, r: Rec,
                 minPackets: Long = 5, ratio: Double = 0.8): (VerifState, Seq[VerifOut]) = {
     if (st.verified) (st, Seq(VerifOut(Some(r), None)))
@@ -270,9 +274,8 @@ object StateOps {
       // matters for restored nonzero counters.
       val verified = passes && total >= minPackets && ok.toDouble / total > ratio
       val st2 = VerifState(total, ok, verified)
-      val pass = if (passes) Seq(VerifOut(Some(r), None)) else Nil
-      val flip = if (verified) Seq(VerifOut(None, Some(true))) else Nil
-      (st2, pass ++ flip)
+      if (verified) (st2, Seq(VerifOut(Some(r), None), VerifOut(None, Some(true))))
+      else (st2, Nil)
     }
   }
 }

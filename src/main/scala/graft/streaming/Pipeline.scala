@@ -279,6 +279,7 @@ object Pipeline {
   def chirpEnvelopeFrameBatch(raw: DataFrame)(implicit s: SparkSession): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val recs = toChirpRecs(raw).toDF()
+    graft.state.ChirpFoldInternal.requireInputSchema(recs.schema)
     val sorted = recs.repartition(col("collectorId"))
       .sortWithinPartitions(col("collectorId"), col("seq"))
     val folded = GraftColumnBridge.toInternalRdd(sorted)

@@ -115,9 +115,10 @@ class StateOpsSpec extends SparkSuite {
       st = st2
       (out.exists(_.rec.isDefined), out.exists(_.statusChange.contains(true)))
     }
-    assert(results(0) == ((false, false))) // failing row dropped
-    assert(!results.take(5).exists(_._2))  // not verified through i=5 (4/5 = 0.8 not > 0.8)
-    assert(results(5)._2)                  // flips at i=6 (5/6)
+    // reference gate: while unverified EVERY message is skipped (passing
+    // ones too — verify_message returns True only on the crossing one)
+    assert(!results.take(5).exists(r => r._1 || r._2))
+    assert(results(5) == ((true, true)))   // flips at i=6 (5/6); crossing row processed
     assert(st.verified)
     // once verified, failing rows pass through uncounted
     val (st3, out3) = verifStep(st, passes = false, rec(99, "radio"))

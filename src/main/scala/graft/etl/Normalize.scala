@@ -190,6 +190,11 @@ object Normalize {
         coalesce(devEuiFromTopic(col("topic")), phy("dev_eui")).as("dev_eui"),
         nullCol("latitude"), nullCol("longitude"), nullCol("altitude"),
         nullCol("app_name"), nullCol("dev_name"),
+        // uplink extras (GenericMqttCollector.py:149-151): carried in the
+        // queue envelope's packet dict but dropped by the DB model
+        // (Service.py has no such columns) — extra columns here, not part
+        // of the shared packet struct
+        m("seqn").as("seqn"), m("opts").as("opts"), m("port").as("port"),
         lit("radio").as("route"),
         col("seq"), col("message").as("raw_message")): _*)
   }
@@ -250,7 +255,11 @@ object Normalize {
       when(col("kind") === "status", "location")
         .when(col("kind") === "raw", "raw")
         .otherwise("radio").as("route"),
-      col("seq"), col("message").as("raw_message")): _*)
+      col("seq"),
+      // P16: TTN v2 truncates the logged origin message to 4096 chars in
+      // the envelope (TTNCollector.py:218); parsing above uses the full
+      // frame — only the logged copy is capped
+      substring(col("message"), 1, 4096).as("raw_message")): _*)
   }
 
   // --------------------------------------------------------------- TTN v3

@@ -90,6 +90,15 @@ object PhyFunctions {
   def phy_decode(c: Column): Column = phyDecode(c)
   def phy_decode_b64(c: Column): Column = phyDecodeB64(c)
 
+  /** F0h raw-protobuf dialect (LoraServerIOCollector.py:254-261): a
+    * gw.UplinkFrame carried as base64 in the text log → the MessageToJson
+    * rendering the proto-dialect normalizer already consumes; null when
+    * the text was never a frame. */
+  val protoUplinkJson = udf { (b64: String) =>
+    graft.codec.ProtoWire.uplinkFrameB64ToJson(b64)
+  }
+  def proto_uplink_json(c: Column): Column = protoUplinkJson(c)
+
   /** Encode a JoinRequest from fields (inverse direction, C10) — used by
     * the codec round-trip oracle query and tests. */
   val encodeJoinRequest = udf { (joinEui: String, devEui: String, devNonce: Int, micHex: String) =>

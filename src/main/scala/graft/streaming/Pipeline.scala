@@ -98,21 +98,33 @@ object Pipeline {
     import s.implicits._
     import graft.etl.PacketSchema
     val route0 = Normalize.chirpstackRoute(col("topic"))
+    // F0h raw-protobuf leg (LoraServerIOCollector.py:254-261): a message
+    // that is not JSON text on a gateway/.../up topic is tried as a
+    // base64 gw.UplinkFrame; success feeds the SAME proto-dialect
+    // normalization as MessageToJson text. MessageToJson output always
+    // starts with '{', base64 never does — a cheap exact discriminator.
+    val a0 = df.select(col("*"),
+      when(route0 === "radio" && col("topic").rlike("^gateway/.*up$") &&
+          !ltrim(col("message")).startsWith("{"),
+        graft.functions.PhyFunctions.proto_uplink_json(col("message")))
+        .as("proto_json"))
     val isProtoShape =
       get_json_object(col("message"), "$.rxInfo.gatewayID").isNotNull ||
         get_json_object(col("message"), "$.txInfo.loRaModulationInfo").isNotNull
-    val a1 = df.select(
+    val a1 = a0.select(
       col("seq"), col("data_collector_id"), col("organization_id"),
       col("topic"), col("message"), col("arrival_ts"),
+      coalesce(col("proto_json"), col("message")).as("msg_n"),
       route0.as("route0"),
-      (route0 === "radio" && isProtoShape).as("is_proto"))
+      (route0 === "radio" &&
+        (col("proto_json").isNotNull || isProtoShape)).as("is_proto"))
     val a2 = a1.select(col("*"),
       when(col("route0") === "radio" && !col("is_proto"),
-        from_json(col("message"), PacketSchema.chirpstackGateway)).as("mj"),
+        from_json(col("msg_n"), PacketSchema.chirpstackGateway)).as("mj"),
       when(col("is_proto"),
-        from_json(col("message"), PacketSchema.chirpstackProto)).as("mp"),
+        from_json(col("msg_n"), PacketSchema.chirpstackProto)).as("mp"),
       when(col("route0") === "app",
-        from_json(col("message"), PacketSchema.chirpstackApp)).as("ma"))
+        from_json(col("msg_n"), PacketSchema.chirpstackApp)).as("ma"))
     val pay0 = when(col("is_proto"), col("mp")("phyPayload"))
       .otherwise(col("mj")("phyPayload"))
     val b = a2.select(col("*"), pay0.as("pay"),

@@ -105,7 +105,8 @@ class NormalizeSpec extends SparkSuite {
     val msg =
       s"""{"data":"$unpadded","chan":0,"stat":1,"lsnr":7.8,"rssi":-45,
          |"tmst":123456789,"rfch":1,"freq":867.5,"modu":"LORA","datr":"SF7BW125",
-         |"codr":"4/5","size":23}""".stripMargin.replace("\n", "")
+         |"codr":"4/5","size":23,"seqn":42,"opts":"00aa","port":12}"""
+        .stripMargin.replace("\n", "")
     val out = Normalize.genericMqtt(rawDf(Seq(("lora/ab-cd-ef/up", msg))))
       .collect().head
     assert(out.getAs[String]("dev_eui") == "abcdef") // P6 topic regex, '-' stripped
@@ -113,6 +114,10 @@ class NormalizeSpec extends SparkSuite {
     assert(out.getAs[String]("m_type") == "JoinRequest") // P2 padding worked
     assert(out.getAs[String]("join_eui") == "55d239ac716f234d")
     assert(out.getAs[Long]("tmst") == 123456789L)
+    // uplink extras projected through (GenericMqttCollector.py:149-151)
+    assert(out.getAs[Long]("seqn") == 42L)
+    assert(out.getAs[String]("opts") == "00aa")
+    assert(out.getAs[Int]("port") == 12)
     // F0b: no 'data' key → dropped
     assert(Normalize.genericMqtt(rawDf(Seq(("t", """{"chan":1}""")))).count() == 0)
     // P7: '/joined' topic forces JoinAccept
@@ -149,6 +154,23 @@ class NormalizeSpec extends SparkSuite {
     assert(location.getAs[String]("route") == "location")
     assert(location.getAs[Double]("latitude") == -34.6)
     assert(location.getAs[Double]("altitude") == 25.0)
+  }
+
+  test("TTN v2 oversized frame: logged message truncated to 4096, parse unaffected (P16)") {
+    // an uplink whose frame exceeds 4096 chars via a long ignored field
+    val payloadJson =
+      s"""{"payload":"$upB64","snr":8.5,"rssi":-61,
+         |"timestamp":"2024-06-01T10:20:30.5Z","frequency":868.1,
+         |"coding_rate":"4/5","dev_eui":"B827EB891CF50003","pad":"${"x" * 5000}"}"""
+        .stripMargin.replace("\n", "")
+    val frame = "a[\"gateway uplink " + payloadJson.replace("\"", "\\\"") + "\"]"
+    assert(frame.length > 4096)
+    val out = Normalize.ttnV2(rawDf(Seq((null, frame)))).collect().head
+    assert(out.getAs[String]("raw_message").length == 4096)
+    assert(out.getAs[String]("raw_message") == frame.substring(0, 4096))
+    // the full frame was still parsed (payload precedes the padding)
+    assert(out.getAs[String]("m_type") == "UnconfirmedDataUp")
+    assert(out.getAs[String]("data") == upB64)
   }
 
   test("TTN v3 uplink / downlink / status / stream-start (F0d, F0f, P13)") {
@@ -215,5 +237,76 @@ class NormalizeSpec extends SparkSuite {
       .collect().head
     assert(out.getAs[String]("error") != null)
     assert(out.getAs[String]("m_type") == null)
+  }
+
+  // --------------------------- F0h raw-protobuf leg (gw.UplinkFrame) ----
+
+  // minimal proto3 wire writer for the fixture (field numbers per the
+  // public chirpstack-api v3 gw.proto — see ProtoWire's Scaladoc)
+  private def vint(v: Long): Array[Byte] = {
+    val b = scala.collection.mutable.ArrayBuffer[Byte]()
+    var x = v
+    var more = true
+    while (more) {
+      val lo = (x & 0x7f).toInt; x = x >>> 7
+      more = x != 0
+      b += (if (more) lo | 0x80 else lo).toByte
+    }
+    b.toArray
+  }
+  private def pTag(f: Int, w: Int): Array[Byte] = vint((f << 3) | w)
+  private def pLd(f: Int, c: Array[Byte]): Array[Byte] =
+    pTag(f, 2) ++ vint(c.length) ++ c
+  private def pV(f: Int, v: Long): Array[Byte] = pTag(f, 0) ++ vint(v)
+  private def pD(f: Int, v: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    pTag(f, 1) ++ (0 to 7).map(i => ((bits >>> (8 * i)) & 0xff).toByte)
+  }
+
+  test("raw protobuf UplinkFrame equals its MessageToJson form (F0h)") {
+    implicit val s = spark
+    val gwIdBytes = Lorawan.hexToBytes("aabbccddeeff0011")
+    val gwIdB64 = Lorawan.b64encode(gwIdBytes)
+    val lmi = pV(1, 125) ++ pV(2, 10) ++ pLd(3, "4/5".getBytes("UTF-8"))
+    val tx = pV(1, 915200000L) ++ pLd(3, lmi)
+    val rx = pLd(1, gwIdBytes) ++ pV(5, -101L) ++ pD(6, -3.2) ++
+      pV(7, 5) ++ pV(8, 1) ++ pV(17, 2) ++ // crc_status = CRC_OK
+      pLd(16, Lorawan.hexToBytes("0102030405060708090a0b0c0d0e0f10")) // unknown uplink_id: skipped
+    val frame = pLd(1, jrBytes) ++ pLd(2, tx) ++ pLd(3, rx)
+    val protoMsg = Lorawan.b64encode(frame)
+    val jsonMsg =
+      s"""{"phyPayload":"$jrB64","rxInfo":{"gatewayID":"$gwIdB64","channel":5,
+         |"rfChain":1,"crcStatus":"CRC_OK","rssi":-101,"loRaSNR":-3.2},
+         |"txInfo":{"frequency":915200000,"loRaModulationInfo":{
+         |"spreadingFactor":10,"bandwidth":125,"codeRate":"4/5"}}}"""
+        .stripMargin.replace("\n", "")
+
+    val recs = graft.streaming.Pipeline
+      .toChirpRecs(rawDf(Seq(
+        ("gateway/aabb/up", protoMsg),
+        ("gateway/aabb/up", jsonMsg))))
+      .collect().sortBy(_.seq)
+    val Seq(fromProto, fromJson) = recs.toSeq
+    assert(fromProto.route == "radio" && fromJson.route == "radio")
+    // identical packet row from either transport (reference: ParseFromString
+    // → MessageToJson feeds the same normalization)
+    assert(fromProto.packet == fromJson.packet)
+    assert(fromProto.packet.get.gateway.contains("aabbccddeeff0011"))
+    assert(fromProto.packet.get.stat.contains(1)) // CRC_OK → 1
+    assert(fromProto.packet.get.freq.contains(915.2))
+    assert(fromProto.packet.get.datr
+      .contains("""{"spread_factor":10,"bandwidth":125}"""))
+    // the envelope keeps the transport form (b64 text) untouched
+    assert(fromProto.message == protoMsg)
+  }
+
+  test("undecodable non-JSON up message stays on the radio route with null fields") {
+    implicit val s = spark
+    val recs = graft.streaming.Pipeline
+      .toChirpRecs(rawDf(Seq(("gateway/aabb/up", "certainly not a frame !!"))))
+      .collect()
+    assert(recs.head.route == "radio")
+    assert(recs.head.packet.get.gateway.isEmpty)
+    assert(recs.head.packet.get.m_type.isEmpty)
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables._
 import graft.etl.Normalize
 import graft.functions.PhyFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -194,6 +194,45 @@ object Packets {
       .orderBy(col("event_id"))
   }
 
+  /** q48: the C9 structured key-pattern generators
+    * (lorawanWrapper.go:283-356) — the reference's three 65,536-pattern
+    * AppKey templates, generated on the cluster instead of a driver loop:
+    * key1 sets byte0 = i and bytes1..15 = j; key2 alternates i/j on
+    * even/odd byte positions; key3 zeroes bytes0..13 and varies the last
+    * two. `spark.range(65536)` × 3 templates (`explode`), deduped (the
+    * all-equal keys appear in several templates), broadcast against the
+    * signed join packets, MIC-validated. Packets are signed with
+    * key3-shaped keys derived from their row, so the oracle knows every
+    * hit by construction — Spark must rediscover them by testing all
+    * 196,608 candidates (~1.6M AES-CMACs here; embarrassingly parallel,
+    * no shuffle of either side at scale beyond the candidate broadcast). */
+  def q48KeyPatterns(s: SparkSession, d: String): DataFrame = {
+    def hex2(c: Column) = lpad(lower(hex(c)), 2, "0")
+    val gen = s.range(65536).select(
+      hex2((col("id") / 256).cast("int")).as("hi"),
+      hex2((col("id") % 256).cast("int")).as("hj"))
+    val cands = gen.select(explode(array(
+        concat(col("hi"), repeat(col("hj"), 15)),
+        repeat(concat(col("hi"), col("hj")), 8),
+        concat(lit("0" * 28), col("hi"), col("hj")))).as("cand_key"))
+      .distinct()
+    val e = events(s, d).filter(col("event_id") < 8)
+    val keyHex = concat(lit("0" * 28),
+      hex2((col("user_id") % 256).cast("int")),
+      hex2((col("event_id") % 256).cast("int")))
+    val jr = PhyFunctions.encodeJoinRequest(
+      lpad(lower(hex(col("user_id") + 1)), 16, "0"),
+      lpad(lower(hex(col("event_id") + 1)), 16, "0"),
+      (col("event_id") % 65536).cast("int"),
+      lit("00000000"))
+    val signed = e.select(col("event_id"),
+      PhyFunctions.signPacketUdf(jr, keyHex).as("bytes"))
+    signed.crossJoin(broadcast(cands))
+      .filter(PhyFunctions.micValid(col("bytes"), col("cand_key")))
+      .select(col("event_id"), col("cand_key").as("found_key"))
+      .orderBy(col("event_id"), col("found_key"))
+  }
+
   /** q29: session-key derivation over a JoinRequest ⋈ JoinAccept as-of
     * pairing (C7, lorawanWrapper.go:111-159 + the upstream JR⋈JA self-join
     * SURVEY §2.8 calls for). JR rows pair with the next JA row per device
@@ -280,6 +319,7 @@ object Packets {
     "q50_pipeline_e2e"       -> (q50PipelineE2e _),
     "q26_decode_errors"      -> (q26DecodeErrors _),
     "q28_key_bruteforce"     -> (q28KeyBruteforce _),
+    "q48_key_patterns"       -> (q48KeyPatterns _),
     "q29_session_keys"       -> (q29SessionKeys _),
     "q20_codec_roundtrip"    -> (q20CodecRoundtrip _),
     "q21_scalar_ops"         -> (q21ScalarOps _),
@@ -300,6 +340,11 @@ object Packets {
     "q28_key_bruteforce" ->
       """SELECT event_id, lpad(lower(hex(user_id)), 32, '0') AS found_key
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+    "q48_key_patterns" ->
+      """SELECT event_id,
+        |  repeat('0', 28) || lpad(lower(hex(user_id % 256)), 2, '0')
+        |    || lpad(lower(hex(event_id % 256)), 2, '0') AS found_key
+        |FROM events WHERE event_id < 8 ORDER BY event_id, found_key""".stripMargin,
     "q20_codec_roundtrip" ->
       """SELECT event_id,
         |  'JoinRequest' AS m_type, 'LoRaWANR1' AS major,

@@ -342,4 +342,41 @@ object Pipeline {
           .parquet(outDir)
       }
       .start()
+
+  /** Q6 upsert shape (DataCollector.py:57-60 save/commit implies
+    * insert-or-ignore on replay): one micro-batch MERGEd into the
+    * envelope table by [[Events.idempotencyKey]] — in-batch dedup, then
+    * anti-join against the keys already on disk, then append. Replaying
+    * a batch (at-least-once source) writes zero new rows, which is the
+    * effective-exactly-once the reference's silent-drop publisher never
+    * had. Scale note: the anti-join scans only the sink's key column
+    * (column-pruned parquet scan, partition-pruned by the lakehouse
+    * layout); on a MERGE-capable table format this is
+    * `WHEN NOT MATCHED THEN INSERT` against a key-bucketed index. */
+  def upsertEnvelopeBatch(batch: DataFrame, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val keyed = batch.withColumn("idem_key", Events.idempotencyKey)
+      .dropDuplicates("idem_key")
+    val sinkExists = new java.io.File(outDir).exists()
+    val fresh =
+      if (sinkExists)
+        keyed.join(spark.read.parquet(outDir).select(col("idem_key")),
+          Seq("idem_key"), "left_anti")
+      else keyed
+    fresh.write.mode("append")
+      .partitionBy("data_collector_id")
+      .parquet(outDir)
+  }
+
+  /** K1 streaming sink with the Q6 dedup-on-write applied per batch. */
+  def startUpsertEnvelopeSink(envs: DataFrame, outDir: String, checkpoint: String,
+                              trigger: Trigger = Trigger.ProcessingTime("1 second")) =
+    envs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertEnvelopeBatch(batch, outDir)
+      }
+      .start()
 }

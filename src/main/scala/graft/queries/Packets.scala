@@ -345,6 +345,57 @@ object Packets {
         |  repeat('0', 28) || lpad(lower(hex(user_id % 256)), 2, '0')
         |    || lpad(lower(hex(event_id % 256)), 2, '0') AS found_key
         |FROM events WHERE event_id < 8 ORDER BY event_id, found_key""".stripMargin,
+    // The chirp state machine's emissions over the q50 synth stream (join
+    // + radio only) reduce to window logic per collector:
+    //   join  -> one packet-less envelope, always (its message list is
+    //            never empty); registers the user's devAddr;
+    //   radio -> map hit (an EARLIER join by the same user) emits one
+    //            enriched packet envelope; a miss buffers;
+    //   flush -> a radio emits the pending buffer iff the most recent
+    //            prior radio was a miss AND no join intervened (a join
+    //            absorbs the buffered message, so the later flush is
+    //            message-less and dropped by the save() gate);
+    //   the final buffered miss of a collector is never emitted.
+    "q50_pipeline_e2e" ->
+      """WITH ev AS (
+        |  SELECT event_id AS seq, user_id, user_id % 8 AS cid,
+        |         (event_id % 5 = 0) AS is_join
+        |  FROM events),
+        |hits AS (
+        |  SELECT *, (NOT is_join) AND COALESCE(
+        |      MAX(CASE WHEN is_join THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY seq
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+        |      AS is_hit
+        |  FROM ev),
+        |st AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN NOT is_join THEN is_hit END IGNORE NULLS)
+        |      OVER w AS prev_radio_hit,
+        |    last_value(CASE WHEN NOT is_join THEN seq END IGNORE NULLS)
+        |      OVER w AS prev_radio_seq,
+        |    last_value(CASE WHEN is_join THEN seq END IGNORE NULLS)
+        |      OVER w AS prev_join_seq
+        |  FROM hits
+        |  WINDOW w AS (PARTITION BY cid ORDER BY seq
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |em AS (
+        |  SELECT cid,
+        |    CASE WHEN is_join OR is_hit THEN 1 ELSE 0 END
+        |      + CASE WHEN (NOT is_join) AND COALESCE(NOT prev_radio_hit, FALSE)
+        |                  AND (prev_join_seq IS NULL OR prev_join_seq < prev_radio_seq)
+        |             THEN 1 ELSE 0 END AS envs,
+        |    CASE WHEN (NOT is_join) AND is_hit THEN 1 ELSE 0 END
+        |      + CASE WHEN (NOT is_join) AND COALESCE(NOT prev_radio_hit, FALSE)
+        |                  AND (prev_join_seq IS NULL OR prev_join_seq < prev_radio_seq)
+        |             THEN 1 ELSE 0 END AS pkts,
+        |    CASE WHEN (NOT is_join) AND is_hit THEN 1 ELSE 0 END AS enr
+        |  FROM st)
+        |SELECT cid AS data_collector_id,
+        |  CAST(SUM(envs) AS BIGINT) AS n_envelopes,
+        |  CAST(SUM(pkts) AS BIGINT) AS n_packets,
+        |  CAST(SUM(enr) AS BIGINT) AS n_enriched
+        |FROM em GROUP BY cid ORDER BY data_collector_id""".stripMargin,
     "q20_codec_roundtrip" ->
       """SELECT event_id,
         |  'JoinRequest' AS m_type, 'LoRaWANR1' AS major,

@@ -186,6 +186,9 @@ object Packets {
       lit("00000000"))
     val signed = e.select(col("event_id"),
       PhyFunctions.signPacketUdf(jr, keyHex).as("bytes"))
+      // the signed-packet side is tiny (one scan partition) — spread it so
+      // the CMAC work runs at full parallelism, not on one core
+      .repartition(s.sparkContext.defaultParallelism)
     val candidates = events(s, d)
       .select(lpad(lower(hex(col("user_id"))), 32, "0").as("cand_key")).distinct()
     signed.crossJoin(broadcast(candidates))
@@ -227,7 +230,12 @@ object Packets {
       lit("00000000"))
     val signed = e.select(col("event_id"),
       PhyFunctions.signPacketUdf(jr, keyHex).as("bytes"))
-    signed.crossJoin(broadcast(cands))
+    // the reference loops keys in the outer loop; here the 196,608-key
+    // candidate table is the STREAMED side (partitioned across the
+    // cluster) and the handful of packets broadcast — the orientation
+    // that scales with the generated key space
+    cands.repartition(s.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(signed))
       .filter(PhyFunctions.micValid(col("bytes"), col("cand_key")))
       .select(col("event_id"), col("cand_key").as("found_key"))
       .orderBy(col("event_id"), col("found_key"))

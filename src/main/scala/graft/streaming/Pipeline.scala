@@ -357,15 +357,27 @@ object Pipeline {
     val spark = batch.sparkSession
     val keyed = batch.withColumn("idem_key", Events.idempotencyKey)
       .dropDuplicates("idem_key")
-    val sinkExists = new java.io.File(outDir).exists()
-    val fresh =
-      if (sinkExists)
-        keyed.join(spark.read.parquet(outDir).select(col("idem_key")),
-          Seq("idem_key"), "left_anti")
-      else keyed
-    fresh.write.mode("append")
-      .partitionBy("data_collector_id")
-      .parquet(outDir)
+      // the anti-join and the pruning filter both reuse the batch
+      .persist()
+    try {
+      val sinkExists = new java.io.File(outDir).exists()
+      val fresh =
+        if (sinkExists) {
+          // prune the sink scan to the partitions this batch touches —
+          // a batch from K collectors reads K partitions' key columns,
+          // not the whole table (partition pruning on the sink layout)
+          val cids = keyed.select(col("data_collector_id")).distinct()
+            .collect().map(_.getLong(0))
+          keyed.join(
+            spark.read.parquet(outDir)
+              .filter(col("data_collector_id").isin(cids.toIndexedSeq: _*))
+              .select(col("idem_key")),
+            Seq("idem_key"), "left_anti")
+        } else keyed
+      fresh.write.mode("append")
+        .partitionBy("data_collector_id")
+        .parquet(outDir)
+    } finally keyed.unpersist()
   }
 
   /** K1 streaming sink with the Q6 dedup-on-write applied per batch. */

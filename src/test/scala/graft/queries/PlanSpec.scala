@@ -50,6 +50,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q48 streams the generated keyspace and broadcasts the packets") {
+    val p = plan(Packets.q48KeyPatterns(spark, sf))
+    // the 196,608-key candidate table must be the partitioned stream side
+    // (it is the side that grows); the handful of signed packets broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("REPARTITION_BY_NUM") || p.contains("RoundRobinPartitioning"), p)
+  }
+
   test("q27 point lookup pushes all three conjuncts") {
     val p = plan(Packets.q27PointLookup(spark, sf))
     assert(p.contains("EqualTo(c_nationkey,5)"), p)

@@ -32,6 +32,10 @@ object Bench {
     // summing/plotting per-query values never see a corrupted number)
     // and its name lands in `errors`; sum(non-null queries) == `value`.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolate queries from each other's heap debt: collect garbage
+      // OUTSIDE the timed section (measured: a heavy predecessor
+      // otherwise inflates the next query up to 3x run-to-run)
+      System.gc()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9

@@ -17,10 +17,12 @@ class VectorsSpec extends SparkSuite {
     val recall = (exact intersect approx).size.toDouble / exact.size
     // random 64-d embeddings are a worst case for IVF (no cluster
     // structure); 4/16 buckets ≈ 25% of the corpus scanned, and measured
-    // recall is ~0.58 — well above the 0.25 scanned-fraction baseline,
-    // which is what proves the bucketing correlates with similarity. The
-    // bound asserts the machinery works, not production recall.
-    assert(recall >= 0.5, s"IVF recall $recall")
+    // recall is ~0.68 after the Lloyd refinement (0.58 with raw first-16
+    // seeds) — well above the 0.25 scanned-fraction baseline, which is
+    // what proves the bucketing correlates with similarity. The bound
+    // asserts the machinery works, not production recall.
+    info(s"IVF recall at nProbe=4/16: $recall")
+    assert(recall >= 0.55, s"IVF recall $recall")
     // every approximate neighbor must carry the true cosine (exact
     // verification discipline: sims match the brute-force values)
     val exactSims = Vectors.q36CosineTopk(spark, sf).collect()

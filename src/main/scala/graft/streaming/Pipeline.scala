@@ -271,6 +271,16 @@ object Pipeline {
         StateOps.chirpFlatMap)
   }
 
+  /** The same ChirpStack state machine on Spark 4's transformWithState
+    * (RocksDB-backed; requires the RocksDB state store provider).
+    * Equality with [[chirpEnvelopes]] is pinned by ChirpProcessorSpec. */
+  def chirpEnvelopesTws(recs: Dataset[Rec])(implicit s: SparkSession): Dataset[Envelope] = {
+    import s.implicits._
+    recs.groupByKey(_.collectorId)
+      .transformWithState(new graft.state.ChirpProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Batch/streaming: TTN location take-once (F4). */
   def ttnEnvelopes(recs: Dataset[Rec])(implicit s: SparkSession): Dataset[Envelope] = {
     import s.implicits._

@@ -1,0 +1,85 @@
+package graft.state
+
+import graft.SparkSuite
+import graft.state.StateOps.{Envelope, Rec}
+import graft.streaming.Pipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The transformWithState host must emit exactly what the
+  * flatMapGroupsWithState host emits — same kernel, same save() gate —
+  * over a mixed interleaving split across micro-batches. */
+class ChirpProcessorSpec extends SparkSuite {
+
+  private def mkUp(daHex: String, fCnt: Int): String = graft.codec.Lorawan.b64encode(
+    Array(0x40.toByte) ++ graft.codec.Lorawan.hexToLe(daHex) ++
+      Array(0x80.toByte) ++ Array((fCnt & 0xff).toByte, ((fCnt >> 8) & 0xff).toByte) ++
+      Array(1.toByte) ++ Array(10.toByte, 20.toByte) ++
+      graft.codec.Lorawan.hexToBytes("00000000"))
+
+  private def mixedRecs: Seq[Rec] = {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val das = Seq("017fc1c4", "0a0b0c0d", "deadbeef")
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 120).map { i =>
+      val cid = (i % 2).toLong
+      rnd.nextInt(8) match {
+        case 0 | 1 | 2 | 3 =>
+          ("gateway/gw1/rx",
+            s"""{"phyPayload":"${mkUp(das(rnd.nextInt(das.length)), rnd.nextInt(3))}","rxInfo":{"channel":1,"rfChain":0,"crcStatus":1,"codeRate":"4/5","rssi":-60,"loRaSNR":9.0,"size":17,"timestamp":$i,"frequency":868100000,"mac":"aabb","dataRate":{"modulation":"LORA","spreadFactor":7,"bandwidth":125}}}""",
+            cid, i.toLong)
+        case 4 | 5 =>
+          (s"application/1/device/dev$i/rx",
+            s"""{"devEUI":"eui$i","applicationName":"app$i","deviceName":"dev$i","fCnt":${rnd.nextInt(3)},"rxInfo":[{"name":"gw","location":{"latitude":$i.0,"longitude":2.0,"altitude":3.0}}]}""",
+            cid, i.toLong)
+        case 6 =>
+          (s"application/1/device/j$i/join",
+            s"""{"devAddr":"${das(rnd.nextInt(das.length))}","devEUI":"joined$i"}""",
+            cid, i.toLong)
+        case _ => ("some/other/topic", s"not-json-$i", cid, i.toLong)
+      }
+    }
+    val df = rows.toDF("topic", "message", "data_collector_id", "seq")
+      .withColumn("organization_id", lit(7L))
+      .withColumn("arrival_ts", timestamp_micros(col("seq") * 1000000L))
+    Pipeline.toChirpRecs(df).collect().toSeq.sortBy(_.seq)
+  }
+
+  test("transformWithState chirp host equals the flatMapGroupsWithState host") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val recs = mixedRecs
+      val (b1, b2) = recs.splitAt(recs.length / 2)
+
+      def run(name: String, f: org.apache.spark.sql.Dataset[Rec] => org.apache.spark.sql.Dataset[Envelope]): Seq[Envelope] = {
+        val stream = MemoryStream[Rec]
+        val q = f(stream.toDS()).writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append).start()
+        try {
+          stream.addData(b1: _*); q.processAllAvailable()
+          stream.addData(b2: _*); q.processAllAvailable()
+          // total order for the comparison (ts ties between a flush and a
+          // self-emit would make a (cid, ts) sort ambiguous)
+          spark.table(name).as[Envelope].collect().toSeq.sortBy(_.toString)
+        } finally q.stop()
+      }
+
+      val viaFmgws = run("chirp_fmgws", ds => Pipeline.chirpEnvelopes(ds))
+      val viaTws = run("chirp_tws", ds => Pipeline.chirpEnvelopesTws(ds))
+      assert(viaTws.nonEmpty)
+      assert(viaTws == viaFmgws)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}

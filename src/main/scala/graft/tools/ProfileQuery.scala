@@ -2,10 +2,14 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only stage profiler for q33 (not part of the driver contract). */
-object Profile33 {
+/** Dev-only: cold-vs-warm timing for any query set (comma-separated in
+  * SPARK_GRAFT_QUERIES) — distinguishes plan cost from JIT/codegen
+  * warmup before reaching for structural changes. */
+object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = sys.env.getOrElse("SPARK_GRAFT_QUERIES",
+      "q33_ngram_jaccard,q42_neardup_survivors").split(",").toSeq
     implicit val spark: SparkSession = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -20,8 +24,9 @@ object Profile33 {
     }
     for (round <- 1 to 2) {
       println(s"-- round $round --")
-      time("q33 full")(graft.queries.TextOps.q33NgramJaccard(spark, sfDir).count())
-      time("q42 full")(graft.queries.TextOps.q42NeardupSurvivors(spark, sfDir).count())
+      names.foreach { n =>
+        time(n)(graft.SparkEntry.queries(n)(spark, sfDir).count())
+      }
     }
     spark.stop()
   }

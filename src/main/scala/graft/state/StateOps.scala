@@ -250,7 +250,8 @@ object StateOps {
   final case class VerifState(total: Long, ok: Long, verified: Boolean)
   object VerifState { val empty: VerifState = VerifState(0, 0, verified = false) }
 
-  final case class VerifOut(rec: Option[Rec], statusChange: Option[Boolean])
+  final case class VerifOut(collectorId: Long, rec: Option[Rec],
+                            statusChange: Option[Boolean])
 
   /** F5 verification-gate step (BaseCollector.py:85-110): while
     * unverified, every message is counted but NONE is emitted — the
@@ -263,7 +264,7 @@ object StateOps {
     * on the flip. */
   def verifStep(st: VerifState, passes: Boolean, r: Rec,
                 minPackets: Long = 5, ratio: Double = 0.8): (VerifState, Seq[VerifOut]) = {
-    if (st.verified) (st, Seq(VerifOut(Some(r), None)))
+    if (st.verified) (st, Seq(VerifOut(r.collectorId, Some(r), None)))
     else {
       val total = st.total + 1
       val ok = st.ok + (if (passes) 1 else 0)
@@ -274,7 +275,8 @@ object StateOps {
       // matters for restored nonzero counters.
       val verified = passes && total >= minPackets && ok.toDouble / total > ratio
       val st2 = VerifState(total, ok, verified)
-      if (verified) (st2, Seq(VerifOut(Some(r), None), VerifOut(None, Some(true))))
+      if (verified) (st2, Seq(VerifOut(r.collectorId, Some(r), None),
+        VerifOut(r.collectorId, None, Some(true))))
       else (st2, Nil)
     }
   }

@@ -67,6 +67,6 @@ class VerifProcessor(passes: Rec => Boolean,
                                   expired: ExpiredTimerInfo): Iterator[VerifOut] = {
     val st = if (state.exists()) state.get() else VerifState.empty
     if (st.verified) Iterator.empty
-    else Iterator.single(VerifOut(None, Some(false))) // FAILED_VERIFY
+    else Iterator.single(VerifOut(key, None, Some(false))) // FAILED_VERIFY
   }
 }

@@ -35,6 +35,17 @@ object Events {
         col("verified"))
   }
 
+  /** K2: status events from the F5 gate output (VerifOut frame) —
+    * VERIFIED on the threshold flip, FAILED_VERIFY on the in-plan 600 s
+    * timer expiry (BaseCollector.py:43-53's event, same shape as
+    * statusFrame). */
+  def verifStatusFrame(outs: DataFrame): DataFrame =
+    outs.filter(col("statusChange").isNotNull)
+      .select(
+        col("collectorId").as("data_collector_id"),
+        when(col("statusChange"), "VERIFIED")
+          .otherwise("FAILED_VERIFY").as("type"))
+
   /** K1 idempotency key for effective exactly-once at the consumer
     * (SURVEY §2.2: the reference is at-least-once with silent drops,
     * Publisher.py:113-114; we keep at-least-once delivery but document

@@ -51,7 +51,7 @@ class VerifProcessorSpec extends SparkSuite {
         // c2: all fails — never verifies
         stream.addData(Seq(1L, 3L, 5L).map(rec(_, 2L)): _*)
         val first = waitFor("c1 flip")(_.exists(_.statusChange.contains(true)))
-        val c1 = first.filter(_.rec.forall(_.collectorId == 1L))
+        val c1 = first.filter(_.collectorId == 1L)
         // pre-verification passing rows are SKIPPED; the crossing record
         // (seq=10: total 6, ok 5) is emitted, then the flip, then the
         // post-verification record (seq=12) passes through
@@ -62,6 +62,14 @@ class VerifProcessorSpec extends SparkSuite {
         // FAILED_VERIFY, c1 (verified) must not
         val all = waitFor("c2 timeout")(_.exists(_.statusChange.contains(false)))
         assert(all.count(_.statusChange.contains(false)) == 1)
+        // the timer emission carries the failing collector's id (K2 needs it)
+        assert(all.filter(_.statusChange.contains(false)).forall(_.collectorId == 2L))
+        // and the K2 adapter renders it as a FAILED_VERIFY status event
+        val status = graft.streaming.Events
+          .verifStatusFrame(spark.table("verif_tws"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(status.contains((2L, "FAILED_VERIFY")))
+        assert(status.contains((1L, "VERIFIED")))
 
         // and the gate keeps passing post-verification traffic through
         stream.addData(rec(100L, 1L))

@@ -46,6 +46,31 @@ object TextFunctions {
     XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
   }
 
+  /** AllPairs/PPJoin prefix under the global (xxhash64, shingle) order:
+    * the (n − ⌈t·n⌉ + 1) smallest entries, selected with a bounded
+    * max-heap — O(n log k) and JIT'd, replacing the interpreted
+    * full `array_sort(transform(...))` + slice (same xxh64 seed as
+    * Spark's `xxhash64`, so the selected set is identical; ties beyond
+    * hash collisions cannot occur inside one doc's distinct shingles). */
+  val prefixShingles = udf { (sh: Seq[String], t: Double) =>
+    if (sh == null || sh.isEmpty) Seq.empty[(Long, String)]
+    else {
+      val n = sh.length
+      val k = n - math.ceil(t * n).toInt + 1
+      if (k <= 0) Seq.empty[(Long, String)]
+      else {
+        val ord = implicitly[Ordering[(Long, String)]]
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String)](ord)
+        sh.foreach { s =>
+          val e = (xxh64(s), s)
+          if (heap.size < k) heap.enqueue(e)
+          else if (ord.lt(e, heap.head)) { heap.dequeue(); heap.enqueue(e) }
+        }
+        heap.toSeq
+      }
+    }
+  }
+
   /** 128-permutation MinHash signature over a shingle set:
     * h_i(s) = ((2i+1)·h + i²+7) mod p with h = xxhash64(s) mod p.
     *

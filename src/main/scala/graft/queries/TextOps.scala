@@ -122,11 +122,12 @@ object TextOps {
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .repartition(col("doc_id"))
     // canonical global order (xxhash64(s), s); prefix size n - ceil(0.8n) + 1
+    // — heap-selected in a JIT'd kernel (TextFunctions.prefixShingles),
+    // same set as the sorted-slice form but O(n log k) and codegen-free
     val pref = docs.select(col("doc_id"), col("n"),
-        explode(expr(
-          "slice(array_sort(transform(sh, s -> struct(xxhash64(s) AS h, s AS s))), 1, " +
-            "CAST(size(sh) - ceil(0.8d * size(sh)) + 1 AS INT))")).as("p"))
-      .select(col("doc_id"), col("n"), col("p.h").as("h"), col("p.s").as("s"))
+        explode(graft.functions.TextFunctions.prefixShingles(
+          col("sh"), lit(0.8))).as("p"))
+      .select(col("doc_id"), col("n"), col("p._1").as("h"), col("p._2").as("s"))
     val cands = pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id") &&

@@ -289,6 +289,14 @@ object Pipeline {
         StateOps.locationFlatMap)
   }
 
+  /** F4 on transformWithState (RocksDB-backed), same kernel. */
+  def ttnEnvelopesTws(recs: Dataset[Rec])(implicit s: SparkSession): Dataset[Envelope] = {
+    import s.implicits._
+    recs.groupByKey(_.collectorId)
+      .transformWithState(new graft.state.LocationProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Batch fast path: ChirpStack raw messages → enveloped frame in ONE
     * state shuffle with a zero-deserialization fold
     * ([[graft.state.ChirpFoldInternal]]). Equivalent to

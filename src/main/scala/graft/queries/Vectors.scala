@@ -175,10 +175,72 @@ object Vectors {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SplitMix64 — deterministic pseudo-random hyperplane weights for the
+    * SRP signatures (no RNG state, reproducible across runs/executors). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val SrpBits = 8
+
+  /** Signed-random-projection signature: bit b = sign(w_b · v) with
+    * deterministic hyperplanes w_b (one weight per (bit, dimension) from
+    * splitmix64). Cosine-similar vectors agree on each bit with
+    * probability 1 − θ/π (Charikar'02), so near neighbors land in the
+    * same or an adjacent bucket. */
+  private val srpSig = udf { (v: Seq[Float]) =>
+    var sig = 0
+    var b = 0
+    while (b < SrpBits) {
+      var acc = 0.0
+      var j = 0
+      while (j < v.length) {
+        acc += (mix64((b.toLong << 32) | j.toLong).toDouble / Long.MaxValue) * v(j)
+        j += 1
+      }
+      if (acc >= 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** q49: LSH-bucketed approximate top-k — the OTHER scale path next to
+    * IVF (q39): 8-bit SRP signatures bucket the corpus (256 buckets, one
+    * shuffle on the signature, no broadcast of the corpus, no centroid
+    * training pass), and each query multi-probes its own bucket plus the
+    * 8 Hamming-1 neighbors. Exact cosine (same bit-identical dot fold)
+    * ranks the candidates, so every reported sim is the true value.
+    * Rows-only checked (approximate by construction); recall vs exact
+    * q36 is measured in VectorsSpec. */
+  def q49AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d), "embedding", "nv")
+      .withColumn("sig", srpSig(col("embedding")))
+    val probeList = (0 until SrpBits)
+      .map(b => s"int(sig ^ ${1 << b})").mkString("array(sig, ", ", ", ")")
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nv").as("nq"), explode(expr(probeList)).as("probe"))
+    val scored = queries.join(
+        e.select(col("vec_id"), col("embedding"), col("nv"), col("sig")),
+        col("probe") === col("sig") && col("query_id") =!= col("vec_id"))
+      .withColumn("sim", dot_f(col("qv"), col("embedding")) / (col("nq") * col("nv")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_cosine_topk"    -> (q36CosineTopk _),
     "q37_cosine_neardup" -> (q37CosineNearDup _),
     "q39_ann_ivf"        -> (q39AnnIvf _),
+    "q49_ann_lsh"        -> (q49AnnLsh _),
   )
 
   /** DuckDB mirror: identical left-to-right fold. */

@@ -162,7 +162,10 @@ object ProtoWire {
     o.dbl("loRaSNR", snr)
     o.num("channel", channel)
     o.num("rfChain", rfChain)
+    // known enum numbers render as names, unknown ones as their integer
+    // (MessageToJson's unknown-enum rendering); 0 = proto3 default, omitted
     if (crc > 0 && crc < CrcNames.length) o.str("crcStatus", CrcNames(crc.toInt))
+    else o.num("crcStatus", crc.toInt)
     o.result
   }
 

@@ -63,10 +63,21 @@ object Vectors {
     acc
   }
 
-  /** Blocks for the q37 all-pairs scan. Sized so one block (~N/B vectors)
-    * fits comfortably in a task; at cluster scale B grows ~√(N/blockCap)
-    * and the replication factor per side stays (B+1)/2. */
-  private val PairBlocks = 8
+  /** Per-task memory cap for the q37 all-pairs scan: one block is at most
+    * this many vectors (64-dim float + ids ≈ 0.5 KB each → ≈ 32 MB
+    * materialized per task). */
+  private val PairBlockCap = 65536L
+
+  /** Blocks for the q37 all-pairs scan, derived from the corpus size (one
+    * cheap count-only scan at plan time) so per-task memory stays bounded
+    * by [[PairBlockCap]] as the corpus grows: B = ⌈N / cap⌉, block size
+    * N/B ≤ cap. Each vector is replicated to (B+1)/2 block pairs per
+    * side — that O(N·B) shuffle is the inherent cost of an exact N²/2
+    * scan (the ANN escape hatches at scale are q39/q49). Output is
+    * invariant to B: every unordered pair is scored exactly once with the
+    * same bit-identical fold. */
+  private def pairBlocks(n: Long): Int =
+    math.max(8L, (n + PairBlockCap - 1) / PairBlockCap).toInt
 
   /** q37: embedding near-duplicate pairs — cosine ≥ 0.4, exact, all
     * N²/2 pairs.
@@ -87,9 +98,10 @@ object Vectors {
     * are bit-identical. */
   def q37CosineNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val nB = PairBlocks
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
+    // count-only scan (no embedding column read) to size the blocks
+    val nB = pairBlocks(e.count())
     val left = e.flatMap { case (id, v) =>
       val b = (id % nB).toInt
       (b until nB).map(j => (b * nB + j, id, v))

@@ -23,7 +23,11 @@ import org.apache.spark.sql.streaming._
   *     statusChange=Some(true) flip record;
   *   - verified: records pass through unconditionally;
   *   - timer expiry while unverified: one statusChange=Some(false)
-  *     record (FAILED_VERIFY).
+  *     record (FAILED_VERIFY), after which the collector is LATCHED
+  *     disabled — the reference disconnects and sets disabled=True
+  *     (BaseCollector.verify_timeout), so no post-timeout traffic flows
+  *     and a late burst of passing packets can never emit VERIFIED after
+  *     FAILED_VERIFY was already published.
   *
   * Requires the RocksDB state store provider (Spark's transformWithState
   * backend — also the 100 TB state backend this engine targets).
@@ -38,16 +42,20 @@ class VerifProcessor(passes: Rec => Boolean,
 
   @transient private var state: ValueState[VerifState] = _
   @transient private var armed: ValueState[Boolean] = _
+  @transient private var failed: ValueState[Boolean] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     state = getHandle.getValueState[VerifState](
       "verif", Encoders.product[VerifState], TTLConfig.NONE)
     armed = getHandle.getValueState[Boolean](
       "verifTimerArmed", Encoders.scalaBoolean, TTLConfig.NONE)
+    failed = getHandle.getValueState[Boolean](
+      "verifFailed", Encoders.scalaBoolean, TTLConfig.NONE)
   }
 
   override def handleInputRows(key: Long, rows: Iterator[Rec],
                                timers: TimerValues): Iterator[VerifOut] = {
+    if (failed.exists()) return Iterator.empty // disabled after FAILED_VERIFY
     if (!armed.exists()) {
       getHandle.registerTimer(timers.getCurrentProcessingTimeInMs() + timeoutMs)
       armed.update(true)
@@ -67,6 +75,9 @@ class VerifProcessor(passes: Rec => Boolean,
                                   expired: ExpiredTimerInfo): Iterator[VerifOut] = {
     val st = if (state.exists()) state.get() else VerifState.empty
     if (st.verified) Iterator.empty
-    else Iterator.single(VerifOut(key, None, Some(false))) // FAILED_VERIFY
+    else {
+      failed.update(true) // latch: disconnect + disabled=True in the reference
+      Iterator.single(VerifOut(key, None, Some(false))) // FAILED_VERIFY
+    }
   }
 }

@@ -378,7 +378,12 @@ object Pipeline {
       // the anti-join and the pruning filter both reuse the batch
       .persist()
     try {
-      val sinkExists = new java.io.File(outDir).exists()
+      // resolve through Hadoop's FileSystem so the dedup branch engages
+      // on any supported filesystem (HDFS/S3/local), not just local disk
+      val sinkPath = new org.apache.hadoop.fs.Path(outDir)
+      val sinkExists = sinkPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(sinkPath)
       val fresh =
         if (sinkExists) {
           // prune the sink scan to the partitions this batch touches —

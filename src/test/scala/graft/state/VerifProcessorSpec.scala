@@ -74,6 +74,17 @@ class VerifProcessorSpec extends SparkSuite {
         // and the gate keeps passing post-verification traffic through
         stream.addData(rec(100L, 1L))
         waitFor("post-verify passthrough")(_.flatMap(_.rec).map(_.seq).contains(100L))
+
+        // post-timeout traffic for a FAILED collector is dropped (the
+        // reference disconnects and sets disabled=True): a late burst of
+        // passing records that would otherwise cross the threshold
+        // (3 fails + 16 passes = 16/19 > 0.8) must emit NOTHING for c2
+        stream.addData((200L to 230L by 2L).map(rec(_, 2L)): _*)
+        stream.addData(rec(102L, 1L)) // marker: proves the burst was processed
+        val fin = waitFor("c1 marker after c2 burst")(
+          _.flatMap(_.rec).map(_.seq).contains(102L))
+        assert(fin.filter(_.collectorId == 2L).flatMap(_.rec).isEmpty)
+        assert(fin.count(_.statusChange.contains(true)) == 1) // only c1's flip ever
       } finally q.stop()
     } finally {
       prev match {

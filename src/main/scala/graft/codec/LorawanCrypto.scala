@@ -61,6 +61,65 @@ object LorawanCrypto {
     out
   }
 
+  /** Reusable AES-CMAC context for one key: the key schedule and the
+    * RFC 4493 subkeys K1/K2 are derived ONCE and amortized over many
+    * messages. This is the kernel the key-search queries (q28/q48) run
+    * candidate-major: one session per candidate key, then every signed
+    * packet is checked against it — versus a per-(key, packet) session,
+    * that is 8-200× fewer key schedules and getInstance calls, which
+    * dominate small-message CMAC cost. Owns its Cipher (no thread-local
+    * sharing) so a live session can never be clobbered by other codec
+    * calls on the same thread. */
+  final class CmacSession(key: Array[Byte]) {
+    private val c = Cipher.getInstance("AES/ECB/NoPadding")
+    c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"))
+    private def e(block: Array[Byte]): Array[Byte] = c.doFinal(block)
+    private val k1 = {
+      val l = e(new Array[Byte](16))
+      val s = leftShiftOne(l)
+      if ((l(0) & 0x80) != 0) { s(15) = (s(15) ^ Rb).toByte }; s
+    }
+    private val k2 = {
+      val s = leftShiftOne(k1)
+      if ((k1(0) & 0x80) != 0) { s(15) = (s(15) ^ Rb).toByte }; s
+    }
+
+    /** AES-CMAC of msg under this session's key (RFC 4493). */
+    def cmac(msg: Array[Byte]): Array[Byte] = {
+      val n = if (msg.length == 0) 1 else (msg.length + 15) / 16
+      val lastComplete = msg.length > 0 && msg.length % 16 == 0
+      var x = new Array[Byte](16)
+      var i = 0
+      while (i < n - 1) {
+        x = e(xor(x, java.util.Arrays.copyOfRange(msg, i * 16, i * 16 + 16)))
+        i += 1
+      }
+      val lastBlock =
+        if (lastComplete)
+          xor(java.util.Arrays.copyOfRange(msg, (n - 1) * 16, n * 16), k1)
+        else {
+          val padded = new Array[Byte](16)
+          val rem = msg.length - (n - 1) * 16
+          System.arraycopy(msg, (n - 1) * 16, padded, 0, rem)
+          padded(rem) = 0x80.toByte
+          xor(padded, k2)
+        }
+      e(xor(x, lastBlock))
+    }
+
+    /** JoinRequest MIC check under this session's key (spec §6.2.4). */
+    def joinRequestMicValid(phyBytes: Array[Byte]): Boolean = {
+      if (phyBytes == null || phyBytes.length < 5) return false
+      val mic = cmac(java.util.Arrays.copyOfRange(phyBytes, 0, phyBytes.length - 4))
+      var i = 0
+      var ok = true
+      while (i < 4) {
+        ok &= mic(i) == phyBytes(phyBytes.length - 4 + i); i += 1
+      }
+      ok
+    }
+  }
+
   /** AES-CMAC (RFC 4493). Verified against the RFC's test vectors in
     * LorawanCryptoSpec. */
   def aesCmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {

@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.codec.{Lorawan, LorawanCrypto}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.functions.udf
 
 /** Spark-facing LoRaWAN codec surface (reference C1-C10,
@@ -124,6 +124,22 @@ object PhyFunctions {
   }
   val micValid = udf { (bytes: Array[Byte], keyHex: String) =>
     LorawanCrypto.validateJoinRequestMic(Lorawan.hexToBytes(keyHex), bytes)
+  }
+
+  /** C9 candidate-major MIC check: one candidate key against EVERY signed
+    * packet in one call, returning the event_ids whose JoinRequest MIC
+    * validates. The packet list arrives as a broadcast `collect_list`
+    * struct column — tiny by construction (the key space is the big side).
+    * One [[LorawanCrypto.CmacSession]] per call amortizes the AES key
+    * schedule + CMAC subkey derivation over all packets (the dominant cost
+    * of small-message CMAC), versus a per-(key, packet) schedule in the
+    * naive pair orientation. */
+  val micMatchEvents = udf { (keyHex: String, pkts: Seq[Row]) =>
+    val session = new LorawanCrypto.CmacSession(Lorawan.hexToBytes(keyHex))
+    pkts.collect {
+      case r if session.joinRequestMicValid(r.getAs[Array[Byte]]("bytes")) =>
+        r.getAs[Long]("event_id")
+    }
   }
 
   /** Build a signed+encrypted JoinAccept for a device (test/synthesis

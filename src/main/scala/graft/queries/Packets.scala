@@ -184,15 +184,20 @@ object Packets {
       lpad(lower(hex(col("event_id") + 1)), 16, "0"),
       (col("event_id") % 65536).cast("int"),
       lit("00000000"))
-    val signed = e.select(col("event_id"),
-      PhyFunctions.signPacketUdf(jr, keyHex).as("bytes"))
-      // the signed-packet side is tiny (one scan partition) — spread it so
-      // the CMAC work runs at full parallelism, not on one core
-      .repartition(s.sparkContext.defaultParallelism)
+    // all signed packets packed into ONE broadcast row — the packet side
+    // is small by construction (the key space is what grows), and the
+    // candidate-major orientation lets one CmacSession amortize the AES
+    // key schedule over every packet
+    val packed = e.select(col("event_id"),
+        PhyFunctions.signPacketUdf(jr, keyHex).as("bytes"))
+      .agg(collect_list(struct(col("event_id"), col("bytes"))).as("pkts"))
     val candidates = events(s, d)
       .select(lpad(lower(hex(col("user_id"))), 32, "0").as("cand_key")).distinct()
-    signed.crossJoin(broadcast(candidates))
-      .filter(PhyFunctions.micValid(col("bytes"), col("cand_key")))
+      // candidates are the streamed side: the key space scales, packets don't
+      .repartition(s.sparkContext.defaultParallelism)
+    candidates.crossJoin(broadcast(packed))
+      .select(col("cand_key"),
+        explode(PhyFunctions.micMatchEvents(col("cand_key"), col("pkts"))).as("event_id"))
       .select(col("event_id"), col("cand_key").as("found_key"))
       .orderBy(col("event_id"))
   }
@@ -228,15 +233,19 @@ object Packets {
       lpad(lower(hex(col("event_id") + 1)), 16, "0"),
       (col("event_id") % 65536).cast("int"),
       lit("00000000"))
-    val signed = e.select(col("event_id"),
-      PhyFunctions.signPacketUdf(jr, keyHex).as("bytes"))
     // the reference loops keys in the outer loop; here the 196,608-key
     // candidate table is the STREAMED side (partitioned across the
-    // cluster) and the handful of packets broadcast — the orientation
-    // that scales with the generated key space
+    // cluster) and the handful of packets broadcast AS ONE PACKED ROW —
+    // the orientation that scales with the generated key space, and the
+    // packing lets each candidate derive its AES key schedule + CMAC
+    // subkeys once for all packets (one UDF call per key, not per pair)
+    val packed = e.select(col("event_id"),
+        PhyFunctions.signPacketUdf(jr, keyHex).as("bytes"))
+      .agg(collect_list(struct(col("event_id"), col("bytes"))).as("pkts"))
     cands.repartition(s.sparkContext.defaultParallelism)
-      .crossJoin(broadcast(signed))
-      .filter(PhyFunctions.micValid(col("bytes"), col("cand_key")))
+      .crossJoin(broadcast(packed))
+      .select(col("cand_key"),
+        explode(PhyFunctions.micMatchEvents(col("cand_key"), col("pkts"))).as("event_id"))
       .select(col("event_id"), col("cand_key").as("found_key"))
       .orderBy(col("event_id"), col("found_key"))
   }

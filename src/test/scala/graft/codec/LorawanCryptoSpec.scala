@@ -24,6 +24,36 @@ class LorawanCryptoSpec extends AnyFunSuite {
       == "51f0bebf7e3b9d92fc49741779363cfe")
   }
 
+  test("CmacSession equals aesCmac on RFC vectors and random messages") {
+    val session = new LorawanCrypto.CmacSession(rfcKey)
+    for (len <- Seq(0, 16, 40, 64))
+      assert(session.cmac(rfcMsg.take(len))
+        .sameElements(LorawanCrypto.aesCmac(rfcKey, rfcMsg.take(len))))
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 50) {
+      val key = Array.fill[Byte](16)(rnd.nextInt().toByte)
+      val msg = Array.fill[Byte](rnd.nextInt(60))(rnd.nextInt().toByte)
+      val s2 = new LorawanCrypto.CmacSession(key)
+      assert(s2.cmac(msg).sameElements(LorawanCrypto.aesCmac(key, msg)))
+      // session is reusable: a second message under the same session
+      // still matches the one-shot path
+      assert(s2.cmac(msg.reverse).sameElements(LorawanCrypto.aesCmac(key, msg.reverse)))
+    }
+  }
+
+  test("CmacSession.joinRequestMicValid equals validateJoinRequestMic") {
+    val key = hexToBytes("000102030405060708090a0b0c0d0e0f")
+    val jr = Array(0x00.toByte) ++
+      Lorawan.hexToLe("55d239ac716f234d") ++ Lorawan.hexToLe("b827eb891cf50003") ++
+      Array(0xb7.toByte, 0xc9.toByte) ++ hexToBytes("00000000")
+    val signed = LorawanCrypto.signPacket(jr, key)
+    assert(new LorawanCrypto.CmacSession(key).joinRequestMicValid(signed))
+    val wrong = hexToBytes("ffffffffffffffffffffffffffffffff")
+    assert(!new LorawanCrypto.CmacSession(wrong).joinRequestMicValid(signed))
+    assert(!new LorawanCrypto.CmacSession(key).joinRequestMicValid(null))
+    assert(!new LorawanCrypto.CmacSession(key).joinRequestMicValid(Array[Byte](1, 2)))
+  }
+
   private val appKey = hexToBytes("000102030405060708090a0b0c0d0e0f")
 
   test("sign + validate JoinRequest MIC") {

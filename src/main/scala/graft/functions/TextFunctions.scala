@@ -41,6 +41,37 @@ object TextFunctions {
     if (text == null) Array.empty[String] else shingleSet(text)
   }
 
+  private def ngramArr(text: String, n: Int, distinct: Boolean): Array[String] = {
+    val w = text.split(" ", -1)
+    if (w.length < n) Array.empty[String]
+    else {
+      val out = new java.util.LinkedHashSet[String]()
+      val all = if (distinct) null else new Array[String](w.length - n + 1)
+      var i = 0
+      while (i + n - 1 < w.length) {
+        val sb = new java.lang.StringBuilder(w(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(w(i + j)); j += 1 }
+        if (distinct) out.add(sb.toString) else all(i) = sb.toString
+        i += 1
+      }
+      if (distinct) out.toArray(new Array[String](out.size)) else all
+    }
+  }
+
+  /** Word n-grams over `split(text, ' ')` semantics, distinct,
+    * first-occurrence order — generalizes [[shingleSet]] (n = 3) to the
+    * decontamination n (q51). */
+  val ngramsDistinct = udf { (text: String, n: Int) =>
+    if (text == null) Array.empty[String] else ngramArr(text, n, distinct = true)
+  }
+
+  /** All word n-grams WITH multiplicity — repetition counting (q52)
+    * needs the duplicates the distinct form drops. */
+  val ngramsAll = udf { (text: String, n: Int) =>
+    if (text == null) Array.empty[String] else ngramArr(text, n, distinct = false)
+  }
+
   private def xxh64(s: String): Long = {
     val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)

@@ -321,10 +321,117 @@ object TextOps {
       .orderBy(col("source"), col("rk"))
   }
 
+  // --------------------------------------------- q51-q54 pipeline stages
+
+  /** q51: benchmark decontamination — flag every corpus document sharing
+    * an exact word 4-gram with the held-out benchmark set (here: the
+    * deterministic doc_id % 41 slice standing in for an eval suite). The
+    * standard test-set-leakage scrub of LLM training pipelines.
+    *
+    * 100 TB shape: the benchmark n-gram set is small and FIXED (eval
+    * suites are MBs, the corpus is TBs) → broadcast it; the corpus side
+    * is one map-side explode + broadcast-hash semi-join + partial-agg
+    * count — no corpus shuffle at all until the per-doc count, which is
+    * map-side combinable. */
+  def q51Decontaminate(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.ngramsDistinct
+    val g = documents(s, d).select(col("doc_id"),
+      explode(ngramsDistinct(col("text"), lit(4))).as("gram"))
+    val bench = g.filter(col("doc_id") % 41 === 0).select(col("gram")).distinct()
+    g.filter(col("doc_id") % 41 =!= 0)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram")).as("n_hit_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q52: repetition quality filter — duplicate-word fraction and
+    * most-frequent-bigram fraction per document, with the keep verdict
+    * (Gopher-style repetition gates). All counts are exact integers; the
+    * two fractions are single IEEE divisions of those integers, so the
+    * oracle comparison is bit-stable.
+    *
+    * 100 TB shape: per-doc map work + one partial-aggregable
+    * (doc, bigram) count — the only shuffle is on doc_id, and a doc's
+    * bigrams all live in one row to begin with, so AQE coalesces the
+    * tiny groups; no cross-document data movement. */
+  def q52RepetitionFilter(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.ngramsAll
+    val docs = documents(s, d)
+    val base = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
+    val top = docs
+      .select(col("doc_id"), explode(ngramsAll(col("text"), lit(2))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_word_frac"),
+        coalesce(col("top_bg").cast("double") / col("n_bg"), lit(0.0)).as("top_bigram_frac"))
+      .withColumn("keep",
+        col("dup_word_frac") <= 0.6 && col("top_bigram_frac") <= 0.1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q53: source-mixture resampling — downsample each source toward a
+    * uniform target mixture with a 60% corpus budget:
+    * p_s = min(1, 0.6·N/(S·n_s)), applied per doc with the reproducible
+    * multiplicative hash. The keep test is EXACT integer arithmetic
+    * (h·S·n_s·5 < 1000003·N·3 ⇔ h/1000003 < 0.6·N/(S·n_s)) — no floating
+    * point anywhere, so the sample is engine-independent.
+    *
+    * 100 TB shape: the source histogram is tiny (thousands of sources) →
+    * broadcast both it and the global totals; the corpus pass is then
+    * map-only with a partial-aggregable per-source count. */
+  def q53SourceMix(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val srcN = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val tot = docs.agg(count(lit(1)).as("n_total"),
+      count_distinct(col("source")).as("n_sources"))
+    val h = (col("doc_id") * 2654435761L) % 1000003L
+    val kept = h * col("n_sources") * col("n_src") * 5L <
+      lit(1000003L) * col("n_total") * 3L
+    docs.join(broadcast(srcN), Seq("source")).crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** q54: sequence packing — concatenate each source's documents in
+    * doc_id order and chunk the token stream into 512-token training
+    * sequences; per doc: its start offset in the stream and the first/
+    * last sequence it lands in (GPT-style concat-then-chunk packing).
+    *
+    * 100 TB shape: a GLOBAL concat order would serialize through one
+    * partition (running sum over one unbounded window), so the pack is
+    * per-source — every source's window runs in parallel and the
+    * sequence ids are local to (source), which is how sharded training
+    * data is actually laid out. Skewed sources are the residual risk;
+    * sub-sharding a giant source by doc_id range is the escape hatch. */
+  def q54SequencePack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("first_seq", expr("start_offset div 512"))
+      .withColumn("last_seq", expr("(start_offset + n_tokens - 1) div 512"))
+      .withColumn("straddles", col("first_seq") =!= col("last_seq"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_neardup_survivors" -> (q42NeardupSurvivors _),
     "q43_train_split"       -> (q43TrainSplit _),
     "q44_source_cap"        -> (q44SourceCap _),
+    "q51_decontaminate"     -> (q51Decontaminate _),
+    "q52_repetition_filter" -> (q52RepetitionFilter _),
+    "q53_source_mix"        -> (q53SourceMix _),
+    "q54_sequence_pack"     -> (q54SequencePack _),
     "q30_text_stats"     -> (q30TextStats _),
     "q31_langid"         -> (q31LangId _),
     "q32_dedup_exact"    -> (q32DedupExact _),
@@ -396,6 +503,53 @@ object TextOps {
     "q32_dedup_exact" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q51_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(w[i:i+3], ' ')
+        |     for i in range(1, greatest(len(w) - 3, 0) + 1)])) AS gram FROM w),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0)
+        |SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hit_grams
+        |FROM g JOIN bench USING (gram) WHERE g.doc_id % 41 != 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q52_repetition_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |base AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd FROM w),
+        |bg AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+        |    for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS bg FROM w),
+        |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM cnt GROUP BY 1),
+        |j AS (SELECT base.doc_id,
+        |    1.0 - CAST(nd AS DOUBLE) / n AS dup_word_frac,
+        |    COALESCE(CAST(top_bg AS DOUBLE) / n_bg, 0.0) AS top_bigram_frac
+        |  FROM base LEFT JOIN top USING (doc_id))
+        |SELECT doc_id, dup_word_frac, top_bigram_frac,
+        |  (dup_word_frac <= 0.6 AND top_bigram_frac <= 0.1) AS keep
+        |FROM j ORDER BY doc_id""".stripMargin,
+    "q53_source_mix" ->
+      """WITH s AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS n_total, count(DISTINCT source) AS n_sources
+        |      FROM documents)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN ((d.doc_id * 2654435761) % 1000003)
+        |      * t.n_sources * s.n_src * 5 < 1000003 * t.n_total * 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN s USING (source) CROSS JOIN t
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q54_sequence_pack" ->
+      """WITH x AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |y AS (SELECT source, doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+        |  FROM x)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(so AS BIGINT) AS start_offset,
+        |  CAST(so // 512 AS BIGINT) AS first_seq,
+        |  CAST((so + n_tokens - 1) // 512 AS BIGINT) AS last_seq,
+        |  (so // 512) != ((so + n_tokens - 1) // 512) AS straddles
+        |FROM y ORDER BY source, doc_id""".stripMargin,
     "q33_ngram_jaccard" -> jaccardOracle(0.8),
     "q34_minhash_lsh"   -> jaccardOracle(0.8),
     "q35_simhash" ->

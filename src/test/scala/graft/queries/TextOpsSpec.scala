@@ -17,6 +17,67 @@ class TextOpsSpec extends SparkSuite {
     assert(TextOps.q35Simhash(spark, sf).collect().toSeq == broadcastRows)
   }
 
+  test("q51 decontamination flags only non-benchmark docs, with real overlap") {
+    import org.apache.spark.sql.functions.col
+    val hits = TextOps.q51Decontaminate(spark, sf).collect()
+    assert(hits.nonEmpty)
+    // the benchmark slice itself is never flagged
+    assert(hits.forall(_.getLong(0) % 41 != 0))
+    // every flagged doc shares >= 1 distinct 4-gram
+    assert(hits.forall(_.getLong(1) >= 1))
+    // spot-check: a flagged doc really shares a 4-gram with the benchmark
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String) = t.split(" ", -1).sliding(4)
+      .filter(_.length == 4).map(_.mkString(" ")).toSet
+    val bench = docs.collect { case (id, t) if id % 41 == 0 => grams(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    assert(hits.forall(h => grams(docs(h.getLong(0))).intersect(bench).size ==
+      h.getLong(1)))
+  }
+
+  test("q52 repetition fractions are in range and the verdict matches them") {
+    val rows = TextOps.q52RepetitionFilter(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (dwf, tbf, keep) = (r.getDouble(1), r.getDouble(2), r.getBoolean(3))
+      assert(dwf >= 0.0 && dwf < 1.0)
+      assert(tbf >= 0.0 && tbf <= 1.0)
+      assert(keep == (dwf <= 0.6 && tbf <= 0.1))
+    }
+    // the thresholds actually split the corpus (both verdicts occur)
+    assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
+  }
+
+  test("q53 resampling respects the per-source budget and keeps determinism") {
+    val rows = TextOps.q53SourceMix(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == 500) // every doc counted once
+    // uniform sources with a 60% budget: every source keeps a strict,
+    // non-empty subset (p = 0.6 each here)
+    rows.foreach(r => assert(r.getLong(2) > 0 && r.getLong(2) <= r.getLong(1)))
+    val kept = rows.map(_.getLong(2)).sum.toDouble / 500
+    assert(kept > 0.4 && kept < 0.8, s"kept fraction $kept")
+    // deterministic: a second run is identical
+    assert(TextOps.q53SourceMix(spark, sf).collect().toSeq == rows.toSeq)
+  }
+
+  test("q54 packing offsets are contiguous per source and chunks cover them") {
+    val rows = TextOps.q54SequencePack(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val inOrder = docs.sortBy(_._2)
+      // offsets tile the concatenated token stream with no gaps
+      inOrder.foldLeft(0L) { case (expected, (_, _, n, off, first, last, straddles)) =>
+        assert(off == expected)
+        assert(first == off / 512 && last == (off + n - 1) / 512)
+        assert(straddles == (first != last))
+        off + n
+      }
+    }
+  }
+
   test("q35 blocked plan pairs via a hash equi-join, not an all-pairs scan") {
     val p = TextOps.q35SimhashBlocked(spark, sf)
       .queryExecution.executedPlan.toString

@@ -117,10 +117,18 @@ object TextOps {
   def q33NgramJaccard(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions.jaccard
     // barrier: keep the shingle kernel evaluated once (projection collapse
-    // would re-run it inside the explode and both join sides)
+    // would re-run it inside the explode and both join sides); persist:
+    // the shingled table has FOUR consumers (both index sides + both
+    // verify sides) and Spark reuses no un-cached subtree across them —
+    // without the cache the scan + shingle kernel run 4×. MEMORY_AND_DISK
+    // so a 100× corpus spills instead of OOMing (at real cluster scale
+    // the signature table would be materialized to storage once and
+    // shared by every downstream dedup consumer — CacheManager gives q42
+    // exactly that reuse in-session).
     val docs = shingled(documents(s, d))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .repartition(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // canonical global order (xxhash64(s), s); prefix size n - ceil(0.8n) + 1
     // — heap-selected in a JIT'd kernel (TextFunctions.prefixShingles),
     // same set as the sorted-slice form but O(n log k) and codegen-free
@@ -170,6 +178,9 @@ object TextOps {
     val docs = shingled(documents(s, d))
       .withColumn("sig", minhashSig(col("sh")))
       .repartition(col("doc_id"))
+      // four consumers (both band sides + both verify sides) — cache the
+      // 128-perm signature kernel's output instead of re-running it 4×
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = docs.select(col("doc_id"),
         explode(expr(
           "transform(sequence(0, 31), b -> struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bh))"))

@@ -36,9 +36,19 @@ object Vectors {
     df.withColumn(out, sqrt(dot_f(col(vec), col(vec))))
       .repartition(col("vec_id"))
 
+  /** The normed corpus every ANN query starts from. Persisted: q36 reads
+    * it twice (query + corpus side), q39 four times (seeds, two
+    * assignment passes, probes), q49 twice — and CacheManager shares the
+    * one materialization ACROSS the ANN queries in a session (the
+    * vector-index build you'd do once at cluster scale). ~20 bytes/dim
+    * per vector, MEMORY_AND_DISK so a 100× corpus spills, not OOMs. */
+  private def embNormed(s: SparkSession, d: String): DataFrame =
+    withNorm(embeddings(s, d), "embedding", "nv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** q36: brute-force cosine top-k (k=5) for every 50th vector as query. */
   def q36CosineTopk(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(embeddings(s, d), "embedding", "nv")
+    val e = embNormed(s, d)
     val queries = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nv").as("nq"))
     val scored = e.crossJoin(broadcast(queries))
@@ -140,7 +150,7 @@ object Vectors {
     * checked (approximate by construction); recall vs exact q36 is
     * measured in VectorsSpec. */
   def q39AnnIvf(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(embeddings(s, d), "embedding", "nv")
+    val e = embNormed(s, d)
     val seeds = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("nv").as("nc"))
     def seedSim = dot_f(col("cv"), col("embedding")) / (col("nc") * col("nv"))
@@ -158,15 +168,23 @@ object Vectors {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("c_id"),
         expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cv"))
+    // 16 rows, but each broadcast consumer would otherwise re-run the
+    // whole training pass (corpus × seeds assignment + mean) behind it —
+    // persist makes "train once, probe twice" literal in the plan
     val centroids = withNorm(refined.withColumnRenamed("c_id", "vec_id"), "cv", "nc")
       .withColumnRenamed("vec_id", "c_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def csim = dot_f(col("cv"), col("embedding")) / (col("nc") * col("nv"))
+    // the built index: bucketed corpus, consumed by the probe-selection
+    // pass and the candidate scan — one materialization, not two
+    // corpus × centroid assignment passes
     val assigned = e.crossJoin(broadcast(centroids))
       .withColumn("csim", csim)
       .withColumn("r", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))))
       .filter(col("r") === 1)
       .select(col("vec_id"), col("embedding"), col("nv"), col("c_id").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = assigned.crossJoin(broadcast(centroids))
       .filter(col("vec_id") % 50 === 0)
       .withColumn("csim", csim)
@@ -228,7 +246,7 @@ object Vectors {
     * Rows-only checked (approximate by construction); recall vs exact
     * q36 is measured in VectorsSpec. */
   def q49AnnLsh(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(embeddings(s, d), "embedding", "nv")
+    val e = embNormed(s, d)
       .withColumn("sig", srpSig(col("embedding")))
     val probeList = (0 until SrpBits)
       .map(b => s"int(sig ^ ${1 << b})").mkString("array(sig, ", ", ", ")")

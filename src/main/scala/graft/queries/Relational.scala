@@ -247,7 +247,37 @@ object Relational {
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))
 
+  /** q55: PII scrubbing — regex redaction of phone numbers and emails
+    * with per-row redaction counts, the compliance pass every
+    * training-data pipeline runs before release. The testdata carries no
+    * real PII, so the contact string is SYNTHESIZED deterministically
+    * from customer columns (the q20/q28 precedent: derive the payload,
+    * then make the engine prove the operator on it); the oracle composes
+    * the identical string and must agree on every replacement and count.
+    *
+    * 100 TB shape: pure per-row map work inside whole-stage codegen —
+    * no shuffle, no UDF; regexp_replace streams through the scan. */
+  def q55PiiScrub(s: SparkSession, d: String): DataFrame = {
+    val ph = concat(
+      lpad((col("c_custkey") % 900 + 100).cast("string"), 3, "0"), lit("-"),
+      lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+    val em = concat(lower(col("c_name")), lit("@example.com"))
+    val txt = concat(lit("reach "), col("c_name"), lit(" at "), ph,
+      lit(" or "), em, lit(" about "), col("c_mktsegment"))
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val emailRe = "[a-z0-9#._-]+@[a-z]+\\.[a-z]+"
+    customer(s, d).select(
+        col("c_custkey"),
+        regexp_replace(regexp_replace(txt, phoneRe, "[PHONE]"),
+          emailRe, "[EMAIL]").as("scrubbed"),
+        (size(split(txt, phoneRe, -1)) - 1).cast("long").as("n_phones"),
+        (size(split(txt, emailRe, -1)) - 1).cast("long").as("n_emails"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_pii_scrub"         -> (q55PiiScrub _),
     "q45_shipping_priority" -> (q45ShippingPriority _),
     "q46_local_supplier"    -> (q46LocalSupplier _),
     "q47_priority_check"    -> (q47OrderPriorityCheck _),
@@ -268,6 +298,23 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q55_pii_scrub" ->
+      """WITH t AS (SELECT c_custkey,
+        |  'reach ' || c_name || ' at ' ||
+        |  lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+        |  lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |  lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+        |  ' or ' || lower(c_name) || '@example.com about ' || c_mktsegment AS txt
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(txt,
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+        |    '[a-z0-9#._-]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g') AS scrubbed,
+        |  CAST(len(string_split_regex(txt,
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) - 1 AS BIGINT) AS n_phones,
+        |  CAST(len(string_split_regex(txt,
+        |    '[a-z0-9#._-]+@[a-z]+\.[a-z]+')) - 1 AS BIGINT) AS n_emails
+        |FROM t ORDER BY c_custkey""".stripMargin,
     "q45_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue

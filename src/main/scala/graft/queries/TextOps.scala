@@ -435,6 +435,22 @@ object TextOps {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** q56: vocabulary building — global term frequency + document
+    * frequency, top 20 under a total (tf DESC, token) order. The
+    * tokenizer-training / idf-weighting primitive of the pipeline.
+    *
+    * 100 TB shape: the canonical word-count — explode is map-side, both
+    * aggregates are partial-aggregable (count-distinct(doc_id) becomes a
+    * two-level agg), and the final top-k is a TakeOrdered over the
+    * (vocabulary-sized, corpus-size-independent) aggregate. */
+  def q56Vocabulary(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_neardup_survivors" -> (q42NeardupSurvivors _),
     "q43_train_split"       -> (q43TrainSplit _),
@@ -443,6 +459,7 @@ object TextOps {
     "q52_repetition_filter" -> (q52RepetitionFilter _),
     "q53_source_mix"        -> (q53SourceMix _),
     "q54_sequence_pack"     -> (q54SequencePack _),
+    "q56_vocabulary"        -> (q56Vocabulary _),
     "q30_text_stats"     -> (q30TextStats _),
     "q31_langid"         -> (q31LangId _),
     "q32_dedup_exact"    -> (q32DedupExact _),
@@ -514,6 +531,13 @@ object TextOps {
     "q32_dedup_exact" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q56_vocabulary" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM tok GROUP BY token
+        |ORDER BY tf DESC, token LIMIT 20""".stripMargin,
     "q51_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(

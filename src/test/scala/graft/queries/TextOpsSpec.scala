@@ -78,6 +78,28 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("q55 scrubs every synthesized phone and email; counts match") {
+    val rows = Relational.q55PiiScrub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scrubbed, nPhones, nEmails) =
+        (r.getString(1), r.getLong(2), r.getLong(3))
+      assert(nPhones >= 1 && nEmails == 1)
+      assert(scrubbed.contains("[PHONE]") && scrubbed.contains("[EMAIL]"))
+      // nothing phone- or email-shaped survives the scrub
+      assert(!"[0-9]{3}-[0-9]{3}-[0-9]{4}".r.findFirstIn(scrubbed).isDefined)
+      assert(!scrubbed.contains("@example.com"))
+    }
+  }
+
+  test("q56 vocabulary is top-20 by tf with df <= tf and df <= corpus size") {
+    val rows = TextOps.q56Vocabulary(spark, sf).collect()
+    assert(rows.length == 20)
+    val tfs = rows.map(_.getLong(1))
+    assert(tfs.sameElements(tfs.sortBy(-_))) // descending
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1) && r.getLong(2) <= 500))
+  }
+
   test("q35 blocked plan pairs via a hash equi-join, not an all-pairs scan") {
     val p = TextOps.q35SimhashBlocked(spark, sf)
       .queryExecution.executedPlan.toString

@@ -64,6 +64,47 @@ object Multimodal {
       byteAt(media, octet_length(media).cast("long")).cast("double"),
       pmod(byteSum(media), lit(997L)).cast("double")).as("features"))
 
+  /** DETERMINISTIC STUB perceptual hash — the pHash shape over the stub
+    * byte domain: split the blob into 32 BALANCED chunks (boundaries
+    * ⌊c·L/32⌋, so lengths differ by at most one byte — a fixed-size last
+    * chunk would bias its bit for every blob at once), bit c = 1 iff
+    * chunk c's byte-sum exceeds the per-chunk mean (compared as
+    * `sum_c · 32 > total`, all integer — no FP anywhere). Robust to
+    * small local edits the way a real pHash is robust to re-encoding:
+    * one changed byte moves one chunk sum slightly, not 32 bits. A real
+    * implementation swaps THIS function for DCT-over-pixels with the
+    * same `binary → long` signature; everything downstream (bucketing,
+    * hamming verify) is representation-agnostic. JIT'd one-pass kernel
+    * (the declarative form would fold the blob 33×). */
+  def phashBytes(media: Array[Byte]): Long =
+    if (media == null || media.isEmpty) 0L
+    else {
+      val L = media.length
+      val sums = new Array[Long](32)
+      var total = 0L
+      var c = 0
+      while (c < 32) {
+        var i = (c * L) / 32
+        val end = ((c + 1) * L) / 32
+        while (i < end) {
+          val b = media(i) & 0xffL
+          sums(c) += b
+          total += b
+          i += 1
+        }
+        c += 1
+      }
+      var ph = 0L
+      c = 0
+      while (c < 32) {
+        if (sums(c) * 32 > total) ph |= (1L << c)
+        c += 1
+      }
+      ph
+    }
+
+  val phashStub = udf { (media: Array[Byte]) => phashBytes(media) }
+
   /** Stub "resize": halve stub dimensions — metadata-only transform. */
   def resizeStub(decoded: Column): Column =
     decoded

@@ -39,12 +39,66 @@ object Media {
       .orderBy(col("media_id"))
   }
 
+  /** q57: perceptual-hash near-duplicate media — the multimodal twin of
+    * text near-dup (q33-q35): 16-bit stub pHash per blob
+    * (Multimodal.phashStub), pairs at hamming ≤ 2.
+    *
+    * Candidates come from a pigeonhole equi-join, NOT an all-pairs scan:
+    * the 32 bits split into 3 chunks (11+11+10), and two hashes within
+    * hamming 2 must agree exactly on at least one chunk — so both sides
+    * shuffle only on (chunk index, chunk value) buckets, the q35-blocked
+    * shape that survives a corpus too big to broadcast. `distinct`
+    * dedups pairs colliding in several chunks before the exact popcount
+    * verify. */
+  def q57MediaPhashDedup(s: SparkSession, d: String): DataFrame = {
+    val hashed = Multimodal.mediaTable(documents(s, d))
+      .select(col("media_id"), Multimodal.phashStub(col("media")).as("ph"))
+      .repartition(col("media_id"))
+    val keyed = hashed.select(col("media_id"), col("ph"),
+        explode(expr("""array(
+          struct(0 AS ci, ph & 2047 AS cv),
+          struct(1 AS ci, shiftright(ph, 11) & 2047 AS cv),
+          struct(2 AS ci, shiftright(ph, 22) & 1023 AS cv))""")).as("k"))
+      .select(col("media_id"), col("ph"), col("k.ci").as("ci"), col("k.cv").as("cv"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.ph").as("ha"), col("b.ph").as("hb"))
+      .distinct()
+      .filter(expr("bit_count(ha ^ hb)") <= 2)
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .select(col("media_a"), col("media_b"), col("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_media_decode" -> (q40MediaDecode _),
     "q41_video_frames" -> (q41VideoFrames _),
+    "q57_media_phash"  -> (q57MediaPhashDedup _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q57_media_phash" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |    CAST(length(text) AS BIGINT) AS L
+        |  FROM documents),
+        |s AS (SELECT media_id,
+        |  [ COALESCE(list_sum([ascii(c) for c in string_split_regex(
+        |      substring(text, CAST((i*L)//32 + 1 AS BIGINT),
+        |        CAST(((i+1)*L)//32 - (i*L)//32 AS BIGINT)), '')]), 0)
+        |    for i in range(0, 32) ] AS sums,
+        |  COALESCE(list_sum([ascii(c) for c in string_split_regex(text, '')]), 0)
+        |    AS total FROM m),
+        |h AS (SELECT media_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CASE WHEN sums[i+1]*32 > total THEN CAST(1 AS BIGINT)<<i
+        |          ELSE CAST(0 AS BIGINT) END for i in range(0, 32)]),
+        |    (a, b) -> a + b) AS ph FROM s)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 2
+        |ORDER BY media_a, media_b""".stripMargin,
     "q40_media_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

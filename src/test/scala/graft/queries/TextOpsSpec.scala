@@ -100,6 +100,33 @@ class TextOpsSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(1) && r.getLong(2) <= 500))
   }
 
+  test("q57 phash pairs are thresholded; the hash is edit-robust (pHash property)") {
+    val pairs = Media.q57MediaPhashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 2) }
+    // the DEFINING perceptual-hash property: a small local edit moves
+    // one chunk sum slightly, so the hash stays within a few bits —
+    // unlike a cryptographic hash, where one byte flips ~half the bits
+    import graft.multimodal.Multimodal.phashBytes
+    import org.apache.spark.sql.functions.col
+    val texts = graft.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val hammings = texts.map { t =>
+      val orig = t.getBytes("UTF-8")
+      val edited = orig.clone()
+      edited(orig.length / 2) = (edited(orig.length / 2) + 1).toByte
+      java.lang.Long.bitCount(phashBytes(orig) ^ phashBytes(edited))
+    }
+    assert(hammings.count(_ <= 2) >= texts.length * 8 / 10,
+      s"only ${hammings.count(_ <= 2)}/${texts.length} docs stay within hamming 2")
+    // and an unrelated pair sits far away on average (bits carry signal)
+    val hs = texts.map(t => phashBytes(t.getBytes("UTF-8")))
+    val crossH = hs.take(50).zip(hs.slice(50, 100))
+      .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }
+    assert(crossH.sum.toDouble / crossH.length > 4.0)
+  }
+
   test("q35 blocked plan pairs via a hash equi-join, not an all-pairs scan") {
     val p = TextOps.q35SimhashBlocked(spark, sf)
       .queryExecution.executedPlan.toString

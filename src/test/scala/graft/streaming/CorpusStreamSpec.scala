@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming corpus operators: exact dedup with bounded state and the
+  * per-source windowed quota (streaming twins of q32/q44). */
+class CorpusStreamSpec extends SparkSuite {
+
+  private def ts(h: Int, m: Int) =
+    java.sql.Timestamp.valueOf(f"2024-06-01 $h%02d:$m%02d:00")
+
+  test("streaming dedup: first copy passes, in-horizon duplicates drop") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = CorpusStream.dedupByContent(
+      stream.toDS().toDF("ts", "doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // same text twice in one batch + once distinct → two survivors
+      stream.addData((ts(10, 0), 1L, "alpha beta"), (ts(10, 1), 2L, "alpha beta"),
+        (ts(10, 2), 3L, "gamma"))
+      q.processAllAvailable()
+      val first = spark.table("dedup_out").collect()
+        .map(r => (r.getLong(1), r.getString(2))).toSet
+      assert(first.map(_._2) == Set("alpha beta", "gamma"))
+      assert(first.map(_._1).contains(3L))
+
+      // a replay in a later batch, still inside the horizon → suppressed
+      stream.addData((ts(10, 3), 4L, "alpha beta"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+
+      // new content still passes
+      stream.addData((ts(10, 4), 5L, "delta"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 3)
+    } finally q.stop()
+  }
+
+  test("streaming source quota: closed windows emit counts with over-cap flag") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val out = CorpusStream.sourceQuota(
+      stream.toDS().toDF("ts", "source"), cap = 2L)
+    val q = out.writeStream.format("memory").queryName("quota_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour-10: srcA 3 docs (over cap 2), srcB 1 doc
+      stream.addData((ts(10, 0), "srcA"), (ts(10, 10), "srcA"),
+        (ts(10, 20), "srcA"), (ts(10, 30), "srcB"))
+      q.processAllAvailable()
+      assert(spark.table("quota_out").count() == 0) // window still open
+
+      // advance the watermark past hour 10 → the window closes
+      stream.addData((ts(11, 30), "srcC"))
+      q.processAllAvailable()
+      val rows = spark.table("quota_out").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getBoolean(3))).toSet
+      assert(rows == Set(("srcA", 3L, true), ("srcB", 1L, false)))
+    } finally q.stop()
+  }
+}

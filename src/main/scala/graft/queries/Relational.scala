@@ -47,13 +47,22 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** Top-k by computed measure: sort+limit (the reference's only ordering is
-    * keyset pagination, Service.py:49-50 — this is the general form). */
+    * keyset pagination, Service.py:49-50 — this is the general form).
+    *
+    * The money arithmetic runs in EXACT integer 10⁻⁴-dollar units (price
+    * cents × discount percent), not decimal: the per-group sum stays far
+    * below 2⁵³, so `sum/10⁴` converts to double correctly rounded —
+    * bit-identical to the oracle's CAST(SUM(DECIMAL) AS DOUBLE) — while
+    * the 150k-group aggregation uses the codegen long fast-path instead
+    * of 128-bit decimal buffers. */
   def q02TopRevenueOrders(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(dec) * 100).cast("long").as("p4"),
+        (col("l_discount").cast("decimal(4,2)") * 100).cast("long").as("d2"))
       .groupBy(col("l_orderkey"))
-      .agg(sum(col("l_extendedprice").cast(dec) *
-        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
-        .cast("double").as("revenue"))
+      .agg((sum(col("p4") * (lit(100L) - col("d2"))).cast("double") / 10000.0)
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 

@@ -451,6 +451,39 @@ object TextOps {
       .orderBy(col("tf").desc, col("token"))
       .limit(20)
 
+  /** q58: the corpus RELEASE — every cleaning operator composed into the
+    * pipeline's actual deliverable: exact-dedup keepers ∖ near-dup
+    * doc_bs ∖ repetition failures ∖ contaminated ∖ the benchmark slice,
+    * English only, with the reproducible split stamped on each survivor.
+    * This is the query a user of the engine actually ships.
+    *
+    * 100 TB shape: each stage is one of the already-audited shapes
+    * (hash-agg, prefix join over the CACHED shingle table, broadcast
+    * semi/anti joins of small id sets against the corpus); composition
+    * adds no new shuffle class — the id sets are tiny relative to the
+    * corpus, so every filter join broadcasts. */
+  def q58CorpusRelease(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val keepExact = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val dupB = q33NgramJaccard(s, d).select(col("doc_b").as("doc_id")).distinct()
+    val repKeep = q52RepetitionFilter(s, d).filter(col("keep")).select(col("doc_id"))
+    val contaminated = q51Decontaminate(s, d).select(col("doc_id"))
+    docs
+      .join(broadcast(keepExact), Seq("doc_id"), "left_semi")
+      .join(broadcast(dupB), Seq("doc_id"), "left_anti")
+      .join(broadcast(repKeep), Seq("doc_id"), "left_semi")
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") % 41 =!= 0) // the benchmark slice never ships
+      .filter(col("lang") === "en")
+      .withColumn("bucket", (col("doc_id") * 2654435761L) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_neardup_survivors" -> (q42NeardupSurvivors _),
     "q43_train_split"       -> (q43TrainSplit _),
@@ -460,6 +493,7 @@ object TextOps {
     "q53_source_mix"        -> (q53SourceMix _),
     "q54_sequence_pack"     -> (q54SequencePack _),
     "q56_vocabulary"        -> (q56Vocabulary _),
+    "q58_corpus_release"    -> (q58CorpusRelease _),
     "q30_text_stats"     -> (q30TextStats _),
     "q31_langid"         -> (q31LangId _),
     "q32_dedup_exact"    -> (q32DedupExact _),
@@ -531,6 +565,39 @@ object TextOps {
     "q32_dedup_exact" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q58_corpus_release" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles sh FROM w),
+         |dup AS (SELECT DISTINCT b.doc_id AS doc_id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         |keepex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |rep AS (SELECT w.doc_id FROM w
+         |  LEFT JOIN (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM
+         |      (SELECT doc_id, bg, count(*) AS c FROM
+         |        (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+         |           for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS bg FROM w)
+         |       GROUP BY 1, 2) GROUP BY 1) t USING (doc_id)
+         |  WHERE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.6
+         |    AND COALESCE(CAST(top_bg AS DOUBLE) / n_bg, 0.0) <= 0.1),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(w[i:i+3], ' ')
+         |     for i in range(1, greatest(len(w) - 3, 0) + 1)])) AS gram FROM w),
+         |cont AS (SELECT DISTINCT g.doc_id FROM g
+         |  JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0) b USING (gram)
+         |  WHERE g.doc_id % 41 != 0)
+         |SELECT d.doc_id, d.source,
+         |  CASE WHEN (d.doc_id * 2654435761) % 100 < 80 THEN 'train'
+         |       WHEN (d.doc_id * 2654435761) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents d
+         |WHERE d.doc_id IN (SELECT doc_id FROM keepex)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM dup)
+         |  AND d.doc_id IN (SELECT doc_id FROM rep)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+         |  AND d.doc_id % 41 != 0 AND d.lang = 'en'
+         |ORDER BY d.doc_id""".stripMargin,
     "q56_vocabulary" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |  FROM documents)

@@ -127,6 +127,30 @@ class TextOpsSpec extends SparkSuite {
     assert(crossH.sum.toDouble / crossH.length > 4.0)
   }
 
+  test("q58 release respects every individual filter it composes") {
+    val rel = TextOps.q58CorpusRelease(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(rel.nonEmpty)
+    val ids = rel.map(_._1).toSet
+    // each composed filter individually holds on the released set
+    val dupB = TextOps.q33NgramJaccard(spark, sf).collect()
+      .map(_.getLong(1)).toSet
+    assert(ids.intersect(dupB).isEmpty)
+    val contaminated = TextOps.q51Decontaminate(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(ids.intersect(contaminated).isEmpty)
+    val repFail = TextOps.q52RepetitionFilter(spark, sf).collect()
+      .filter(!_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(ids.intersect(repFail).isEmpty)
+    assert(ids.forall(_ % 41 != 0))
+    // split stamping matches the q43 rule
+    rel.foreach { case (id, split) =>
+      val b = (id * 2654435761L) % 100
+      val expected = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(split == expected)
+    }
+  }
+
   test("q35 blocked plan pairs via a hash equi-join, not an all-pairs scan") {
     val p = TextOps.q35SimhashBlocked(spark, sf)
       .queryExecution.executedPlan.toString

@@ -41,9 +41,9 @@ object TextFunctions {
     if (text == null) Array.empty[String] else shingleSet(text)
   }
 
-  private def ngramArr(text: String, n: Int, distinct: Boolean): Array[String] = {
+  private[functions] def ngramArr(text: String, n: Int, distinct: Boolean): Array[String] = {
     val w = text.split(" ", -1)
-    if (w.length < n) Array.empty[String]
+    if (n <= 0 || w.length < n) Array.empty[String]
     else {
       val out = new java.util.LinkedHashSet[String]()
       val all = if (distinct) null else new Array[String](w.length - n + 1)

@@ -154,12 +154,16 @@ object Vectors {
     val seeds = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("nv").as("nc"))
     def seedSim = dot_f(col("cv"), col("embedding")) / (col("nc") * col("nv"))
+    // argmax via max_by partial aggregation, not a window: no sort, the
+    // per-vector groups combine map-side. Ordering key (csim, -c_id)
+    // reproduces the window's deterministic tiebreak (highest sim, then
+    // LOWEST centroid id).
     val seedAssigned = e.crossJoin(broadcast(seeds))
       .withColumn("csim", seedSim)
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))))
-      .filter(col("r") === 1)
-      .select(col("c_id"), col("embedding"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("c_id"), col("embedding")),
+        struct(col("csim"), -col("c_id"))).as("w"))
+      .select(col("w.c_id").as("c_id"), col("w.embedding").as("embedding"))
     val refined = seedAssigned
       .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("c_id"), col("pos"))
@@ -180,10 +184,11 @@ object Vectors {
     // corpus × centroid assignment passes
     val assigned = e.crossJoin(broadcast(centroids))
       .withColumn("csim", csim)
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("nv"), col("c_id").as("bucket"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("nv"), col("c_id")),
+        struct(col("csim"), -col("c_id"))).as("w"))
+      .select(col("vec_id"), col("w.embedding").as("embedding"),
+        col("w.nv").as("nv"), col("w.c_id").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = assigned.crossJoin(broadcast(centroids))
       .filter(col("vec_id") % 50 === 0)

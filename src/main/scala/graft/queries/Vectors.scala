@@ -271,11 +271,64 @@ object Vectors {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  final case class QuantRow(vmin: Double, vmax: Double, mae: Double)
+
+  /** Per-vector int8 quantization stats: min/max range, and the mean
+    * absolute reconstruction error of round-to-nearest affine int8
+    * codes (code = ⌊(x−min)/scale + 0.5⌋ clamped to [0,255],
+    * scale = range/255). One pass, left-to-right fold — the oracle
+    * mirrors the exact expression tree so doubles are bit-identical. */
+  private val quantStats = udf { (v: Seq[Float]) =>
+    if (v == null || v.isEmpty) None
+    else {
+      var mn = v(0); var mx = v(0)
+      var i = 1
+      while (i < v.length) {
+        if (v(i) < mn) mn = v(i)
+        if (v(i) > mx) mx = v(i)
+        i += 1
+      }
+      val mnD = mn.toDouble; val mxD = mx.toDouble
+      val mae =
+        if (mxD == mnD) 0.0
+        else {
+          val scale = (mxD - mnD) / 255.0
+          var acc = 0.0
+          i = 0
+          while (i < v.length) {
+            val x = v(i).toDouble
+            val code = math.min(255.0,
+              math.max(0.0, math.floor((x - mnD) / scale + 0.5)))
+            acc += math.abs(x - (mnD + code * scale))
+            i += 1
+          }
+          acc / v.length
+        }
+      Some(QuantRow(mnD, mxD, mae))
+    }
+  }
+
+  /** q59: embedding int8 quantization audit — the storage-compression
+    * op for embedding corpora (4× smaller than fp32): per-vector affine
+    * int8 codes and their reconstruction error, the report you run
+    * before switching an ANN index to quantized storage.
+    *
+    * 100 TB shape: pure per-row map work, no shuffle; the quantized
+    * corpus inherits the same bucketing as the source (q39/q49 run
+    * unchanged over codes + scale/offset columns). */
+  def q59QuantizeAudit(s: SparkSession, d: String): DataFrame = {
+    val q = quantStats(col("embedding"))
+    embeddings(s, d).select(col("vec_id"),
+        q("vmin").as("vmin"), q("vmax").as("vmax"), q("mae").as("mae"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_cosine_topk"    -> (q36CosineTopk _),
     "q37_cosine_neardup" -> (q37CosineNearDup _),
     "q39_ann_ivf"        -> (q39AnnIvf _),
     "q49_ann_lsh"        -> (q49AnnLsh _),
+    "q59_quantize_audit" -> (q59QuantizeAudit _),
   )
 
   /** DuckDB mirror: identical left-to-right fold. */
@@ -288,6 +341,20 @@ object Vectors {
   }
 
   val oracle: Map[String, String] = Map(
+    "q59_quantize_audit" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |    CAST(list_max(embedding) AS DOUBLE) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id, mn AS vmin, mx AS vmax,
+        |  CASE WHEN mx = mn THEN 0.0 ELSE
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      [abs(CAST(x AS DOUBLE) - (mn + least(255.0, greatest(0.0,
+        |         floor((CAST(x AS DOUBLE) - mn) / ((mx - mn) / 255.0) + 0.5)))
+        |         * ((mx - mn) / 255.0)))
+        |       for x in embedding]), (a, b) -> a + b) / len(embedding)
+        |  END AS mae
+        |FROM s ORDER BY vec_id""".stripMargin,
     "q36_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
          |           WHERE vec_id % 50 = 0),

@@ -61,4 +61,19 @@ class VectorsSpec extends SparkSuite {
       assert(r.getDouble(2) >= 0.4)
     }
   }
+
+  test("q59 quantization error respects the analytic half-step bound") {
+    val rows = Vectors.q59QuantizeAudit(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (vmin, vmax, mae) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(vmax >= vmin)
+      // round-to-nearest affine int8: per-element error <= scale/2
+      val halfStep = (vmax - vmin) / 255.0 / 2.0
+      assert(mae >= 0.0 && mae <= halfStep * 1.0000001,
+        s"mae $mae exceeds half-step $halfStep")
+    }
+    // quantization is lossy on real vectors — error is not identically 0
+    assert(rows.exists(_.getDouble(3) > 0.0))
+  }
 }

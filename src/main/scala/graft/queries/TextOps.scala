@@ -149,6 +149,10 @@ object TextOps {
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+      // the pair list is tiny (near-dups are rare by definition) and has
+      // two downstream consumers (q42 survivors, q58 release) —
+      // materialize once, CacheManager rewrites their identical subtrees
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Shared DuckDB oracle for q33/q34: exact pairwise Jaccard (feasible at
@@ -354,6 +358,9 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("gram")).as("n_hit_grams"))
       .orderBy(col("doc_id"))
+      // contaminated-id list is small and q58 anti-joins it — share one
+      // materialization across the release pipeline
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** q52: repetition quality filter — duplicate-word fraction and
@@ -383,6 +390,9 @@ object TextOps {
       .withColumn("keep",
         col("dup_word_frac") <= 0.6 && col("top_bigram_frac") <= 0.1)
       .orderBy(col("doc_id"))
+      // one row per doc; q58 semi-joins the keepers — share the
+      // materialization with the release pipeline
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** q53: source-mixture resampling — downsample each source toward a

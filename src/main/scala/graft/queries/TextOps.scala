@@ -363,6 +363,40 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** q60: Bloom-prefiltered decontamination — same contract (and
+    * bit-identical output — the oracle is q51's SQL verbatim) as q51,
+    * built for the regime where the benchmark n-gram set is too big to
+    * broadcast as strings. A Bloom filter over the benchmark grams
+    * (~10 bits/gram at 1% FPP vs tens of string bytes) is built in one
+    * distributed aggregate pass and shipped to every task; corpus grams
+    * that cannot be benchmark members are dropped map-side BEFORE the
+    * verify join. Bloom filters have no false negatives, and the exact
+    * join removes the ~1% false positives, so output == q51 exactly.
+    *
+    * 100 TB shape: the corpus side stays map-local (explode + O(1) bloom
+    * probe); the verify join's left side shrinks from |corpus grams| to
+    * ~|true hits| — at that point Catalyst/AQE picks broadcast vs
+    * shuffle from the ACTUAL post-filter sizes, which is the right call
+    * at either scale. This is the standard big-benchmark scrub shape
+    * (the reference's point-lookup gate, DataCollector.py:57-60 analog,
+    * done set-at-a-time). */
+  def q60DecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.ngramsDistinct
+    val g = documents(s, d).select(col("doc_id"),
+      explode(ngramsDistinct(col("text"), lit(4))).as("gram"))
+    val bench = g.filter(col("doc_id") % 41 === 0).select(col("gram")).distinct()
+    val bloom =
+      bench.stat.bloomFilter("gram", math.max(bench.count(), 64L), 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightContain = udf { (gram: String) => bloomB.value.mightContainString(gram) }
+    g.filter(col("doc_id") % 41 =!= 0)
+      .filter(mightContain(col("gram")))
+      .join(bench, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram")).as("n_hit_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q52: repetition quality filter — duplicate-word fraction and
     * most-frequent-bigram fraction per document, with the keep verdict
     * (Gopher-style repetition gates). All counts are exact integers; the
@@ -499,6 +533,7 @@ object TextOps {
     "q43_train_split"       -> (q43TrainSplit _),
     "q44_source_cap"        -> (q44SourceCap _),
     "q51_decontaminate"     -> (q51Decontaminate _),
+    "q60_decontaminate_bloom" -> (q60DecontaminateBloom _),
     "q52_repetition_filter" -> (q52RepetitionFilter _),
     "q53_source_mix"        -> (q53SourceMix _),
     "q54_sequence_pack"     -> (q54SequencePack _),
@@ -512,6 +547,18 @@ object TextOps {
     "q35_simhash"        -> (q35Simhash _),
     "q38_fingerprint"    -> (q38Fingerprint _),
   )
+
+  /** Shared by q51 (broadcast verify) and q60 (bloom prefilter + verify):
+    * two physical strategies, one logical answer. */
+  private val decontaminateSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(w[i:i+3], ' ')
+      |     for i in range(1, greatest(len(w) - 3, 0) + 1)])) AS gram FROM w),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0)
+      |SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hit_grams
+      |FROM g JOIN bench USING (gram) WHERE g.doc_id % 41 != 0
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q42_neardup_survivors" ->
@@ -615,15 +662,10 @@ object TextOps {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         |FROM tok GROUP BY token
         |ORDER BY tf DESC, token LIMIT 20""".stripMargin,
-    "q51_decontaminate" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-        |g AS (SELECT doc_id, unnest(list_distinct(
-        |    [array_to_string(w[i:i+3], ' ')
-        |     for i in range(1, greatest(len(w) - 3, 0) + 1)])) AS gram FROM w),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0)
-        |SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hit_grams
-        |FROM g JOIN bench USING (gram) WHERE g.doc_id % 41 != 0
-        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q51_decontaminate" -> decontaminateSql,
+    // q60 is a different PLAN for the same answer: the bloom prefilter
+    // must be invisible in the output, so it shares q51's oracle verbatim.
+    "q60_decontaminate_bloom" -> decontaminateSql,
     "q52_repetition_filter" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |base AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd FROM w),

@@ -323,12 +323,54 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  private val SemBits = 8
+
+  /** q61: SemDeDup-shaped semantic dedup — cluster the embedding space,
+    * then near-dedup only WITHIN clusters (Abbas et al. 2023's recipe
+    * for embedding-level corpus dedup). Cluster = an 8-bit sign bucket
+    * over the first `SemBits` dimensions: axis-aligned random-projection
+    * LSH (coordinate hyperplanes). Unlike the k-means clustering of q39,
+    * the bucket function is one CASE chain of float sign tests — ANSI-SQL
+    * expressible — so this operator is oracle-checked end to end where
+    * published SemDeDup pipelines are eyeballed. Within a bucket a vector
+    * is a duplicate iff some SMALLER vec_id there has cosine ≥ 0.4 with
+    * it (keep-first, the q42 rule); survivors ship.
+    *
+    * 100 TB shape: ONE shuffle, on the bucket id; pairwise work drops
+    * from N² to Σ n_k² ≈ N²/K — the whole point of SemDeDup. K grows
+    * with the corpus by adding sign bits, and a skewed bucket splits by
+    * salting the pair join (ops/Skew toolbox). The cosine is the same
+    * codegen left-to-right fold as q36/q37 (bit-identical to the
+    * oracle's list_reduce), so the ≥-threshold decision is deterministic
+    * across engines. */
+  def q61SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val bucketCol = (0 until SemBits)
+      .map(b => when(col("embedding").getItem(b) > 0f, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("bucket", bucketCol)
+      .withColumn("nv", sqrt(dot_f(col("embedding"), col("embedding"))))
+    val a = e.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("nv").as("na"))
+    val b = e.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("nv").as("nb"))
+    val dups = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot_f(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.4)
+      .select(col("id_b").as("vec_id")).distinct()
+    e.join(dups, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("bucket"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_cosine_topk"    -> (q36CosineTopk _),
     "q37_cosine_neardup" -> (q37CosineNearDup _),
     "q39_ann_ivf"        -> (q39AnnIvf _),
     "q49_ann_lsh"        -> (q49AnnLsh _),
     "q59_quantize_audit" -> (q59QuantizeAudit _),
+    "q61_semantic_dedup" -> (q61SemanticDedup _),
   )
 
   /** DuckDB mirror: identical left-to-right fold. */
@@ -372,5 +414,18 @@ object Vectors {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+    "q61_semantic_dedup" -> {
+      val duckBucket = (0 until SemBits)
+        .map(b => s"(CASE WHEN embedding[${b + 1}] > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |    CAST($duckBucket AS BIGINT) AS bucket FROM embeddings),
+         |dup AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |    WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.4)
+         |SELECT vec_id, bucket, label FROM e
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+         |ORDER BY vec_id""".stripMargin
+    },
   )
 }

@@ -37,6 +37,15 @@ class TextOpsSpec extends SparkSuite {
       h.getLong(1)))
   }
 
+  test("q60 bloom-prefiltered decontamination equals q51 exactly") {
+    val exact = TextOps.q51Decontaminate(spark, sf).collect().toSeq
+    val bloomed = TextOps.q60DecontaminateBloom(spark, sf).collect().toSeq
+    assert(exact.nonEmpty)
+    // no false negatives (bloom property) + false positives removed by
+    // the verify join ⇒ the prefilter is invisible in the output
+    assert(bloomed == exact)
+  }
+
   test("q52 repetition fractions are in range and the verdict matches them") {
     val rows = TextOps.q52RepetitionFilter(spark, sf).collect()
     assert(rows.length == 500)

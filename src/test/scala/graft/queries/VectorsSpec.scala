@@ -76,4 +76,26 @@ class VectorsSpec extends SparkSuite {
     // quantization is lossy on real vectors — error is not identically 0
     assert(rows.exists(_.getDouble(3) > 0.0))
   }
+
+  test("q61 semantic dedup matches a brute-force in-bucket reference") {
+    val sfLocal = "/root/testdata/sf0.01" // sf with known in-bucket dups
+    val rows = Vectors.q61SemanticDedup(spark, sfLocal).collect()
+    val e = graft.Tables.embeddings(spark, sfLocal)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def bucket(v: Array[Float]): Long =
+      (0 until 8).map(b => if (v(b) > 0f) 1L << b else 0L).sum
+    def dot(x: Array[Float], y: Array[Float]): Double =
+      x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+    def cos(x: Array[Float], y: Array[Float]): Double =
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    val dups = (for {
+      (ib, vb) <- e; (ia, va) <- e
+      if ia < ib && bucket(va) == bucket(vb) && cos(va, vb) >= 0.4
+    } yield ib).toSet
+    assert(dups.nonEmpty, "corpus has no in-bucket dups; assertion vacuous")
+    assert(rows.map(_.getLong(0)).toSeq == e.map(_._1).filterNot(dups).toSeq)
+    val byId = e.toMap
+    rows.foreach(r => assert(r.getLong(1) == bucket(byId(r.getLong(0)))))
+  }
 }

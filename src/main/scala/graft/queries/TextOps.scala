@@ -308,6 +308,82 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q62: near-dup cluster assignment — connected components over the
+    * q33 pair graph with min-label canonicalization: every document gets
+    * the smallest doc_id transitively reachable through ≥0.8-Jaccard
+    * edges as its cluster_id (docs in no pair are their own singleton).
+    * The third leg of the dedup triptych: q33 finds PAIRS, q42 keeps
+    * SURVIVORS, q62 names the FAMILIES — what you need to keep one
+    * canonical doc per group or audit family sizes; pair-at-a-time
+    * dedup under-removes when A~B, B~C but A̸~C.
+    *
+    * Iterative min-label propagation to fixpoint. Scale design: the
+    * loop runs ONLY over edge-touched nodes (near-dups are a sliver of
+    * the corpus — the untouched majority joins back once at the end);
+    * each round is one partial-aggregable groupBy-min plus a key-joined
+    * label update, both hash-partitioned on the node id; rounds =
+    * component diameter (dup families are shallow, 2-3 rounds); the
+    * convergence probe is `isEmpty` on the changed-label set — an
+    * aggregate, no row data to the driver. The literature upgrade for
+    * adversarial chain-shaped components is alternating
+    * large-star/small-star (Kiveris et al. 2014) — same per-round plan,
+    * fewer rounds — worth it only past ~billions of edges. */
+  def q62DupClusters(s: SparkSession, d: String): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = q33NgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v").persist(mem)
+    var labels = edges.select(col("u")).distinct()
+      .select(col("u"), col("u").as("lbl")).persist(mem)
+    var converged = false
+    while (!converged) {
+      val viaNbr = edges
+        .join(labels.select(col("u").as("v"), col("lbl")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nl"))
+      val next = labels.select(col("u"), col("lbl").as("old"))
+        .join(viaNbr, Seq("u"), "left")
+        .select(col("u"), col("old"),
+          least(col("old"), coalesce(col("nl"), col("old"))).as("lbl"))
+        .persist(mem)
+      converged = next.filter(col("lbl") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next.select(col("u"), col("lbl"))
+    }
+    documents(s, d).select(col("doc_id"))
+      .join(labels.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q63: ensemble near-dup — union of the surface-form signal (q33
+    * word-shingle Jaccard ≥ 0.8) and the semantic signal (q37 embedding
+    * cosine ≥ 0.4, embeddings.vec_id keys the same corpus as
+    * documents.doc_id — the driver generates them in lockstep). The two
+    * signals catch DIFFERENT duplicate types: shingles find copy-edits
+    * and boilerplate, embeddings find paraphrases with no lexical
+    * overlap — production dedup runs both and unions the verdicts. Each
+    * pair is tagged with its provenance ('text' / 'embedding' / 'both'),
+    * which is also the audit you run to tune either threshold.
+    *
+    * 100 TB shape: both inputs are already the sub-quadratic plans (q33
+    * prefix-filtered inverted index, q37's blocked exact scan — or its
+    * ANN drop-in q39/q49 at extreme scale); the full-outer join merges
+    * two TINY pair lists (near-dups are rare), so cost is the two
+    * upstream scans, both cached in-session. */
+  def q63EnsembleNeardup(s: SparkSession, d: String): DataFrame = {
+    val t = q33NgramJaccard(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("txt"))
+    val e = Vectors.q37CosineNearDup(s, d)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        lit(true).as("emb"))
+    t.join(e, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        when(col("txt") && col("emb"), "both")
+          .when(col("txt"), "text").otherwise("embedding").as("signal"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** q43: reproducible train/val/test split via multiplicative hashing —
     * deterministic, engine-independent (plain modular arithmetic, no
     * engine hash), the standard trick for stable splits across pipeline
@@ -388,7 +464,9 @@ object TextOps {
     val bloom =
       bench.stat.bloomFilter("gram", math.max(bench.count(), 64L), 0.01)
     val bloomB = s.sparkContext.broadcast(bloom)
-    val mightContain = udf { (gram: String) => bloomB.value.mightContainString(gram) }
+    val mightContain =
+      udf { (gram: String) => bloomB.value.mightContainString(gram) }
+        .withName("bloom_might_contain")
     g.filter(col("doc_id") % 41 =!= 0)
       .filter(mightContain(col("gram")))
       .join(bench, Seq("gram"))
@@ -534,6 +612,8 @@ object TextOps {
     "q44_source_cap"        -> (q44SourceCap _),
     "q51_decontaminate"     -> (q51Decontaminate _),
     "q60_decontaminate_bloom" -> (q60DecontaminateBloom _),
+    "q62_dup_clusters"      -> (q62DupClusters _),
+    "q63_ensemble_neardup"  -> (q63EnsembleNeardup _),
     "q52_repetition_filter" -> (q52RepetitionFilter _),
     "q53_source_mix"        -> (q53SourceMix _),
     "q54_sequence_pack"     -> (q54SequencePack _),
@@ -705,6 +785,43 @@ object TextOps {
         |  (so // 512) != ((so + n_tokens - 1) // 512) AS straddles
         |FROM y ORDER BY source, doc_id""".stripMargin,
     "q33_ngram_jaccard" -> jaccardOracle(0.8),
+    "q63_ensemble_neardup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles sh FROM w),
+         |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         |ep AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${Vectors.duckCosine("a.embedding", "b.embedding")} >= 0.4)
+         |SELECT COALESCE(tp.doc_a, ep.doc_a) AS doc_a,
+         |  COALESCE(tp.doc_b, ep.doc_b) AS doc_b,
+         |  CASE WHEN tp.doc_a IS NOT NULL AND ep.doc_a IS NOT NULL THEN 'both'
+         |       WHEN tp.doc_a IS NOT NULL THEN 'text'
+         |       ELSE 'embedding' END AS signal
+         |FROM tp FULL OUTER JOIN ep
+         |  ON tp.doc_a = ep.doc_a AND tp.doc_b = ep.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // transitive closure of the q33 pair graph: recursive CTE enumerates
+    // (node, reachable-node) pairs; min per node = component label
+    "q62_dup_clusters" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles sh FROM w),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |r(n, m) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT e.v, r.m FROM r JOIN e ON r.n = e.u),
+         |comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n)
+         |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN comp c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q34_minhash_lsh"   -> jaccardOracle(0.8),
     "q35_simhash" ->
       s"""WITH h AS (SELECT doc_id,

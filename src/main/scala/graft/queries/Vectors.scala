@@ -374,7 +374,7 @@ object Vectors {
   )
 
   /** DuckDB mirror: identical left-to-right fold. */
-  private def duckCosine(a: String, b: String): String = {
+  private[queries] def duckCosine(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  [CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in range(1, len($x) + 1)]),

@@ -58,6 +58,27 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("REPARTITION_BY_NUM") || p.contains("RoundRobinPartitioning"), p)
   }
 
+  test("q60 bloom prefilter sits on the corpus side before the verify join") {
+    val p = plan(TextOps.q60DecontaminateBloom(spark, sf))
+    // the UDF probe must run map-side (a Filter under the join), so the
+    // join's left input carries only bloom survivors — the whole point
+    assert(p.contains("bloom_might_contain"), p)
+  }
+
+  test("q61 in-bucket pair join shuffles on the bucket id only") {
+    // disable auto-broadcast: at test SF everything fits a broadcast, but
+    // the pinned property is the at-scale shape (bucket-hash partitions)
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Vectors.q61SemanticDedup(spark, sf))
+      // SemDeDup shape: pairwise work confined to bucket-hash partitions
+      // — no broadcast of the corpus, no nested-loop over all pairs
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.contains("hashpartitioning(bucket"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("q27 point lookup pushes all three conjuncts") {
     val p = plan(Packets.q27PointLookup(spark, sf))
     assert(p.contains("EqualTo(c_nationkey,5)"), p)

@@ -46,6 +46,41 @@ class TextOpsSpec extends SparkSuite {
     assert(bloomed == exact)
   }
 
+  test("q62 clusters equal union-find over the q33 pairs, transitively") {
+    val pairs = TextOps.q33NgramJaccard(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val rows = TextOps.q62DupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    rows.foreach { case (d, c) => assert(c == find(d), s"doc $d: $c != ${find(d)}") }
+    // at least one >=3 family proves closure went beyond single pairs
+    assert(rows.groupBy(_._2).exists(_._2.length >= 3))
+    assert(pairs.nonEmpty)
+  }
+
+  test("q63 ensemble is the tagged union of the q33 and q37 pair sets") {
+    val t = TextOps.q33NgramJaccard(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = Vectors.q37CosineNearDup(spark, sf).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = TextOps.q63EnsembleNeardup(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2))).toMap
+    assert(t.nonEmpty && e.nonEmpty)
+    assert(rows.keySet == (t union e))
+    rows.foreach { case (p, sig) =>
+      val expect = if (t(p) && e(p)) "both" else if (t(p)) "text" else "embedding"
+      assert(sig == expect, s"$p tagged $sig, expected $expect")
+    }
+  }
+
   test("q52 repetition fractions are in range and the verdict matches them") {
     val rows = TextOps.q52RepetitionFilter(spark, sf).collect()
     assert(rows.length == 500)

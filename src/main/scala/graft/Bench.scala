@@ -27,6 +27,27 @@ object Bench {
     // warmup: exercise scan + agg + codegen paths once, uncounted
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => fn(spark, sfDir).count())
+    // ... and the JIT'd UDF kernels (shingle/minhash/jaccard/prefix,
+    // CMAC/codec) on a one-row frame: on a long-lived cluster these are
+    // compiled once per executor JVM, not once per query — billing the
+    // HotSpot compile to whichever query alphabetically runs first would
+    // misattribute session start-up, same as the scan warmup above.
+    locally {
+      import org.apache.spark.sql.functions._
+      import graft.functions.{TextFunctions => T, PhyFunctions => P}
+      val one = spark.range(1).select(
+        lit("warm up the kernels with a few words of text").as("text"),
+        lit("00000000000000000000000000000000").as("key"))
+      one.select(
+          T.minhashSig(T.shingles(col("text"))).as("sig"),
+          T.prefixShingles(T.shingles(col("text")), lit(0.8)).as("pref"),
+          T.jaccard(T.shingles(col("text")), T.shingles(col("text"))).as("j"),
+          P.signPacketUdf(P.encodeJoinRequest(lit("0011223344556677"),
+            lit("8899aabbccddeeff"), lit(1), lit("00000000")), col("key")).as("b"))
+        .select(P.micMatchEvents(col("key"),
+          array(struct(lit(1L).as("event_id"), col("b").as("bytes")))))
+        .count()
+    }
 
     // A query that throws serializes as null in `queries` (so consumers
     // summing/plotting per-query values never see a corrupted number)

@@ -1,10 +1,7 @@
 package graft.codec
 
-import javax.crypto.Cipher
-import javax.crypto.spec.SecretKeySpec
-
-/** LoRaWAN 1.0.x crypto, pure JVM (javax.crypto AES + hand-rolled AES-CMAC
-  * per RFC 4493 — the JDK ships no CMAC).
+/** LoRaWAN 1.0.x crypto, pure JVM ([[Aes128]] T-table AES + hand-rolled
+  * AES-CMAC per RFC 4493 — the JDK ships no CMAC).
   *
   * Re-implements, from the public spec, the reference's Go surface:
   * MIC compute/validate (`lorawanwrapper/utils/micGenerator.go:9-67`),
@@ -17,25 +14,16 @@ object LorawanCrypto {
 
   // ------------------------------------------------------------- AES core
 
-  // Cipher.getInstance dominates per-call cost (provider lookup); hot
-  // paths (CMAC = 3+ block ops per MIC, key brute-force = thousands of
-  // MICs per row) reuse a thread-local instance and only re-init the key.
-  private val encCipher = ThreadLocal.withInitial[Cipher](() =>
-    Cipher.getInstance("AES/ECB/NoPadding"))
-  private val decCipher = ThreadLocal.withInitial[Cipher](() =>
-    Cipher.getInstance("AES/ECB/NoPadding"))
+  // [[Aes128]] replaces javax.crypto here: JCE's per-call cost
+  // (getInstance provider lookup + SecretKeySpec init + doFinal buffer
+  // churn) dominated 16-byte block work in the hot paths (CMAC = 3+
+  // block ops per MIC, key search = one session per candidate key).
+  // Aes128Spec pins bit-equality with javax.crypto on random inputs.
+  private def aesEncryptBlock(key: Array[Byte], block: Array[Byte]): Array[Byte] =
+    Aes128.encrypt(key, block)
 
-  private def aesEncryptBlock(key: Array[Byte], block: Array[Byte]): Array[Byte] = {
-    val c = encCipher.get()
-    c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"))
-    c.doFinal(block)
-  }
-
-  private def aesDecryptBlock(key: Array[Byte], block: Array[Byte]): Array[Byte] = {
-    val c = decCipher.get()
-    c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"))
-    c.doFinal(block)
-  }
+  private def aesDecryptBlock(key: Array[Byte], block: Array[Byte]): Array[Byte] =
+    Aes128.decrypt(key, block)
 
   // ------------------------------------------------------------- AES-CMAC
 
@@ -66,14 +54,16 @@ object LorawanCrypto {
     * messages. This is the kernel the key-search queries (q28/q48) run
     * candidate-major: one session per candidate key, then every signed
     * packet is checked against it — versus a per-(key, packet) session,
-    * that is 8-200× fewer key schedules and getInstance calls, which
-    * dominate small-message CMAC cost. Owns its Cipher (no thread-local
-    * sharing) so a live session can never be clobbered by other codec
-    * calls on the same thread. */
+    * that is 8-200× fewer key schedules, which dominate small-message
+    * CMAC cost. Pure [[Aes128]]: a session is just 44 expanded-key ints
+    * plus the two subkey blocks — no JCE objects at all. */
   final class CmacSession(key: Array[Byte]) {
-    private val c = Cipher.getInstance("AES/ECB/NoPadding")
-    c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"))
-    private def e(block: Array[Byte]): Array[Byte] = c.doFinal(block)
+    private val ks = Aes128.expandKey(key)
+    private def e(block: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](16)
+      Aes128.encryptBlock(ks, block, 0, out, 0)
+      out
+    }
     private val k1 = {
       val l = e(new Array[Byte](16))
       val s = leftShiftOne(l)
@@ -124,10 +114,12 @@ object LorawanCrypto {
     * LorawanCryptoSpec. */
   def aesCmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
     // one key schedule for the whole CMAC (n+1 block encryptions)
-    val c = encCipher.get()
-    c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"))
-    def aesEncryptBlock(unused: Array[Byte], block: Array[Byte]): Array[Byte] =
-      c.doFinal(block)
+    val ks = Aes128.expandKey(key)
+    def aesEncryptBlock(unused: Array[Byte], block: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](16)
+      Aes128.encryptBlock(ks, block, 0, out, 0)
+      out
+    }
     val zero = new Array[Byte](16)
     val l = aesEncryptBlock(key, zero)
     val k1 = {

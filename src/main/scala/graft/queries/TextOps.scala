@@ -116,19 +116,19 @@ object TextOps {
     * candidate is exact-verified). */
   def q33NgramJaccard(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions.jaccard
-    // barrier: keep the shingle kernel evaluated once (projection collapse
-    // would re-run it inside the explode and both join sides); persist:
-    // the shingled table has FOUR consumers (both index sides + both
-    // verify sides) and Spark reuses no un-cached subtree across them —
-    // without the cache the scan + shingle kernel run 4×. MEMORY_AND_DISK
-    // so a 100× corpus spills instead of OOMing (at real cluster scale
-    // the signature table would be materialized to storage once and
-    // shared by every downstream dedup consumer — CacheManager gives q42
-    // exactly that reuse in-session).
+    // barrier: keep the shingle kernel evaluated once per consumer
+    // (projection collapse would re-run it inside the explode). The
+    // shingled table has four consumers (both index sides + both verify
+    // sides); measured at sf0.1, re-running the columnar scan + JIT'd
+    // kernel 4× is CHEAPER cold than materializing the wide shingle-array
+    // cache (3.3 s vs 5.9 s) — caching wide arrays pays serialization +
+    // memory pressure and drops whole-stage codegen under the
+    // InMemoryTableScan. At real cluster scale the signature table would
+    // be checkpointed to storage once and shared by every dedup consumer;
+    // in-session, only the tiny pair-list output below is cached.
     val docs = shingled(documents(s, d))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .repartition(col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // canonical global order (xxhash64(s), s); prefix size n - ceil(0.8n) + 1
     // — heap-selected in a JIT'd kernel (TextFunctions.prefixShingles),
     // same set as the sorted-slice form but O(n log k) and codegen-free
@@ -182,9 +182,8 @@ object TextOps {
     val docs = shingled(documents(s, d))
       .withColumn("sig", minhashSig(col("sh")))
       .repartition(col("doc_id"))
-      // four consumers (both band sides + both verify sides) — cache the
-      // 128-perm signature kernel's output instead of re-running it 4×
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // four consumers (both band sides + both verify sides); as in q33,
+      // re-running the scan + kernels beats caching the wide arrays cold
     val bands = docs.select(col("doc_id"),
         explode(expr(
           "transform(sequence(0, 31), b -> struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bh))"))

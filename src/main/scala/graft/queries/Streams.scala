@@ -78,8 +78,72 @@ object Streams {
       .agg(max(eventTime).as("last_seen"), count(lit(1)).as("n_messages"))
       .orderBy(col("user_id"))
 
+  /** q64: generic event-time AS-OF join — for every purchase, the most
+    * recent strictly-earlier click by the same user (backward as-of,
+    * the attribution join every event pipeline needs; the reference's
+    * F2 pairing in q23 is the buffer-1 special case of this).
+    *
+    * Spark-first shape: NOT a point-in-interval join (which explodes
+    * to O(clicks × purchases) per user) but union-tag + one window
+    * over (user_id, ts) — a single hash-partitioned sort per side,
+    * `last(_, ignoreNulls)` over rows [unbounded, -1 row]. At 100 TB
+    * this is one shuffle on user_id, no candidate blow-up, and skewed
+    * users degrade to a per-key sort instead of a cross product.
+    * Strictly-earlier tie-break is the total order (ts, event_id). */
+  def q64AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_id",
+        when(col("event_type") === "click", col("event_id")))
+      .withColumn("click_ts",
+        when(col("event_type") === "click", eventTime))
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), eventTime.as("purchase_ts"),
+        col("last_click_id"), col("last_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q65: banded RANGE join — all event pairs within 5 s of each other,
+    * with NO equi key to hang the join on (the θ-join Spark would
+    * otherwise plan as a broadcast nested loop over N² pairs).
+    *
+    * Scale shape: bucket the time axis at the range radius
+    * (5 s → bucket = ts div 5e9 ns); a qualifying pair differs by ≤ 1
+    * bucket, so exploding ONE side to its 3 neighboring buckets turns
+    * the θ-join into an equi-join on the other side's home bucket —
+    * shuffle-bounded, 3× duplication of one side, no quadratic scan.
+    * Each pair matches exactly once (the right row's home bucket is
+    * unique), so no distinct is needed. A hot 5 s bucket is the skew
+    * case: salt that bucket or shrink the band. */
+  def q65RangeJoin(s: SparkSession, d: String): DataFrame = {
+    // micros, not nanos: both engines truncate the TIMESTAMP(NANOS)
+    // column to micros identically (see eventTime note above)
+    val bandUs = 5000000L
+    val e = events(s, d)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"))
+    val probe = e.select(col("event_id").as("event_a"), col("ts_us").as("ts_a"),
+      explode(array(expr(s"ts_us div $bandUs") - 1, expr(s"ts_us div $bandUs"),
+        expr(s"ts_us div $bandUs") + 1)).as("bucket"))
+    val build = e.select(col("event_id").as("event_b"), col("ts_us").as("ts_b"),
+      expr(s"ts_us div $bandUs").as("bucket"))
+    probe.join(build,
+        probe("bucket") === build("bucket") &&
+          col("event_a") < col("event_b") &&
+          abs(col("ts_b") - col("ts_a")) <= bandUs)
+      .select(col("event_a"), col("event_b"),
+        abs(col("ts_b") - col("ts_a")).as("gap_us"))
+      .orderBy(col("event_a"), col("event_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_tumbling_window" -> (q13TumblingWindow _),
+    "q64_asof_join"       -> (q64AsofJoin _),
+    "q65_range_join"      -> (q65RangeJoin _),
     "q17_last_seen"       -> (q17LastSeen _),
     "q14_session_window"  -> (q14SessionWindow _),
     "q15_config_fanout"   -> (q15ConfigFanout _),
@@ -87,6 +151,30 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "q64_asof_join" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+        |    CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(click_id IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id,
+        |    last_value(click_ts IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+        |  FROM u)
+        |SELECT event_id, user_id, ts AS purchase_ts, last_click_id, last_click_ts
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q65_range_join" ->
+      """SELECT a.event_id AS event_a, b.event_id AS event_b,
+        |  abs(epoch_us(b.ts) - epoch_us(a.ts)) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.event_id < b.event_id
+        |  AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 5000000
+        |ORDER BY event_a, event_b""".stripMargin,
     "q17_last_seen" ->
       """SELECT user_id, MAX(ts) AS last_seen, COUNT(*) AS n_messages
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

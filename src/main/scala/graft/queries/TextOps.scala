@@ -397,6 +397,27 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .orderBy(col("lang"), col("split"))
 
+  /** q66: stratified deterministic sampling — a different target rate
+    * per stratum (source), decided by the same engine-independent
+    * multiplicative hash as the q43 split, so the sample is reproducible
+    * across engines and re-runs and needs no RNG state. Strata rates
+    * cycle 10/25/50/75% by source number mod 4 (the shape of a
+    * curated source-mixing recipe: downsample crawl, keep references).
+    * Per-row map work, no shuffle beyond the final per-source rollup —
+    * the partial aggregate is map-side combinable, scale-trivial. */
+  def q66StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "([0-9]+)", 1).cast("long")
+    val ratePct = element_at(
+      array(lit(10), lit(25), lit(50), lit(75)), (srcNum % 4 + 1).cast("int"))
+    documents(s, d)
+      .withColumn("rate_pct", ratePct)
+      .withColumn("bucket", (col("doc_id") * 2654435761L) % 100)
+      .groupBy(col("source"), col("rate_pct"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("bucket") < col("rate_pct"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** q44: per-source cap (domain-mixing): keep at most 5 docs per source,
     * chosen by the same reproducible hash order — the "don't let one
     * domain dominate" sampling op. */
@@ -609,6 +630,7 @@ object TextOps {
     "q42_neardup_survivors" -> (q42NeardupSurvivors _),
     "q43_train_split"       -> (q43TrainSplit _),
     "q44_source_cap"        -> (q44SourceCap _),
+    "q66_stratified_sample" -> (q66StratifiedSample _),
     "q51_decontaminate"     -> (q51Decontaminate _),
     "q60_decontaminate_bloom" -> (q60DecontaminateBloom _),
     "q62_dup_clusters"      -> (q62DupClusters _),
@@ -657,6 +679,15 @@ object TextOps {
         |       ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "q66_stratified_sample" ->
+      """WITH x AS (SELECT source, doc_id,
+        |    CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4
+        |      WHEN 0 THEN 10 WHEN 1 THEN 25 WHEN 2 THEN 50 ELSE 75 END AS rate_pct,
+        |    (doc_id * 2654435761) % 100 AS bucket
+        |  FROM documents)
+        |SELECT source, rate_pct, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM x GROUP BY source, rate_pct ORDER BY source""".stripMargin,
     "q44_source_cap" ->
       """WITH r AS (SELECT source, doc_id,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY source

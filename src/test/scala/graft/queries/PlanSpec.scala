@@ -125,6 +125,22 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q65 banded range join plans as an equi-join, not a nested loop") {
+    val p = plan(Streams.q65RangeJoin(spark, sf))
+    // bucketing the time axis must turn the |Δts| θ-predicate into a
+    // bucket equi-join; a BroadcastNestedLoopJoin here is the O(N²)
+    // plan the banding exists to avoid
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q64 as-of join is one window over user_id, no self-join blow-up") {
+    val p = plan(Streams.q64AsofJoin(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q01 aggregation runs inside whole-stage codegen") {
     // AQE's pre-execution explain hides codegen spans; inspect the final
     // executed plan after an action

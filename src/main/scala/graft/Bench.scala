@@ -39,6 +39,7 @@ object Bench {
         lit("warm up the kernels with a few words of text").as("text"),
         lit("00000000000000000000000000000000").as("key"))
       one.select(
+          col("key"),
           T.minhashSig(T.shingles(col("text"))).as("sig"),
           T.prefixShingles(T.shingles(col("text")), lit(0.8)).as("pref"),
           T.jaccard(T.shingles(col("text")), T.shingles(col("text"))).as("j"),

@@ -1,0 +1,119 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst AGGREGATE expression: a HyperLogLog distinct-count
+  * sketch (Flajolet et al. 2007) as a `TypedImperativeAggregate` — the
+  * preference-tier-(b) form for aggregates, complementing the scalar
+  * [[DotProductF]]: the sketch buffer lives in Tungsten's aggregation
+  * state, partial sketches merge map-side (the update/merge split IS
+  * partial aggregation), and the operator composes with any groupBy.
+  *
+  * p = 12 → m = 4096 registers, one byte each: 4 KB of state per group
+  * regardless of cardinality — the whole point at 100 TB, where exact
+  * `count(distinct)` needs a full shuffle+sort of every distinct value
+  * (Spark plans it as Expand + two aggregates) while the sketch answers
+  * in one map-side-combinable pass with ~1.04/√m ≈ 1.6% relative error.
+  *
+  * The hash is the first 8 bytes (big-endian) of md5(utf8(value)) —
+  * chosen DELIBERATELY over xxhash64: both engines of the correctness
+  * gate can compute it (`md5()` exists in DuckDB and everywhere else),
+  * so unlike every production HLL this sketch is exactly
+  * cross-engine-verifiable: register index = top 12 bits, rank = 53 −
+  * bit-length of the low 52 bits, register max and the fixed-point sum
+  * Σ 2^(53−M_j) are all integer arithmetic — the q67 oracle reproduces
+  * the sketch BIT-IDENTICALLY in SQL. Estimation (α_m·m²/Σ2^(−M_j),
+  * linear counting below 2.5m) involves doubles, so the oracled columns
+  * are the integer sketch aggregates; HllDistinctSpec pins the
+  * estimate's accuracy against exact counts.
+  */
+case class HllDistinct(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  import HllDistinct._
+
+  override def prettyName: String = "graft_hll_distinct"
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("v_empty", LongType, nullable = false),
+    StructField("s_fixed", DecimalType(38, 0), nullable = false),
+    StructField("est_hll", DoubleType, nullable = false)))
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      val d = digest.get()
+      d.reset()
+      val h = d.digest(bytes)
+      // first 8 digest bytes, big-endian == parsing the first 16 hex chars
+      var hv = 0L
+      var i = 0
+      while (i < 8) { hv = (hv << 8) | (h(i) & 0xffL); i += 1 }
+      val reg = (hv >>> (64 - P)).toInt
+      val w = hv & ((1L << (64 - P)) - 1)
+      val rank = if (w == 0L) (64 - P + 1) else 64 - P + 1 - bitLength(w)
+      if (rank > buf(reg)) buf(reg) = rank.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    var vEmpty = 0L
+    var sFixed = java.math.BigInteger.ZERO
+    var i = 0
+    while (i < M) {
+      val m = buf(i) & 0xff
+      if (m == 0) vEmpty += 1
+      // Σ 2^(53 − M_j), exact fixed-point (2^-M scaled by 2^53)
+      sFixed = sFixed.add(java.math.BigInteger.ONE.shiftLeft(64 - P + 1 - m))
+      i += 1
+    }
+    val raw = Alpha * M * M * math.pow(2, 64 - P + 1) / sFixed.doubleValue()
+    val est =
+      if (vEmpty > 0 && raw <= 2.5 * M) M * math.log(M.toDouble / vEmpty)
+      else raw
+    new GenericInternalRow(Array[Any](
+      vEmpty, Decimal(new java.math.BigDecimal(sFixed), 38, 0), est))
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllDistinct =
+    copy(child = newChild)
+}
+
+object HllDistinct {
+  /** Precision: 2^12 registers — 4 KB state, ~1.6% standard error. */
+  val P = 12
+  val M: Int = 1 << P
+  val Alpha: Double = 0.7213 / (1 + 1.079 / M)
+
+  private def bitLength(w: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(w)
+
+  private val digest = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+}

@@ -64,9 +64,18 @@ object GraftFunctions {
     GraftColumnBridge.column(
       DotProductF(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** HLL distinct sketch aggregate ([[HllDistinct]]); input must be a
+    * string column (cast first — the hash is over the utf8 text). */
+  def hllDistinct(c: Column): Column =
+    GraftColumnBridge.column(
+      HllDistinct(GraftColumnBridge.expression(c)).toAggregateExpression())
+
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProductF(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll_distinct",
+      exprs => HllDistinct(exprs.head).toAggregateExpression(), "built-in")
     // codec surface in SQL
     spark.udf.register("phy_decode_b64", PhyFunctions.phyDecodeB64)
     spark.udf.register("graft_shingles", TextFunctions.shingles)

@@ -140,10 +140,34 @@ object Streams {
       .orderBy(col("event_a"), col("event_b"))
   }
 
+  /** q67: approximate distinct counting via the [[graft.functions.HllDistinct]]
+    * HyperLogLog sketch aggregate — distinct active user-days per event
+    * type, sketched next to the exact count. At 100 TB the sketch is the
+    * only viable shape: 4 KB of mergeable state per group and one
+    * map-side-combinable pass, versus exact distinct's Expand + double
+    * aggregate over every distinct value. The md5-derived hash makes the
+    * sketch registers integer-exact across engines, so the ORACLE
+    * recomputes the sketch itself in SQL (v_empty + fixed-point register
+    * sum hash-compare bit-identically); estimate accuracy (~1.6% at
+    * p=12) is pinned by HllDistinctSpec. */
+  def q67ApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    val key = concat(col("user_id").cast("string"), lit(":"),
+      expr("(ts div 1000) div 86400000000").cast("string"))
+    events(s, d)
+      .withColumn("k", key)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.GraftFunctions.hllDistinct(col("k")).as("sk"),
+        countDistinct(col("k")).as("n_exact"))
+      .select(col("event_type"), col("sk.v_empty").as("v_empty"),
+        col("sk.s_fixed").as("s_fixed"), col("n_exact"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_tumbling_window" -> (q13TumblingWindow _),
     "q64_asof_join"       -> (q64AsofJoin _),
     "q65_range_join"      -> (q65RangeJoin _),
+    "q67_approx_distinct" -> (q67ApproxDistinct _),
     "q17_last_seen"       -> (q17LastSeen _),
     "q14_session_window"  -> (q14SessionWindow _),
     "q15_config_fanout"   -> (q15ConfigFanout _),
@@ -151,6 +175,28 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "q67_approx_distinct" ->
+      """WITH k AS (
+        |  SELECT event_type,
+        |    CAST(user_id AS VARCHAR) || ':' ||
+        |      CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS k
+        |  FROM events),
+        |h AS (SELECT event_type,
+        |    ('0x' || substring(md5(k), 1, 16))::UBIGINT AS hv FROM k),
+        |r AS (SELECT event_type, hv >> 52 AS reg,
+        |    MAX(CASE WHEN hv % 4503599627370496 = 0 THEN 53
+        |         ELSE 53 - length(bin(hv % 4503599627370496)) END) AS m
+        |  FROM h GROUP BY 1, 2),
+        |agg AS (SELECT event_type,
+        |    CAST(4096 - COUNT(*) AS BIGINT) AS v_empty,
+        |    CAST(SUM(CAST(CAST(1 AS BIGINT) << (53 - m) AS HUGEINT))
+        |      + CAST(4096 - COUNT(*) AS HUGEINT) * (CAST(1 AS HUGEINT) << 53)
+        |      AS DECIMAL(38,0)) AS s_fixed
+        |  FROM r GROUP BY 1),
+        |x AS (SELECT event_type, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_exact
+        |  FROM k GROUP BY 1)
+        |SELECT a.event_type, v_empty, s_fixed, n_exact
+        |FROM agg a JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
     "q64_asof_join" ->
       """WITH u AS (
         |  SELECT event_id, user_id, ts, event_type,

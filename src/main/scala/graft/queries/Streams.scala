@@ -163,11 +163,31 @@ object Streams {
       .orderBy(col("event_type"))
   }
 
+  /** q68: semi-structured extraction through Spark 4's VARIANT type —
+    * `parse_json` once into the binary variant encoding, then typed
+    * path extraction (`variant_get`) inside the aggregate. The modern
+    * schema-on-read path for a 100 TB event stream whose `props` blob
+    * drifts: unlike `from_json` there is no fixed StructType to
+    * mis-declare, unlike per-access `get_json_object` the JSON text is
+    * parsed ONCE (variant re-access is byte-offset navigation, not
+    * re-parsing), and missing paths are clean NULLs (n_missing pins
+    * that semantics). */
+  def q68VariantExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("v", parse_json(col("props")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("variant_get(v, '$.k', 'long')")).as("sum_k"),
+        max(expr("variant_get(v, '$.k', 'long')")).as("max_k"),
+        count(expr("variant_get(v, '$.missing', 'long')")).as("n_missing"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_tumbling_window" -> (q13TumblingWindow _),
     "q64_asof_join"       -> (q64AsofJoin _),
     "q65_range_join"      -> (q65RangeJoin _),
     "q67_approx_distinct" -> (q67ApproxDistinct _),
+    "q68_variant_extract" -> (q68VariantExtract _),
     "q17_last_seen"       -> (q17LastSeen _),
     "q14_session_window"  -> (q14SessionWindow _),
     "q15_config_fanout"   -> (q15ConfigFanout _),
@@ -175,6 +195,12 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "q68_variant_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(COUNT(json_extract_string(props, '$.missing')) AS BIGINT) AS n_missing
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q67_approx_distinct" ->
       """WITH k AS (
         |  SELECT event_type,

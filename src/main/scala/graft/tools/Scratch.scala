@@ -26,7 +26,13 @@ object Scratch {
       val cnt =
         if (n == "v_nopersist") q33NoPersist(spark, sfDir).count()
         else if (n == "v_cc") ccRounds(spark, sfDir)
-        else graft.SparkEntry.queries(n)(spark, sfDir).count()
+        else if (sys.env.contains("SCRATCH_EXPLAIN")) {
+          val df = graft.SparkEntry.queries(n)(spark, sfDir)
+          val c = df.count()
+          println(s"==== $n executed plan ====")
+          println(df.queryExecution.executedPlan.toString.take(8000))
+          c
+        } else graft.SparkEntry.queries(n)(spark, sfDir).count()
       println(f"SCRATCH $n rep$r ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$cnt")
     }
     spark.stop()

@@ -182,12 +182,52 @@ object Streams {
         count(expr("variant_get(v, '$.missing', 'long')")).as("n_missing"))
       .orderBy(col("event_type"))
 
+  /** q69: conversion funnel — for every purchase, did a click precede it
+    * within 2 hours, and did a view precede THAT click within 2 hours
+    * (the view→click→purchase sequence-matching op of event
+    * analytics; Spark has no MATCH_RECOGNIZE, so the funnel composes
+    * from the q64 as-of technique).
+    *
+    * Two chained ignore-nulls windows over ONE (user_id, ts) sort — no
+    * joins at all: pass 1 annotates every row with its running last-view
+    * time; pass 2 carries `struct(click_ts, click's last-view)` through
+    * a second last() — the STRUCT is the correctness point: the click
+    * time and that same click's view time travel together, so a click
+    * with no prior view cannot borrow an older click's view. Same
+    * partitioning for both passes → Catalyst plans one shuffle + one
+    * sort, two Window operators on top. */
+  def q69Funnel(s: SparkSession, d: String): DataFrame = {
+    val stepUs = 7200000000L // 2 h (matched to the synthetic stream sparsity)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withColumn("ts_us", expr("ts div 1000"))
+    val withView = base.withColumn("last_view_ts",
+      last(when(col("event_type") === "view", col("ts_us")), ignoreNulls = true).over(w))
+    val withClick = withView.withColumn("lc",
+      last(when(col("event_type") === "click",
+        struct(col("ts_us").as("cts"), col("last_view_ts").as("lv"))),
+        ignoreNulls = true).over(w))
+    withClick
+      .filter(col("event_type") === "purchase")
+      .withColumn("has_click",
+        coalesce(col("ts_us") - col("lc.cts") <= stepUs, lit(false)))
+      .withColumn("full_funnel",
+        coalesce(col("ts_us") - col("lc.cts") <= stepUs &&
+          col("lc.cts") - col("lc.lv") <= stepUs, lit(false)))
+      .select(col("event_id"), col("user_id"), col("has_click"), col("full_funnel"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_tumbling_window" -> (q13TumblingWindow _),
     "q64_asof_join"       -> (q64AsofJoin _),
     "q65_range_join"      -> (q65RangeJoin _),
     "q67_approx_distinct" -> (q67ApproxDistinct _),
     "q68_variant_extract" -> (q68VariantExtract _),
+    "q69_funnel"          -> (q69Funnel _),
     "q17_last_seen"       -> (q17LastSeen _),
     "q14_session_window"  -> (q14SessionWindow _),
     "q15_config_fanout"   -> (q15ConfigFanout _),
@@ -195,6 +235,28 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "q69_funnel" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |v AS (
+        |  SELECT *, last_value(CASE WHEN event_type = 'view' THEN ts_us END
+        |      IGNORE NULLS) OVER w AS last_view_ts
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |c AS (
+        |  SELECT *, last_value(CASE WHEN event_type = 'click'
+        |      THEN struct_pack(cts := ts_us, lv := last_view_ts) END
+        |      IGNORE NULLS) OVER w AS lc
+        |  FROM v
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id,
+        |  COALESCE(ts_us - (lc).cts <= 7200000000, FALSE) AS has_click,
+        |  COALESCE(ts_us - (lc).cts <= 7200000000
+        |    AND (lc).cts - (lc).lv <= 7200000000, FALSE) AS full_funnel
+        |FROM c WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "q68_variant_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -141,6 +141,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q67 HLL sketch aggregates map-side (partial before the shuffle)") {
+    val p = plan(Streams.q67ApproxDistinct(spark, sf))
+    // the sketch must combine as a partial aggregate below the exchange —
+    // that's the whole point of a mergeable sketch at scale
+    assert(p.contains("partial_graft_hll_distinct") ||
+      p.linesIterator.exists(l => l.contains("graft_hll_distinct") && l.contains("partial")), p)
+  }
+
   test("q01 aggregation runs inside whole-stage codegen") {
     // AQE's pre-execution explain hides codegen spans; inspect the final
     // executed plan after an action

@@ -190,6 +190,45 @@ object Relational {
           .otherwise(lit(0).cast(dec))).cast("double").as("purchase_value"))
       .orderBy(col("user_id"))
 
+  /** q70: the rest of the window-function family (§2.9 breadth) —
+    * ntile / percent_rank / cume_dist / dense_rank / nth_value over one
+    * (status, totalprice) sort. The o_orderkey tiebreak makes the order
+    * total, so every ranking value is deterministic in both engines;
+    * nth_value gets an explicit unbounded frame (the default
+    * up-to-current frame would return null for the first two rows). */
+  def q70WindowZoo(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .withColumn("tile", ntile(10).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("dr", dense_rank().over(w).cast("long"))
+      .withColumn("third_key", nth_value(col("o_orderkey"), 3).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("tile"), col("pr"),
+        col("cd"), col("dr"), col("third_key"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q71: unpivot (wide→long melt) — the inverse of q12's pivot, via the
+    * native `Dataset.unpivot` operator (per-row map work, no shuffle;
+    * the oracle states the same thing as a UNION ALL, which is what
+    * unpivot must be semantically equal to). */
+  def q71Unpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
+    wide.unpivot(
+        Array(col("user_id")),
+        Array(col("n_purchase"), col("n_click"), col("n_error")),
+        "metric", "n")
+      .orderBy(col("user_id"), col("metric"))
+  }
+
   /** CUBE grouping sets (SURVEY §2.6/§2.9 — all 4 combinations). */
   def q18Cube(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -304,9 +343,35 @@ object Relational {
     "q10_distinct"         -> (q10Distinct _),
     "q11_above_avg"        -> (q11AboveAvg _),
     "q12_event_pivot"      -> (q12EventPivot _),
+    "q70_window_zoo"       -> (q70WindowZoo _),
+    "q71_unpivot"          -> (q71Unpivot _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q70_window_zoo" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ntile(10) OVER w AS BIGINT) AS tile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS dr,
+        |  nth_value(o_orderkey, 3) OVER
+        |    (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q71_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, metric, n FROM (
+        |  SELECT user_id, 'n_purchase' AS metric, n_purchase AS n FROM wide
+        |  UNION ALL SELECT user_id, 'n_click', n_click FROM wide
+        |  UNION ALL SELECT user_id, 'n_error', n_error FROM wide)
+        |ORDER BY user_id, metric""".stripMargin,
     "q55_pii_scrub" ->
       """WITH t AS (SELECT c_custkey,
         |  'reach ' || c_name || ' at ' ||

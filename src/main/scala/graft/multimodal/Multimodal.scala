@@ -105,6 +105,32 @@ object Multimodal {
 
   val phashStub = udf { (media: Array[Byte]) => phashBytes(media) }
 
+  /** DETERMINISTIC STUB audio framing: the blob's bytes stand in for PCM
+    * samples; frame w covers bytes [w·frameLen, min((w+1)·frameLen, L)).
+    * Emits one row per frame with its exact integer energy Σ sample² —
+    * the windowed-feature shape (RMS/energy/VAD) every audio pipeline
+    * starts with. A real decoder replaces the byte accessor with PCM
+    * decode at the same frame boundaries; the explode/aggregate plumbing
+    * downstream is representation-agnostic. */
+  def audioFrames(media: DataFrame, frameLen: Int): DataFrame = {
+    val t = decode(col("media"), "UTF-8")
+    media
+      .withColumn("t", t)
+      .withColumn("win",
+        explode(sequence(lit(0),
+          ceil(length(col("t")) / lit(frameLen.toDouble)).cast("int") - 1)))
+      .withColumn("seg", expr(s"substring(t, win * $frameLen + 1, $frameLen)"))
+      .withColumn("n_bytes", length(col("seg")).cast("long"))
+      .withColumn("energy", aggregate(
+        transform(sequence(lit(1), length(col("seg"))),
+          i => {
+            val c = ascii(col("seg").substr(i, lit(1))).cast("long")
+            c * c
+          }),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("win", col("win").cast("long"))
+  }
+
   /** Stub "resize": halve stub dimensions — metadata-only transform. */
   def resizeStub(decoded: Column): Column =
     decoded

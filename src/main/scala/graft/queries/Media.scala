@@ -72,13 +72,39 @@ object Media {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  /** q73: the audio path — stub PCM framing + exact per-frame energy
+    * (Multimodal.audioFrames, 64-byte frames): the windowed-feature
+    * extraction (RMS/energy/VAD) every audio pipeline starts with,
+    * emitted one row per (clip, frame). Integer energies, so the oracle
+    * is exact. */
+  def q73AudioWindows(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.mediaTable(documents(s, d))
+      .filter(col("media_type") === "audio")
+    Multimodal.audioFrames(media, 64)
+      .select(col("media_id"), col("win"), col("n_bytes"), col("energy"))
+      .orderBy(col("media_id"), col("win"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_media_decode" -> (q40MediaDecode _),
     "q41_video_frames" -> (q41VideoFrames _),
     "q57_media_phash"  -> (q57MediaPhashDedup _),
+    "q73_audio_windows" -> (q73AudioWindows _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q73_audio_windows" ->
+      """WITH a AS (SELECT doc_id AS media_id, text AS t FROM documents
+        |  WHERE doc_id % 3 = 1),
+        |w AS (SELECT media_id, t,
+        |    unnest(range(0, CAST(ceil(length(t) / 64.0) AS BIGINT))) AS win
+        |  FROM a),
+        |seg AS (SELECT media_id, win, substring(t, CAST(win * 64 + 1 AS BIGINT), 64) AS s
+        |  FROM w)
+        |SELECT media_id, win, CAST(length(s) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(string_split(s, ''),
+        |    c -> ascii(c) * ascii(c))) AS BIGINT) AS energy
+        |FROM seg ORDER BY media_id, win""".stripMargin,
     "q57_media_phash" ->
       """WITH m AS (SELECT doc_id AS media_id, text,
         |    CAST(length(text) AS BIGINT) AS L

@@ -355,6 +355,28 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q72: canonical-document selection — the action at the end of the
+    * dedup chain: q33 finds PAIRS, q62 names FAMILIES, q72 picks the
+    * KEEPER per family (longest doc wins, ties to the smallest id — the
+    * "keep the most complete copy" policy corpus builds actually use,
+    * vs q42's cruder keep-first-seen). One partial-aggregable
+    * `max_by(struct)` per family over the cluster assignment — no
+    * window sort; singleton families are filtered out (they need no
+    * decision). */
+  def q72CanonicalDocs(s: SparkSession, d: String): DataFrame = {
+    val cl = q62DupClusters(s, d)
+    documents(s, d).select(col("doc_id"), col("n_chars"))
+      .join(cl, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(struct(col("doc_id"), col("n_chars")),
+          struct(col("n_chars"), -col("doc_id"))).as("k"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster_id"), col("n_members"),
+        col("k.doc_id").as("keep_doc_id"), col("k.n_chars").as("keep_chars"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** q63: ensemble near-dup — union of the surface-form signal (q33
     * word-shingle Jaccard ≥ 0.8) and the semantic signal (q37 embedding
     * cosine ≥ 0.4, embeddings.vec_id keys the same corpus as
@@ -634,6 +656,7 @@ object TextOps {
     "q51_decontaminate"     -> (q51Decontaminate _),
     "q60_decontaminate_bloom" -> (q60DecontaminateBloom _),
     "q62_dup_clusters"      -> (q62DupClusters _),
+    "q72_canonical_docs"    -> (q72CanonicalDocs _),
     "q63_ensemble_neardup"  -> (q63EnsembleNeardup _),
     "q52_repetition_filter" -> (q52RepetitionFilter _),
     "q53_source_mix"        -> (q53SourceMix _),
@@ -852,6 +875,32 @@ object TextOps {
          |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q72_canonical_docs" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles sh FROM w),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |r(n, m) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT e.v, r.m FROM r JOIN e ON r.n = e.u),
+         |comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n),
+         |asg AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |    d.n_chars
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |sel AS (SELECT cluster_id, doc_id, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rk,
+         |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM asg)
+         |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+         |  doc_id AS keep_doc_id, n_chars AS keep_chars
+         |FROM sel WHERE rk = 1 AND n_members >= 2
+         |ORDER BY cluster_id""".stripMargin,
     "q34_minhash_lsh"   -> jaccardOracle(0.8),
     "q35_simhash" ->
       s"""WITH h AS (SELECT doc_id,

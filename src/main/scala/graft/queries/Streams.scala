@@ -221,7 +221,31 @@ object Streams {
       .orderBy(col("event_id"))
   }
 
+  /** q74: the custom whole-operator AS-OF join
+    * ([[graft.plans.AsOfJoinPlan]] → AsOfJoinExec, planned via the
+    * injected strategy) on the same attribution question as q64 — for
+    * every purchase, the latest click at-or-before it (inclusive,
+    * (ts, event_id) tiebreak). Same single-shuffle-per-side cost as a
+    * sort-merge join with O(1) merge state, vs q64's union+window
+    * composition. The oracle is an independent correlated-subquery
+    * statement of the semantics, so the custom exec's merge loop is
+    * driver-gate-verified, not just spec-verified. */
+  def q74AsofCustom(s: SparkSession, d: String): DataFrame = {
+    val purchases = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        expr("ts div 1000").as("p_ts"))
+    val clicks = events(s, d).filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        expr("ts div 1000").as("c_ts"))
+    graft.plans.AsOfJoin(s, purchases, clicks,
+        "p_user", "c_user", "p_ts", "c_ts", "c_id")
+      .select(col("p_id"), col("p_user"), col("p_ts"),
+        col("c_id").as("last_click_id"), col("c_ts").as("last_click_ts"))
+      .orderBy(col("p_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_asof_custom"     -> (q74AsofCustom _),
     "q13_tumbling_window" -> (q13TumblingWindow _),
     "q64_asof_join"       -> (q64AsofJoin _),
     "q65_range_join"      -> (q65RangeJoin _),
@@ -235,6 +259,17 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "q74_asof_custom" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS p_user,
+        |    epoch_us(ts) AS p_ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user,
+        |    epoch_us(ts) AS c_ts FROM events WHERE event_type = 'click')
+        |SELECT p_id, p_user, p_ts,
+        |  (SELECT c_id FROM c WHERE c_user = p_user AND c_ts <= p_ts
+        |   ORDER BY c_ts DESC, c_id DESC LIMIT 1) AS last_click_id,
+        |  (SELECT c_ts FROM c WHERE c_user = p_user AND c_ts <= p_ts
+        |   ORDER BY c_ts DESC, c_id DESC LIMIT 1) AS last_click_ts
+        |FROM p ORDER BY p_id""".stripMargin,
     "q69_funnel" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us

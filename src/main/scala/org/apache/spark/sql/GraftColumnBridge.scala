@@ -27,4 +27,26 @@ object GraftColumnBridge {
     * classic `queryExecution.toRdd`). */
   def toInternalRdd(df: DataFrame): RDD[InternalRow] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
+  /** Analyzed logical plan of a DataFrame (for building custom logical
+    * operators over already-resolved child outputs). */
+  def analyzedPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** LogicalPlan → DataFrame (`private[sql] Dataset.ofRows` — the hook
+    * every custom-operator API needs to hand its plan back to the user). */
+  def ofRows(spark: SparkSession,
+             plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently register an extra planner strategy on the session
+    * (the `experimental.extraStrategies` hook, for sessions not built
+    * through GraftExtensions). */
+  def addStrategy(spark: SparkSession,
+                  s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s)) {
+      exp.extraStrategies = exp.extraStrategies :+ s
+    }
+  }
 }

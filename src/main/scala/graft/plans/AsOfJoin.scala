@@ -143,10 +143,41 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule (the `Rule[LogicalPlan]` leg of the custom-operator
+  * registration): Catalyst's own PushDownPredicates cannot see through
+  * an unknown node, so without this rule a `filter` applied after an
+  * as-of join scans and sorts BOTH full inputs first. Left-side
+  * conjuncts are safe to push — every left row's match is independent
+  * of other left rows — and once below the operator they keep sinking
+  * to the parquet scan (PushedFilters). Right-side predicates must NOT
+  * be pushed: dropping right rows changes which row is "latest" for
+  * the survivors (they filter the OUTPUT's matched columns, a
+  * different question than filtering the input). */
+object AsOfJoinFilterPushdown
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond)
+        .partition(p => p.references.subsetOf(j.left.outputSet) && p.deterministic)
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsOfJoin {
 
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     GraftColumnBridge.addStrategy(spark, AsOfJoinStrategy)
+    GraftColumnBridge.addOptimization(spark, AsOfJoinFilterPushdown)
+  }
 
   /** Backward-inclusive as-of join of `left` with `right` (left outer):
     * per left row, the right row of the same key with the greatest

@@ -49,4 +49,15 @@ object GraftColumnBridge {
       exp.extraStrategies = exp.extraStrategies :+ s
     }
   }
+
+  /** Idempotently register an extra optimizer rule
+    * (`experimental.extraOptimizations`). */
+  def addOptimization(
+      spark: SparkSession,
+      r: catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(r)) {
+      exp.extraOptimizations = exp.extraOptimizations :+ r
+    }
+  }
 }

@@ -85,6 +85,36 @@ class AsOfJoinSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("left-side filter pushes below the join; right-output filter does not") {
+    val p = (1 to 100).map(i => (i.toLong, (i % 5).toLong, (i * 10).toLong))
+      .toDF("p_id", "p_user", "p_ts")
+    val c = (1 to 100).map(i => (1000L + i, (i % 5).toLong, (i * 7).toLong))
+      .toDF("c_id", "c_user", "c_ts")
+    val joined = AsOfJoin(spark, p, c, "p_user", "c_user", "p_ts", "c_ts", "c_id")
+
+    // left-column predicate → must sit BELOW AsOfJoinPlan after optimize
+    val filtered = joined.filter(col("p_id") <= 10L)
+    val opt = filtered.queryExecution.optimizedPlan
+    val joinNode = opt.collectFirst { case j: AsOfJoinPlan => j }.get
+    assert(joinNode.left.toString.contains("p_id"), opt.toString)
+    assert(!opt.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.child.isInstanceOf[AsOfJoinPlan] => f
+    }.isDefined, opt.toString)
+    // and the pushed plan returns the same rows as filtering the input
+    val viaInput = AsOfJoin(spark, p.filter(col("p_id") <= 10L), c,
+      "p_user", "c_user", "p_ts", "c_ts", "c_id")
+    assert(filtered.collect().toSet == viaInput.collect().toSet)
+
+    // right-output predicate must NOT push (it would change matches)
+    val rightFiltered = joined.filter(col("c_id") > 1050L)
+    val opt2 = rightFiltered.queryExecution.optimizedPlan
+    assert(opt2.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.child.isInstanceOf[AsOfJoinPlan] => f
+    }.isDefined, opt2.toString)
+  }
+
   test("plans as the custom exec with co-partitioned sorted children") {
     val p = Seq((1L, 5L, 100L)).toDF("p_id", "p_user", "p_ts")
     val c = Seq((10L, 5L, 90L)).toDF("c_id", "c_user", "c_ts")

@@ -377,6 +377,47 @@ object TextOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** q75: corpus-familiarity filter — the corpus-RELATIVE quality
+    * signal (the role the CCNet-style LM filter plays in production
+    * pipelines, with an integer-exact score instead of float
+    * perplexity): count every token's corpus frequency, then score each
+    * document by the mean capped frequency of its tokens. Documents of
+    * rare-token text (OCR noise, gibberish, wrong-language fragments)
+    * score low where doc-LOCAL stats (q30/q52) cannot see anything
+    * wrong. The 255 cap keeps stopword mass from drowning the signal.
+    *
+    * Scale: token counting is one map-side-combinable hash-agg; the
+    * frequency join is fact × vocabulary — the vocab side is orders of
+    * magnitude smaller than the corpus (broadcast it; at truly huge
+    * vocabs, hash-join on token with the cap applied BEFORE the join
+    * keeps the dim side narrow). */
+  def q75Familiarity(s: SparkSession, d: String): DataFrame = {
+    // TESTDATA's corpus has a CLOSED ~31-word vocabulary — every token
+    // is frequent, so (as with the codec queries) the input for the
+    // interesting case is synthesized: docs at doc_id % 41 == 0 get 30
+    // unique gibberish tokens appended, deterministically in both
+    // engines. The filter must then recover EXACTLY that injected set
+    // from corpus statistics alone — which is the oracle check.
+    val noisy = documents(s, d).select(col("doc_id"), expr(
+      """concat(text, CASE WHEN doc_id % 41 = 0
+        |  THEN concat(' ', array_join(transform(sequence(1, 30),
+        |       i -> concat('zq', doc_id, '_', i)), ' '))
+        |  ELSE '' END)""".stripMargin).as("text"))
+    val tok = noisy.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val cnt = tok.groupBy(col("t"))
+      .agg(least(count(lit(1)), lit(255L)).as("cc"))
+    tok.join(cnt, Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cc")).as("familiarity_sum"))
+      .withColumn("familiarity",
+        col("familiarity_sum").cast("double") / col("n_tokens"))
+      .withColumn("flagged", col("familiarity") < 225.0)
+      .select(col("doc_id"), col("n_tokens"), col("familiarity_sum"),
+        col("familiarity"), col("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q63: ensemble near-dup — union of the surface-form signal (q33
     * word-shingle Jaccard ≥ 0.8) and the semantic signal (q37 embedding
     * cosine ≥ 0.4, embeddings.vec_id keys the same corpus as
@@ -657,6 +698,7 @@ object TextOps {
     "q60_decontaminate_bloom" -> (q60DecontaminateBloom _),
     "q62_dup_clusters"      -> (q62DupClusters _),
     "q72_canonical_docs"    -> (q72CanonicalDocs _),
+    "q75_familiarity"       -> (q75Familiarity _),
     "q63_ensemble_neardup"  -> (q63EnsembleNeardup _),
     "q52_repetition_filter" -> (q52RepetitionFilter _),
     "q53_source_mix"        -> (q53SourceMix _),
@@ -901,6 +943,23 @@ object TextOps {
          |  doc_id AS keep_doc_id, n_chars AS keep_chars
          |FROM sel WHERE rk = 1 AND n_members >= 2
          |ORDER BY cluster_id""".stripMargin,
+    "q75_familiarity" ->
+      """WITH noisy AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 41 = 0
+        |      THEN ' ' || array_to_string(
+        |        ['zq' || doc_id || '_' || i for i in range(1, 31)], ' ')
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM noisy),
+        |cnt AS (SELECT t, least(CAST(count(*) AS BIGINT), 255) AS cc
+        |  FROM tok GROUP BY t),
+        |j AS (SELECT doc_id, cc FROM tok JOIN cnt USING (t))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(cc) AS BIGINT) AS familiarity_sum,
+        |  CAST(sum(cc) AS DOUBLE) / count(*) AS familiarity,
+        |  CAST(sum(cc) AS DOUBLE) / count(*) < 225 AS flagged
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q34_minhash_lsh"   -> jaccardOracle(0.8),
     "q35_simhash" ->
       s"""WITH h AS (SELECT doc_id,

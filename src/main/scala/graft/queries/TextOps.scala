@@ -377,6 +377,49 @@ object TextOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** q76: INCREMENTAL near-dup — dedupe a new batch AGAINST the
+    * existing corpus (docs at doc_id % 10 == 7 play the increment, the
+    * rest the corpus). This is the shape production dedup actually
+    * runs daily: the corpus pairs itself once (q33); every later
+    * increment joins only ACROSS the boundary — O(|inc|·candidates),
+    * never re-pairing the corpus with itself. Same prefix-filtered
+    * inverted index as q33, but the index join is increment × corpus
+    * only; per increment doc the best corpus match wins
+    * (max jaccard, tie → smallest corpus id), non-dups emit with
+    * nulls — the keep/drop verdict list. */
+  def q76IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.{jaccard, prefixShingles}
+    val all = shingled(documents(s, d))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      .repartition(col("doc_id"))
+    val inc = all.filter(col("doc_id") % 10 === 7)
+    val corpus = all.filter(col("doc_id") % 10 =!= 7)
+    def pref(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("n"),
+          explode(prefixShingles(col("sh"), lit(0.8))).as("p"))
+        .select(col("doc_id"), col("n"), col("p._1").as("h"), col("p._2").as("s"))
+    val cands = pref(inc).as("a").join(pref(corpus).as("b"),
+        col("a.h") === col("b.h") && col("a.s") === col("b.s") &&
+          col("a.n") * 4 <= col("b.n") * 5 && col("b.n") * 4 <= col("a.n") * 5)
+      .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    val verified = cands
+      .join(inc.select(col("doc_id").as("inc_id"), col("sh").as("sha")), Seq("inc_id"))
+      .join(corpus.select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
+        Seq("corpus_id"))
+      .withColumn("jaccard", jaccard(col("sha"), col("shb")))
+      .filter(col("jaccard") >= 0.8)
+      .groupBy(col("inc_id"))
+      .agg(max_by(struct(col("corpus_id"), col("jaccard")),
+        struct(col("jaccard"), -col("corpus_id"))).as("best"))
+      .select(col("inc_id"), col("best.corpus_id").as("best_match"),
+        col("best.jaccard").as("best_jaccard"))
+    inc.select(col("doc_id").as("inc_id"))
+      .join(verified, Seq("inc_id"), "left")
+      .withColumn("is_dup", col("best_match").isNotNull)
+      .orderBy(col("inc_id"))
+  }
+
   /** q75: corpus-familiarity filter — the corpus-RELATIVE quality
     * signal (the role the CCNet-style LM filter plays in production
     * pipelines, with an integer-exact score instead of float
@@ -699,6 +742,7 @@ object TextOps {
     "q62_dup_clusters"      -> (q62DupClusters _),
     "q72_canonical_docs"    -> (q72CanonicalDocs _),
     "q75_familiarity"       -> (q75Familiarity _),
+    "q76_incremental_dedup" -> (q76IncrementalDedup _),
     "q63_ensemble_neardup"  -> (q63EnsembleNeardup _),
     "q52_repetition_filter" -> (q52RepetitionFilter _),
     "q53_source_mix"        -> (q53SourceMix _),
@@ -943,6 +987,23 @@ object TextOps {
          |  doc_id AS keep_doc_id, n_chars AS keep_chars
          |FROM sel WHERE rk = 1 AND n_members >= 2
          |ORDER BY cluster_id""".stripMargin,
+    "q76_incremental_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles sh FROM w),
+         |x AS (SELECT a.doc_id AS inc_id, b.doc_id AS corpus_id,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         |  FROM sh a JOIN sh b
+         |    ON a.doc_id % 10 = 7 AND b.doc_id % 10 != 7),
+         |best AS (SELECT inc_id, corpus_id, j,
+         |    ROW_NUMBER() OVER (PARTITION BY inc_id
+         |      ORDER BY j DESC, corpus_id ASC) AS rk
+         |  FROM x WHERE j >= 0.8),
+         |inc AS (SELECT doc_id AS inc_id FROM documents WHERE doc_id % 10 = 7)
+         |SELECT i.inc_id, b.corpus_id AS best_match, b.j AS best_jaccard,
+         |  b.corpus_id IS NOT NULL AS is_dup
+         |FROM inc i LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (inc_id)
+         |ORDER BY inc_id""".stripMargin,
     "q75_familiarity" ->
       """WITH noisy AS (SELECT doc_id,
         |    text || CASE WHEN doc_id % 41 = 0

@@ -244,7 +244,27 @@ object Streams {
       .orderBy(col("p_id"))
   }
 
+  /** q77: SCD2 reconstruction — turn the event CHANGELOG into the
+    * interval dimension table (type-2 slowly-changing dimension): one
+    * row per (user, status) EPISODE with [valid_from, valid_to), open
+    * episodes carrying a null valid_to. Transitions only (q16's filter)
+    * then one lead() over the surviving rows — same single (user, ts)
+    * shuffle as the changelog query; the inverse direction of q74's
+    * as-of lookup (SCD2 builds the intervals, as-of probes them). */
+  def q77Scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events(s, d)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("status"),
+        col("ts_us").as("valid_from"), col("valid_to"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_scd2"            -> (q77Scd2 _),
     "q74_asof_custom"     -> (q74AsofCustom _),
     "q13_tumbling_window" -> (q13TumblingWindow _),
     "q64_asof_join"       -> (q64AsofJoin _),
@@ -259,6 +279,19 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "q77_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |t AS (SELECT *, LAG(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM e),
+        |f AS (SELECT * FROM t
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |i AS (SELECT user_id, event_type AS status, ts_us AS valid_from,
+        |    LEAD(ts_us) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
+        |  FROM f)
+        |SELECT user_id, status, valid_from, valid_to FROM i
+        |ORDER BY user_id, valid_from""".stripMargin,
     "q74_asof_custom" ->
       """WITH p AS (SELECT event_id AS p_id, user_id AS p_user,
         |    epoch_us(ts) AS p_ts FROM events WHERE event_type = 'purchase'),

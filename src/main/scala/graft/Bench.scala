@@ -53,13 +53,24 @@ object Bench {
     // A query that throws serializes as null in `queries` (so consumers
     // summing/plotting per-query values never see a corrupted number)
     // and its name lands in `errors`; sum(non-null queries) == `value`.
+    val withMetrics = sys.env.get("SPARK_GRAFT_METRICS").contains("1")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // isolate queries from each other's heap debt: collect garbage
       // OUTSIDE the timed section (measured: a heavy predecessor
       // otherwise inflates the next query up to 3x run-to-run)
       System.gc()
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try {
+        val df = fn(spark, sfDir)
+        if (withMetrics) {
+          // metrics mode executes the query's OWN plan (Measure.run);
+          // timings remain comparable (same plan, rdd-count action)
+          val m = graft.tools.Measure.run(df)
+          System.err.println(s"[metrics] $name shuffleBytes=${m.shuffleBytes} " +
+            s"shuffleRecords=${m.shuffleRecords} exchanges=${m.exchanges} rows=${m.rows}")
+        } else df.count()
+        true
+      } catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9
       (name, if (ok) Some(secs) else None)
     }

@@ -1,0 +1,24 @@
+package graft.tools
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class MeasureSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("rolls up shuffle bytes and exchange count from the executed plan") {
+    val df = spark.range(10000).select((col("id") % 100).as("k"), col("id"))
+      .groupBy(col("k")).agg(sum(col("id")).as("s"))
+    val m = Measure.run(df)
+    assert(m.exchanges >= 1, m.toString)
+    assert(m.shuffleBytes > 0, m.toString)
+    assert(m.shuffleRecords > 0, m.toString)
+  }
+
+  test("a shuffle-free scan reports zero exchanges") {
+    val df = spark.range(1000).select(col("id") + 1)
+    val m = Measure.run(df)
+    assert(m.exchanges == 0 && m.shuffleBytes == 0, m.toString)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.state
+
+import graft.state.StateOps.{Envelope, Rec}
+import graft.streaming.Pipeline
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Kill/restart proof for the flagship stateful operator: the chirp
+  * transformWithState pipeline stopped mid-stream and restarted from
+  * its checkpoint must produce EXACTLY what an uninterrupted run
+  * produces — the device map, pairing buffer, and emit decisions all
+  * live in the recovered RocksDB state, so any divergence (a re-emitted
+  * envelope, a lost buffered packet, a forgotten device identity) shows
+  * up as a diff. Complements ChirpProcessorSpec (host equality) and
+  * CheckpointRecoverySpec (dedup op): this one restarts the custom
+  * StatefulProcessor itself. */
+class PipelineRestartSpec extends SparkSuite {
+
+  private def mkUp(daHex: String, fCnt: Int): String = graft.codec.Lorawan.b64encode(
+    Array(0x40.toByte) ++ graft.codec.Lorawan.hexToLe(daHex) ++
+      Array(0x80.toByte) ++ Array((fCnt & 0xff).toByte, ((fCnt >> 8) & 0xff).toByte) ++
+      Array(1.toByte) ++ Array(10.toByte, 20.toByte) ++
+      graft.codec.Lorawan.hexToBytes("00000000"))
+
+  private def mixedRecs: Seq[Rec] = {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val das = Seq("017fc1c4", "0a0b0c0d")
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 90).map { i =>
+      rnd.nextInt(7) match {
+        case 0 | 1 | 2 =>
+          ("gateway/gw1/rx",
+            s"""{"phyPayload":"${mkUp(das(rnd.nextInt(das.length)), rnd.nextInt(3))}","rxInfo":{"channel":1,"rfChain":0,"crcStatus":1,"codeRate":"4/5","rssi":-60,"loRaSNR":9.0,"size":17,"timestamp":$i,"frequency":868100000,"mac":"aabb","dataRate":{"modulation":"LORA","spreadFactor":7,"bandwidth":125}}}""",
+            0L, i.toLong)
+        case 3 | 4 =>
+          (s"application/1/device/dev$i/rx",
+            s"""{"devEUI":"eui$i","applicationName":"app$i","deviceName":"dev$i","fCnt":${rnd.nextInt(3)},"rxInfo":[{"name":"gw","location":{"latitude":$i.0,"longitude":2.0,"altitude":3.0}}]}""",
+            0L, i.toLong)
+        case 5 =>
+          (s"application/1/device/j$i/join",
+            s"""{"devAddr":"${das(rnd.nextInt(das.length))}","devEUI":"joined$i"}""",
+            0L, i.toLong)
+        case _ => ("some/other/topic", s"not-json-$i", 0L, i.toLong)
+      }
+    }
+    val df = rows.toDF("topic", "message", "data_collector_id", "seq")
+      .withColumn("organization_id", lit(7L))
+      .withColumn("arrival_ts", timestamp_micros(col("seq") * 1000000L))
+    Pipeline.toChirpRecs(df).collect().toSeq.sortBy(_.seq)
+  }
+
+  test("chirp transformWithState survives a checkpoint restart unchanged") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val recs = mixedRecs
+      val (b1, rest) = recs.splitAt(30)
+      val (b2, b3) = rest.splitAt(30)
+
+      // reference: one uninterrupted incarnation over all three batches
+      val contStream = MemoryStream[Rec]
+      val contQ = Pipeline.chirpEnvelopesTws(contStream.toDS())
+        .writeStream.format("memory").queryName("chirp_cont")
+        .outputMode(OutputMode.Append).start()
+      val expected = try {
+        contStream.addData(b1: _*); contQ.processAllAvailable()
+        contStream.addData(b2: _*); contQ.processAllAvailable()
+        contStream.addData(b3: _*); contQ.processAllAvailable()
+        spark.table("chirp_cont").as[Envelope].collect().toSeq.sortBy(_.toString)
+      } finally contQ.stop()
+
+      // restarted: same checkpoint + file sink across two incarnations,
+      // with a batch arriving while the query is DOWN
+      val ckpt = java.nio.file.Files.createTempDirectory("chirp_ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("chirp_sink").toString
+      val stream = MemoryStream[Rec]
+      def start() = Pipeline.chirpEnvelopesTws(stream.toDS())
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+
+      val q1 = start()
+      try {
+        stream.addData(b1: _*); q1.processAllAvailable()
+      } finally q1.stop()
+      stream.addData(b2: _*) // arrives while down
+      val q2 = start()
+      val actual = try {
+        stream.addData(b3: _*); q2.processAllAvailable()
+        spark.read.parquet(outDir).as[Envelope].collect().toSeq.sortBy(_.toString)
+      } finally q2.stop()
+
+      assert(actual.nonEmpty)
+      assert(actual == expected)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}

@@ -32,6 +32,47 @@ object CorpusStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_md5")
 
+  /** Streaming NEAR-dup suppression — the streaming twin of q34's
+    * MinHash-LSH (the "Distributed Streaming Set Similarity Join"
+    * problem shape): each arriving document explodes into its 32 LSH
+    * band keys; `dropDuplicatesWithinWatermark` keeps only the FIRST
+    * claimant of each band bucket; a document that lost ANY of its
+    * bands collided with an earlier document and is flagged as a
+    * probable near-dup (n_lost > 0). Emits one row per doc with
+    * (n_bands, n_kept, near_dup).
+    *
+    * State = one entry per (band, bucket-hash) inside the watermark
+    * horizon — bounded by horizon × rate × 32, not corpus size, and
+    * NOT by document length (signatures are fixed-width). Approximate
+    * by construction (banding has false positives/negatives exactly as
+    * in q34 — there the exact-verify join resolves them; a stream
+    * can't revisit, so this operator is the recall-oriented FILTER and
+    * the batch pass is the precision cleanup). Flink/Beam pipelines run
+    * this same two-tier design.
+    *
+    * Band −1 is a per-doc marker bucket that never collides, so even a
+    * doc losing ALL 32 real bands (an exact replay) still emits its
+    * verdict row instead of vanishing from the output. */
+  def nearDupLsh(docs: DataFrame, horizon: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFunctions.{minhashSig, shingles}
+    docs
+      .withColumn("sig", minhashSig(shingles(col("text"))))
+      .select(col("ts"), col("doc_id"),
+        explode(expr(
+          """transform(sequence(-1, 31), b -> struct(b AS band,
+            |  CASE WHEN b = -1 THEN xxhash64(concat('doc:', CAST(doc_id AS STRING)))
+            |       ELSE xxhash64(slice(sig, b*4+1, 4)) END AS bh))""".stripMargin))
+          .as("bb"))
+      .select(col("ts"), col("doc_id"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("band", "bh")
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"))
+      .select(col("doc_id"), (col("n_kept") - 1).as("n_bands_kept"),
+        (col("n_kept") - 1 < 32).as("near_dup"))
+  }
+
   /** Streaming per-source quota — the streaming twin of q44's per-source
     * cap: count documents per (source, event-time window) and emit each
     * window's count once it closes, flagging sources that exceeded the

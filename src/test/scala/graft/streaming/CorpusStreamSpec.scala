@@ -42,6 +42,40 @@ class CorpusStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH near-dup: replay loses all bands, edit loses some, fresh keeps all") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val base = "the quick brown fox jumps over a lazy dog while rain " +
+      "falls on the quiet town and lights flicker in the distance tonight"
+    val edited = base.replace("rain", "snow")
+    val fresh = "entirely different words compose this other document " +
+      "about ships and harbors and the long voyage across the cold sea"
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = CorpusStream.nearDupLsh(stream.toDS().toDF("ts", "doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("lsh_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData((ts(10, 0), 1L, base))
+      q.processAllAvailable()
+      stream.addData((ts(10, 2), 2L, base),   // exact replay
+        (ts(10, 4), 3L, edited),              // one-word edit
+        (ts(10, 6), 4L, fresh))               // unrelated
+      q.processAllAvailable()
+      // close the hour-10 window
+      stream.addData((ts(11, 30), 99L, fresh + " x"))
+      q.processAllAvailable()
+      val rows = spark.table("lsh_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(rows(1L) == ((32L, false)), rows.toString)   // first claimant keeps all
+      assert(rows(2L) == ((0L, true)), rows.toString)     // replay loses every band
+      val (keptEdited, dupEdited) = rows(3L)
+      assert(dupEdited && keptEdited > 0 && keptEdited < 32, rows.toString)
+      assert(rows(4L) == ((32L, false)), rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming source quota: closed windows emit counts with over-cap flag") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

@@ -328,8 +328,53 @@ object TextOps {
     * large-star/small-star (Kiveris et al. 2014) — same per-round plan,
     * fewer rounds — worth it only past ~billions of edges. */
   def q62DupClusters(s: SparkSession, d: String): DataFrame = {
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = q33NgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    // size switch (the q35 precedent: the scale path is code, not
+    // prose): the edge list is the NEAR-DUP PAIR list — a sliver of the
+    // corpus — so up to a comfortable bound the driver runs union-find
+    // in microseconds instead of 3+ distributed rounds of join+agg jobs
+    // (~2 s of pure scheduling at any SF). Past the bound — a corpus
+    // so dirty its pair list alone overflows a driver — the iterative
+    // min-label loop takes over. Both paths produce identical labels
+    // (TextOpsSpec pins them against each other and against the
+    // recursive-CTE oracle).
+    val labels =
+      if (pairs.count() <= 200000) ccLabelsDriver(s, pairs)
+      else ccLabelsDistributed(pairs)
+    documents(s, d).select(col("doc_id"))
+      .join(labels.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Small-graph fast path: classic union-find over the collected pair
+    * list (path compression + union by min label). Collecting is safe
+    * ONLY because the caller size-guards the edge count. */
+  private[queries] def ccLabelsDriver(
+      s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val es = pairs.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+        parent(hi) = lo }
+    }
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => (n, find(n))).toSeq.toDF("u", "lbl")
+  }
+
+  /** Scale path: iterative min-label propagation to fixpoint — each
+    * round one partial-aggregable groupBy-min + a key-joined update,
+    * rounds = component diameter (dup families are shallow). */
+  private[queries] def ccLabelsDistributed(pairs: DataFrame): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v").persist(mem)
     var labels = edges.select(col("u")).distinct()
@@ -348,11 +393,7 @@ object TextOps {
       labels.unpersist()
       labels = next.select(col("u"), col("lbl"))
     }
-    documents(s, d).select(col("doc_id"))
-      .join(labels.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
   /** q72: canonical-document selection — the action at the end of the

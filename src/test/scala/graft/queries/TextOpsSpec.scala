@@ -66,6 +66,18 @@ class TextOpsSpec extends SparkSuite {
     assert(pairs.nonEmpty)
   }
 
+  test("q62 distributed label-propagation path equals the union-find fast path") {
+    // the size switch picks union-find at test SF; this keeps the scale
+    // path itself under CI on the same real pair graph
+    val pairs = TextOps.q33NgramJaccard(spark, sf).select("doc_a", "doc_b")
+    val viaDriver = TextOps.ccLabelsDriver(spark, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLoop = TextOps.ccLabelsDistributed(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDriver.nonEmpty)
+    assert(viaLoop == viaDriver)
+  }
+
   test("q63 ensemble is the tagged union of the q33 and q37 pair sets") {
     val t = TextOps.q33NgramJaccard(spark, sf).select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

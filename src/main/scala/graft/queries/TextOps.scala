@@ -418,6 +418,33 @@ object TextOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** q78: length-bucketed batching audit — assign each document to a
+    * power-of-two token-length bucket and account the padding waste of
+    * batching within that bucket (every doc pads to its bucket's
+    * ceiling). The batching-efficiency question every training/
+    * inference pipeline answers before fixing batch shapes: which
+    * buckets dominate tokens, and what fraction of compute would be
+    * padding. Integer-exact (token counts and pad counts), one
+    * map-side-combinable aggregation. */
+  def q78LengthBuckets(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    documents(s, d)
+      .withColumn("n_tokens", nTok)
+      // bucket ceiling = smallest power of two >= n_tokens, via INTEGER
+      // bit-length (length(bin(n-1))) — float log2/pow would risk
+      // engine-dependent rounding exactly at the powers of two
+      .withColumn("bucket", expr(
+        "IF(n_tokens <= 1, CAST(1 AS BIGINT), shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens - 1))))"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("real_tokens"),
+        sum(col("bucket") - col("n_tokens")).as("pad_tokens"))
+      .withColumn("pad_frac",
+        col("pad_tokens").cast("double") /
+          (col("pad_tokens") + col("real_tokens")))
+      .orderBy(col("bucket"))
+  }
+
   /** q76: INCREMENTAL near-dup — dedupe a new batch AGAINST the
     * existing corpus (docs at doc_id % 10 == 7 play the increment, the
     * rest the corpus). This is the shape production dedup actually
@@ -784,6 +811,7 @@ object TextOps {
     "q72_canonical_docs"    -> (q72CanonicalDocs _),
     "q75_familiarity"       -> (q75Familiarity _),
     "q76_incremental_dedup" -> (q76IncrementalDedup _),
+    "q78_length_buckets"    -> (q78LengthBuckets _),
     "q63_ensemble_neardup"  -> (q63EnsembleNeardup _),
     "q52_repetition_filter" -> (q52RepetitionFilter _),
     "q53_source_mix"        -> (q53SourceMix _),
@@ -1028,6 +1056,20 @@ object TextOps {
          |  doc_id AS keep_doc_id, n_chars AS keep_chars
          |FROM sel WHERE rk = 1 AND n_members >= 2
          |ORDER BY cluster_id""".stripMargin,
+    "q78_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)
+        |         ELSE (CAST(1 AS BIGINT) << length(bin(n_tokens - 1))) END AS bucket
+        |  FROM t)
+        |SELECT bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+        |  CAST(SUM(bucket - n_tokens) AS BIGINT) AS pad_tokens,
+        |  CAST(SUM(bucket - n_tokens) AS DOUBLE) /
+        |    (SUM(bucket - n_tokens) + SUM(n_tokens)) AS pad_frac
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q76_incremental_dedup" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          |sh AS (SELECT doc_id, $duckShingles sh FROM w),

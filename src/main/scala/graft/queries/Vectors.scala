@@ -364,7 +364,40 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** q79: SEMANTIC decontamination — flag corpus embeddings too close
+    * to a held-out benchmark slice (vec_id % 41, the embedding twin of
+    * q51's n-gram slice). Completes the leakage-detection matrix:
+    * q51/q60 catch verbatim/near-verbatim contamination by n-gram
+    * overlap; this catches PARAPHRASED contamination n-grams cannot
+    * see. Same axis-aligned sign-bucket blocking as q61 (benchmark ×
+    * corpus within a bucket only — SQL-expressible, so the oracle is
+    * exact including the blocking's recall cut); at scale the
+    * benchmark side is MBs and broadcasts, the corpus side never
+    * self-joins. */
+  def q79SemanticDecon(s: SparkSession, d: String): DataFrame = {
+    val bucketCol = (0 until SemBits)
+      .map(b => when(col("embedding").getItem(b) > 0f, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", bucketCol)
+      .withColumn("nv", sqrt(dot_f(col("embedding"), col("embedding"))))
+    val bench = e.filter(col("vec_id") % 41 === 0)
+      .select(col("bucket"), col("vec_id").as("bench_id"),
+        col("embedding").as("vb"), col("nv").as("nb"))
+    val corpus = e.filter(col("vec_id") % 41 =!= 0)
+      .select(col("bucket"), col("vec_id"),
+        col("embedding").as("va"), col("nv").as("na"))
+    corpus.join(bench, Seq("bucket"))
+      .withColumn("sim", dot_f(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= 0.3)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_benchmark_hits"), max(col("sim")).as("max_sim"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_semantic_decon" -> (q79SemanticDecon _),
     "q36_cosine_topk"    -> (q36CosineTopk _),
     "q37_cosine_neardup" -> (q37CosineNearDup _),
     "q39_ann_ivf"        -> (q39AnnIvf _),
@@ -383,6 +416,20 @@ object Vectors {
   }
 
   val oracle: Map[String, String] = Map(
+    "q79_semantic_decon" -> {
+      val duckBucket = (0 until SemBits)
+        .map(b => s"(CASE WHEN embedding[${b + 1}] > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    CAST($duckBucket AS BIGINT) AS bucket FROM embeddings),
+         |hits AS (SELECT c.vec_id,
+         |    ${duckCosine("c.embedding", "b.embedding")} AS sim
+         |  FROM e c JOIN e b ON c.bucket = b.bucket
+         |  WHERE b.vec_id % 41 = 0 AND c.vec_id % 41 != 0)
+         |SELECT vec_id, COUNT(*) AS n_benchmark_hits, MAX(sim) AS max_sim
+         |FROM hits WHERE sim >= 0.3
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
     "q59_quantize_audit" ->
       """WITH s AS (SELECT vec_id, embedding,
         |    CAST(list_min(embedding) AS DOUBLE) AS mn,

@@ -125,6 +125,19 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q76 incremental dedup joins across the boundary with no nested loop") {
+    val p = plan(TextOps.q76IncrementalDedup(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q79 semantic decon pairs benchmark x corpus via the bucket equi-join") {
+    val p = plan(Vectors.q79SemanticDecon(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("bucket"), p)
+  }
+
   test("q65 banded range join plans as an equi-join, not a nested loop") {
     val p = plan(Streams.q65RangeJoin(spark, sf))
     // bucketing the time axis must turn the |Δts| θ-predicate into a

@@ -28,17 +28,21 @@ object Bench {
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => fn(spark, sfDir).count())
     // ... and the JIT'd UDF kernels (shingle/minhash/jaccard/prefix,
-    // CMAC/codec) on a one-row frame: on a long-lived cluster these are
-    // compiled once per executor JVM, not once per query — billing the
-    // HotSpot compile to whichever query alphabetically runs first would
-    // misattribute session start-up, same as the scan warmup above.
+    // CMAC/codec), uncounted: on a long-lived cluster these are
+    // compiled once per executor JVM within the first seconds of real
+    // load, not once per query — billing the HotSpot compile to
+    // whichever query alphabetically runs first would misattribute
+    // session start-up, same as the scan warmup above. 20k rows, not
+    // one: C2 only compiles a kernel after thousands of invocations,
+    // so a single call would leave the queries running interpreted.
     locally {
       import org.apache.spark.sql.functions._
       import graft.functions.{TextFunctions => T, PhyFunctions => P}
-      val one = spark.range(1).select(
-        lit("warm up the kernels with a few words of text").as("text"),
+      val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val rows = spark.range(20000).select(
+        concat_ws(" ", lit(words), col("id").cast("string"), lit(words)).as("text"),
         lit("00000000000000000000000000000000").as("key"))
-      one.select(
+      rows.select(
           col("key"),
           T.minhashSig(T.shingles(col("text"))).as("sig"),
           T.prefixShingles(T.shingles(col("text")), lit(0.8)).as("pref"),

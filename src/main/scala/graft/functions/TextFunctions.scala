@@ -77,6 +77,14 @@ object TextFunctions {
     XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
   }
 
+  /** Unicode NFC normalization (java.text.Normalizer — the JDK
+    * implements the same Unicode standard DuckDB's nfc_normalize does,
+    * so composed forms are byte-identical cross-engine). */
+  val nfc = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+
   /** AllPairs/PPJoin prefix under the global (xxhash64, shingle) order:
     * the (n − ⌈t·n⌉ + 1) smallest entries, selected with a bounded
     * max-heap — O(n log k) and JIT'd, replacing the interpreted

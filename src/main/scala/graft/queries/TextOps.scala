@@ -418,6 +418,33 @@ object TextOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** q80: text normalization — the FIRST operator of every real corpus
+    * pipeline: Unicode NFC composition (é as e+U+0301 becomes one code
+    * point), control characters to spaces, whitespace collapse, trim.
+    * TESTDATA text is clean ASCII, so (the q75 convention) the
+    * interesting inputs are synthesized: docs at doc_id % 7 == 3 get a
+    * tab/CR/LF/combining-accent tail appended in both engines, and the
+    * clean-side md5 must match byte-for-byte — pinning that the JDK's
+    * Normalizer and the oracle's nfc_normalize implement the same
+    * Unicode standard, and that the regex cleanup is dialect-safe.
+    * Per-row map work; at 100 TB this runs fused into the first scan. */
+  def q80NormalizeText(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.nfc
+    val mess = concat(lit("\t dirty e"), lit("́"), lit("  tail\r\n"))
+    val raw = concat(col("text"),
+      when(col("doc_id") % 7 === 3, mess).otherwise(lit("")))
+    documents(s, d)
+      .withColumn("raw", raw)
+      .withColumn("clean", trim(regexp_replace(
+        regexp_replace(nfc(col("raw")), "[\\t\\r\\n]", " "), " +", " ")))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(col("clean")).cast("long").as("n_clean"),
+        md5(col("clean")).as("clean_md5"),
+        (col("raw") =!= col("clean")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q78: length-bucketed batching audit — assign each document to a
     * power-of-two token-length bucket and account the padding waste of
     * batching within that bucket (every doc pads to its bucket's
@@ -812,6 +839,7 @@ object TextOps {
     "q75_familiarity"       -> (q75Familiarity _),
     "q76_incremental_dedup" -> (q76IncrementalDedup _),
     "q78_length_buckets"    -> (q78LengthBuckets _),
+    "q80_normalize_text"    -> (q80NormalizeText _),
     "q63_ensemble_neardup"  -> (q63EnsembleNeardup _),
     "q52_repetition_filter" -> (q52RepetitionFilter _),
     "q53_source_mix"        -> (q53SourceMix _),
@@ -1056,6 +1084,19 @@ object TextOps {
          |  doc_id AS keep_doc_id, n_chars AS keep_chars
          |FROM sel WHERE rk = 1 AND n_members >= 2
          |ORDER BY cluster_id""".stripMargin,
+    "q80_normalize_text" ->
+      """WITH m AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 3
+        |      THEN e'\t dirty e' || chr(769) || e'  tail\r\n' ELSE '' END AS raw
+        |  FROM documents),
+        |c AS (SELECT doc_id, raw,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+        |      '[\t\r\n]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+        |  FROM m)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+        |  CAST(length(clean) AS BIGINT) AS n_clean,
+        |  md5(clean) AS clean_md5, raw != clean AS changed
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q78_length_buckets" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

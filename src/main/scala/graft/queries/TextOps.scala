@@ -418,6 +418,28 @@ object TextOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** q81: code detection — the C4/RefinedWeb-style "is this prose or
+    * code" router, as symbol-density counting: programs are dense in
+    * `{}();=` where prose has none, so the fraction of those characters
+    * cleanly separates the classes (real pipelines route code to its
+    * own dedup/quality track rather than dropping it). Synthesized
+    * signal (q75/q80 convention): docs at doc_id % 13 == 5 get a
+    * code-ish tail; the flag must recover exactly that set. Counting
+    * via a shared-dialect regex class, so the oracle is exact. */
+  def q81CodeDetect(s: SparkSession, d: String): DataFrame = {
+    val raw = concat(col("text"),
+      when(col("doc_id") % 13 === 5,
+        lit(" int f(int x){ return x*2; } // generated;")).otherwise(lit("")))
+    documents(s, d)
+      .withColumn("raw", raw)
+      .withColumn("n_sym", regexp_count(col("raw"), lit("[{}();=]")).cast("long"))
+      .withColumn("sym_frac",
+        col("n_sym").cast("double") / length(col("raw")))
+      .select(col("doc_id"), col("n_sym"), col("sym_frac"),
+        (col("sym_frac") > 0.005).as("is_code"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q80: text normalization — the FIRST operator of every real corpus
     * pipeline: Unicode NFC composition (é as e+U+0301 becomes one code
     * point), control characters to spaces, whitespace collapse, trim.
@@ -840,6 +862,7 @@ object TextOps {
     "q76_incremental_dedup" -> (q76IncrementalDedup _),
     "q78_length_buckets"    -> (q78LengthBuckets _),
     "q80_normalize_text"    -> (q80NormalizeText _),
+    "q81_code_detect"       -> (q81CodeDetect _),
     "q63_ensemble_neardup"  -> (q63EnsembleNeardup _),
     "q52_repetition_filter" -> (q52RepetitionFilter _),
     "q53_source_mix"        -> (q53SourceMix _),
@@ -1084,6 +1107,18 @@ object TextOps {
          |  doc_id AS keep_doc_id, n_chars AS keep_chars
          |FROM sel WHERE rk = 1 AND n_members >= 2
          |ORDER BY cluster_id""".stripMargin,
+    "q81_code_detect" ->
+      """WITH m AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 13 = 5
+        |      THEN ' int f(int x){ return x*2; } // generated;' ELSE '' END AS raw
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(raw, '[{}();=]')) AS BIGINT) AS n_sym,
+        |    CAST(len(regexp_extract_all(raw, '[{}();=]')) AS DOUBLE)
+        |      / length(raw) AS sym_frac
+        |  FROM m)
+        |SELECT doc_id, n_sym, sym_frac, sym_frac > 0.005 AS is_code
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q80_normalize_text" ->
       """WITH m AS (SELECT doc_id,
         |    text || CASE WHEN doc_id % 7 = 3

@@ -418,6 +418,27 @@ object TextOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** q82: split-leakage audit — near-dup pairs that CROSS the q43
+    * train/val/test boundary: a test doc whose near-duplicate sits in
+    * train is evaluation leakage the split hash cannot prevent (hashing
+    * distributes dup families uniformly across splits!). The audit
+    * every serious eval pipeline runs after splitting; counts by
+    * (split_a, split_b) plus the leaked pair total per cell. Composes
+    * the cached q33 pair list with the deterministic split — at scale
+    * it is one broadcast of the tiny pair list. */
+  def q82SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val splitCol = when((col("doc_id") * 2654435761L) % 100 < 80, "train")
+      .when((col("doc_id") * 2654435761L) % 100 < 90, "val").otherwise("test")
+    val sp = documents(s, d).select(col("doc_id"), splitCol.as("split"))
+    q33NgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_leaked_pairs"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** q81: code detection — the C4/RefinedWeb-style "is this prose or
     * code" router, as symbol-density counting: programs are dense in
     * `{}();=` where prose has none, so the fraction of those characters
@@ -863,6 +884,7 @@ object TextOps {
     "q78_length_buckets"    -> (q78LengthBuckets _),
     "q80_normalize_text"    -> (q80NormalizeText _),
     "q81_code_detect"       -> (q81CodeDetect _),
+    "q82_split_leakage"     -> (q82SplitLeakage _),
     "q63_ensemble_neardup"  -> (q63EnsembleNeardup _),
     "q52_repetition_filter" -> (q52RepetitionFilter _),
     "q53_source_mix"        -> (q53SourceMix _),
@@ -1107,6 +1129,24 @@ object TextOps {
          |  doc_id AS keep_doc_id, n_chars AS keep_chars
          |FROM sel WHERE rk = 1 AND n_members >= 2
          |ORDER BY cluster_id""".stripMargin,
+    "q82_split_leakage" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles sh FROM w),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+         |         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT sa.split AS split_a, sb.split AS split_b,
+         |  COUNT(*) AS n_leaked_pairs
+         |FROM p JOIN sp sa ON p.doc_a = sa.doc_id
+         |       JOIN sp sb ON p.doc_b = sb.doc_id
+         |WHERE sa.split != sb.split
+         |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
     "q81_code_detect" ->
       """WITH m AS (SELECT doc_id,
         |    text || CASE WHEN doc_id % 13 = 5

@@ -418,6 +418,25 @@ object TextOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** q83: corpus diversity audit — per-source distinct-vs-total 3-gram
+    * counts and type-token ratio: the "is this source repetitive
+    * boilerplate or varied text" report that decides per-source mixing
+    * weights alongside q53 (a source can pass every per-doc filter and
+    * still be 1000 copies of the same template — only the corpus-level
+    * distinct ratio sees that). Integer-exact counts; two map-side-
+    * combinable aggregations, no joins. */
+  def q83DiversityAudit(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.shingles(col("text"))).as("g"))
+    grams.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams_total"),
+        countDistinct(col("g")).as("n_grams_distinct"))
+      .withColumn("ttr",
+        col("n_grams_distinct").cast("double") / col("n_grams_total"))
+      .orderBy(col("source"))
+  }
+
   /** q82: split-leakage audit — near-dup pairs that CROSS the q43
     * train/val/test boundary: a test doc whose near-duplicate sits in
     * train is evaluation leakage the split hash cannot prevent (hashing
@@ -885,6 +904,7 @@ object TextOps {
     "q80_normalize_text"    -> (q80NormalizeText _),
     "q81_code_detect"       -> (q81CodeDetect _),
     "q82_split_leakage"     -> (q82SplitLeakage _),
+    "q83_diversity_audit"   -> (q83DiversityAudit _),
     "q63_ensemble_neardup"  -> (q63EnsembleNeardup _),
     "q52_repetition_filter" -> (q52RepetitionFilter _),
     "q53_source_mix"        -> (q53SourceMix _),
@@ -1129,6 +1149,13 @@ object TextOps {
          |  doc_id AS keep_doc_id, n_chars AS keep_chars
          |FROM sel WHERE rk = 1 AND n_members >= 2
          |ORDER BY cluster_id""".stripMargin,
+    "q83_diversity_audit" ->
+      s"""WITH w AS (SELECT source, string_split(text, ' ') w FROM documents),
+         |g AS (SELECT source, unnest($duckShingles) AS g FROM w)
+         |SELECT source, COUNT(*) AS n_grams_total,
+         |  CAST(COUNT(DISTINCT g) AS BIGINT) AS n_grams_distinct,
+         |  CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS ttr
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "q82_split_leakage" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          |sh AS (SELECT doc_id, $duckShingles sh FROM w),

@@ -418,6 +418,40 @@ object TextOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** q84: fuzzy join / entity resolution — match dirty strings to their
+    * canonical records at edit distance ≤ 1 WITHOUT a quadratic
+    * levenshtein scan: deletion-neighborhood blocking (FastSS): two
+    * strings whose lengths differ by one are at edit distance 1 iff the
+    * shorter equals one of the longer's single-char-deletion variants,
+    * so the longer side explodes into its |s|+1 variants and the match
+    * is an EQUI-join on the variant — shuffle-bounded, no cross
+    * product. Dirty copies are synthesized by dropping the char at
+    * position c_custkey mod len, deterministically in both engines; the
+    * oracle states the same matches with a direct levenshtein(d, c) ≤ 1
+    * join, so the blocking's exactness (for this length-delta class) is
+    * itself what the hash-compare proves. Ambiguity surfaces as
+    * n_candidates > 1 with a deterministic min-id pick. */
+  def q84FuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val dirty = customer(s, d).select(
+      col("c_custkey").as("dirty_id"),
+      concat(
+        expr("substring(c_name, 1, cast(c_custkey % length(c_name) as int))"),
+        expr("substring(c_name, cast(c_custkey % length(c_name) as int) + 2)"))
+        .as("dirty_name"))
+    val variants = customer(s, d).select(col("c_custkey").as("canon_id"),
+        col("c_name").as("canon_name"),
+        explode(expr(
+          """transform(sequence(1, length(c_name)),
+            |  i -> concat(substring(c_name, 1, i - 1),
+            |              substring(c_name, i + 1)))""".stripMargin)).as("variant"))
+    dirty.join(variants, col("dirty_name") === col("variant"))
+      .select(col("dirty_id"), col("canon_id")).distinct()
+      .groupBy(col("dirty_id"))
+      .agg(min(col("canon_id")).as("matched_canon_id"),
+        count(lit(1)).as("n_candidates"))
+      .orderBy(col("dirty_id"))
+  }
+
   /** q83: corpus diversity audit — per-source distinct-vs-total 3-gram
     * counts and type-token ratio: the "is this source repetitive
     * boilerplate or varied text" report that decides per-source mixing
@@ -905,6 +939,7 @@ object TextOps {
     "q81_code_detect"       -> (q81CodeDetect _),
     "q82_split_leakage"     -> (q82SplitLeakage _),
     "q83_diversity_audit"   -> (q83DiversityAudit _),
+    "q84_fuzzy_join"        -> (q84FuzzyJoin _),
     "q63_ensemble_neardup"  -> (q63EnsembleNeardup _),
     "q52_repetition_filter" -> (q52RepetitionFilter _),
     "q53_source_mix"        -> (q53SourceMix _),
@@ -1149,6 +1184,17 @@ object TextOps {
          |  doc_id AS keep_doc_id, n_chars AS keep_chars
          |FROM sel WHERE rk = 1 AND n_members >= 2
          |ORDER BY cluster_id""".stripMargin,
+    "q84_fuzzy_join" ->
+      """WITH dirty AS (SELECT c_custkey AS dirty_id,
+        |    substring(c_name, 1, CAST(c_custkey % length(c_name) AS INT)) ||
+        |    substring(c_name, CAST(c_custkey % length(c_name) AS INT) + 2) AS dirty_name
+        |  FROM customer),
+        |cand AS (SELECT d.dirty_id, c.c_custkey AS canon_id
+        |  FROM dirty d JOIN customer c
+        |    ON levenshtein(d.dirty_name, c.c_name) <= 1)
+        |SELECT dirty_id, MIN(canon_id) AS matched_canon_id,
+        |  COUNT(*) AS n_candidates
+        |FROM cand GROUP BY dirty_id ORDER BY dirty_id""".stripMargin,
     "q83_diversity_audit" ->
       s"""WITH w AS (SELECT source, string_split(text, ' ') w FROM documents),
          |g AS (SELECT source, unnest($duckShingles) AS g FROM w)

@@ -130,8 +130,11 @@ object TextOps {
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .repartition(col("doc_id"))
     // canonical global order (xxhash64(s), s); prefix size n - ceil(0.8n) + 1
-    // — heap-selected in a JIT'd kernel (TextFunctions.prefixShingles),
-    // same set as the sorted-slice form but O(n log k) and codegen-free
+    // — heap-selected in a JIT'd primitive kernel
+    // (TextFunctions.prefixShingles over the SAME `docs` subtree as the
+    // verify joins: Catalyst reuses one scan+kernel+exchange across the
+    // index and verify sides — a fused text→prefix variant measured
+    // SLOWER overall because it forfeited exactly that reuse)
     val pref = docs.select(col("doc_id"), col("n"),
         explode(graft.functions.TextFunctions.prefixShingles(
           col("sh"), lit(0.8))).as("p"))

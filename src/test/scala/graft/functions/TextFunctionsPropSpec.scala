@@ -58,4 +58,22 @@ object TextFunctionsPropSpec extends Properties("TextFunctions") {
   // (no Spark session needed for a pure function)
   private def ngramArrForTest(t: String, n: Int, distinct: Boolean): Array[String] =
     TextFunctions.ngramArr(t, n, distinct)
+
+  private val genShingles: Gen[Array[String]] =
+    Gen.choose(0, 60).flatMap(n => Gen.listOfN(n,
+      Gen.choose(1, 8).flatMap(len =>
+        Gen.listOfN(len, Gen.alphaLowerChar).map(_.mkString)))
+      .map(_.distinct.toArray))
+
+  property("prefixSelect == sorted-slice reference (set equality)") =
+    forAll(genShingles, Gen.choose(0.1, 0.95)) { (sh, t) =>
+      val got = TextFunctions.prefixSelect(sh, t).toSet
+      val n = sh.length
+      val k = n - math.ceil(t * n).toInt + 1
+      val expect =
+        if (n == 0 || k <= 0) Set.empty[(Long, String)]
+        else sh.map(s => (TextFunctions.xxh64ForTest(s), s))
+          .sortBy(identity).take(k).toSet
+      got == expect
+    }
 }

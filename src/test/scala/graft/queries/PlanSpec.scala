@@ -138,6 +138,12 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("bucket"), p)
   }
 
+  test("q84 fuzzy join is a variant equi-join, not a levenshtein cross product") {
+    val p = plan(TextOps.q84FuzzyJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q65 banded range join plans as an equi-join, not a nested loop") {
     val p = plan(Streams.q65RangeJoin(spark, sf))
     // bucketing the time axis must turn the |Δts| θ-predicate into a

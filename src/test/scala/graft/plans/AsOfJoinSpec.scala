@@ -115,6 +115,20 @@ class AsOfJoinSpec extends SparkSuite {
     }.isDefined, opt2.toString)
   }
 
+  test("API rejects unknown columns and non-long keys with clear errors") {
+    val p = Seq((1L, 5L, 100L)).toDF("p_id", "p_user", "p_ts")
+    val c = Seq((10L, 5L, 90L)).toDF("c_id", "c_user", "c_ts")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin(spark, p, c, "nope", "c_user", "p_ts", "c_ts", "c_id")
+    }
+    assert(e1.getMessage.contains("nope"))
+    val pStr = p.withColumn("p_user", col("p_user").cast("string"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin(spark, pStr, c, "p_user", "c_user", "p_ts", "c_ts", "c_id")
+    }
+    assert(e2.getMessage.toLowerCase.contains("longtype"), e2.getMessage)
+  }
+
   test("plans as the custom exec with co-partitioned sorted children") {
     val p = Seq((1L, 5L, 100L)).toDF("p_id", "p_user", "p_ts")
     val c = Seq((10L, 5L, 90L)).toDF("c_id", "c_user", "c_ts")

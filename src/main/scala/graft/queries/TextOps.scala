@@ -421,6 +421,26 @@ object TextOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** q85: reference-integrity audit — the cross-table consistency check
+    * every multi-asset corpus runs before release: documents without an
+    * embedding (can't be semantically deduped/searched), embeddings
+    * without a document (orphaned vectors), and embedding-dimension
+    * consistency (a mixed-dim table breaks every downstream kernel).
+    * ONE full-outer join + one aggregate — no driver-side assembly. */
+  def q85ReferenceIntegrity(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"))
+    val embs = embeddings(s, d)
+      .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"))
+    docs.join(embs, col("doc_id") === col("vec_id"), "full_outer")
+      .agg(
+        count(col("doc_id")).as("n_docs"),
+        count(col("vec_id")).as("n_embeddings"),
+        sum(when(col("vec_id").isNull, 1L).otherwise(0L)).as("docs_without_embedding"),
+        sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("embeddings_without_doc"),
+        min(col("dim")).as("min_dim"),
+        max(col("dim")).as("max_dim"))
+  }
+
   /** q84: fuzzy join / entity resolution — match dirty strings to their
     * canonical records at edit distance ≤ 1 WITHOUT a quadratic
     * levenshtein scan: deletion-neighborhood blocking (FastSS): two
@@ -943,6 +963,7 @@ object TextOps {
     "q82_split_leakage"     -> (q82SplitLeakage _),
     "q83_diversity_audit"   -> (q83DiversityAudit _),
     "q84_fuzzy_join"        -> (q84FuzzyJoin _),
+    "q85_reference_integrity" -> (q85ReferenceIntegrity _),
     "q63_ensemble_neardup"  -> (q63EnsembleNeardup _),
     "q52_repetition_filter" -> (q52RepetitionFilter _),
     "q53_source_mix"        -> (q53SourceMix _),
@@ -1187,6 +1208,16 @@ object TextOps {
          |  doc_id AS keep_doc_id, n_chars AS keep_chars
          |FROM sel WHERE rk = 1 AND n_members >= 2
          |ORDER BY cluster_id""".stripMargin,
+    "q85_reference_integrity" ->
+      """SELECT CAST(COUNT(d.doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(e.vec_id) AS BIGINT) AS n_embeddings,
+        |  CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_without_embedding,
+        |  CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS embeddings_without_doc,
+        |  CAST(MIN(len(e.embedding)) AS BIGINT) AS min_dim,
+        |  CAST(MAX(len(e.embedding)) AS BIGINT) AS max_dim
+        |FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
     "q84_fuzzy_join" ->
       """WITH dirty AS (SELECT c_custkey AS dirty_id,
         |    substring(c_name, 1, CAST(c_custkey % length(c_name) AS INT)) ||

@@ -263,7 +263,51 @@ object Streams {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** q86: cohort retention — the user-lifecycle table every product
+    * analytics stack computes: users grouped by first-active week
+    * (cohort), counted per week-offset they return. Two aggregations
+    * on the same user_id partitioning (first-touch, then activity
+    * join); integer week arithmetic so the oracle is exact. */
+  def q86CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"),
+      expr("(ts div 1000) div 604800000000").as("week"))
+    val firstWeek = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    ev.join(firstWeek, Seq("user_id"))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  /** q87: hourly anomaly detection — flag hours whose event count sits
+    * more than 3 standard deviations from the trailing-24-observation
+    * mean, per event type. The z-test is ALL-INTEGER: with s1 = Σx,
+    * s2 = Σx², n the trailing count, z² = (cnt·n − s1)²/(s2·n − s1²),
+    * so |z| > 3 ⟺ (cnt·n − s1)² > 9·(s2·n − s1²) — no floating-point
+    * mean or σ ever exists to diverge between engines. One window pass
+    * over (type, hour); the same program runs streaming as a windowed
+    * agg + stateful threshold. */
+  def q87HourlyAnomaly(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    val dev = col("cnt") * col("n") - col("s1")
+    events(s, d)
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("s1", sum(col("cnt")).over(w))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("n", count(col("cnt")).over(w))
+      .filter(col("n") === 24)
+      .withColumn("is_anomaly",
+        dev * dev > lit(9L) * (col("s2") * col("n") - col("s1") * col("s1")))
+      .select(col("event_type"), col("hour"), col("cnt"), col("s1"),
+        col("s2"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_cohort_retention" -> (q86CohortRetention _),
+    "q87_hourly_anomaly"  -> (q87HourlyAnomaly _),
     "q77_scd2"            -> (q77Scd2 _),
     "q74_asof_custom"     -> (q74AsofCustom _),
     "q13_tumbling_window" -> (q13TumblingWindow _),
@@ -279,6 +323,31 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "q86_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(week) AS cohort FROM ev GROUP BY user_id)
+        |SELECT cohort, week - cohort AS week_offset,
+        |  CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY cohort, week - cohort
+        |ORDER BY cohort, week_offset""".stripMargin,
+    "q87_hourly_anomaly" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hour, cnt,
+        |    SUM(cnt) OVER tw AS s1,
+        |    SUM(cnt * cnt) OVER tw AS s2,
+        |    COUNT(cnt) OVER tw AS n
+        |  FROM h
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour, cnt,
+        |  CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+        |  (cnt * n - s1) * (cnt * n - s1) > 9 * (s2 * n - s1 * s1) AS is_anomaly
+        |FROM w WHERE n = 24
+        |ORDER BY event_type, hour""".stripMargin,
     "q77_scd2" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
         |  FROM events),

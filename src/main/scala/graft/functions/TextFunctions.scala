@@ -220,6 +220,20 @@ object TextFunctions {
     }
   }
 
+  /** Asymmetric set containment C(a→b) = |a∩b| / |a| — the excerpt /
+    * quotation measure (a small doc fully inside a big one has C ≈ 1
+    * but a tiny Jaccard). Same fold as [[jaccard]], different
+    * denominator. */
+  val containment = udf { (a: Seq[String], b: Seq[String]) =>
+    if (a.isEmpty) 0.0
+    else {
+      val sb = b.toSet
+      var common = 0
+      a.foreach(s => if (sb.contains(s)) common += 1)
+      common.toDouble / a.size
+    }
+  }
+
   /** Dot product over float vectors in double, left-to-right — identical
     * fold to the declarative/oracle form, JIT'd. */
   val dotF = udf { (a: Seq[Float], b: Seq[Float]) =>

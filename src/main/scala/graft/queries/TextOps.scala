@@ -421,6 +421,39 @@ object TextOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** q88: containment join — DIRECTED near-dup: doc A is an excerpt /
+    * quotation of doc B when |A∩B|/|A| ≥ 0.9, which symmetric Jaccard
+    * misses entirely for size-mismatched pairs (a paragraph inside a
+    * book has J ≈ 0). The prefix filter adapts: if C(A→B) ≥ t then B
+    * contains one of A's (n_A − ⌈t·n_A⌉ + 1) smallest shingles, so the
+    * index joins A-side PREFIXES against B's FULL inverted index — no
+    * length-ratio pruning (the size-mismatched pairs are exactly the
+    * point), B-side index bigger by construction. B's entries hash with
+    * the native codegen'd xxhash64 (same seed as the kernel's). */
+  def q88ContainmentJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.{containment, prefixShingles}
+    val docs = shingled(documents(s, d))
+      .select(col("doc_id"), col("sh"))
+      .repartition(col("doc_id"))
+    val prefA = docs.select(col("doc_id").as("id_a"),
+        explode(prefixShingles(col("sh"), lit(0.9))).as("p"))
+      .select(col("id_a"), col("p._1").as("h"), col("p._2").as("s"))
+    val fullB = docs.select(col("doc_id").as("id_b"),
+        explode(col("sh")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val cands = prefA.join(fullB, Seq("h", "s"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+      .withColumn("containment", containment(col("sha"), col("shb")))
+      .filter(col("containment") >= 0.9)
+      .select(col("id_a").as("excerpt_id"), col("id_b").as("container_id"),
+        col("containment"))
+      .orderBy(col("excerpt_id"), col("container_id"))
+  }
+
   /** q85: reference-integrity audit — the cross-table consistency check
     * every multi-asset corpus runs before release: documents without an
     * embedding (can't be semantically deduped/searched), embeddings
@@ -964,6 +997,7 @@ object TextOps {
     "q83_diversity_audit"   -> (q83DiversityAudit _),
     "q84_fuzzy_join"        -> (q84FuzzyJoin _),
     "q85_reference_integrity" -> (q85ReferenceIntegrity _),
+    "q88_containment_join"  -> (q88ContainmentJoin _),
     "q63_ensemble_neardup"  -> (q63EnsembleNeardup _),
     "q52_repetition_filter" -> (q52RepetitionFilter _),
     "q53_source_mix"        -> (q53SourceMix _),
@@ -1208,6 +1242,15 @@ object TextOps {
          |  doc_id AS keep_doc_id, n_chars AS keep_chars
          |FROM sel WHERE rk = 1 AND n_members >= 2
          |ORDER BY cluster_id""".stripMargin,
+    "q88_containment_join" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles sh FROM w)
+         |SELECT a.doc_id AS excerpt_id, b.doc_id AS container_id,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+         |    AS containment
+         |FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.9
+         |ORDER BY excerpt_id, container_id""".stripMargin,
     "q85_reference_integrity" ->
       """SELECT CAST(COUNT(d.doc_id) AS BIGINT) AS n_docs,
         |  CAST(COUNT(e.vec_id) AS BIGINT) AS n_embeddings,

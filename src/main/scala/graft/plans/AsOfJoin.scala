@@ -106,25 +106,38 @@ case class AsOfJoinExec(
       var held: InternalRow = null
       li.map { l =>
         val lkt = lproj(l)
-        val lk = lkt.getLong(0)
-        val lt = lkt.getLong(1)
-        var advancing = true
-        while (advancing && rb.hasNext) {
-          val rkt = rproj(rb.head)
-          val rk = rkt.getLong(0)
-          val rt = rkt.getLong(1)
-          if (rk < lk) {
-            rb.next() // right row of an already-passed key: discard
-            // (a stale `held` is made harmless by the heldKey == lk guard)
-          } else if (rk == lk && rt <= lt) {
-            held = rb.next().copy() // newest qualifying row wins
-            heldKey = lk
-          } else {
-            advancing = false
+        // standard join semantics: a NULL key or time never matches.
+        // Without the explicit check the unsafe projection would read a
+        // null long as 0 and silently join under key 0 — while the sort
+        // put the row in the NULLS FIRST position, so read value and
+        // sort position would disagree.
+        if (lkt.isNullAt(0) || lkt.isNullAt(1)) {
+          outProj(joiner(l, nullRight))
+        } else {
+          val lk = lkt.getLong(0)
+          val lt = lkt.getLong(1)
+          var advancing = true
+          while (advancing && rb.hasNext) {
+            val rkt = rproj(rb.head)
+            if (rkt.isNullAt(0) || rkt.isNullAt(1)) {
+              rb.next() // null-keyed right rows (sorted first) never match
+            } else {
+              val rk = rkt.getLong(0)
+              val rt = rkt.getLong(1)
+              if (rk < lk) {
+                rb.next() // right row of an already-passed key: discard
+                // (a stale `held` is harmless: the heldKey == lk guard)
+              } else if (rk == lk && rt <= lt) {
+                held = rb.next().copy() // newest qualifying row wins
+                heldKey = lk
+              } else {
+                advancing = false
+              }
+            }
           }
+          val r = if (held != null && heldKey == lk) held else nullRight
+          outProj(joiner(l, r))
         }
-        val r = if (held != null && heldKey == lk) held else nullRight
-        outProj(joiner(l, r))
       }
     }
   }

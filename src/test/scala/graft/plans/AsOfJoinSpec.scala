@@ -115,6 +115,22 @@ class AsOfJoinSpec extends SparkSuite {
     }.isDefined, opt2.toString)
   }
 
+  test("null keys and times never match (standard join semantics)") {
+    val p = Seq((Some(1L), Some(5L), Some(100L)), (Some(2L), None, Some(100L)),
+        (Some(3L), Some(5L), None))
+      .toDF("p_id", "p_user", "p_ts")
+    val c = Seq((Some(10L), Some(5L), Some(90L)), (Some(11L), None, Some(1L)),
+        (Some(12L), Some(5L), None))
+      .toDF("c_id", "c_user", "c_ts")
+    val got = AsOfJoin(spark, p, c, "p_user", "c_user", "p_ts", "c_ts", "c_id")
+      .select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toSet
+    // only the fully-non-null pair (user 5, 90 <= 100) matches; the
+    // null-user purchase and null-ts purchase get null; null-keyed and
+    // null-ts clicks are invisible
+    assert(got == Set((1L, 10L), (2L, null), (3L, null)), got.toString)
+  }
+
   test("API rejects unknown columns and non-long keys with clear errors") {
     val p = Seq((1L, 5L, 100L)).toDF("p_id", "p_user", "p_ts")
     val c = Seq((10L, 5L, 90L)).toDF("c_id", "c_user", "c_ts")

@@ -95,8 +95,11 @@ case class HllDistinct(
       vEmpty, Decimal(new java.math.BigDecimal(sFixed), 38, 0), est))
   }
 
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  // fresh arrays on both paths (the upstream TypedImperativeAggregate
+  // convention): the serialized form must not alias a buffer that later
+  // updates mutate
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllDistinct =
     copy(mutableAggBufferOffset = newOffset)

@@ -582,7 +582,7 @@ object TextOps {
     * Per-row map work; at 100 TB this runs fused into the first scan. */
   def q80NormalizeText(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions.nfc
-    val mess = concat(lit("\t dirty e"), lit("́"), lit("  tail\r\n"))
+    val mess = concat(lit("\t dirty e"), lit("\u0301"), lit("  tail\r\n"))
     val raw = concat(col("text"),
       when(col("doc_id") % 7 === 3, mess).otherwise(lit("")))
     documents(s, d)

@@ -17,6 +17,30 @@ class CheckpointRecoverySpec extends SparkSuite {
   private def ts(h: Int, m: Int) =
     java.sql.Timestamp.valueOf(f"2024-06-01 $h%02d:$m%02d:00")
 
+  test("Trigger.AvailableNow drains the backlog and self-terminates") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val ckpt = java.nio.file.Files.createTempDirectory("an_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("an_sink").toString
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    // backlog accumulated BEFORE the query exists — the nightly catch-up
+    // shape: process everything queued, then stop on its own
+    stream.addData((ts(9, 0), 1L, "alpha"), (ts(9, 1), 2L, "alpha"),
+      (ts(9, 2), 3L, "beta"))
+    val q = CorpusStream.dedupByContent(
+        stream.toDS().toDF("ts", "doc_id", "text"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "query did not self-terminate")
+    val texts = spark.read.parquet(outDir).collect()
+      .map(_.getAs[String]("text")).toSet
+    assert(texts == Set("alpha", "beta"), texts.toString)
+  }
+
   test("dedup state survives a stop/restart from checkpoint") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

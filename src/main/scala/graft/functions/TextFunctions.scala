@@ -220,11 +220,7 @@ object TextFunctions {
     }
   }
 
-  /** Asymmetric set containment C(a→b) = |a∩b| / |a| — the excerpt /
-    * quotation measure (a small doc fully inside a big one has C ≈ 1
-    * but a tiny Jaccard). Same fold as [[jaccard]], different
-    * denominator. */
-  val containment = udf { (a: Seq[String], b: Seq[String]) =>
+  private[functions] def containmentOf(a: Seq[String], b: Seq[String]): Double =
     if (a.isEmpty) 0.0
     else {
       val sb = b.toSet
@@ -232,7 +228,12 @@ object TextFunctions {
       a.foreach(s => if (sb.contains(s)) common += 1)
       common.toDouble / a.size
     }
-  }
+
+  /** Asymmetric set containment C(a→b) = |a∩b| / |a| — the excerpt /
+    * quotation measure (a small doc fully inside a big one has C ≈ 1
+    * but a tiny Jaccard). Same fold as [[jaccard]], different
+    * denominator. */
+  val containment = udf { (a: Seq[String], b: Seq[String]) => containmentOf(a, b) }
 
   /** Dot product over float vectors in double, left-to-right — identical
     * fold to the declarative/oracle form, JIT'd. */

@@ -65,6 +65,14 @@ object TextFunctionsPropSpec extends Properties("TextFunctions") {
         Gen.listOfN(len, Gen.alphaLowerChar).map(_.mkString)))
       .map(_.distinct.toArray))
 
+  property("containment kernel == naive |A∩B|/|A| on arbitrary sets") =
+    forAll(genShingles, genShingles) { (a, b) =>
+      val expect =
+        if (a.isEmpty) 0.0
+        else a.count(b.toSet.contains).toDouble / a.length
+      TextFunctions.containmentOf(a.toSeq, b.toSeq) == expect
+    }
+
   property("prefixSelect == sorted-slice reference (set equality)") =
     forAll(genShingles, Gen.choose(0.1, 0.95)) { (sh, t) =>
       val got = TextFunctions.prefixSelect(sh, t).toSet

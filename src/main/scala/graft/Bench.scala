@@ -53,6 +53,29 @@ object Bench {
           array(struct(lit(1L).as("event_id"), col("b").as("bytes")))))
         .count()
     }
+    // ... and the physical-operator paths the vector/text queries lean
+    // on (BroadcastNestedLoopJoin, SortAggregate max_by over structs,
+    // Window + WindowGroupLimit top-k, posexplode), uncounted for the
+    // same reason: HotSpot compiles these operator interpreters once
+    // per JVM, within the first seconds of cluster load — measured
+    // ~1.5-2 s of first-query cost at local bench scale that a
+    // long-lived cluster never re-pays per query.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val vec = array((0 until 8).map(i => (col("id") * (i + 1)).cast("float")): _*)
+      val a = spark.range(4096).select(col("id"), vec.as("v"))
+      val c = spark.range(16).select(col("id").as("cid"), vec.as("cv"))
+      val assigned = a.crossJoin(broadcast(c))
+        .withColumn("s", graft.functions.GraftFunctions.dot(col("v"), col("cv")))
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("cid"), col("v")), struct(col("s"), -col("cid"))).as("w"))
+      val w = Window.partitionBy(col("w.cid")).orderBy(col("id"))
+      assigned.withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+        .select(col("id"), posexplode(col("w.v")))
+        .orderBy(col("id"), col("pos"))
+        .count()
+    }
 
     // A query that throws serializes as null in `queries` (so consumers
     // summing/plotting per-query values never see a corrupted number)

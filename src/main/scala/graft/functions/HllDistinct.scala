@@ -42,6 +42,18 @@ case class HllDistinct(
 
   import HllDistinct._
 
+  // analysis-time rejection of non-string children (the update path
+  // casts to UTF8String and would otherwise fail only at execution);
+  // checkInputDataTypes rather than ExpectsInputTypes because
+  // AbstractDataType is private[sql]
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING child, got ${child.dataType.sql}")
+    }
+
   override def prettyName: String = "graft_hll_distinct"
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(

@@ -149,7 +149,13 @@ object Streams {
     * sketch registers integer-exact across engines, so the ORACLE
     * recomputes the sketch itself in SQL (v_empty + fixed-point register
     * sum hash-compare bit-identically); estimate accuracy (~1.6% at
-    * p=12) is pinned by HllDistinctSpec. */
+    * p=12) is pinned by HllDistinctSpec.
+    *
+    * Output contract: the fixed-point sum ranges up to m·2^53 = 2^65,
+    * past int64 — emitted as DECIMAL(38,0) it survives both engines but
+    * not every harness decimal normalizer, so it crosses the gate as two
+    * int64-safe columns `s_hi = Σ div 2^32` (< 2^33) and
+    * `s_lo = Σ mod 2^32`, losslessly reconstructible. */
   def q67ApproxDistinct(s: SparkSession, d: String): DataFrame = {
     val key = concat(col("user_id").cast("string"), lit(":"),
       expr("(ts div 1000) div 86400000000").cast("string"))
@@ -159,7 +165,9 @@ object Streams {
       .agg(graft.functions.GraftFunctions.hllDistinct(col("k")).as("sk"),
         countDistinct(col("k")).as("n_exact"))
       .select(col("event_type"), col("sk.v_empty").as("v_empty"),
-        col("sk.s_fixed").as("s_fixed"), col("n_exact"))
+        expr("CAST(sk.s_fixed DIV 4294967296 AS BIGINT)").as("s_hi"),
+        expr("CAST(sk.s_fixed % 4294967296 AS BIGINT)").as("s_lo"),
+        col("n_exact"))
       .orderBy(col("event_type"))
   }
 
@@ -414,13 +422,15 @@ object Streams {
         |  FROM h GROUP BY 1, 2),
         |agg AS (SELECT event_type,
         |    CAST(4096 - COUNT(*) AS BIGINT) AS v_empty,
-        |    CAST(SUM(CAST(CAST(1 AS BIGINT) << (53 - m) AS HUGEINT))
+        |    SUM(CAST(CAST(1 AS BIGINT) << (53 - m) AS HUGEINT))
         |      + CAST(4096 - COUNT(*) AS HUGEINT) * (CAST(1 AS HUGEINT) << 53)
-        |      AS DECIMAL(38,0)) AS s_fixed
+        |      AS s_sum
         |  FROM r GROUP BY 1),
         |x AS (SELECT event_type, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_exact
         |  FROM k GROUP BY 1)
-        |SELECT a.event_type, v_empty, s_fixed, n_exact
+        |SELECT a.event_type, v_empty,
+        |  CAST(s_sum // 4294967296 AS BIGINT) AS s_hi,
+        |  CAST(s_sum % 4294967296 AS BIGINT) AS s_lo, n_exact
         |FROM agg a JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
     "q64_asof_join" ->
       """WITH u AS (

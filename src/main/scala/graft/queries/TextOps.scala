@@ -134,13 +134,19 @@ object TextOps {
     // (TextFunctions.prefixShingles over the SAME `docs` subtree as the
     // verify joins: Catalyst reuses one scan+kernel+exchange across the
     // index and verify sides — a fused text→prefix variant measured
-    // SLOWER overall because it forfeited exactly that reuse)
+    // SLOWER overall because it forfeited exactly that reuse).
+    // The index keeps ONLY the 64-bit shingle hash, not the shingle
+    // string: every candidate is exact-verified by the Jaccard join
+    // below, so a hash collision can only add a candidate that
+    // verification rejects — recall is untouched (hash-equal ⊇
+    // string-equal) and the self-join exchange rows shrink from
+    // ~40-byte strings to 8-byte longs.
     val pref = docs.select(col("doc_id"), col("n"),
         explode(graft.functions.TextFunctions.prefixShingles(
           col("sh"), lit(0.8))).as("p"))
-      .select(col("doc_id"), col("n"), col("p._1").as("h"), col("p._2").as("s"))
+      .select(col("doc_id"), col("n"), col("p._1").as("h"))
     val cands = pref.as("a").join(pref.as("b"),
-        col("a.h") === col("b.h") && col("a.s") === col("b.s") &&
+        col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * 4 <= col("b.n") * 5 && col("b.n") * 4 <= col("a.n") * 5)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -435,13 +441,17 @@ object TextOps {
     val docs = shingled(documents(s, d))
       .select(col("doc_id"), col("sh"))
       .repartition(col("doc_id"))
+    // index rows carry only the 64-bit hash (as in q33): the exact
+    // containment verify below rejects any hash-collision candidate,
+    // so recall is untouched and the big B-side index exchange ships
+    // longs, not shingle strings
     val prefA = docs.select(col("doc_id").as("id_a"),
         explode(prefixShingles(col("sh"), lit(0.9))).as("p"))
-      .select(col("id_a"), col("p._1").as("h"), col("p._2").as("s"))
+      .select(col("id_a"), col("p._1").as("h"))
     val fullB = docs.select(col("doc_id").as("id_b"),
         explode(col("sh")).as("s"))
-      .withColumn("h", xxhash64(col("s")))
-    val cands = prefA.join(fullB, Seq("h", "s"))
+      .select(col("id_b"), xxhash64(col("s")).as("h"))
+    val cands = prefA.join(fullB, Seq("h"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     cands
@@ -641,12 +651,14 @@ object TextOps {
       .repartition(col("doc_id"))
     val inc = all.filter(col("doc_id") % 10 === 7)
     val corpus = all.filter(col("doc_id") % 10 =!= 7)
+    // hash-only index rows, as in q33: the exact Jaccard verify rejects
+    // hash-collision candidates, so the boundary join ships longs
     def pref(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id"), col("n"),
           explode(prefixShingles(col("sh"), lit(0.8))).as("p"))
-        .select(col("doc_id"), col("n"), col("p._1").as("h"), col("p._2").as("s"))
+        .select(col("doc_id"), col("n"), col("p._1").as("h"))
     val cands = pref(inc).as("a").join(pref(corpus).as("b"),
-        col("a.h") === col("b.h") && col("a.s") === col("b.s") &&
+        col("a.h") === col("b.h") &&
           col("a.n") * 4 <= col("b.n") * 5 && col("b.n") * 4 <= col("a.n") * 5)
       .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("corpus_id"))
       .distinct()

@@ -153,18 +153,23 @@ object Vectors {
     val e = embNormed(s, d)
     val seeds = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("nv").as("nc"))
-    def seedSim = dot_f(col("cv"), col("embedding")) / (col("nc") * col("nv"))
     // argmax via max_by partial aggregation, not a window: no sort, the
     // per-vector groups combine map-side. Ordering key (csim, -c_id)
     // reproduces the window's deterministic tiebreak (highest sim, then
-    // LOWEST centroid id).
-    val seedAssigned = e.crossJoin(broadcast(seeds))
-      .withColumn("csim", seedSim)
+    // LOWEST centroid id). ONE shape for both the seed and the refined
+    // assignment pass — structurally identical generated code, so the
+    // second pass reuses the first's compiled stage instead of paying
+    // Janino again (cold-start cost, not steady-state).
+    def assign(cents: DataFrame): DataFrame = e.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        dot_f(col("cv"), col("embedding")) / (col("nc") * col("nv")))
       .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("c_id"), col("embedding")),
+      .agg(max_by(struct(col("embedding"), col("nv"), col("c_id")),
         struct(col("csim"), -col("c_id"))).as("w"))
-      .select(col("w.c_id").as("c_id"), col("w.embedding").as("embedding"))
-    val refined = seedAssigned
+      .select(col("vec_id"), col("w.embedding").as("embedding"),
+        col("w.nv").as("nv"), col("w.c_id").as("bucket"))
+    val refined = assign(seeds)
+      .select(col("bucket").as("c_id"), col("embedding"))
       .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("c_id"), col("pos"))
       .agg(avg(col("v")).as("m"))
@@ -174,31 +179,34 @@ object Vectors {
         expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cv"))
     // 16 rows, but each broadcast consumer would otherwise re-run the
     // whole training pass (corpus × seeds assignment + mean) behind it —
-    // persist makes "train once, probe twice" literal in the plan
-    val centroids = withNorm(refined.withColumnRenamed("c_id", "vec_id"), "cv", "nc")
-      .withColumnRenamed("vec_id", "c_id")
+    // persist makes "train once, probe twice" literal in the plan.
+    // (norm inline, NOT via withNorm: its repartition barrier is for
+    // corpus-sized frames and would add a useless 16-row exchange)
+    val centroids = refined
+      .withColumn("nc", sqrt(dot_f(col("cv"), col("cv"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def csim = dot_f(col("cv"), col("embedding")) / (col("nc") * col("nv"))
-    // the built index: bucketed corpus, consumed by the probe-selection
-    // pass and the candidate scan — one materialization, not two
-    // corpus × centroid assignment passes
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("csim", csim)
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("embedding"), col("nv"), col("c_id")),
-        struct(col("csim"), -col("c_id"))).as("w"))
-      .select(col("vec_id"), col("w.embedding").as("embedding"),
-        col("w.nv").as("nv"), col("w.c_id").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probes = assigned.crossJoin(broadcast(centroids))
-      .filter(col("vec_id") % 50 === 0)
+    // Probe selection: filter FIRST (the 2% query slice), then a tiny
+    // queries × 16 crossJoin — not a corpus-wide third pass. probes is
+    // ~4·N/50 rows and broadcasts below.
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .crossJoin(broadcast(centroids))
       .withColumn("csim", csim)
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))))
       .filter(col("pr") <= 4) // nProbe = 4
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nv").as("nq"), col("c_id").as("probe_bucket"))
-    val scored = probes.join(assigned,
+    // The built index: nearest REFINED centroid per vector — the second
+    // (and last) full corpus × 16 pass, same compiled stage as the seed
+    // pass. NOT persisted: it is consumed exactly once, by the candidate
+    // scan below, and caching a corpus-wide array column costs more than
+    // its single compute.
+    val assigned = assign(centroids)
+    // broadcast the small probe side: the corpus-side index never
+    // shuffles (a hash join keyed on 16 distinct buckets would be the
+    // worst possible exchange — every row into 16 skewed partitions)
+    val scored = assigned.join(broadcast(probes),
         col("probe_bucket") === col("bucket") && col("query_id") =!= col("vec_id"))
       .withColumn("sim", dot_f(col("qv"), col("embedding")) / (col("nq") * col("nv")))
     scored

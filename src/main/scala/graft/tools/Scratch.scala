@@ -21,9 +21,14 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SCRATCH_CONF="k=v;k2=v2" applies runtime SQL confs for A/B runs
+    sys.env.get("SCRATCH_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     graft.SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
     for (r <- 1 to reps; n <- names) {
-      spark.sharedState.cacheManager.clearCache()
+      // SCRATCH_KEEP=1 mimics Bench (shared cache across queries)
+      if (!sys.env.contains("SCRATCH_KEEP")) spark.sharedState.cacheManager.clearCache()
       System.gc()
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(n)(spark, sfDir)

@@ -25,10 +25,10 @@ class Q33BreakdownSpec extends SparkSuite {
     time("scan+shingle (1x)") { docs.count() }
     val pref = docs.select(col("doc_id"), col("n"),
         explode(prefixShingles(col("sh"), lit(0.8))).as("p"))
-      .select(col("doc_id"), col("n"), col("p._1").as("h"), col("p._2").as("s"))
+      .select(col("doc_id"), col("n"), col("p._1").as("h"))
     time("prefix explode (1x)") { pref.count() }
     val cands = pref.as("a").join(pref.as("b"),
-        col("a.h") === col("b.h") && col("a.s") === col("b.s") &&
+        col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * 4 <= col("b.n") * 5 && col("b.n") * 4 <= col("a.n") * 5)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -108,6 +108,30 @@ object LorawanCrypto {
       }
       ok
     }
+
+    /** JoinAccept validation under this session's key (reference C9's
+      * other half, lorawanWrapper.go:508-531 testAppKeyWithJoinAccept):
+      * decrypt the payload+MIC (ECB AES-ENCRYPT blocks — the spec's
+      * network-decrypts-on-encrypt quirk), then check the LoRaWAN 1.0
+      * downlink-join MIC = CMAC(MHDR | decrypted payload). One session
+      * per candidate key amortizes the key schedule over every packet
+      * AND over both the decrypt and the CMAC. */
+    def joinAcceptMicValid(phyBytes: Array[Byte]): Boolean = {
+      if (phyBytes == null ||
+        (phyBytes.length != 17 && phyBytes.length != 33)) return false
+      val n = phyBytes.length - 1 // payload + MIC
+      val dec = new Array[Byte](n)
+      var off = 0
+      while (off < n) { Aes128.encryptBlock(ks, phyBytes, 1 + off, dec, off); off += 16 }
+      val msg = new Array[Byte](1 + n - 4) // MHDR | decrypted payload
+      msg(0) = phyBytes(0)
+      System.arraycopy(dec, 0, msg, 1, n - 4)
+      val mic = cmac(msg)
+      var i = 0
+      var ok = true
+      while (i < 4) { ok &= mic(i) == dec(n - 4 + i); i += 1 }
+      ok
+    }
   }
 
   /** AES-CMAC (RFC 4493). Verified against the RFC's test vectors in
@@ -226,7 +250,7 @@ object LorawanCrypto {
     val body = java.util.Arrays.copyOfRange(phyBytes, 1, phyBytes.length) // payload+MIC
     require(body.length == 16 || body.length == 32,
       s"JoinAccept payload+MIC must be 16 or 32 bytes, got ${body.length}")
-    Array(phyBytes(0)) ++ aesEncryptBlock(key, body)
+    Array(phyBytes(0)) ++ ecb(body, aesEncryptBlock(key, _))
   }
 
   /** Encrypt a (plaintext) JoinAccept back to wire form — AES decrypt op. */
@@ -234,8 +258,13 @@ object LorawanCrypto {
     val body = java.util.Arrays.copyOfRange(phyBytes, 1, phyBytes.length)
     require(body.length == 16 || body.length == 32,
       s"JoinAccept payload+MIC must be 16 or 32 bytes, got ${body.length}")
-    Array(phyBytes(0)) ++ aesDecryptBlock(key, body)
+    Array(phyBytes(0)) ++ ecb(body, aesDecryptBlock(key, _))
   }
+
+  // per-16-byte-block ECB (the 32-byte case is a JoinAccept with CFList;
+  // a single-block call would silently truncate it)
+  private def ecb(body: Array[Byte], f: Array[Byte] => Array[Byte]): Array[Byte] =
+    body.grouped(16).flatMap(b => f(b): Iterable[Byte]).toArray
 
   /** Fields of a decrypted JoinAccept payload (reference C6 getDevAddr). */
   final case class JoinAcceptFields(joinNonce: Int, homeNetId: String,

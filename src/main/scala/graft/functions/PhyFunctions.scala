@@ -142,6 +142,18 @@ object PhyFunctions {
     }
   }
 
+  /** C9's JoinAccept half (lorawanWrapper.go:387-504): one candidate key
+    * against every captured JoinAccept — decrypt-then-CMAC per packet
+    * under one amortized [[LorawanCrypto.CmacSession]], same
+    * candidate-major orientation as [[micMatchEvents]]. */
+  val jaMicMatchEvents = udf { (keyHex: String, pkts: Seq[Row]) =>
+    val session = new LorawanCrypto.CmacSession(Lorawan.hexToBytes(keyHex))
+    pkts.collect {
+      case r if session.joinAcceptMicValid(r.getAs[Array[Byte]]("bytes")) =>
+        r.getAs[Long]("event_id")
+    }
+  }
+
   /** Build a signed+encrypted JoinAccept for a device (test/synthesis
     * path of C6/C7): plaintext fields → MIC (CMAC over MHDR|payload) →
     * AES "encrypt" (= decrypt op, spec quirk). */

@@ -250,6 +250,48 @@ object Packets {
       .orderBy(col("event_id"), col("found_key"))
   }
 
+  /** q89: JoinAccept-side AppKey testing — the other half of the
+    * reference's C9 surface (lorawanWrapper.go:387-504
+    * `testAppKeysWithJoinAccept`): a candidate AppKey is accepted for a
+    * captured JoinAccept when decrypting the payload with it yields a
+    * valid downlink-join MIC (decrypt-then-CMAC; the workload a security
+    * audit runs on a capture that contains only network→device traffic).
+    * Candidates are the SAME three structured generators as q48
+    * (lorawanWrapper.go:421-434); packets are synthesized
+    * encrypted+signed with key3-shaped keys derived from their row, so
+    * the oracle knows every hit by construction — Spark must rediscover
+    * them by testing all 196,608 candidates (~1.6M AES-decrypt+CMAC
+    * pairs). Candidate-major orientation as in q28/q48: the generated
+    * key space is the streamed side, the capture broadcasts as one
+    * packed row, one amortized crypto session per candidate. */
+  def q89JoinAcceptKeys(s: SparkSession, d: String): DataFrame = {
+    def hex2(c: Column) = lpad(lower(hex(c)), 2, "0")
+    val gen = s.range(65536).select(
+      hex2((col("id") / 256).cast("int")).as("hi"),
+      hex2((col("id") % 256).cast("int")).as("hj"))
+    val cands = gen.select(explode(array(
+        concat(col("hi"), repeat(col("hj"), 15)),
+        repeat(concat(col("hi"), col("hj")), 8),
+        concat(lit("0" * 28), col("hi"), col("hj")))).as("cand_key"))
+      .distinct()
+    val e = events(s, d).filter(col("event_id") < 8)
+    val keyHex = concat(lit("0" * 28),
+      hex2((col("user_id") % 256).cast("int")),
+      hex2((col("event_id") % 256).cast("int")))
+    val devAddr = lpad(lower(hex(col("user_id") + 7)), 8, "0")
+    val packed = e.select(col("event_id"),
+        PhyFunctions.encodeJoinAccept(keyHex,
+          (col("event_id") % 16777216).cast("int"), lit("aabbcc"), devAddr)
+          .as("bytes"))
+      .agg(collect_list(struct(col("event_id"), col("bytes"))).as("pkts"))
+    cands.repartition(s.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(packed))
+      .select(col("cand_key"),
+        explode(PhyFunctions.jaMicMatchEvents(col("cand_key"), col("pkts"))).as("event_id"))
+      .select(col("event_id"), col("cand_key").as("found_key"))
+      .orderBy(col("event_id"), col("found_key"))
+  }
+
   /** q29: session-key derivation over a JoinRequest ⋈ JoinAccept as-of
     * pairing (C7, lorawanWrapper.go:111-159 + the upstream JR⋈JA self-join
     * SURVEY §2.8 calls for). JR rows pair with the next JA row per device
@@ -337,6 +379,7 @@ object Packets {
     "q26_decode_errors"      -> (q26DecodeErrors _),
     "q28_key_bruteforce"     -> (q28KeyBruteforce _),
     "q48_key_patterns"       -> (q48KeyPatterns _),
+    "q89_joinaccept_keys"    -> (q89JoinAcceptKeys _),
     "q29_session_keys"       -> (q29SessionKeys _),
     "q20_codec_roundtrip"    -> (q20CodecRoundtrip _),
     "q21_scalar_ops"         -> (q21ScalarOps _),
@@ -358,6 +401,98 @@ object Packets {
       """SELECT event_id, lpad(lower(hex(user_id)), 32, '0') AS found_key
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
     "q48_key_patterns" ->
+      """SELECT event_id,
+        |  repeat('0', 28) || lpad(lower(hex(user_id % 256)), 2, '0')
+        |    || lpad(lower(hex(event_id % 256)), 2, '0') AS found_key
+        |FROM events WHERE event_id < 8 ORDER BY event_id, found_key""".stripMargin,
+    // q29: the JR⋈JA PAIRING is plain SQL (the same per-user lead window
+    // as the Spark side — any pairing drift shows up as row/order
+    // mismatch); the AES-derived keys are not SQL-expressible, so the
+    // paired rows LEFT-join a pinned lookup of the sf0.01 fixture's
+    // derived keys (crypto itself is pinned independently by
+    // LorawanCryptoSpec against the public-spec derivation). A pairing
+    // row missing from the pin joins to NULL keys → hash mismatch →
+    // caught. The pin is sf0.01-specific: the driver's gate SF.
+    "q29_session_keys" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 2 = 0 THEN 'jr' ELSE 'ja' END AS kind
+        |  FROM events WHERE event_id < 400),
+        |p AS (SELECT event_id, user_id, kind,
+        |    lead(kind) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_kind
+        |  FROM e),
+        |k(event_id, nwk_s_key, app_s_key) AS (VALUES
+        |  (8, 'faafae6be54784772de8d82f519e3685', '05a9b7bc44db7b62865e5c8e6bbdbded'),
+        |  (10, '57da9a52cb566ed435dec65d2c35479b', '0ff901fc64c6e2ba5b4cb3bc556a3d0c'),
+        |  (14, '1cceb86427284dac4a2e18188f7d5255', '25846185edf810c42903c5d9d07ae947'),
+        |  (22, '8bd51279d89085ead005c13a49471a1e', 'e89ebe98d398710b5d6392fe3e802608'),
+        |  (26, '336fc42bf2d5ee200280ccbd73418857', '135a314740b0d96cfc0b4a23eb75c7f7'),
+        |  (28, '10fc2ce11ee1575b8235f5ef3a98f391', '66b0fa2f88b8dc5493725eb4063eadf6'),
+        |  (32, '32159ec243506936652bf5813843694f', 'd42f3a9f43ef831e7672a9bd327d62f4'),
+        |  (34, 'e4b240a5c7931b6b4802d2a4321b3be4', '68a2f632b7aa8a65959130f49846d2c4'),
+        |  (36, 'a1677397e032ca6bf0b0b97546635aee', 'bbab8b1361f6b6cd7baa78b00fd57941'),
+        |  (38, '3bde8efade36216567d060ee89d05c3b', '0f3da12928ede59347ad6321d35fe00d'),
+        |  (42, 'd295705b89884127272107e22d0b4ffe', 'ec550e40b32a2aad1a0941197ec7a81c'),
+        |  (46, '51ff924416abcd765efb655ca57f5518', '48d58316a127089b5dfc4c438eae3801'),
+        |  (52, 'f451d50000dd3947c7f4d930cc54fa5a', '44a49c53d5a4565b76acf92520195266'),
+        |  (54, '2d47a9384d47ff5788417fe7b6db9705', '9000a2e38fe19d9d38a24bf1a82cb7b7'),
+        |  (60, '6b18d33ec4c95e70bf13377132006b93', '03ac2e2883c301e2215a3cea20deb6f4'),
+        |  (62, 'e6e09ee7db5f13fbde5d4d32b21856a2', '2d91180e28129cf9c990f5c205586cdb'),
+        |  (64, '1e995175c2fb1e2cf12f062e7383670b', '9f03fda4bfbefdc6b262b1b5016addf4'),
+        |  (72, '926ff73dcca101beeff92af7102ac785', '6af133c3e08eec86567a0e4b8fe450e2'),
+        |  (78, '843303c950725c9d34a97cac792045c8', 'bb798da14345f2b053deabcdfc67b556'),
+        |  (80, '03e7029323ef2e1d8fb63e6faed5ea9e', 'e2ef7afd8190bb27f0585b97fd422d6d'),
+        |  (82, '3e692bd236e928498c68163d874891ec', 'bc46fcb8f54018c3ba55f8a0e992b897'),
+        |  (84, '28a034688ec22edc584ee926161b778b', '9304e781e3facbab8b6c3701c27d9b99'),
+        |  (90, '389fb02bc483560ac857dbaff0f835ba', 'ff3cf6e316bba22640f16b8a8ddc9cf2'),
+        |  (92, 'dd5cbc92f4d57c8139d6e747636ebbf6', '8297364aa9dbfb98b5448e561beb101b'),
+        |  (94, '13ed647d38bb1e25e2eddcbc313785a4', '2136fd1db5c200f55e350ee7c0c911f4'),
+        |  (114, '07bd04632d0f84f1937d37a8a50dee70', '80f0319b3fb69911d500c7c753f1091e'),
+        |  (118, 'afdb79d2bd831111e8ea869105dae57c', 'b32d52cd6d463c994080c9d293c0a593'),
+        |  (120, 'a268e1c1ff7473140f3c41e721ef5b5d', '718f25779c331f7a8b0611b4ea7fba46'),
+        |  (122, '84c6a7eda5b1c6f0c8b839125d9787f4', '94554f0845267b70c210a84e7fddedc5'),
+        |  (134, '25c97034371dc0381e507713e5c5ffa1', 'dd61594df0d529d7c46b5f2011c8c367'),
+        |  (136, '9775681418bd06ad29762ddc1dd095f4', 'cdc1d0fca58a80870fb13ed08dba988f'),
+        |  (140, '7d0ef8ad8baf9a866a5f7c94c9922923', '1a0a38fc1b350f18b0a329597ae35ecf'),
+        |  (142, '5758a28ef96455d5afe9670fc942d203', '56d25617905e3f6e3f2ff0de95183a3e'),
+        |  (146, '22c520385fd02981470df15cc92ea5af', '8805ca94a8476e7cb0c0f559fa22e297'),
+        |  (150, '8d536a009e4fe38ccf22998af847bea9', 'dc073f9cdd37305dcc519d75a7ef7305'),
+        |  (154, '20fa6033bb274669aaaeafb2cf665aeb', '033add64df8825dff23c5542b116c2c8'),
+        |  (160, '1e29e98a2e75c89c994e59f35e237dcb', '5e51f4c55ba3cae6d35f4929422e1302'),
+        |  (164, 'f2e559ffb079e0503890a7ed5cb36455', '37c8e7977536a4cabcc50e573aaee496'),
+        |  (166, '5e6c934ab74e3e18151ab42a440bef79', 'c9beda421a3701155459d4eff548f57c'),
+        |  (172, '10f4cbd18f70e4f093d6554b78414ceb', 'b8b9c91305a24db1bacadb743fe09451'),
+        |  (176, '351f948f9a9df77ccd91cd6fdefd2574', '586f9d2704b9b2d8d2febc7638c9cc6b'),
+        |  (180, '54c6abd3069bec029a8bc0bfbc2fb8bb', '12d0680c48dda9adb738ed9d06e03022'),
+        |  (186, 'ed02fbe0a2ebb2c80987b7a334f0c51c', 'e643bbea1dc4e98d1d4dfbea0c473b21'),
+        |  (194, '299ac52b5ea0503e30929d9f6bae539e', '0a8b82a18b21b6c3834d547313ace6b3'),
+        |  (196, 'c0cba5af718701c5cbb467bc51112709', '1731e87dc976d2564158421c9efcac1f'),
+        |  (204, 'c07fe4fa0c8eb4fea4565bb16e45782a', 'efdf4fa387fd6b371c2f418ac6e14a8f'),
+        |  (210, '342fad298211065926260fe62de5aa1b', 'd9861b6d2bca2f005970752d20d55177'),
+        |  (212, 'ba19d56a483d1e2be2b334b6cb05c9f2', 'b6a4de6bd69bb7dbd284bab1ce057505'),
+        |  (216, '0b8145eacfe4b1e72acafebc69393475', '45563e50e80ff2ec2b265e2eda6e1813'),
+        |  (220, '113b1cb56e1e400a89d21d6ed639d2cd', '293e6239d12f39943278eb3ec12a81c2'),
+        |  (236, '2e9bcc0e58351d05e06314f5e34a3c28', 'ce38f3520846825ce829cd1d60a3a3e7'),
+        |  (240, '494c5e85be824b6d7a20c455f39a4229', '10b47baad25831ef547e3f5ee0d2b58c'),
+        |  (250, '4ee0f50de6e97125a6ecb37374c4977d', '02b6eff535eb4e399f43ea0a8e5e31ca'),
+        |  (252, 'a6e3ffbfc45b32610e45ce48ab0440a1', 'ba4a25f00ed3e1ee9909f498bf182b2a'),
+        |  (262, 'aa13581a3a50b348cef6ebfcf089f5c9', 'ebe1fdc4e20968e2520f168134ecef0e'),
+        |  (270, '02dbd618ec645bba271c5fbf144a9c0c', 'acfaa3f08fdbebb5b722a9ff787c6f00'),
+        |  (276, 'a05fb0fb29669b0069dadebad40e9f5e', 'fcf6659d0931830abb1d23336ee54b11'),
+        |  (280, 'ceb2f0441a55e615f832adc292fe0b36', '94cc523961f2769e3b01635c12d865ed'),
+        |  (286, '08f23fc691be7b22b4f3d0b92e9fc854', '8aa4694abe5f90f346aef195b166df5e'),
+        |  (294, 'ab469aedb8f0c1202c4d0ce1ef6ba66a', 'b9197b5d5074be9a4317fa1c864a52df'),
+        |  (296, '026390cc7e368b991b2e9272e2d1f2db', 'e267437c57c95ee251d286bfe25dc5bb'),
+        |  (346, '35eb638a390ab48b3705221f4b146f52', 'e61ab91d39bbcf3bfad6156d6d3d54c5'),
+        |  (348, '6792034cc3c2f792ed3eaf6fa7f2b724', '0c480e8a1a0a9fd9ef97335378dd4a77'),
+        |  (354, 'bb124cfda2b63c259822b2fd371c4020', '1673ad7a29ae8cf4c94d4d66e4ca4916'),
+        |  (382, 'e25290f440c595f7cd01dfb05063a497', '4da1187fa756db4f15e872e4486ef30c'))
+        |SELECT p.event_id, p.user_id, k.nwk_s_key, k.app_s_key
+        |FROM p LEFT JOIN k ON p.event_id = k.event_id
+        |WHERE p.kind = 'jr' AND p.next_kind = 'ja'
+        |ORDER BY p.event_id""".stripMargin,
+    // planted by construction, as q48: each JoinAccept decrypts+validates
+    // only under the key3-shaped key it was synthesized with
+    "q89_joinaccept_keys" ->
       """SELECT event_id,
         |  repeat('0', 28) || lpad(lower(hex(user_id % 256)), 2, '0')
         |    || lpad(lower(hex(event_id % 256)), 2, '0') AS found_key

@@ -10,10 +10,10 @@ class EntrySpec extends SparkSuite {
   }
 
   test("oracle map covers every query except the documented rows-only set") {
-    // q29: AES not SQL-expressible; q39/q49: approximate by construction
-    // (recall measured in VectorsSpec). q50 graduated to a hash-matched
-    // window-SQL oracle in round 3.
-    val rowsOnly = Set("q29_session_keys", "q39_ann_ivf", "q49_ann_lsh")
+    // q39/q49: approximate by construction (recall measured in
+    // VectorsSpec). q50 graduated to a hash-matched window-SQL oracle in
+    // round 3; q29 to a SQL-pairing + pinned-key-lookup oracle in round 5.
+    val rowsOnly = Set("q39_ann_ivf", "q49_ann_lsh")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly, s"unexpected rows-only queries: $missing")
     // no orphan oracle entries

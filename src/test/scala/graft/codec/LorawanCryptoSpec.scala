@@ -100,6 +100,35 @@ class LorawanCryptoSpec extends AnyFunSuite {
     assert(f.dlSettings == 0 && f.rxDelay == 1)
   }
 
+  test("CmacSession.joinAcceptMicValid: accepts only the signing key, incl. CFList") {
+    def signedJa(key: Array[Byte], cfList: Option[Array[Byte]]): Array[Byte] = {
+      val plain = Array(0x20.toByte) ++
+        Array(0x01, 0x02, 0x03).map(_.toByte) ++
+        Array(0xaa, 0xbb, 0xcc).map(_.toByte) ++
+        Lorawan.hexToLe("017fc1c4") ++
+        Array(0x00.toByte, 0x01.toByte) ++
+        cfList.getOrElse(Array.emptyByteArray) ++
+        Array.fill[Byte](4)(0)
+      val payload = java.util.Arrays.copyOfRange(plain, 1, plain.length - 4)
+      val mic = LorawanCrypto.joinAcceptMic(key, plain(0), payload)
+      System.arraycopy(mic, 0, plain, plain.length - 4, 4)
+      LorawanCrypto.encryptJoinAccept(key, plain)
+    }
+    val wrongKey = hexToBytes("000102030405060708090a0b0c0d0eff")
+    for (cf <- Seq(None, Some((1 to 16).map(_.toByte).toArray))) {
+      val wire = signedJa(appKey, cf)
+      assert(wire.length == (if (cf.isEmpty) 17 else 33))
+      assert(new LorawanCrypto.CmacSession(appKey).joinAcceptMicValid(wire))
+      assert(!new LorawanCrypto.CmacSession(wrongKey).joinAcceptMicValid(wire))
+      // multi-block ECB round-trip stays lossless (CFList spans block 2)
+      val back = LorawanCrypto.decryptJoinAccept(appKey, wire)
+      assert(back.length == wire.length)
+      assert(LorawanCrypto.encryptJoinAccept(appKey, back).sameElements(wire))
+    }
+    assert(!new LorawanCrypto.CmacSession(appKey).joinAcceptMicValid(null))
+    assert(!new LorawanCrypto.CmacSession(appKey).joinAcceptMicValid(Array[Byte](0x20, 1, 2)))
+  }
+
   test("FRMPayload crypt is symmetric and keystream-correct across blocks") {
     val devAddrLe = Lorawan.hexToLe("017fc1c4")
     val payload = (0 until 37).map(_.toByte).toArray // spans 3 AES blocks

@@ -64,46 +64,108 @@ object Multimodal {
       byteAt(media, octet_length(media).cast("long")).cast("double"),
       pmod(byteSum(media), lit(997L)).cast("double")).as("features"))
 
-  /** DETERMINISTIC STUB perceptual hash — the pHash shape over the stub
-    * byte domain: split the blob into 32 BALANCED chunks (boundaries
-    * ⌊c·L/32⌋, so lengths differ by at most one byte — a fixed-size last
-    * chunk would bias its bit for every blob at once), bit c = 1 iff
-    * chunk c's byte-sum exceeds the per-chunk mean (compared as
-    * `sum_c · 32 > total`, all integer — no FP anywhere). Robust to
-    * small local edits the way a real pHash is robust to re-encoding:
-    * one changed byte moves one chunk sum slightly, not 32 bits. A real
-    * implementation swaps THIS function for DCT-over-pixels with the
-    * same `binary → long` signature; everything downstream (bucketing,
-    * hamming verify) is representation-agnostic. JIT'd one-pass kernel
-    * (the declarative form would fold the blob 33×). */
+  /** Integer 8×32 DCT-II basis, T(u,x) = round(2^14·cos(π(2x+1)u/64)),
+    * flattened u·32+x. A LITERAL table (not runtime `math.cos`) so the
+    * DuckDB oracle can embed the IDENTICAL constants — cross-engine
+    * equality never depends on libm rounding. */
+  private[graft] val DctT: Array[Long] = Array(
+    16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384,
+    16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384,
+    16364, 16207, 15893, 15426, 14811, 14053, 13160, 12140, 11003, 9760, 8423, 7005, 5520, 3981, 2404, 804,
+    -804, -2404, -3981, -5520, -7005, -8423, -9760, -11003, -12140, -13160, -14053, -14811, -15426, -15893, -16207, -16364,
+    16305, 15679, 14449, 12665, 10394, 7723, 4756, 1606, -1606, -4756, -7723, -10394, -12665, -14449, -15679, -16305,
+    -16305, -15679, -14449, -12665, -10394, -7723, -4756, -1606, 1606, 4756, 7723, 10394, 12665, 14449, 15679, 16305,
+    16207, 14811, 12140, 8423, 3981, -804, -5520, -9760, -13160, -15426, -16364, -15893, -14053, -11003, -7005, -2404,
+    2404, 7005, 11003, 14053, 15893, 16364, 15426, 13160, 9760, 5520, 804, -3981, -8423, -12140, -14811, -16207,
+    16069, 13623, 9102, 3196, -3196, -9102, -13623, -16069, -16069, -13623, -9102, -3196, 3196, 9102, 13623, 16069,
+    16069, 13623, 9102, 3196, -3196, -9102, -13623, -16069, -16069, -13623, -9102, -3196, 3196, 9102, 13623, 16069,
+    15893, 12140, 5520, -2404, -9760, -14811, -16364, -14053, -8423, -804, 7005, 13160, 16207, 15426, 11003, 3981,
+    -3981, -11003, -15426, -16207, -13160, -7005, 804, 8423, 14053, 16364, 14811, 9760, 2404, -5520, -12140, -15893,
+    15679, 10394, 1606, -7723, -14449, -16305, -12665, -4756, 4756, 12665, 16305, 14449, 7723, -1606, -10394, -15679,
+    -15679, -10394, -1606, 7723, 14449, 16305, 12665, 4756, -4756, -12665, -16305, -14449, -7723, 1606, 10394, 15679,
+    15426, 8423, -2404, -12140, -16364, -13160, -3981, 7005, 14811, 15893, 9760, -804, -11003, -16207, -14053, -5520,
+    5520, 14053, 16207, 11003, 804, -9760, -15893, -14811, -7005, 3981, 13160, 16364, 12140, 2404, -8423, -15426)
+
+  /** REAL perceptual hash — the classic pHash recipe (32×32 grid → 2D
+    * DCT → 8×8 low-frequency block → bits vs median), pure-JVM integer
+    * arithmetic end to end so the DuckDB oracle reproduces it
+    * bit-identically:
+    *
+    *   1. grid: the blob's bytes fold into a 32×32 grid by balanced
+    *      chunking — cell i (row-major) sums bytes
+    *      [⌊i·L/1024⌋, ⌊(i+1)·L/1024⌋) (the "synthetic byte grid": for a
+    *      real image this step is grayscale-resize-to-32×32; everything
+    *      after is representation-agnostic);
+    *   2. 2D DCT-II via the integer basis [[DctT]] (separable:
+    *      coef = T·G·Tᵀ), keeping the 8×8 lowest-frequency block — all
+    *      int64, max |coef| < 2^54, no FP anywhere;
+    *   3. the 63 AC coefficients (DC excluded — it is the overall
+    *      "brightness" and always dominates) compare against their lower
+    *      median: bit k = 1 iff ac(k) > med, k ∈ [0, 63) — so hashes fit
+    *      non-negative in a long.
+    *
+    * Robust to small local edits exactly as pHash is robust to
+    * re-encoding: one changed byte perturbs one grid cell slightly, which
+    * perturbs every DCT coefficient by ≤ one part in ~cell-total — bits
+    * only flip where a coefficient sat at the median boundary. */
   def phashBytes(media: Array[Byte]): Long =
     if (media == null || media.isEmpty) 0L
     else {
       val L = media.length
-      val sums = new Array[Long](32)
-      var total = 0L
-      var c = 0
-      while (c < 32) {
-        var i = (c * L) / 32
-        val end = ((c + 1) * L) / 32
-        while (i < end) {
-          val b = media(i) & 0xffL
-          sums(c) += b
-          total += b
-          i += 1
-        }
-        c += 1
+      // 1. balanced-chunk 32×32 grid (row-major)
+      val g = new Array[Long](1024)
+      var i = 0
+      while (i < 1024) {
+        var p = (i.toLong * L / 1024).toInt
+        val end = ((i + 1).toLong * L / 1024).toInt
+        var sum = 0L
+        while (p < end) { sum += media(p) & 0xffL; p += 1 }
+        g(i) = sum
+        i += 1
       }
+      // 2a. row pass: r(x,v) = Σ_y g(x,y)·T(v,y)
+      val r = new Array[Long](32 * 8)
+      var x = 0
+      while (x < 32) {
+        var v = 0
+        while (v < 8) {
+          var acc = 0L
+          var y = 0
+          while (y < 32) { acc += g(x * 32 + y) * DctT(v * 32 + y); y += 1 }
+          r(x * 8 + v) = acc
+          v += 1
+        }
+        x += 1
+      }
+      // 2b. column pass: coef(u,v) = Σ_x T(u,x)·r(x,v)
+      val coef = new Array[Long](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var acc = 0L
+          var x2 = 0
+          while (x2 < 32) { acc += DctT(u * 32 + x2) * r(x2 * 8 + v); x2 += 1 }
+          coef(u * 8 + v) = acc
+          v += 1
+        }
+        u += 1
+      }
+      // 3. 63 AC coefficients vs their lower median
+      val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+      val sorted = ac.clone()
+      java.util.Arrays.sort(sorted)
+      val med = sorted(31)
       var ph = 0L
-      c = 0
-      while (c < 32) {
-        if (sums(c) * 32 > total) ph |= (1L << c)
-        c += 1
+      var k = 0
+      while (k < 63) {
+        if (ac(k) > med) ph |= (1L << k)
+        k += 1
       }
       ph
     }
 
-  val phashStub = udf { (media: Array[Byte]) => phashBytes(media) }
+  val phash = udf { (media: Array[Byte]) => phashBytes(media) }
 
   /** DETERMINISTIC STUB audio framing: the blob's bytes stand in for PCM
     * samples; frame w covers bytes [w·frameLen, min((w+1)·frameLen, L)).
@@ -115,6 +177,9 @@ object Multimodal {
   def audioFrames(media: DataFrame, frameLen: Int): DataFrame = {
     val t = decode(col("media"), "UTF-8")
     media
+      // Empty blobs produce zero frames (ceil(0/len)-1 = -1 would otherwise
+      // make sequence(0,-1) DESCEND and emit two spurious rows).
+      .filter(octet_length(col("media")) > 0)
       .withColumn("t", t)
       .withColumn("win",
         explode(sequence(lit(0),

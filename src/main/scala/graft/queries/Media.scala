@@ -40,25 +40,42 @@ object Media {
   }
 
   /** q57: perceptual-hash near-duplicate media — the multimodal twin of
-    * text near-dup (q33-q35): 16-bit stub pHash per blob
-    * (Multimodal.phashStub), pairs at hamming ≤ 2.
+    * text near-dup (q33-q35): a REAL 63-bit DCT pHash per blob
+    * (Multimodal.phash — 32×32 byte grid → integer 2D DCT → 8×8 block
+    * vs median, no native deps, oracle-exact), pairs at hamming ≤ 2.
     *
     * Candidates come from a pigeonhole equi-join, NOT an all-pairs scan:
-    * the 32 bits split into 3 chunks (11+11+10), and two hashes within
+    * the 63 bits split into 3 chunks of 21, and two hashes within
     * hamming 2 must agree exactly on at least one chunk — so both sides
     * shuffle only on (chunk index, chunk value) buckets, the q35-blocked
     * shape that survives a corpus too big to broadcast. `distinct`
     * dedups pairs colliding in several chunks before the exact popcount
     * verify. */
   def q57MediaPhashDedup(s: SparkSession, d: String): DataFrame = {
-    val hashed = Multimodal.mediaTable(documents(s, d))
-      .select(col("media_id"), Multimodal.phashStub(col("media")).as("ph"))
+    val base = Multimodal.mediaTable(documents(s, d))
+      .select(col("media_id"), col("media"))
+    // Deterministic "re-encode twins": every 20th blob re-appears with
+    // one mid-blob byte nudged within the printable range — the aligned
+    // byte-noise a real corpus gets from media re-encoding (the
+    // perturbation a DCT pHash is FOR; near-dup *text* shifts every
+    // chunk boundary and rightly hashes far). The twin construction is
+    // pure string surgery, reproduced verbatim in the oracle.
+    val p = (length(col("t")) / 2 + 1).cast("int")
+    val twins = base.filter(col("media_id") % 20 === 0 && octet_length(col("media")) > 0)
+      .withColumn("t", decode(col("media"), "UTF-8"))
+      .select((col("media_id") + 1000000L).as("media_id"),
+        encode(concat(
+          col("t").substr(lit(1), p - 1),
+          char((ascii(col("t").substr(p, lit(1))) + 64) % 95 + 32),
+          col("t").substr(p + 1, length(col("t")))), "UTF-8").as("media"))
+    val hashed = base.union(twins)
+      .select(col("media_id"), Multimodal.phash(col("media")).as("ph"))
       .repartition(col("media_id"))
     val keyed = hashed.select(col("media_id"), col("ph"),
         explode(expr("""array(
-          struct(0 AS ci, ph & 2047 AS cv),
-          struct(1 AS ci, shiftright(ph, 11) & 2047 AS cv),
-          struct(2 AS ci, shiftright(ph, 22) & 1023 AS cv))""")).as("k"))
+          struct(0 AS ci, ph & 2097151 AS cv),
+          struct(1 AS ci, shiftright(ph, 21) & 2097151 AS cv),
+          struct(2 AS ci, shiftright(ph, 42) & 2097151 AS cv))""")).as("k"))
       .select(col("media_id"), col("ph"), col("k.ci").as("ci"), col("k.cv").as("cv"))
     keyed.as("a").join(keyed.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
@@ -105,26 +122,50 @@ object Media {
         |  CAST(list_sum(list_transform(string_split(s, ''),
         |    c -> ascii(c) * ascii(c))) AS BIGINT) AS energy
         |FROM seg ORDER BY media_id, win""".stripMargin,
+    // the SAME integer DCT pipeline as Multimodal.phashBytes, constant
+    // table included verbatim (DctT below) — every step is int64-exact
+    // so the hash matches Spark's bit-for-bit
     "q57_media_phash" ->
-      """WITH m AS (SELECT doc_id AS media_id, text,
-        |    CAST(length(text) AS BIGINT) AS L
-        |  FROM documents),
-        |s AS (SELECT media_id,
-        |  [ COALESCE(list_sum([ascii(c) for c in string_split_regex(
-        |      substring(text, CAST((i*L)//32 + 1 AS BIGINT),
-        |        CAST(((i+1)*L)//32 - (i*L)//32 AS BIGINT)), '')]), 0)
-        |    for i in range(0, 32) ] AS sums,
-        |  COALESCE(list_sum([ascii(c) for c in string_split_regex(text, '')]), 0)
-        |    AS total FROM m),
-        |h AS (SELECT media_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    [CASE WHEN sums[i+1]*32 > total THEN CAST(1 AS BIGINT)<<i
-        |          ELSE CAST(0 AS BIGINT) END for i in range(0, 32)]),
-        |    (a, b) -> a + b) AS ph FROM s)
-        |SELECT a.media_id AS media_a, b.media_id AS media_b,
-        |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
-        |FROM h a JOIN h b ON a.media_id < b.media_id
-        |WHERE bit_count(xor(a.ph, b.ph)) <= 2
-        |ORDER BY media_a, media_b""".stripMargin,
+      s"""WITH m0 AS (SELECT doc_id AS media_id, text,
+         |    CAST(length(text) AS BIGINT) AS L
+         |  FROM documents),
+         |m AS (
+         |  SELECT media_id, text, L FROM m0
+         |  UNION ALL
+         |  SELECT media_id + 1000000,
+         |    substring(text, 1, CAST(L//2 AS BIGINT))
+         |      || chr(((ascii(substring(text, CAST(L//2 + 1 AS BIGINT), 1)) + 64) % 95) + 32)
+         |      || substring(text, CAST(L//2 + 2 AS BIGINT)),
+         |    L
+         |  FROM m0 WHERE media_id % 20 = 0 AND L > 0),
+         |bl AS (SELECT media_id, L,
+         |    [CAST(ascii(c) AS BIGINT) for c in string_split_regex(text, '')] AS bs
+         |  FROM m),
+         |g AS (SELECT media_id,
+         |    [COALESCE(list_sum(bs[CAST((i*L)//1024 + 1 AS BIGINT)
+         |        : CAST(((i+1)*L)//1024 AS BIGINT)]), 0)
+         |     for i in range(0, 1024)] AS gr
+         |  FROM bl),
+         |tt AS (SELECT ${Multimodal.DctT.mkString("[", ", ", "]")} AS T),
+         |rw AS (SELECT media_id,
+         |    [list_sum([gr[(i//8)*32 + y + 1] * T[(i%8)*32 + y + 1]
+         |       for y in range(0, 32)]) for i in range(0, 256)] AS r
+         |  FROM g, tt),
+         |cf AS (SELECT media_id,
+         |    [list_sum([T[(j//8)*32 + x + 1] * r[x*8 + (j%8) + 1]
+         |       for x in range(0, 32)]) for j in range(0, 64)] AS coefs
+         |  FROM rw, tt),
+         |ac AS (SELECT media_id, coefs[2:64] AS acs,
+         |    list_sort(coefs[2:64])[32] AS med FROM cf),
+         |h AS (SELECT media_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [CASE WHEN acs[k+1] > med THEN CAST(1 AS BIGINT)<<k
+         |          ELSE CAST(0 AS BIGINT) END for k in range(0, 63)]),
+         |    (a, b) -> a + b) AS ph FROM ac)
+         |SELECT a.media_id AS media_a, b.media_id AS media_b,
+         |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.ph, b.ph)) <= 2
+         |ORDER BY media_a, media_b""".stripMargin,
     "q40_media_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -365,10 +365,14 @@ object TextOps {
     import s.implicits._
     val es = pairs.as[(Long, Long)].collect()
     val parent = scala.collection.mutable.Map.empty[Long, Long]
+    // Iterative (walk to root, then compress) — no stack bound even on a
+    // pathological parent chain near the 200k-edge guard.
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x
-      else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
     es.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))

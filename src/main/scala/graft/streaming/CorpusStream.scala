@@ -50,9 +50,14 @@ object CorpusStream {
     * the batch pass is the precision cleanup). Flink/Beam pipelines run
     * this same two-tier design.
     *
-    * Band −1 is a per-doc marker bucket that never collides, so even a
-    * doc losing ALL 32 real bands (an exact replay) still emits its
-    * verdict row instead of vanishing from the output. */
+    * Band −1 is a per-doc marker bucket keyed on `doc_id` alone, so even
+    * a doc losing ALL 32 real bands still emits its verdict row instead
+    * of vanishing from the output. CONTRACT: `doc_id` is unique per
+    * arrival within the watermark horizon — a replayed identical doc_id
+    * inside the horizon loses the marker too and emits no second verdict
+    * row (dedup-on-replay is exactly dropDuplicates semantics; if replays
+    * must re-emit, mix an arrival component such as the batch timestamp
+    * into the marker hash). */
   def nearDupLsh(docs: DataFrame, horizon: String = "10 minutes"): DataFrame = {
     import graft.functions.TextFunctions.{minhashSig, shingles}
     docs

@@ -50,8 +50,14 @@ object TextFunctionsPropSpec extends Properties("TextFunctions") {
       graft.multimodal.Multimodal.phashBytes(b)
   }
 
-  property("phash uses exactly the low 32 bits") = forAll(genBytes) { b =>
-    (graft.multimodal.Multimodal.phashBytes(b) >>> 32) == 0L
+  property("phash uses exactly the low 63 bits (non-negative)") = forAll(genBytes) { b =>
+    (graft.multimodal.Multimodal.phashBytes(b) >>> 63) == 0L
+  }
+
+  // DC exclusion + strict >-median: at most 31 of 63 AC coefficients can
+  // exceed the lower median, so popcount ≤ 31 always
+  property("phash popcount is at most 31") = forAll(genBytes) { b =>
+    java.lang.Long.bitCount(graft.multimodal.Multimodal.phashBytes(b)) <= 31
   }
 
   // the kernel is package-visible, so the property drives it directly

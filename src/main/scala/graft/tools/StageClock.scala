@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerJobStart, SparkListenerJobEnd}
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Dev-only: per-stage wall/task-time breakdown for one query — shows
+  * whether wall time is task execution (plan cost) or gaps between
+  * stages (driver/scheduling/codegen/broadcast overhead).
+  *
+  * runMain graft.tools.StageClock <sfDir> <query> [reps]
+  */
+object StageClock {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    final case class St(id: Int, name: String, submitted: Long, completed: Long,
+                        taskMs: Long, tasks: Int, gcMs: Long)
+    val stages = ArrayBuffer.empty[St]
+    val jobs = ArrayBuffer.empty[(Int, Long, Long)]
+    var jobStart = Map.empty[Int, Long]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        stages += St(si.stageId, si.name.take(60),
+          si.submissionTime.getOrElse(0L), si.completionTime.getOrElse(0L),
+          si.taskMetrics.executorRunTime, si.numTasks,
+          si.taskMetrics.jvmGCTime)
+      }
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        synchronized { jobStart += e.jobId -> e.time }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+        synchronized { jobs += ((e.jobId, jobStart.getOrElse(e.jobId, 0L), e.time)) }
+    })
+
+    graft.SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
+    for (r <- 1 to reps) {
+      stages.clear(); jobs.clear()
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val cnt = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"== $name rep$r wall=$wall%.2f s rows=$cnt")
+      val sorted = stages.sortBy(_.submitted)
+      var covered = 0L
+      var prevEnd = 0L
+      sorted.foreach { s =>
+        if (prevEnd == 0L) prevEnd = s.submitted
+        val gap = s.submitted - prevEnd
+        prevEnd = math.max(prevEnd, s.completed)
+        println(f"  stage ${s.id}%4d wall=${(s.completed - s.submitted) / 1e3}%6.2f gapBefore=${gap / 1e3}%6.2f taskSum=${s.taskMs / 1e3}%7.2f gc=${s.gcMs / 1e3}%5.2f tasks=${s.tasks}%3d  ${s.name}")
+        covered += s.completed - s.submitted
+      }
+      val span = if (sorted.nonEmpty) (sorted.map(_.completed).max - sorted.map(_.submitted).min) / 1e3 else 0.0
+      println(f"  stageWallSum=${covered / 1e3}%.2f s, stageSpan=$span%.2f s, outsideStages=${wall - span}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -8,7 +8,7 @@ class VectorsSpec extends SparkSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("q39 IVF top-k recall vs exact q36 is ≥ 0.5 at nProbe=4/16") {
+  test("q39 IVF top-k recall vs exact q36 holds the 0.65 pin at nProbe=4/16") {
     val exact = Vectors.q36CosineTopk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val approx = Vectors.q39AnnIvf(spark, sf).collect()
@@ -19,10 +19,13 @@ class VectorsSpec extends SparkSuite {
     // structure); 4/16 buckets ≈ 25% of the corpus scanned, and measured
     // recall is ~0.68 after the Lloyd refinement (0.58 with raw first-16
     // seeds) — well above the 0.25 scanned-fraction baseline, which is
-    // what proves the bucketing correlates with similarity. The bound
-    // asserts the machinery works, not production recall.
+    // what proves the bucketing correlates with similarity. The whole
+    // pipeline is deterministic (fixed seeds, deterministic tiebreaks),
+    // so measured recall is a constant 0.68 on this corpus — the 0.65
+    // floor is a REGRESSION PIN: perf work on q39 must not silently
+    // trade recall back (r4 verdict item 7).
     info(s"IVF recall at nProbe=4/16: $recall")
-    assert(recall >= 0.55, s"IVF recall $recall")
+    assert(recall >= 0.65, s"IVF recall $recall regressed below the 0.65 pin")
     // every approximate neighbor must carry the true cosine (exact
     // verification discipline: sims match the brute-force values)
     val exactSims = Vectors.q36CosineTopk(spark, sf).collect()
@@ -42,9 +45,11 @@ class VectorsSpec extends SparkSuite {
     val recall = (exact intersect approx).size.toDouble / exact.size
     info(s"LSH recall at 9/256 buckets probed: $recall")
     // 9 of 256 buckets ≈ 3.5% of a uniformly-bucketed corpus — any recall
-    // well above that proves the signatures correlate with cosine. On
-    // this worst-case random corpus measured recall is ~0.2-0.4.
-    assert(recall >= 0.10, s"LSH recall $recall")
+    // well above that proves the signatures correlate with cosine. The
+    // signatures are deterministic (splitmix64 hyperplanes), so measured
+    // recall is a constant 0.20 on this corpus — the 0.15 floor is a
+    // REGRESSION PIN (r4 verdict item 7).
+    assert(recall >= 0.15, s"LSH recall $recall regressed below the 0.15 pin")
     // exact-verification discipline: reported sims are true cosines
     val exactSims = Vectors.q36CosineTopk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap

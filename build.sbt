@@ -29,4 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with 48 bench queries in one JVM needs headroom: 8g forces
   // full-GC churn on the state-machine and LSH queries (the box has 128G).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 89 queries × whole-stage-codegen classes overflow the default 240 MB
+  // JIT code cache late in a bench run; once it fills, newly generated
+  // classes run INTERPRETED (observed: q88 1.4 s in isolation, 13.7 s as
+  // bench query #88, with the last queries uniformly inflated). A
+  // long-lived cluster sizes this the same way.
+  "-XX:ReservedCodeCacheSize=1g",
 )

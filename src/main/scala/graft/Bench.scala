@@ -46,7 +46,10 @@ object Bench {
           col("key"),
           T.minhashSig(T.shingles(col("text"))).as("sig"),
           T.prefixShingles(T.shingles(col("text")), lit(0.8)).as("pref"),
-          T.jaccard(T.shingles(col("text")), T.shingles(col("text"))).as("j"),
+          graft.functions.GraftFunctions.jaccardSim(
+            T.shingles(col("text")), T.shingles(col("text"))).as("j"),
+          graft.functions.GraftFunctions.containmentSim(
+            T.shingles(col("text")), T.shingles(col("text"))).as("c"),
           P.signPacketUdf(P.encodeJoinRequest(lit("0011223344556677"),
             lit("8899aabbccddeeff"), lit(1), lit("00000000")), col("key")).as("b"))
         .select(P.micMatchEvents(col("key"),

@@ -37,9 +37,13 @@ object TextFunctions {
     }
   }
 
+  // asNonNullable: the kernels below never return null, and saying so
+  // matters — a nullable UDF in a join key grows a pushed-down
+  // `isnotnull(size(UDF(text)))` filter that re-runs the whole kernel a
+  // second time per row in the scan stage (seen in the q33 plan).
   val shingles = udf { (text: String) =>
     if (text == null) Array.empty[String] else shingleSet(text)
-  }
+  }.asNonNullable()
 
   private[functions] def ngramArr(text: String, n: Int, distinct: Boolean): Array[String] = {
     val w = text.split(" ", -1)
@@ -148,7 +152,7 @@ object TextFunctions {
   val prefixShingles = udf { (sh: Seq[String], t: Double) =>
     if (sh == null || sh.isEmpty) Seq.empty[(Long, String)]
     else prefixSelect(sh.toArray, t)
-  }
+  }.asNonNullable()
 
 
   /** 128-permutation MinHash signature over a shingle set:
@@ -234,6 +238,16 @@ object TextFunctions {
     * but a tiny Jaccard). Same fold as [[jaccard]], different
     * denominator. */
   val containment = udf { (a: Seq[String], b: Seq[String]) => containmentOf(a, b) }
+
+  // NOTE (measured, do not "fix"): in the dedup verify joins the
+  // `project(measure) + filter(measure >= t)` pattern LOOKS like it
+  // evaluates the fold twice (Catalyst pushes the filter into the join
+  // condition and keeps the projection copy), but the pushed-down copy
+  // runs per CANDIDATE while the projection copy runs only per SURVIVOR
+  // (a few hundred rows) — and the pushdown keeps the join from ever
+  // materializing candidate rows with both wide shingle arrays attached.
+  // Blocking it with .asNondeterministic() twins multiplied q33's verify
+  // stage from 20 to 320+ CPU-s (100 s of GC from 277k wide-array rows).
 
   /** Dot product over float vectors in double, left-to-right — identical
     * fold to the declarative/oracle form, JIT'd. */

@@ -64,6 +64,15 @@ object GraftFunctions {
     GraftColumnBridge.column(
       DotProductF(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Native set-similarity verify kernels (SetSimExpressions.scala). */
+  def jaccardSim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      JaccardSim(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def containmentSim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      ContainmentSim(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** HLL distinct sketch aggregate ([[HllDistinct]]); input must be a
     * string column (cast first — the hash is over the utf8 text). */
   def hllDistinct(c: Column): Column =
@@ -76,6 +85,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hll_distinct",
       exprs => HllDistinct(exprs.head).toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaccard", exprs => JaccardSim(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_containment", exprs => ContainmentSim(exprs.head, exprs(1)), "built-in")
     // codec surface in SQL
     spark.udf.register("phy_decode_b64", PhyFunctions.phyDecodeB64)
     spark.udf.register("graft_shingles", TextFunctions.shingles)

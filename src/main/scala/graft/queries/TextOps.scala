@@ -29,6 +29,28 @@ object TextOps {
     docs.select(col("doc_id"),
       graft.functions.TextFunctions.shingles(col("text")).as("sh"))
 
+  /** Hash-repartition with the partition COUNT pinned (REPARTITION_BY_NUM).
+    * AQE's partition coalescing sizes stages by shuffle BYTES; the dedup
+    * verify stages downstream of these exchanges cost ~1000s of CPU
+    * cycles per byte (set-fold kernels over shingle arrays), so
+    * byte-based coalescing serializes them onto 2-3 cores (measured: the
+    * q33 verify at 20 CPU-s / 3 tasks / 7 s wall once the hash-only index
+    * shrank the exchange below the advisory size). Pinning the count
+    * keeps kernel stages at full width; the exchange itself stays tiny. */
+  private def pinned(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, cols: _*)
+
+  /** Dedup verify-join build side (the doc_id → shingle-array table).
+    * At local test SF it sits right AT AQE's 10 MB broadcast threshold,
+    * so the physical join flips run-to-run between broadcast-hash (fast:
+    * the UDF-filter streams, arrays never shuffle) and sort-merge (2-4×
+    * slower: sorts + shuffles the wide arrays, heavy GC). Force the
+    * broadcast below the same corpus-size switch q35 uses; above it no
+    * engine could broadcast a corpus-sized table and the shuffle join is
+    * the right plan, correctly byte-sized by AQE at that scale. */
+  private def verifySide(s: SparkSession, d: String): DataFrame => DataFrame =
+    if (documents(s, d).count() <= BroadcastDocLimit) broadcast(_) else identity
+
   private val duckShingles: String =
     """list_distinct([array_to_string(w[i:i+2], ' ')
       |  for i in range(1, greatest(len(w) - 2, 0) + 1)])"""
@@ -115,7 +137,7 @@ object TextOps {
     * verification join. Output identical to the naive plan (every
     * candidate is exact-verified). */
   def q33NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TextFunctions.jaccard
+    import graft.functions.GraftFunctions.jaccardSim
     // barrier: keep the shingle kernel evaluated once per consumer
     // (projection collapse would re-run it inside the explode). The
     // shingled table has four consumers (both index sides + both verify
@@ -126,9 +148,8 @@ object TextOps {
     // InMemoryTableScan. At real cluster scale the signature table would
     // be checkpointed to storage once and shared by every dedup consumer;
     // in-session, only the tiny pair-list output below is cached.
-    val docs = shingled(documents(s, d))
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-      .repartition(col("doc_id"))
+    val docs = pinned(shingled(documents(s, d))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n")), col("doc_id"))
     // canonical global order (xxhash64(s), s); prefix size n - ceil(0.8n) + 1
     // — heap-selected in a JIT'd primitive kernel
     // (TextFunctions.prefixShingles over the SAME `docs` subtree as the
@@ -151,10 +172,14 @@ object TextOps {
           col("a.n") * 4 <= col("b.n") * 5 && col("b.n") * 4 <= col("a.n") * 5)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cands
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
-      .withColumn("jaccard", jaccard(col("sha"), col("shb")))
+    // pin the candidate list's width too: the verify joins below inherit
+    // their stage parallelism from this exchange, and the per-pair fold
+    // is the query's dominant CPU
+    val v = verifySide(s, d)
+    pinned(cands, col("doc_a"))
+      .join(v(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))), Seq("doc_a"))
+      .join(v(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))), Seq("doc_b"))
+      .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -184,13 +209,13 @@ object TextOps {
     * h = xxhash64(s) mod p (p = 1e9+7): h_i = (2i+1)·h + i²+7 — products
     * stay < 2^39, safe under Spark 4's default ANSI overflow checking. */
   def q34MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TextFunctions.{minhashSig, jaccard}
+    import graft.functions.GraftFunctions.jaccardSim
+    import graft.functions.TextFunctions.minhashSig
     // repartition = materialization barrier: without it Catalyst collapses
     // projections and re-evaluates the signature kernel inside the band
-    // explode and both join sides
-    val docs = shingled(documents(s, d))
-      .withColumn("sig", minhashSig(col("sh")))
-      .repartition(col("doc_id"))
+    // explode and both join sides; pinned width (see `pinned`)
+    val docs = pinned(shingled(documents(s, d))
+      .withColumn("sig", minhashSig(col("sh"))), col("doc_id"))
       // four consumers (both band sides + both verify sides); as in q33,
       // re-running the scan + kernels beats caching the wide arrays cold
     val bands = docs.select(col("doc_id"),
@@ -204,10 +229,11 @@ object TextOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val sh = docs.select(col("doc_id"), col("sh"))
-    cands
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
-      .withColumn("jaccard", jaccard(col("sha"), col("shb")))
+    val v = verifySide(s, d)
+    pinned(cands, col("doc_a"))
+      .join(v(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha")), "doc_a")
+      .join(v(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb")), "doc_b")
+      .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -441,10 +467,10 @@ object TextOps {
     * point), B-side index bigger by construction. B's entries hash with
     * the native codegen'd xxhash64 (same seed as the kernel's). */
   def q88ContainmentJoin(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TextFunctions.{containment, prefixShingles}
-    val docs = shingled(documents(s, d))
-      .select(col("doc_id"), col("sh"))
-      .repartition(col("doc_id"))
+    import graft.functions.GraftFunctions.containmentSim
+    import graft.functions.TextFunctions.prefixShingles
+    val docs = pinned(shingled(documents(s, d))
+      .select(col("doc_id"), col("sh")), col("doc_id"))
     // index rows carry only the 64-bit hash (as in q33): the exact
     // containment verify below rejects any hash-collision candidate,
     // so recall is untouched and the big B-side index exchange ships
@@ -458,10 +484,11 @@ object TextOps {
     val cands = prefA.join(fullB, Seq("h"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    cands
-      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
-      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
-      .withColumn("containment", containment(col("sha"), col("shb")))
+    val v = verifySide(s, d)
+    pinned(cands, col("id_a"))
+      .join(v(docs.select(col("doc_id").as("id_a"), col("sh").as("sha"))), Seq("id_a"))
+      .join(v(docs.select(col("doc_id").as("id_b"), col("sh").as("shb"))), Seq("id_b"))
+      .withColumn("containment", containmentSim(col("sha"), col("shb")))
       .filter(col("containment") >= 0.9)
       .select(col("id_a").as("excerpt_id"), col("id_b").as("container_id"),
         col("containment"))
@@ -649,10 +676,10 @@ object TextOps {
     * (max jaccard, tie → smallest corpus id), non-dups emit with
     * nulls — the keep/drop verdict list. */
   def q76IncrementalDedup(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TextFunctions.{jaccard, prefixShingles}
-    val all = shingled(documents(s, d))
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-      .repartition(col("doc_id"))
+    import graft.functions.GraftFunctions.jaccardSim
+    import graft.functions.TextFunctions.prefixShingles
+    val all = pinned(shingled(documents(s, d))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n")), col("doc_id"))
     val inc = all.filter(col("doc_id") % 10 === 7)
     val corpus = all.filter(col("doc_id") % 10 =!= 7)
     // hash-only index rows, as in q33: the exact Jaccard verify rejects
@@ -666,11 +693,12 @@ object TextOps {
           col("a.n") * 4 <= col("b.n") * 5 && col("b.n") * 4 <= col("a.n") * 5)
       .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("corpus_id"))
       .distinct()
-    val verified = cands
-      .join(inc.select(col("doc_id").as("inc_id"), col("sh").as("sha")), Seq("inc_id"))
-      .join(corpus.select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
+    val v = verifySide(s, d)
+    val verified = pinned(cands, col("inc_id"))
+      .join(v(inc.select(col("doc_id").as("inc_id"), col("sh").as("sha"))), Seq("inc_id"))
+      .join(v(corpus.select(col("doc_id").as("corpus_id"), col("sh").as("shb"))),
         Seq("corpus_id"))
-      .withColumn("jaccard", jaccard(col("sha"), col("shb")))
+      .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
       .filter(col("jaccard") >= 0.8)
       .groupBy(col("inc_id"))
       .agg(max_by(struct(col("corpus_id"), col("jaccard")),

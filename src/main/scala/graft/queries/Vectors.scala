@@ -33,8 +33,13 @@ import org.apache.spark.sql.functions._
 object Vectors {
 
   private def withNorm(df: DataFrame, vec: String, out: String): DataFrame =
+    // partition count pinned (REPARTITION_BY_NUM): AQE sizes by shuffle
+    // bytes and would coalesce this ~20 MB table to 2-3 partitions —
+    // every downstream dot-product scan (q36/q39/q49 kernels, the
+    // queries' dominant CPU) inherits its width from this cached layout
     df.withColumn(out, sqrt(dot_f(col(vec), col(vec))))
-      .repartition(col("vec_id"))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("vec_id"))
 
   /** The normed corpus every ANN query starts from. Persisted: q36 reads
     * it twice (query + corpus side), q39 four times (seeds, two

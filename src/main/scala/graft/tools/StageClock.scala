@@ -45,6 +45,14 @@ object StageClock {
     })
 
     graft.SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
+    if (sys.env.get("STAGECLOCK_EXPLAIN").contains("1")) {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"/tmp/explain_$name.txt"),
+        plan.getBytes("UTF-8"))
+    }
     for (r <- 1 to reps) {
       stages.clear(); jobs.clear()
       spark.sharedState.cacheManager.clearCache()

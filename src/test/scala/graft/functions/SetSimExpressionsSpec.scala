@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The native JaccardSim/ContainmentSim expressions: bit-identical to
+  * the UDF twins they replaced in the dedup verify joins (q33/q34/q76/
+  * q88), with the documented edge semantics (both-empty → 0.0 for
+  * Jaccard, empty-a → 0.0 for containment), and usable from SQL. */
+class SetSimExpressionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def sets = Seq(
+    (1L, Array("a b c", "b c d", "c d e"), Array("b c d", "c d e", "x y z")),
+    (2L, Array("a b c"), Array("a b c")),
+    (3L, Array.empty[String], Array.empty[String]),
+    (4L, Array.empty[String], Array("a b c")),
+    (5L, Array("a b c", "q r s"), Array.empty[String]),
+    (6L, (1 to 200).map(i => s"w$i a b").toArray, (101 to 300).map(i => s"w$i a b").toArray))
+    .toDF("id", "a", "b")
+
+  test("expression values match the UDF kernels bit-for-bit") {
+    val rows = sets
+      .withColumn("je", GraftFunctions.jaccardSim(col("a"), col("b")))
+      .withColumn("ju", TextFunctions.jaccard(col("a"), col("b")))
+      .withColumn("ce", GraftFunctions.containmentSim(col("a"), col("b")))
+      .withColumn("cu", TextFunctions.containment(col("a"), col("b")))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(4)), s"jaccard id=${r.getLong(0)}")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(5)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(6)), s"containment id=${r.getLong(0)}")
+    }
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).getDouble(3) == 1.0)
+    assert(byId(3L).getDouble(3) == 0.0) // both empty → 0.0, not NaN
+    assert(byId(4L).getDouble(5) == 0.0) // empty a → containment 0.0
+    assert(byId(6L).getDouble(3) == 100.0 / 300.0)
+    assert(byId(6L).getDouble(5) == 0.5)
+  }
+
+  test("SQL registration: graft_jaccard / graft_containment") {
+    GraftFunctions.ensureRegistered(spark)
+    sets.createOrReplaceTempView("ss")
+    val out = spark.sql(
+      "SELECT graft_jaccard(a, b) j, graft_containment(a, b) c FROM ss WHERE id = 1").collect().head
+    assert(out.getDouble(0) == 2.0 / 4.0)
+    assert(out.getDouble(1) == 2.0 / 3.0)
+  }
+
+  test("null inputs yield null, not a crash") {
+    val out = Seq((Option.empty[Array[String]], Option(Array("a"))))
+      .toDF("a", "b")
+      .select(GraftFunctions.jaccardSim(col("a"), col("b")).as("j"),
+        GraftFunctions.containmentSim(col("a"), col("b")).as("c"))
+      .collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+}

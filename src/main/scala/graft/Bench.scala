@@ -45,7 +45,8 @@ object Bench {
       rows.select(
           col("key"),
           T.minhashSig(T.shingles(col("text"))).as("sig"),
-          T.prefixShingles(T.shingles(col("text")), lit(0.8)).as("pref"),
+          graft.functions.GraftFunctions.prefixHashes(
+            T.shingles(col("text")), lit(0.8)).as("pref"),
           graft.functions.GraftFunctions.jaccardSim(
             T.shingles(col("text")), T.shingles(col("text"))).as("j"),
           graft.functions.GraftFunctions.containmentSim(

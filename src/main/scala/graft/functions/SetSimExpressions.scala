@@ -52,6 +52,86 @@ object SetSimKernels {
   }
 }
 
+/** AllPairs/PPJoin prefix as a native expression: the k = (n − ⌈t·n⌉ + 1)
+  * smallest xxhash64(shingle) values under the global (hash, shingle)
+  * order — the hash-only form of TextFunctions.prefixShingles (whose
+  * (hash, string) tuples the hash-only index joins no longer need).
+  * Hashes are computed zero-copy over the UTF8String bytes (identical
+  * to xxh64 over getBytes(UTF_8) — UTF8String IS utf-8), ties broken by
+  * UTF8String binary compare (= String order for ASCII shingles; a
+  * differing tie needs an xxh64 collision first, and every candidate is
+  * exact-verified anyway). Set equality with prefixSelect is pinned in
+  * TextFunctionsPropSpec. */
+object PrefixHashKernel {
+  private val SEED = 42L
+
+  def eval(arr: ArrayData, t: Double): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val k = n - math.ceil(t * n).toInt + 1
+    if (k <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    // bounded max-heap of (hash, string): evict the largest while scanning
+    val hh = new Array[Long](k)
+    val hs = new Array[UTF8String](k)
+    var size = 0
+    @inline def gt(h1: Long, s1: UTF8String, h2: Long, s2: UTF8String): Boolean =
+      h1 > h2 || (h1 == h2 && s1.compareTo(s2) > 0)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, SEED)
+      if (size < k) {
+        var c = size
+        hh(c) = h; hs(c) = s; size += 1
+        while (c > 0 && gt(hh(c), hs(c), hh((c - 1) / 2), hs((c - 1) / 2))) {
+          val p = (c - 1) / 2
+          val th = hh(c); val ts = hs(c)
+          hh(c) = hh(p); hs(c) = hs(p); hh(p) = th; hs(p) = ts
+          c = p
+        }
+      } else if (gt(hh(0), hs(0), h, s)) {
+        hh(0) = h; hs(0) = s
+        var c = 0
+        var done = false
+        while (!done) {
+          val l = 2 * c + 1
+          val r = l + 1
+          var m = c
+          if (l < size && gt(hh(l), hs(l), hh(m), hs(m))) m = l
+          if (r < size && gt(hh(r), hs(r), hh(m), hs(m))) m = r
+          if (m == c) done = true
+          else {
+            val th = hh(c); val ts = hs(c)
+            hh(c) = hh(m); hs(c) = hs(m); hh(m) = th; hs(m) = ts
+            c = m
+          }
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (size == k) hh else java.util.Arrays.copyOf(hh, size))
+  }
+}
+
+case class PrefixHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_prefix_hashes"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PrefixHashKernel.eval(a.asInstanceOf[ArrayData], b.asInstanceOf[java.lang.Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PrefixHashKernel.eval($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Exact Jaccard |a∩b| / |a∪b| between two string-array SETS — native
   * verification kernel for the dedup candidate joins (q33/q34/q76).
   * Bit-identical to TextFunctions.jaccard (pinned in TextFunctionsSpec). */

@@ -73,6 +73,11 @@ object GraftFunctions {
     GraftColumnBridge.column(
       ContainmentSim(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Hash-only AllPairs prefix (SetSimExpressions.PrefixHashes). */
+  def prefixHashes(sh: Column, t: Column): Column =
+    GraftColumnBridge.column(
+      PrefixHashes(GraftColumnBridge.expression(sh), GraftColumnBridge.expression(t)))
+
   /** HLL distinct sketch aggregate ([[HllDistinct]]); input must be a
     * string column (cast first — the hash is over the utf8 text). */
   def hllDistinct(c: Column): Column =

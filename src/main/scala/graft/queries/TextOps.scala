@@ -151,11 +151,12 @@ object TextOps {
     val docs = pinned(shingled(documents(s, d))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n")), col("doc_id"))
     // canonical global order (xxhash64(s), s); prefix size n - ceil(0.8n) + 1
-    // — heap-selected in a JIT'd primitive kernel
-    // (TextFunctions.prefixShingles over the SAME `docs` subtree as the
-    // verify joins: Catalyst reuses one scan+kernel+exchange across the
-    // index and verify sides — a fused text→prefix variant measured
-    // SLOWER overall because it forfeited exactly that reuse).
+    // — heap-selected in the native PrefixHashes expression (zero-copy
+    // xxh64 over the UTF8String bytes, array<long> out, no UDF converter)
+    // over the SAME `docs` subtree as the verify joins: Catalyst reuses
+    // one scan+kernel+exchange across the index and verify sides — a
+    // fused text→prefix variant measured SLOWER overall because it
+    // forfeited exactly that reuse.
     // The index keeps ONLY the 64-bit shingle hash, not the shingle
     // string: every candidate is exact-verified by the Jaccard join
     // below, so a hash collision can only add a candidate that
@@ -163,9 +164,8 @@ object TextOps {
     // string-equal) and the self-join exchange rows shrink from
     // ~40-byte strings to 8-byte longs.
     val pref = docs.select(col("doc_id"), col("n"),
-        explode(graft.functions.TextFunctions.prefixShingles(
-          col("sh"), lit(0.8))).as("p"))
-      .select(col("doc_id"), col("n"), col("p._1").as("h"))
+        explode(graft.functions.GraftFunctions.prefixHashes(
+          col("sh"), lit(0.8))).as("h"))
     val cands = pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -467,8 +467,7 @@ object TextOps {
     * point), B-side index bigger by construction. B's entries hash with
     * the native codegen'd xxhash64 (same seed as the kernel's). */
   def q88ContainmentJoin(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.GraftFunctions.containmentSim
-    import graft.functions.TextFunctions.prefixShingles
+    import graft.functions.GraftFunctions.{containmentSim, prefixHashes}
     val docs = pinned(shingled(documents(s, d))
       .select(col("doc_id"), col("sh")), col("doc_id"))
     // index rows carry only the 64-bit hash (as in q33): the exact
@@ -476,8 +475,7 @@ object TextOps {
     // so recall is untouched and the big B-side index exchange ships
     // longs, not shingle strings
     val prefA = docs.select(col("doc_id").as("id_a"),
-        explode(prefixShingles(col("sh"), lit(0.9))).as("p"))
-      .select(col("id_a"), col("p._1").as("h"))
+        explode(prefixHashes(col("sh"), lit(0.9))).as("h"))
     val fullB = docs.select(col("doc_id").as("id_b"),
         explode(col("sh")).as("s"))
       .select(col("id_b"), xxhash64(col("s")).as("h"))
@@ -676,8 +674,7 @@ object TextOps {
     * (max jaccard, tie → smallest corpus id), non-dups emit with
     * nulls — the keep/drop verdict list. */
   def q76IncrementalDedup(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.GraftFunctions.jaccardSim
-    import graft.functions.TextFunctions.prefixShingles
+    import graft.functions.GraftFunctions.{jaccardSim, prefixHashes}
     val all = pinned(shingled(documents(s, d))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n")), col("doc_id"))
     val inc = all.filter(col("doc_id") % 10 === 7)
@@ -686,8 +683,7 @@ object TextOps {
     // hash-collision candidates, so the boundary join ships longs
     def pref(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id"), col("n"),
-          explode(prefixShingles(col("sh"), lit(0.8))).as("p"))
-        .select(col("doc_id"), col("n"), col("p._1").as("h"))
+          explode(prefixHashes(col("sh"), lit(0.8))).as("h"))
     val cands = pref(inc).as("a").join(pref(corpus).as("b"),
         col("a.h") === col("b.h") &&
           col("a.n") * 4 <= col("b.n") * 5 && col("b.n") * 4 <= col("a.n") * 5)

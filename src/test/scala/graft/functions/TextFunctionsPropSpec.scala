@@ -90,4 +90,14 @@ object TextFunctionsPropSpec extends Properties("TextFunctions") {
           .sortBy(identity).take(k).toSet
       got == expect
     }
+
+  property("native PrefixHashKernel == prefixSelect hashes (set equality)") =
+    forAll(genShingles, Gen.choose(0.1, 0.95)) { (sh, t) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        sh.map(s => UTF8String.fromString(s): Any))
+      val got = PrefixHashKernel.eval(arr, t).toLongArray().toSet
+      val expect = TextFunctions.prefixSelect(sh, t).map(_._1).toSet
+      got == expect
+    }
 }

@@ -177,4 +177,23 @@ class PlanSpec extends SparkSuite {
     // "*(n)" prefixes mark WholeStageCodegen stages in the executed plan
     assert(p.contains("*(1)") && p.contains("HashAggregate"), p)
   }
+
+  test("q33 verify joins broadcast and the kernel stages keep pinned width") {
+    // the r5 variance fixes (BASELINE.md round-5 notes): CPU-dense dedup
+    // stages must not inherit AQE's byte-coalesced width, and the wide
+    // shingle arrays must stay on a broadcast build side rather than
+    // flipping to a sort-merge shuffle at the 10 MB threshold
+    val p = plan(TextOps.q33NgramJaccard(spark, sf))
+    assert(p.contains("REPARTITION_BY_NUM"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // verify measure is the native expression, not a Scala UDF boundary
+    assert(p.contains("graft_jaccard") || p.contains("JaccardSim") ||
+      !p.contains("UDF(sha"), p)
+  }
+
+  test("q88 containment verify keeps the same pinned-broadcast shape") {
+    val p = plan(TextOps.q88ContainmentJoin(spark, sf))
+    assert(p.contains("REPARTITION_BY_NUM"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

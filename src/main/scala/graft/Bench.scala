@@ -44,7 +44,8 @@ object Bench {
         lit("00000000000000000000000000000000").as("key"))
       rows.select(
           col("key"),
-          T.minhashSig(T.shingles(col("text"))).as("sig"),
+          graft.functions.GraftFunctions.minhashSig(
+            T.shingles(col("text"))).as("sig"),
           graft.functions.GraftFunctions.prefixHashes(
             T.shingles(col("text")), lit(0.8)).as("pref"),
           graft.functions.GraftFunctions.jaccardSim(

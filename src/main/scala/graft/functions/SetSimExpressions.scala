@@ -115,6 +115,51 @@ object PrefixHashKernel {
   }
 }
 
+/** 128-permutation MinHash signature as a native expression — the exact
+  * arithmetic of TextFunctions.minhashSig (h_i = ((2i+1)·h + i²+7) mod p
+  * over h = xxhash64(s) mod p), hashing zero-copy over the UTF8String
+  * bytes. Bit-equality with the UDF kernel is pinned in
+  * SetSimExpressionsSpec. */
+object MinHashKernel {
+  private val P = 1000000007L
+  private val SEED = 42L
+
+  def eval(arr: ArrayData): ArrayData = {
+    val sig = Array.fill(128)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val h = java.lang.Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, SEED), P)
+      var i = 0
+      while (i < 128) {
+        val x = java.lang.Math.floorMod((2L * i + 1L) * h + (i.toLong * i + 7L), P)
+        if (x < sig(i)) sig(i) = x
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+}
+
+case class MinHashSig(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    MinHashKernel.eval(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.MinHashKernel.eval($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class PrefixHashes(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -78,6 +78,10 @@ object GraftFunctions {
     GraftColumnBridge.column(
       PrefixHashes(GraftColumnBridge.expression(sh), GraftColumnBridge.expression(t)))
 
+  /** Native 128-perm MinHash signature (SetSimExpressions.MinHashSig). */
+  def minhashSig(sh: Column): Column =
+    GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(sh)))
+
   /** HLL distinct sketch aggregate ([[HllDistinct]]); input must be a
     * string column (cast first — the hash is over the utf8 text). */
   def hllDistinct(c: Column): Column =

@@ -210,7 +210,7 @@ object TextOps {
     * stay < 2^39, safe under Spark 4's default ANSI overflow checking. */
   def q34MinhashLsh(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.jaccardSim
-    import graft.functions.TextFunctions.minhashSig
+    import graft.functions.GraftFunctions.minhashSig
     // repartition = materialization barrier: without it Catalyst collapses
     // projections and re-evaluates the signature kernel inside the band
     // explode and both join sides; pinned width (see `pinned`)

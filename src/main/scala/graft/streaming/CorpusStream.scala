@@ -59,7 +59,8 @@ object CorpusStream {
     * must re-emit, mix an arrival component such as the batch timestamp
     * into the marker hash). */
   def nearDupLsh(docs: DataFrame, horizon: String = "10 minutes"): DataFrame = {
-    import graft.functions.TextFunctions.{minhashSig, shingles}
+    import graft.functions.GraftFunctions.minhashSig
+    import graft.functions.TextFunctions.shingles
     docs
       .withColumn("sig", minhashSig(shingles(col("text"))))
       .select(col("ts"), col("doc_id"),

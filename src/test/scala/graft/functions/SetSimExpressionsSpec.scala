@@ -40,6 +40,25 @@ class SetSimExpressionsSpec extends SparkSuite {
     assert(byId(6L).getDouble(5) == 0.5)
   }
 
+  test("native MinHashSig matches the UDF kernel element-for-element") {
+    val rows = Seq(
+      (1L, Array("a b c", "b c d", "c d e", "x y z")),
+      (2L, Array("a b c")),
+      (3L, Array.empty[String]))
+      .toDF("id", "sh")
+      .withColumn("e", GraftFunctions.minhashSig(col("sh")))
+      .withColumn("u", TextFunctions.minhashSig(col("sh")))
+      .collect()
+    rows.foreach { r =>
+      val e = r.getSeq[Long](2)
+      val u = r.getSeq[Long](3)
+      assert(e == u, s"id=${r.getLong(0)}")
+      assert(e.length == 128)
+    }
+    // empty set → all-MaxValue signature, same as the UDF
+    assert(rows.find(_.getLong(0) == 3L).get.getSeq[Long](2).forall(_ == Long.MaxValue))
+  }
+
   test("SQL registration: graft_jaccard / graft_containment") {
     GraftFunctions.ensureRegistered(spark)
     sets.createOrReplaceTempView("ss")

@@ -82,6 +82,20 @@ object Bench {
         .count()
     }
 
+    // Host-contention telemetry: this box is a VM, and hypervisor CPU
+    // steal was measured coming and going in 0-40% bursts — a burst
+    // inflates every wall time ~2x with no code change. Record the
+    // /proc/stat steal fraction across the run so a degraded-host bench
+    // is readable as such instead of as a regression.
+    def cpuJiffies(): (Long, Long) = {
+      try {
+        val parts = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        (parts.sum, if (parts.length > 7) parts(7) else 0L)
+      } catch { case _: Throwable => (0L, 0L) }
+    }
+    val (jiff0, steal0) = cpuJiffies()
+
     // A query that throws serializes as null in `queries` (so consumers
     // summing/plotting per-query values never see a corrupted number)
     // and its name lands in `errors`; sum(non-null queries) == `value`.
@@ -111,7 +125,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val errs = failed.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val (jiff1, steal1) = cpuJiffies()
+    val stealPct =
+      if (jiff1 > jiff0) 100.0 * (steal1 - steal0) / (jiff1 - jiff0) else 0.0
+    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":$stealPct%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

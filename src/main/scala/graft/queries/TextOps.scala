@@ -24,10 +24,21 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** documents → (doc_id, sh) via the JIT'd shingle kernel
-    * (TextFunctions.scala — bit-identical to the declarative form). */
+    * (TextFunctions.scala — bit-identical to the declarative form).
+    *
+    * The pinned-width repartition sits BELOW the kernel: documents is a
+    * single parquet file (one row group → a 1-task scan), so a kernel
+    * computed scan-side serializes on one core at the head of every
+    * dedup query's critical path. Shipping the raw text through the
+    * exchange (cheaper than the shingle arrays it replaces) lets the
+    * kernel run at full width in each consumer stage; the exchange
+    * itself is reused across all consumer subtrees. */
   private def shingled(docs: org.apache.spark.sql.DataFrame) =
-    docs.select(col("doc_id"),
-      graft.functions.TextFunctions.shingles(col("text")).as("sh"))
+    docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingles(col("text")).as("sh"))
 
   /** Hash-repartition with the partition COUNT pinned (REPARTITION_BY_NUM).
     * AQE's partition coalescing sizes stages by shuffle BYTES; the dedup
@@ -148,8 +159,8 @@ object TextOps {
     // InMemoryTableScan. At real cluster scale the signature table would
     // be checkpointed to storage once and shared by every dedup consumer;
     // in-session, only the tiny pair-list output below is cached.
-    val docs = pinned(shingled(documents(s, d))
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("n")), col("doc_id"))
+    val docs = shingled(documents(s, d))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
     // canonical global order (xxhash64(s), s); prefix size n - ceil(0.8n) + 1
     // — heap-selected in the native PrefixHashes expression (zero-copy
     // xxh64 over the UTF8String bytes, array<long> out, no UDF converter)
@@ -211,9 +222,11 @@ object TextOps {
   def q34MinhashLsh(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.jaccardSim
     import graft.functions.GraftFunctions.minhashSig
-    // repartition = materialization barrier: without it Catalyst collapses
-    // projections and re-evaluates the signature kernel inside the band
-    // explode and both join sides; pinned width (see `pinned`)
+    // pinned repartition = materialization barrier ABOVE the signature
+    // kernel: the band explode's transform lambda references `sig` once
+    // per band element, so a collapsed projection would re-run the
+    // 128-perm kernel 32× per row. With shingled's exchange below and
+    // this one above, both kernels run once per row at full width.
     val docs = pinned(shingled(documents(s, d))
       .withColumn("sig", minhashSig(col("sh"))), col("doc_id"))
       // four consumers (both band sides + both verify sides); as in q33,
@@ -468,8 +481,8 @@ object TextOps {
     * the native codegen'd xxhash64 (same seed as the kernel's). */
   def q88ContainmentJoin(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.{containmentSim, prefixHashes}
-    val docs = pinned(shingled(documents(s, d))
-      .select(col("doc_id"), col("sh")), col("doc_id"))
+    val docs = shingled(documents(s, d))
+      .select(col("doc_id"), col("sh"))
     // index rows carry only the 64-bit hash (as in q33): the exact
     // containment verify below rejects any hash-collision candidate,
     // so recall is untouched and the big B-side index exchange ships
@@ -675,8 +688,8 @@ object TextOps {
     * nulls — the keep/drop verdict list. */
   def q76IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.{jaccardSim, prefixHashes}
-    val all = pinned(shingled(documents(s, d))
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("n")), col("doc_id"))
+    val all = shingled(documents(s, d))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
     val inc = all.filter(col("doc_id") % 10 === 7)
     val corpus = all.filter(col("doc_id") % 10 =!= 7)
     // hash-only index rows, as in q33: the exact Jaccard verify rejects

@@ -98,6 +98,10 @@ object GraftFunctions {
       "graft_jaccard", exprs => JaccardSim(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_containment", exprs => ContainmentSim(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_prefix_hashes", exprs => PrefixHashes(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
     // codec surface in SQL
     spark.udf.register("phy_decode_b64", PhyFunctions.phyDecodeB64)
     spark.udf.register("graft_shingles", TextFunctions.shingles)

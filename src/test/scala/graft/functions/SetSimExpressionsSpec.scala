@@ -66,6 +66,12 @@ class SetSimExpressionsSpec extends SparkSuite {
       "SELECT graft_jaccard(a, b) j, graft_containment(a, b) c FROM ss WHERE id = 1").collect().head
     assert(out.getDouble(0) == 2.0 / 4.0)
     assert(out.getDouble(1) == 2.0 / 3.0)
+    val sketch = spark.sql(
+      """SELECT size(graft_prefix_hashes(a, 0.8d)) np,
+        |       size(graft_minhash_sig(a)) ns FROM ss WHERE id = 6""".stripMargin)
+      .collect().head
+    assert(sketch.getInt(0) == 200 - 160 + 1)
+    assert(sketch.getInt(1) == 128)
   }
 
   test("null inputs yield null, not a crash") {

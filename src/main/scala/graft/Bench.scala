@@ -84,17 +84,45 @@ object Bench {
 
     // Host-contention telemetry: this box is a VM, and hypervisor CPU
     // steal was measured coming and going in 0-40% bursts — a burst
-    // inflates every wall time ~2x with no code change. Record the
-    // /proc/stat steal fraction across the run so a degraded-host bench
-    // is readable as such instead of as a regression.
-    def cpuJiffies(): (Long, Long) = {
+    // inflates every wall time ~2x with no code change. But steal only
+    // sees the HYPERVISOR: a co-resident process (a concurrent sbt or
+    // DuckDB parity run) eats cores invisibly to it — round 5 recorded
+    // a 245 s run that re-measured at 59 s on a quiet host, with steal
+    // reading 0.4% throughout. So the JSON line also carries 1-min
+    // loadavg at start and end plus this process's own share of the
+    // machine's busy jiffies across the run: a healthy bench on this
+    // 32-core box shows load1_end ≲ 34 and own_cpu_share_pct ≳ 80 —
+    // anything else means the run is contaminated and must be retaken.
+    //
+    // Jiffy accounting uses only the first 8 /proc/stat fields
+    // (user..steal): the kernel already folds guest/guest_nice into
+    // user, so summing all fields would double-count guest time.
+    def cpuJiffies(): (Long, Long, Long) = {
+      // (busy, idle+iowait, steal)
       try {
         val parts = scala.io.Source.fromFile("/proc/stat").getLines()
-          .next().trim.split("\\s+").drop(1).map(_.toLong)
-        (parts.sum, if (parts.length > 7) parts(7) else 0L)
-      } catch { case _: Throwable => (0L, 0L) }
+          .next().trim.split("\\s+").drop(1).take(8).map(_.toLong)
+        val idle = parts(3) + parts(4)
+        (parts.sum - idle, idle, parts(7))
+      } catch { case _: Throwable => (0L, 0L, 0L) }
     }
-    val (jiff0, steal0) = cpuJiffies()
+    def ownJiffies(): Long = {
+      // utime+stime: fields 14/15 of /proc/self/stat; comm (field 2)
+      // may contain spaces, so index from after the closing paren.
+      try {
+        val s = scala.io.Source.fromFile("/proc/self/stat").mkString
+        val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+        rest(11).toLong + rest(12).toLong
+      } catch { case _: Throwable => 0L }
+    }
+    def load1(): Double = {
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    }
+    val (busy0, idle0, steal0) = cpuJiffies()
+    val own0 = ownJiffies()
+    val load1Start = load1()
 
     // A query that throws serializes as null in `queries` (so consumers
     // summing/plotting per-query values never see a corrupted number)
@@ -125,10 +153,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val errs = failed.mkString("[", ",", "]")
-    val (jiff1, steal1) = cpuJiffies()
+    val (busy1, idle1, steal1) = cpuJiffies()
+    val own1 = ownJiffies()
+    val load1End = load1()
+    val totalJiff = (busy1 + idle1) - (busy0 + idle0)
+    val busyJiff = busy1 - busy0
     val stealPct =
-      if (jiff1 > jiff0) 100.0 * (steal1 - steal0) / (jiff1 - jiff0) else 0.0
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":$stealPct%.1f,"sf":"$sfDir"}""")
+      if (totalJiff > 0) 100.0 * (steal1 - steal0) / totalJiff else 0.0
+    // Share of the machine's BUSY cpu burned by this JVM: near 100 on a
+    // quiet host, collapses when a co-resident process competes.
+    val ownSharePct =
+      if (busyJiff > 0) 100.0 * (own1 - own0) / busyJiff else 0.0
+    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":$stealPct%.1f,"own_cpu_share_pct":$ownSharePct%.1f,"load1_start":$load1Start%.1f,"load1_end":$load1End%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,10 +1,31 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Analysis-time input-type gates for the native set-sim expressions.
+  * `ExpectsInputTypes`/`ImplicitCastInputTypes` take `AbstractDataType`,
+  * which is `private[sql]`, so the same contract is enforced via
+  * `checkInputDataTypes` (the HllDistinct precedent): a bad SQL call
+  * like `graft_jaccard(1, 2)` fails with a clear AnalysisException
+  * instead of a codegen-compile failure + interpreted-path CCE. The
+  * one implicit cast a caller reasonably expects — a DECIMAL literal
+  * threshold like `graft_prefix_hashes(a, 0.8)` — is inserted by the
+  * SQL registry builder (GraftFunctions.ensureRegistered). */
+private[functions] object SetSimTypeChecks {
+  def stringArrays(name: String, dts: Seq[DataType]): TypeCheckResult = {
+    dts.zipWithIndex.collectFirst {
+      case (dt, i) if !dt.isInstanceOf[ArrayType] ||
+          dt.asInstanceOf[ArrayType].elementType != StringType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$name requires ARRAY<STRING> for argument ${i + 1}, got ${dt.sql}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+}
 
 /** Shared intersection-count kernel for the set-similarity expressions —
   * a static method so whole-stage codegen can call it directly.
@@ -150,6 +171,9 @@ case class MinHashSig(child: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    SetSimTypeChecks.stringArrays(prettyName, Seq(child.dataType))
+
   override def nullSafeEval(a: Any): Any =
     MinHashKernel.eval(a.asInstanceOf[ArrayData])
 
@@ -164,6 +188,15 @@ case class PrefixHashes(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_prefix_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val arrOk = SetSimTypeChecks.stringArrays(prettyName, Seq(left.dataType))
+    if (arrOk != TypeCheckResult.TypeCheckSuccess) arrOk
+    else if (right.dataType != DoubleType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires DOUBLE for its threshold, got ${right.dataType.sql}")
+    } else TypeCheckResult.TypeCheckSuccess
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     PrefixHashKernel.eval(a.asInstanceOf[ArrayData], b.asInstanceOf[java.lang.Double])
@@ -185,6 +218,9 @@ case class JaccardSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_jaccard"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    SetSimTypeChecks.stringArrays(prettyName, Seq(left.dataType, right.dataType))
+
   override def nullSafeEval(a: Any, b: Any): Any =
     SetSimKernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
@@ -204,6 +240,9 @@ case class ContainmentSim(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_containment"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    SetSimTypeChecks.stringArrays(prettyName, Seq(left.dataType, right.dataType))
 
   override def nullSafeEval(a: Any, b: Any): Any =
     SetSimKernels.containment(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -18,10 +18,20 @@ import org.apache.spark.sql.types._
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be array<float>; ExpectsInputTypes is private[sql], so the
-  // contract is enforced by the call sites (GraftFunctions.dot)
+  // inputs must be array<float>; ExpectsInputTypes is private[sql], so
+  // the contract is enforced via checkInputDataTypes (clear analysis
+  // error instead of an execution-time ClassCastException)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    Seq(left.dataType, right.dataType).zipWithIndex.collectFirst {
+      case (dt, i) if !dt.isInstanceOf[ArrayType] ||
+          dt.asInstanceOf[ArrayType].elementType != FloatType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<FLOAT> for argument ${i + 1}, got ${dt.sql}")
+    }.getOrElse(org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess)
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -98,8 +108,14 @@ object GraftFunctions {
       "graft_jaccard", exprs => JaccardSim(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_containment", exprs => ContainmentSim(exprs.head, exprs(1)), "built-in")
+    // SQL thresholds arrive as DECIMAL literals (`0.8` has no `d`
+    // suffix) — insert the double cast the implicit-cast tier would
+    // have added; a redundant double→double cast is optimized away.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_prefix_hashes", exprs => PrefixHashes(exprs.head, exprs(1)), "built-in")
+      "graft_prefix_hashes",
+      exprs => PrefixHashes(exprs.head,
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), DoubleType)),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
     // codec surface in SQL

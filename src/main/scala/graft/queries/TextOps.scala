@@ -56,11 +56,26 @@ object TextOps {
     * so the physical join flips run-to-run between broadcast-hash (fast:
     * the UDF-filter streams, arrays never shuffle) and sort-merge (2-4×
     * slower: sorts + shuffles the wide arrays, heavy GC). Force the
-    * broadcast below the same corpus-size switch q35 uses; above it no
-    * engine could broadcast a corpus-sized table and the shuffle join is
-    * the right plan, correctly byte-sized by AQE at that scale. */
-  private def verifySide(s: SparkSession, d: String): DataFrame => DataFrame =
-    if (documents(s, d).count() <= BroadcastDocLimit) broadcast(_) else identity
+    * broadcast only while the ESTIMATED build-side bytes stay bounded:
+    * verify rows carry full shingle arrays (~3× the text bytes — each
+    * word lands in ~3 three-word shingles), so the q35 doc-COUNT switch,
+    * calibrated for 16-byte simhash rows, would near its 1M limit force
+    * a multi-GB broadcast precisely where AQE's byte threshold was
+    * protecting the executors. Past the byte cap the shuffle join is the
+    * right plan, correctly byte-sized by AQE at that scale. */
+  private def verifySide(s: SparkSession, d: String): DataFrame => DataFrame = {
+    val stats = documents(s, d)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("n_chars")), lit(0L)).as("b"))
+      .head()
+    // ~3 bytes of shingle per text byte + 48 B/row of array/id overhead
+    val estBytes = stats.getLong(0) * 48L + stats.getLong(1) * 3L
+    if (estBytes <= VerifyBroadcastBytes) broadcast(_) else identity
+  }
+
+  /** 64 MB: deliberately above the 10 MB advisory (the verify build side
+    * must not flip to sort-merge at test SF) yet a bounded per-executor
+    * memory cost at any corpus size. */
+  private val VerifyBroadcastBytes = 64L << 20
 
   private val duckShingles: String =
     """list_distinct([array_to_string(w[i:i+2], ' ')

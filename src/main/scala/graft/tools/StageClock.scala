@@ -30,18 +30,25 @@ object StageClock {
     val stages = ArrayBuffer.empty[St]
     val jobs = ArrayBuffer.empty[(Int, Long, Long)]
     var jobStart = Map.empty[Int, Long]
+    // Listener callbacks arrive on the async listener-bus thread while
+    // main clears/reads the buffers between reps — guard every access
+    // with the buffer's own lock, and drain the bus before each read so
+    // late-delivered tail stages (the ones this tool exists to show)
+    // aren't silently missed.
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
-        stages += St(si.stageId, si.name.take(60),
-          si.submissionTime.getOrElse(0L), si.completionTime.getOrElse(0L),
-          si.taskMetrics.executorRunTime, si.numTasks,
-          si.taskMetrics.jvmGCTime)
+        stages.synchronized {
+          stages += St(si.stageId, si.name.take(60),
+            si.submissionTime.getOrElse(0L), si.completionTime.getOrElse(0L),
+            si.taskMetrics.executorRunTime, si.numTasks,
+            si.taskMetrics.jvmGCTime)
+        }
       }
       override def onJobStart(e: SparkListenerJobStart): Unit =
-        synchronized { jobStart += e.jobId -> e.time }
+        jobs.synchronized { jobStart += e.jobId -> e.time }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
-        synchronized { jobs += ((e.jobId, jobStart.getOrElse(e.jobId, 0L), e.time)) }
+        jobs.synchronized { jobs += ((e.jobId, jobStart.getOrElse(e.jobId, 0L), e.time)) }
     })
 
     graft.SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
@@ -59,14 +66,16 @@ object StageClock {
         plan.getBytes("UTF-8"))
     }
     for (r <- 1 to reps) {
-      stages.clear(); jobs.clear()
+      org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
+      stages.synchronized(stages.clear()); jobs.synchronized(jobs.clear())
       spark.sharedState.cacheManager.clearCache()
       System.gc()
       val t0 = System.nanoTime()
       val cnt = graft.SparkEntry.queries(name)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"== $name rep$r wall=$wall%.2f s rows=$cnt")
-      val sorted = stages.sortBy(_.submitted)
+      org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
+      val sorted = stages.synchronized(stages.sortBy(_.submitted))
       var covered = 0L
       var prevEnd = 0L
       sorted.foreach { s =>

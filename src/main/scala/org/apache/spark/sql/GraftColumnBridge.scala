@@ -39,6 +39,14 @@ object GraftColumnBridge {
              plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Block until every queued listener-bus event has been delivered
+    * (the `private[spark]` `waitUntilEmpty` test hook). Listener
+    * callbacks run on an async bus thread; a tool that reads its
+    * listener buffers right after an action returns would otherwise
+    * race late deliveries (graft.tools.StageClock). */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Idempotently register an extra planner strategy on the session
     * (the `experimental.extraStrategies` hook, for sessions not built
     * through GraftExtensions). */

@@ -74,6 +74,27 @@ class SetSimExpressionsSpec extends SparkSuite {
     assert(sketch.getInt(1) == 128)
   }
 
+  test("SQL: decimal-literal threshold is cast; bad types fail at analysis") {
+    GraftFunctions.ensureRegistered(spark)
+    sets.createOrReplaceTempView("ss")
+    // `0.8` without the d suffix is a DECIMAL literal — the registry
+    // builder inserts the double cast, so this must work...
+    val np = spark.sql(
+      "SELECT size(graft_prefix_hashes(a, 0.8)) np FROM ss WHERE id = 6")
+      .collect().head.getInt(0)
+    assert(np == 200 - 160 + 1)
+    // ...and a wrong-typed argument must be an ANALYSIS error (clear
+    // message), not a codegen failure + interpreted-path CCE.
+    Seq("SELECT graft_jaccard(1, 2)",
+        "SELECT graft_containment(array('x'), 'y')",
+        "SELECT graft_minhash_sig(7)",
+        "SELECT graft_prefix_hashes(array(1, 2), 0.8)",
+        "SELECT graft_dot(array('a'), array('b'))").foreach { q =>
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(q).collect())
+      assert(e.getMessage.toLowerCase.contains("requires"), s"$q → ${e.getMessage}")
+    }
+  }
+
   test("null inputs yield null, not a crash") {
     val out = Seq((Option.empty[Array[String]], Option(Array("a"))))
       .toDF("a", "b")

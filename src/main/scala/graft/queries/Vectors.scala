@@ -419,16 +419,97 @@ object Vectors {
     "q61_semantic_dedup" -> (q61SemanticDedup _),
   )
 
+  /** DuckDB mirror of DotProductF: identical left-to-right double fold,
+    * so doubles are bit-identical across engines. */
+  private def duckDot(x: String, y: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  [CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in range(1, len($x) + 1)]),
+       |  (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+
   /** DuckDB mirror: identical left-to-right fold. */
-  private[queries] def duckCosine(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |  [CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in range(1, len($x) + 1)]),
-         |  (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
-    s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-  }
+  private[queries] def duckCosine(a: String, b: String): String =
+    s"(${duckDot(a, b)}) / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
   val oracle: Map[String, String] = Map(
+    // IVF is approximate relative to TRUE top-k, but the ALGORITHM is
+    // deterministic — this restates it (seed-assign argmax → per-(bucket,
+    // dim) mean → probe top-4 → in-bucket top-5) rather than "exact"
+    // search, so the hash compare decides the whole path. The refined
+    // centroid means are the one order-sensitive double sum; Spark casts
+    // them to FLOAT (q39AnnIvf `CAST(x.m AS FLOAT)`), which absorbs
+    // summation-order LSB drift, and every OUTPUT sim is computed from
+    // original embeddings with the shared left-to-right fold.
+    "q39_ann_ivf" -> {
+      def assign(cents: String) =
+        s"""SELECT vec_id, embedding, nv, c_id AS bucket FROM (
+           |  SELECT e.vec_id, e.embedding, e.nv, c.c_id,
+           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |      ${duckDot("c.cv", "e.embedding")} / (c.nc * e.nv) DESC, c.c_id) AS rn
+           |  FROM en e CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+      s"""WITH en AS (SELECT vec_id, embedding,
+         |    sqrt(${duckDot("embedding", "embedding")}) AS nv FROM embeddings),
+         |seeds AS (SELECT vec_id AS c_id, embedding AS cv, nv AS nc
+         |  FROM en WHERE vec_id < 16),
+         |b1 AS (${assign("seeds")}),
+         |parts AS (SELECT bucket, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    unnest(embedding) AS v FROM b1),
+         |means AS (SELECT bucket AS c_id, pos, avg(CAST(v AS DOUBLE)) AS m
+         |  FROM parts GROUP BY bucket, pos),
+         |cn0 AS (SELECT c_id, list(CAST(m AS REAL) ORDER BY pos) AS cv
+         |  FROM means GROUP BY c_id),
+         |cn AS (SELECT c_id, cv, sqrt(${duckDot("cv", "cv")}) AS nc FROM cn0),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qv, nv AS nq,
+         |    c_id AS probe_bucket FROM (
+         |  SELECT e.vec_id, e.embedding, e.nv, c.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${duckDot("c.cv", "e.embedding")} / (c.nc * e.nv) DESC, c.c_id) AS pr
+         |  FROM en e CROSS JOIN cn c WHERE e.vec_id % 50 = 0) WHERE pr <= 4),
+         |b2 AS (${assign("cn")}),
+         |scored AS (SELECT p.query_id, b.vec_id,
+         |    ${duckDot("p.qv", "b.embedding")} / (p.nq * b.nv) AS sim
+         |  FROM b2 b JOIN probes p
+         |    ON p.probe_bucket = b.bucket AND p.query_id <> b.vec_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id, sim FROM (
+         |  SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, vec_id) AS rank FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    // SRP-LSH restated the same way: the hyperplane weights are
+    // deterministic constants (splitmix64((b<<32)|j) / Long.MaxValue —
+    // mix64 above), emitted as shortest-roundtrip double literals so
+    // DuckDB parses the exact same bits; per-bit sign folds
+    // left-to-right over dimensions exactly as the srpSig UDF loop.
+    "q49_ann_lsh" -> {
+      val dims = 64
+      def w(b: Int, j: Int): String = java.lang.Double.toString(
+        mix64((b.toLong << 32) | j.toLong).toDouble / Long.MaxValue)
+      def accExpr(b: Int): String = {
+        val wb = (0 until dims).map(w(b, _)).mkString("[", ", ", "]")
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  [($wb)[i] * CAST(embedding[i] AS DOUBLE)
+           |   for i in range(1, len(embedding) + 1)]),
+           |  (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+      }
+      val sigExpr = (0 until SrpBits)
+        .map(b => s"(CASE WHEN ${accExpr(b)} >= 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ")
+      val probeList = (0 until SrpBits)
+        .map(b => s"xor(sig, ${1 << b})").mkString("[sig, ", ", ", "]")
+      s"""WITH en AS (SELECT vec_id, embedding,
+         |    sqrt(${duckDot("embedding", "embedding")}) AS nv,
+         |    CAST($sigExpr AS INTEGER) AS sig FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nv AS nq,
+         |    unnest($probeList) AS probe FROM en WHERE vec_id % 50 = 0),
+         |scored AS (SELECT q.query_id, e.vec_id,
+         |    ${duckDot("q.qv", "e.embedding")} / (q.nq * e.nv) AS sim
+         |  FROM q JOIN en e ON q.probe = e.sig AND q.query_id <> e.vec_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id, sim FROM (
+         |  SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, vec_id) AS rank FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     "q79_semantic_decon" -> {
       val duckBucket = (0 until SemBits)
         .map(b => s"(CASE WHEN embedding[${b + 1}] > 0 THEN ${1L << b} ELSE 0 END)")

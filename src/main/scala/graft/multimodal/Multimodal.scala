@@ -167,6 +167,51 @@ object Multimodal {
 
   val phash = udf { (media: Array[Byte]) => phashBytes(media) }
 
+  /** Fixture-side WAV synthesis: wrap each blob byte as one PCM16 sample
+    * (value = the unsigned byte) in a VALID minimal RIFF/PCM16 container,
+    * so the audio path exercises the REAL parser ([[WavCodec.decode]])
+    * end to end while the sample values stay oracle-mirrorable from the
+    * source text. */
+  val wavFromBytes = udf { (blob: Array[Byte]) =>
+    if (blob == null) null else WavCodec.encode(blob.map(b => b & 0xff))
+  }
+
+  /** Real WAV container parse as a column:
+    * `binary → struct(sampleRate, channels, nSamples, samples, error)`.
+    * Malformed blobs yield an error STRING next to null samples — the
+    * PhyParser.py:10-12 row-level error contract (same as q26's packet
+    * decode). A per-row Scala UDF is the right shape here: container
+    * decode is inherently opaque byte work (the mapInPandas analog), and
+    * the surrounding plumbing stays declarative. */
+  val wavDecode = udf { (blob: Array[Byte]) => WavCodec.decode(blob) }
+
+  /** Audio framing over REAL decoded PCM: parse the WAV container, then
+    * window the interleaved samples at `frameLen` with exact integer
+    * energy Σ sample² per frame. Good clips emit one row per frame
+    * (`error` NULL); failed decodes emit ONE row with win = −1 and the
+    * parser's error string — decode failure is row data, not an
+    * exception (PhyParser.py:10-12). */
+  def audioFramesWav(media: DataFrame, frameLen: Int): DataFrame = {
+    val decoded = media.withColumn("dec", wavDecode(col("media")))
+    val good = decoded.filter(col("dec.error").isNull)
+      .withColumn("nwin",
+        ceil(size(col("dec.samples")) / lit(frameLen.toDouble)).cast("int"))
+      // zero-sample clips emit zero frames (sequence(0,-1) would descend)
+      .filter(col("nwin") > 0)
+      .withColumn("win", explode(sequence(lit(0), col("nwin") - 1)))
+      .withColumn("seg",
+        slice(col("dec.samples"), col("win") * frameLen + 1, lit(frameLen)))
+      .select(col("media_id"), col("win").cast("long").as("win"),
+        size(col("seg")).cast("long").as("n_samples"),
+        aggregate(col("seg"), lit(0L),
+          (acc, x) => acc + x.cast("long") * x.cast("long")).as("energy"),
+        lit(null).cast("string").as("error"))
+    val bad = decoded.filter(col("dec.error").isNotNull)
+      .select(col("media_id"), lit(-1L).as("win"), lit(0L).as("n_samples"),
+        lit(0L).as("energy"), col("dec.error").as("error"))
+    good.unionByName(bad)
+  }
+
   /** DETERMINISTIC STUB audio framing: the blob's bytes stand in for PCM
     * samples; frame w covers bytes [w·frameLen, min((w+1)·frameLen, L)).
     * Emits one row per frame with its exact integer energy Σ sample² —

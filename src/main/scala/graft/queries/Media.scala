@@ -89,16 +89,22 @@ object Media {
       .orderBy(col("media_a"), col("media_b"))
   }
 
-  /** q73: the audio path — stub PCM framing + exact per-frame energy
-    * (Multimodal.audioFrames, 64-byte frames): the windowed-feature
-    * extraction (RMS/energy/VAD) every audio pipeline starts with,
-    * emitted one row per (clip, frame). Integer energies, so the oracle
-    * is exact. */
+  /** q73: the audio path over REAL WAV parsing — each audio blob is
+    * wrapped in a valid RIFF/PCM16 container (one int16 sample per source
+    * byte, the oracle-mirrorable fixture), every (10k+7)th clip is
+    * truncated to 10 bytes (a torn upload), and the whole table routes
+    * through the pure-JVM chunk-walking parser (WavCodec.decode). Good
+    * clips emit one row per 64-sample frame with exact integer energy
+    * Σ sample²; failed decodes emit one win = −1 row carrying the
+    * parser's error string (PhyParser.py:10-12 semantics — decode
+    * failure is row data). Integer samples, so the oracle is exact. */
   def q73AudioWindows(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.mediaTable(documents(s, d))
       .filter(col("media_type") === "audio")
-    Multimodal.audioFrames(media, 64)
-      .select(col("media_id"), col("win"), col("n_bytes"), col("energy"))
+      .withColumn("wav", Multimodal.wavFromBytes(col("media")))
+      .withColumn("media", when(col("media_id") % 10 === 7,
+        expr("substring(wav, 1, 10)")).otherwise(col("wav")))
+    Multimodal.audioFramesWav(media, 64)
       .orderBy(col("media_id"), col("win"))
   }
 
@@ -110,18 +116,30 @@ object Media {
   )
 
   val oracle: Map[String, String] = Map(
+    // the WAV fixture stores one PCM16 sample per source byte, so the
+    // decoded sample values ARE the ascii codes — the oracle frames the
+    // text directly; the truncated clips (media_id % 10 = 7) mirror the
+    // parser's short_header error row (win = −1)
     "q73_audio_windows" ->
       """WITH a AS (SELECT doc_id AS media_id, text AS t FROM documents
         |  WHERE doc_id % 3 = 1),
         |w AS (SELECT media_id, t,
         |    unnest(range(0, CAST(ceil(length(t) / 64.0) AS BIGINT))) AS win
-        |  FROM a),
+        |  FROM a WHERE media_id % 10 <> 7),
         |seg AS (SELECT media_id, win, substring(t, CAST(win * 64 + 1 AS BIGINT), 64) AS s
-        |  FROM w)
-        |SELECT media_id, win, CAST(length(s) AS BIGINT) AS n_bytes,
-        |  CAST(list_sum(list_transform(string_split(s, ''),
-        |    c -> ascii(c) * ascii(c))) AS BIGINT) AS energy
-        |FROM seg ORDER BY media_id, win""".stripMargin,
+        |  FROM w),
+        |rows_all AS (
+        |  SELECT media_id, win, CAST(length(s) AS BIGINT) AS n_samples,
+        |    CAST(COALESCE(list_sum(list_transform(string_split(s, ''),
+        |      c -> ascii(c) * ascii(c))), 0) AS BIGINT) AS energy,
+        |    CAST(NULL AS VARCHAR) AS error
+        |  FROM seg
+        |  UNION ALL
+        |  SELECT media_id, CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), 'short_header'
+        |  FROM a WHERE media_id % 10 = 7)
+        |SELECT media_id, win, n_samples, energy, error
+        |FROM rows_all ORDER BY media_id, win""".stripMargin,
     // the SAME integer DCT pipeline as Multimodal.phashBytes, constant
     // table included verbatim (DctT below) — every step is int64-exact
     // so the hash matches Spark's bit-for-bit

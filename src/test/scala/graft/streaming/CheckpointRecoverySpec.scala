@@ -41,44 +41,70 @@ class CheckpointRecoverySpec extends SparkSuite {
     assert(texts == Set("alpha", "beta"), texts.toString)
   }
 
-  test("dedup state survives a stop/restart from checkpoint") {
+  /** The kill/restart cycle, parameterized over the state-store backend:
+    * the same contract must hold on the default (HDFS-backed) provider
+    * the local suites use AND on RocksDB, the provider a 1000-executor
+    * deployment runs (SURVEY §4.3) — state larger than executor heap,
+    * changelog-checkpointed. Provider choice is baked into the
+    * checkpoint at first start, so it is set BEFORE incarnation 1 and
+    * restored after. */
+  private def restartCycle(provider: Option[String]): Unit = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
 
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val outDir = java.nio.file.Files.createTempDirectory("graft_sink").toString
-    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
-    def out = CorpusStream.dedupByContent(
-      stream.toDS().toDF("ts", "doc_id", "text"))
-    def start() = out.writeStream.format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .outputMode(OutputMode.Append).start()
-    def sinkRows() = spark.read.parquet(outDir).collect()
-      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    provider.foreach(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+      def out = CorpusStream.dedupByContent(
+        stream.toDS().toDF("ts", "doc_id", "text"))
+      def start() = out.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      def sinkRows() = spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
 
-    // incarnation 1: two distinct docs pass
-    val q1 = start()
-    stream.addData((ts(10, 0), 1L, "alpha"), (ts(10, 1), 2L, "beta"))
-    q1.processAllAvailable()
-    assert(sinkRows() == Set((1L, "alpha"), (2L, "beta")), sinkRows().toString)
-    q1.stop()
+      // incarnation 1: two distinct docs pass
+      val q1 = start()
+      stream.addData((ts(10, 0), 1L, "alpha"), (ts(10, 1), 2L, "beta"))
+      q1.processAllAvailable()
+      assert(sinkRows() == Set((1L, "alpha"), (2L, "beta")), sinkRows().toString)
+      q1.stop()
 
-    // data arriving while the query is down: a replay of "alpha" (must
-    // stay suppressed — only recovered state can know that) + new docs
-    stream.addData((ts(10, 2), 3L, "alpha"), (ts(10, 3), 4L, "gamma"))
+      // data arriving while the query is down: a replay of "alpha" (must
+      // stay suppressed — only recovered state can know that) + new docs
+      stream.addData((ts(10, 2), 3L, "alpha"), (ts(10, 3), 4L, "gamma"))
 
-    // incarnation 2: same checkpoint, same sink
-    val q2 = start()
-    stream.addData((ts(10, 4), 5L, "delta"))
-    q2.processAllAvailable()
-    val resumed = sinkRows()
-    q2.stop()
+      // incarnation 2: same checkpoint, same sink
+      val q2 = start()
+      stream.addData((ts(10, 4), 5L, "delta"))
+      q2.processAllAvailable()
+      val resumed = sinkRows()
+      q2.stop()
 
-    // exactly-once across the restart: the replayed "alpha" is absent
-    // (state recovered), the incarnation-1 rows appear exactly once
-    // (offsets + sink log recovered), nothing new is lost
-    assert(resumed == Set((1L, "alpha"), (2L, "beta"), (4L, "gamma"), (5L, "delta")),
-      resumed.toString)
+      // exactly-once across the restart: the replayed "alpha" is absent
+      // (state recovered), the incarnation-1 rows appear exactly once
+      // (offsets + sink log recovered), nothing new is lost
+      assert(resumed == Set((1L, "alpha"), (2L, "beta"), (4L, "gamma"), (5L, "delta")),
+        resumed.toString)
+    } finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("dedup state survives a stop/restart from checkpoint") {
+    restartCycle(None)
+  }
+
+  test("dedup state survives a stop/restart on the RocksDB store") {
+    restartCycle(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
   }
 }

@@ -176,6 +176,41 @@ object Multimodal {
     if (blob == null) null else WavCodec.encode(blob.map(b => b & 0xff))
   }
 
+  /** Fixture-side BMP synthesis: the blob's bytes become one row of gray
+    * pixels (r = g = b = byte) in a VALID minimal 24-bit BMP, so the
+    * image path exercises the REAL parser ([[BmpCodec.decode]]) end to
+    * end while pixel values stay oracle-mirrorable from the source
+    * text. */
+  val bmpFromBytes = udf { (blob: Array[Byte]) =>
+    if (blob == null) null
+    else BmpCodec.encode(blob.map(b => b & 0xff), blob.length)
+  }
+
+  /** Real BMP container parse as a column:
+    * `binary → struct(width, height, channels, pixels, error)` —
+    * same row-level error contract as [[wavDecode]]. */
+  val bmpDecode = udf { (blob: Array[Byte]) => BmpCodec.decode(blob) }
+
+  /** Real-decode twin of [[decodeStub]] for still images: the SAME
+    * output struct shape (width, height, channels, n_frames, features),
+    * but every value derives from the PARSED pixel data — n_frames is 1
+    * (a still image), features are [n_pixels, first, last, sum mod 997]
+    * over decoded gray values. */
+  def decodeBmpStruct(blob: Column): Column = {
+    val d = bmpDecode(blob)
+    struct(
+      d("width").as("width"),
+      d("height").as("height"),
+      d("channels").as("channels"),
+      lit(1).as("n_frames"),
+      array(
+        size(d("pixels")).cast("double"),
+        coalesce(element_at(d("pixels"), 1), lit(0)).cast("double"),
+        coalesce(element_at(d("pixels"), -1), lit(0)).cast("double"),
+        pmod(aggregate(d("pixels"), lit(0L), (a, x) => a + x.cast("long")),
+          lit(997L)).cast("double")).as("features"))
+  }
+
   /** Real WAV container parse as a column:
     * `binary → struct(sampleRate, channels, nSamples, samples, error)`.
     * Malformed blobs yield an error STRING next to null samples — the

@@ -10,10 +10,18 @@ import org.apache.spark.sql.functions._
   * oracle-checked from the same source text. */
 object Media {
 
-  /** q40: decode + feature-extract over the media table. */
+  /** q40: decode + feature-extract over the media table. Image rows
+    * route through the REAL BMP parser (each blob wrapped as a valid
+    * one-row 24-bit BMP — BmpCodec round-trips the bytes as gray
+    * pixels, so features are computed from PARSED pixel data); audio
+    * rows get their real parse in q73 (WAV); video keeps the labeled
+    * deterministic stub (no pure-JVM container is honest for video). */
   def q40MediaDecode(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.mediaTable(documents(s, d))
-    val dec = Multimodal.decodeStub(col("media"))
+      .withColumn("bmp", Multimodal.bmpFromBytes(col("media")))
+    val dec = when(col("media_type") === "image",
+        Multimodal.decodeBmpStruct(col("bmp")))
+      .otherwise(Multimodal.decodeStub(col("media")))
     media.select(
         col("media_id"), col("media_type"),
         col("metadata")("declared_bytes").as("declared_bytes"),
@@ -184,14 +192,23 @@ object Media {
          |FROM h a JOIN h b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.ph, b.ph)) <= 2
          |ORDER BY media_a, media_b""".stripMargin,
+    // image rows (doc_id % 3 = 0) mirror the REAL BMP parse: the fixture
+    // wraps the bytes as one row of gray pixels, so decoded width = byte
+    // count, height = 1 (0 for an empty blob), n_frames = 1; the
+    // feature values are identical either way because the parser
+    // round-trips the bytes as pixel values
     "q40_media_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         |  n_chars AS declared_bytes,
-        |  CAST(ascii(substring(text, 1, 1)) % 64 + 1 AS INTEGER) AS width,
-        |  CAST(ascii(substring(text, 2, 1)) % 64 + 1 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN length(text)
+        |       ELSE ascii(substring(text, 1, 1)) % 64 + 1 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0
+        |       THEN CASE WHEN length(text) > 0 THEN 1 ELSE 0 END
+        |       ELSE ascii(substring(text, 2, 1)) % 64 + 1 END AS INTEGER) AS height,
         |  3 AS channels,
-        |  CAST(ceil(length(text) / 256.0) AS INTEGER) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+        |       ELSE ceil(length(text) / 256.0) END AS INTEGER) AS n_frames,
         |  CAST(length(text) AS DOUBLE) AS f_len,
         |  CAST(ascii(substring(text, 1, 1)) AS DOUBLE) AS f_first,
         |  CAST(ascii(substring(text, length(text), 1)) AS DOUBLE) AS f_last,

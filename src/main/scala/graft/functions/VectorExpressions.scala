@@ -122,6 +122,9 @@ object GraftFunctions {
     spark.udf.register("phy_decode_b64", PhyFunctions.phyDecodeB64)
     spark.udf.register("graft_shingles", TextFunctions.shingles)
     spark.udf.register("graft_simhash", TextFunctions.simhash)
+    // media container parsers (binary → struct with row-level error)
+    spark.udf.register("graft_wav_decode", graft.multimodal.Multimodal.wavDecode)
+    spark.udf.register("graft_bmp_decode", graft.multimodal.Multimodal.bmpDecode)
   }
 }
 

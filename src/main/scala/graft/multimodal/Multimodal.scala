@@ -211,6 +211,20 @@ object Multimodal {
           lit(997L)).cast("double")).as("features"))
   }
 
+  /** Fixture-side Y4M synthesis: the blob's bytes become the luma planes
+    * of 4×2 4:2:0 frames (8 luma bytes per frame, zero-padded tail,
+    * neutral chroma) in a VALID YUV4MPEG2 container, so the video path
+    * exercises the REAL parser ([[Y4mCodec.decode]]) end to end while
+    * per-frame luma sums stay oracle-mirrorable from the source text. */
+  val y4mFromBytes = udf { (blob: Array[Byte]) =>
+    if (blob == null) null else Y4mCodec.encode(blob.map(b => b & 0xff))
+  }
+
+  /** Real Y4M container parse as a column:
+    * `binary → struct(width, height, nFrames, lumaSums, error)` —
+    * same row-level error contract as [[wavDecode]]/[[bmpDecode]]. */
+  val y4mDecode = udf { (blob: Array[Byte]) => Y4mCodec.decode(blob) }
+
   /** Real WAV container parse as a column:
     * `binary → struct(sampleRate, channels, nSamples, samples, error)`.
     * Malformed blobs yield an error STRING next to null samples — the
@@ -276,13 +290,4 @@ object Multimodal {
       .withColumn("win", col("win").cast("long"))
   }
 
-  /** Stub "resize": halve stub dimensions — metadata-only transform. */
-  def resizeStub(decoded: Column): Column =
-    decoded
-      .withField("width", greatest((decoded("width") / 2).cast("int"), lit(1)))
-      .withField("height", greatest((decoded("height") / 2).cast("int"), lit(1)))
-
-  /** Frame sampling for "video" rows: every k-th 256-byte chunk index. */
-  def frameSample(decoded: Column, k: Int): Column =
-    filter(sequence(lit(0), decoded("n_frames") - 1), i => i % k === 0)
 }

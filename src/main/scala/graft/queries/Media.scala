@@ -32,18 +32,29 @@ object Media {
       .orderBy(col("media_id"))
   }
 
-  /** q41: the video path — frame sampling (k=2) + stub resize. */
+  /** q41: the video path over REAL Y4M parsing — each video blob is
+    * wrapped as a valid YUV4MPEG2 stream (4×2 4:2:0 frames, 8 luma
+    * bytes each, the oracle-mirrorable fixture) and routed through the
+    * frame-walking parser (Y4mCodec.decode). Emits the decoded frame
+    * count, the every-2nd-frame sample size, halved decoded dimensions,
+    * and the summed luma of the SAMPLED frames — the
+    * frame-sample-then-feature shape a video training pipeline runs,
+    * with every value derived from parsed frame data. */
   def q41VideoFrames(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.mediaTable(documents(s, d))
       .filter(col("media_type") === "video")
-    val dec = Multimodal.decodeStub(col("media"))
-    val resized = Multimodal.resizeStub(Multimodal.decodeStub(col("media")))
+      .withColumn("dec", Multimodal.y4mDecode(Multimodal.y4mFromBytes(col("media"))))
     media.select(
         col("media_id"),
-        dec("n_frames").as("n_frames"),
-        size(Multimodal.frameSample(dec, 2)).as("n_sampled"),
-        resized("width").as("resized_w"),
-        resized("height").as("resized_h"))
+        col("dec.nFrames").as("n_frames"),
+        // even frame indices in [0, n): exactly (n+1)/2 of them
+        ((col("dec.nFrames") + 1) / 2).cast("int").as("n_sampled"),
+        greatest((col("dec.width") / 2).cast("int"), lit(1)).as("resized_w"),
+        greatest((col("dec.height") / 2).cast("int"), lit(1)).as("resized_h"),
+        aggregate(
+          filter(expr("transform(dec.lumaSums, (x, i) -> struct(x AS x, i AS i))"),
+            s0 => s0("i") % 2 === 0),
+          lit(0L), (acc, s0) => acc + s0("x")).as("sampled_luma"))
       .orderBy(col("media_id"))
   }
 
@@ -215,12 +226,28 @@ object Media {
         |  CAST(list_sum(list_transform(string_split_regex(text, ''),
         |    c -> ascii(c))) % 997 AS DOUBLE) AS f_sum
         |FROM documents ORDER BY media_id""".stripMargin,
+    // mirrors the REAL Y4M parse: 8 luma bytes per 4x2 frame, so
+    // n_frames = ceil(L/8), decoded dims are the fixture's constant 4x2
+    // (resized 2x1), and sampled_luma sums the text bytes landing in
+    // even-indexed frames (zero padding adds nothing)
     "q41_video_frames" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(ceil(length(text) / 256.0) AS INTEGER) AS n_frames,
-        |  CAST(ceil(ceil(length(text) / 256.0) / 2.0) AS INTEGER) AS n_sampled,
-        |  CAST(greatest((ascii(substring(text, 1, 1)) % 64 + 1) // 2, 1) AS INTEGER) AS resized_w,
-        |  CAST(greatest((ascii(substring(text, 2, 1)) % 64 + 1) // 2, 1) AS INTEGER) AS resized_h
-        |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
+      """WITH v AS (SELECT doc_id AS media_id, text AS t FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |w AS (SELECT media_id, t,
+        |    unnest(range(0, CAST(ceil(length(t) / 8.0) AS BIGINT))) AS win
+        |  FROM v),
+        |sl AS (SELECT media_id,
+        |    SUM(CASE WHEN win % 2 = 0 THEN
+        |      COALESCE(list_sum(list_transform(string_split(
+        |        substring(t, CAST(win * 8 + 1 AS BIGINT), 8), ''),
+        |        c -> ascii(c))), 0) ELSE 0 END) AS s
+        |  FROM w GROUP BY media_id)
+        |SELECT v.media_id AS media_id,
+        |  CAST(ceil(length(v.t) / 8.0) AS INTEGER) AS n_frames,
+        |  CAST((CAST(ceil(length(v.t) / 8.0) AS BIGINT) + 1) // 2 AS INTEGER) AS n_sampled,
+        |  2 AS resized_w, 1 AS resized_h,
+        |  CAST(COALESCE(sl.s, 0) AS BIGINT) AS sampled_luma
+        |FROM v LEFT JOIN sl ON v.media_id = sl.media_id
+        |ORDER BY v.media_id""".stripMargin,
   )
 }

@@ -48,4 +48,17 @@ object MediaCodecPropSpec extends Properties("MediaCodecs") {
     val d = BmpCodec.decode(b)
     (d.error == null) != (d.pixels == null)
   }
+
+  property("Y4M round-trips frame count and luma sums for any payload") =
+    forAll(genGray) { g =>
+      val d = Y4mCodec.decode(Y4mCodec.encode(g))
+      val expect = g.grouped(8).map(_.map(_.toLong).sum).toSeq
+      d.error == null && d.nFrames == (g.length + 7) / 8 &&
+        d.lumaSums.toSeq == expect
+    }
+
+  property("Y4M decode is total on junk") = forAll(genJunk) { b =>
+    val d = Y4mCodec.decode(b)
+    (d.error == null) != (d.lumaSums == null)
+  }
 }

@@ -125,6 +125,7 @@ object GraftFunctions {
     // media container parsers (binary → struct with row-level error)
     spark.udf.register("graft_wav_decode", graft.multimodal.Multimodal.wavDecode)
     spark.udf.register("graft_bmp_decode", graft.multimodal.Multimodal.bmpDecode)
+    spark.udf.register("graft_y4m_decode", graft.multimodal.Multimodal.y4mDecode)
   }
 }
 

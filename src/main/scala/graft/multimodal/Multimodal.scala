@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata (BASELINE.json north star).
   *
   * The Spark-side machinery — schema, size-aware partitioning, batch-shaped
-  * decode, feature columns — is real and tested; the pixel/sample decoding
-  * itself is a clearly-marked DETERMINISTIC STUB (`decodeStub`), because
-  * this container ships no image/audio libraries. Swapping in a real
-  * decoder is a one-function change: keep the signature
+  * decode, feature columns — is real and tested, and so are the container
+  * parsers for every format with an honest pure-JVM decode:
+  * [[WavCodec]] (RIFF/PCM16 audio, q73), [[BmpCodec]] (24-bit still
+  * image, q40), [[Y4mCodec]] (YUV4MPEG2 video, q41) — all exposed in SQL
+  * as `graft_*_decode` with row-level error strings. The clearly-marked
+  * DETERMINISTIC STUB (`decodeStub`) remains only for compressed formats
+  * (JPEG/MP3/H.264...), since this environment ships no codec libraries;
+  * swapping one in is a one-function change: keep the signature
   * `binary → struct(width, height, channels, n_frames, features)`.
   *
   * Scale notes (100 TB of media):

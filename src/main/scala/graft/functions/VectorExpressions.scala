@@ -63,6 +63,73 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Signed-random-projection kernel for the SRP-LSH signatures (q49) —
+  * the exact arithmetic of the former srpSig UDF, shared with the
+  * DuckDB oracle's literal weight lists: bit b of the signature is
+  * sign(Σ_j w(b,j)·v(j)) with deterministic hyperplane weights
+  * w(b,j) = splitmix64((b<<32)|j) / Long.MaxValue, the per-bit sum
+  * folded left-to-right over dimensions. */
+object SrpKernel {
+  val SrpBits = 8
+
+  /** SplitMix64 — deterministic pseudo-random hyperplane weights (no RNG
+    * state, reproducible across runs/executors/engines). */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def eval(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var sig = 0
+    var b = 0
+    while (b < SrpBits) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        acc += (mix64((b.toLong << 32) | j.toLong).toDouble / Long.MaxValue) *
+          arr.getFloat(j)
+        j += 1
+      }
+      if (acc >= 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** 8-bit SRP signature as a native expression — preference-tier-(b) like
+  * [[DotProductF]]: the kernel is one shared, warm JVM method (no
+  * per-query UDF-converter JIT race) composing inside whole-stage
+  * codegen. Bit-equality with the oracle's literal weights is pinned by
+  * q49's hash-matched parity. */
+case class SrpSig(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_srp_sig"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<FLOAT>, got ${dt.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    SrpKernel.eval(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SrpKernel.eval($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Function registration: the engine's custom functions exposed to both
   * the Column API and SQL (`SELECT graft_dot(a, b) …`). Registered either
   * through [[GraftExtensions]] (SparkSessionExtensions, for sessions the
@@ -92,6 +159,10 @@ object GraftFunctions {
   def minhashSig(sh: Column): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(sh)))
 
+  /** Native 8-bit SRP-LSH signature ([[SrpSig]]). */
+  def srpSig(v: Column): Column =
+    GraftColumnBridge.column(SrpSig(GraftColumnBridge.expression(v)))
+
   /** HLL distinct sketch aggregate ([[HllDistinct]]); input must be a
     * string column (cast first — the hash is over the utf8 text). */
   def hllDistinct(c: Column): Column =
@@ -118,6 +189,8 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_srp_sig", exprs => SrpSig(exprs.head), "built-in")
     // codec surface in SQL
     spark.udf.register("phy_decode_b64", PhyFunctions.phyDecodeB64)
     spark.udf.register("graft_shingles", TextFunctions.shingles)

@@ -223,49 +223,28 @@ object Vectors {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** SplitMix64 — deterministic pseudo-random hyperplane weights for the
-    * SRP signatures (no RNG state, reproducible across runs/executors). */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  private val SrpBits = 8
-
-  /** Signed-random-projection signature: bit b = sign(w_b · v) with
-    * deterministic hyperplanes w_b (one weight per (bit, dimension) from
-    * splitmix64). Cosine-similar vectors agree on each bit with
-    * probability 1 − θ/π (Charikar'02), so near neighbors land in the
-    * same or an adjacent bucket. */
-  private val srpSig = udf { (v: Seq[Float]) =>
-    var sig = 0
-    var b = 0
-    while (b < SrpBits) {
-      var acc = 0.0
-      var j = 0
-      while (j < v.length) {
-        acc += (mix64((b.toLong << 32) | j.toLong).toDouble / Long.MaxValue) * v(j)
-        j += 1
-      }
-      if (acc >= 0) sig |= (1 << b)
-      b += 1
-    }
-    sig
-  }
+  /** SRP hyperplane weights / bit width: the native kernel
+    * (functions/VectorExpressions.scala, [[graft.functions.SrpKernel]])
+    * owns the splitmix64 arithmetic; the DuckDB oracle embeds the same
+    * weights as shortest-roundtrip literals via [[SrpKernel.mix64]]. */
+  private def mix64(z0: Long): Long = graft.functions.SrpKernel.mix64(z0)
+  private val SrpBits = graft.functions.SrpKernel.SrpBits
 
   /** q49: LSH-bucketed approximate top-k — the OTHER scale path next to
-    * IVF (q39): 8-bit SRP signatures bucket the corpus (256 buckets, one
-    * shuffle on the signature, no broadcast of the corpus, no centroid
-    * training pass), and each query multi-probes its own bucket plus the
-    * 8 Hamming-1 neighbors. Exact cosine (same bit-identical dot fold)
-    * ranks the candidates, so every reported sim is the true value.
-    * Rows-only checked (approximate by construction); recall vs exact
-    * q36 is measured in VectorsSpec. */
+    * IVF (q39): 8-bit SRP signatures (bit b = sign(w_b · v) with
+    * deterministic splitmix64 hyperplanes; Charikar'02 — cosine-similar
+    * vectors agree per bit with probability 1 − θ/π) bucket the corpus
+    * (256 buckets, one shuffle on the signature, no broadcast of the
+    * corpus, no centroid training pass), and each query multi-probes its
+    * own bucket plus the 8 Hamming-1 neighbors. The signature runs as
+    * the native codegen'd [[graft.functions.SrpSig]] expression; exact
+    * cosine (same bit-identical dot fold) ranks the candidates, so every
+    * reported sim is the true value. Oracle restates the algorithm with
+    * the same literal weights; recall vs exact q36 is pinned in
+    * VectorsSpec. */
   def q49AnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = embNormed(s, d)
-      .withColumn("sig", srpSig(col("embedding")))
+      .withColumn("sig", graft.functions.GraftFunctions.srpSig(col("embedding")))
     val probeList = (0 until SrpBits)
       .map(b => s"int(sig ^ ${1 << b})").mkString("array(sig, ", ", ", ")")
     val queries = e.filter(col("vec_id") % 50 === 0)

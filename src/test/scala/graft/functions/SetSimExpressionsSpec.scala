@@ -74,6 +74,44 @@ class SetSimExpressionsSpec extends SparkSuite {
     assert(sketch.getInt(1) == 128)
   }
 
+  test("native SrpSig matches the reference loop; SQL + analysis gate") {
+    // reference implementation: the exact arithmetic the former UDF ran
+    def ref(v: Array[Float]): Int = {
+      var sig = 0
+      var b = 0
+      while (b < SrpKernel.SrpBits) {
+        var acc = 0.0
+        var j = 0
+        while (j < v.length) {
+          acc += (SrpKernel.mix64((b.toLong << 32) | j.toLong).toDouble /
+            Long.MaxValue) * v(j)
+          j += 1
+        }
+        if (acc >= 0) sig |= (1 << b)
+        b += 1
+      }
+      sig
+    }
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.25f, 3.5f, 0.0f)),
+      (2L, Array.fill(64)(0.01f)),
+      (3L, (0 until 64).map(i => ((i % 7) - 3).toFloat).toArray),
+      (4L, Array.empty[Float]))
+    val out = vecs.toDF("id", "v")
+      .withColumn("sig", GraftFunctions.srpSig(col("v")))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    vecs.foreach { case (id, v) => assert(out(id) == ref(v), s"id=$id") }
+    // empty vector: every acc is 0.0 >= 0 → all bits set
+    assert(out(4L) == 255)
+    GraftFunctions.ensureRegistered(spark)
+    vecs.take(1).toDF("id", "v").createOrReplaceTempView("srp_v")
+    assert(spark.sql("SELECT graft_srp_sig(v) FROM srp_v").collect()
+      .head.getInt(0) == ref(vecs.head._2))
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_srp_sig(7)").collect())
+    assert(e.getMessage.toLowerCase.contains("requires"))
+  }
+
   test("SQL: decimal-literal threshold is cast; bad types fail at analysis") {
     GraftFunctions.ensureRegistered(spark)
     sets.createOrReplaceTempView("ss")

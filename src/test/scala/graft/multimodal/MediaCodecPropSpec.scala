@@ -49,11 +49,18 @@ object MediaCodecPropSpec extends Properties("MediaCodecs") {
     (d.error == null) != (d.pixels == null)
   }
 
-  property("Y4M round-trips frame count and luma sums for any payload") =
-    forAll(genGray) { g =>
-      val d = Y4mCodec.decode(Y4mCodec.encode(g))
-      val expect = g.grouped(8).map(_.map(_.toLong).sum).toSeq
-      d.error == null && d.nFrames == (g.length + 7) / 8 &&
+  private val genGeom: Gen[(Int, Int)] =
+    for {
+      w <- Gen.oneOf(2, 4, 6, 8)
+      h <- Gen.oneOf(2, 4, 6)
+    } yield (w, h)
+
+  property("Y4M round-trips frame count and luma sums at any even geometry") =
+    forAll(genGray, genGeom) { case (g, (w, h)) =>
+      val d = Y4mCodec.decode(Y4mCodec.encode(g, w, h))
+      val expect = g.grouped(w * h).map(_.map(_.toLong).sum).toSeq
+      d.error == null && d.width == w && d.height == h &&
+        d.nFrames == (g.length + w * h - 1) / (w * h) &&
         d.lumaSums.toSeq == expect
     }
 

@@ -29,6 +29,23 @@ class Y4mCodecSpec extends AnyFunSuite {
     assert(d.error == null && d.nFrames == 1 && d.lumaSums.head == 6L)
   }
 
+  test("non-default geometry and extra header tokens parse (8x4, Xtags)") {
+    // 8×4 → 32 luma + 16 chroma bytes per frame; 40 bytes → 2 frames
+    val gray = (1 to 40).toArray
+    val b = encode(gray, width = 8, height = 4)
+    val d0 = decode(b)
+    assert(d0.error == null && d0.width == 8 && d0.height == 4 && d0.nFrames == 2)
+    assert(d0.lumaSums.toSeq == Seq((1 to 32).sum.toLong, (33 to 40).sum.toLong))
+    // rewrite the header with interlace/aspect/extension tokens in a
+    // different order + a C420jpeg variant — all must be tolerated
+    val nl = b.indexOf('\n'.toByte)
+    val newHead = "YUV4MPEG2 C420jpeg Ip A4:3 XCOLORRANGE=FULL W8 H4 F30:1\n"
+      .getBytes("US-ASCII")
+    val d1 = decode(newHead ++ b.drop(nl + 1))
+    assert(d1.error == null && d1.width == 8 && d1.height == 4)
+    assert(d1.lumaSums.toSeq == d0.lumaSums.toSeq)
+  }
+
   test("zero-byte payload is a valid zero-frame stream") {
     val d = decode(encode(Array.empty[Int]))
     assert(d.error == null && d.nFrames == 0 && d.lumaSums.isEmpty)

@@ -24,6 +24,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // schema-drift tripwire: fail loudly with ONE labeled message if the
+    // driver regenerated testdata under types the queries don't expect
+    Tables.validate(spark, sfDir)
+
     // warmup: exercise scan + agg + codegen paths once, uncounted
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => fn(spark, sfDir).count())
@@ -149,8 +153,12 @@ object Bench {
       (name, if (ok) Some(secs) else None)
     }
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
-      .mkString("{", ",", "}")
+    // 4-decimal seconds: full Double.toString tripled the line length
+    // and the driver's harvester truncated the r6 record mid-JSON —
+    // keep the one-line artifact comfortably under capture limits
+    val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + v.fold("null")(x => f"$x%.4f")
+      }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val errs = failed.mkString("[", ",", "]")
     val (busy1, idle1, steal1) = cpuJiffies()
@@ -164,7 +172,7 @@ object Bench {
     // quiet host, collapses when a co-resident process competes.
     val ownSharePct =
       if (busyJiff > 0) 100.0 * (own1 - own0) / busyJiff else 0.0
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":$stealPct%.1f,"own_cpu_share_pct":$ownSharePct%.1f,"load1_start":$load1Start%.1f,"load1_end":$load1End%.1f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":$stealPct%.1f,"own_cpu_share_pct":$ownSharePct%.1f,"load1_start":$load1Start%.1f,"load1_end":$load1End%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

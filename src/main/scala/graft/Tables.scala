@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated TESTDATA parquet tables (TESTDATA.md).
   *
@@ -10,10 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark refuses by
-    // default; read it as a nanos-since-epoch long (DuckDB parity:
-    // epoch_ns(ts)). Set once per session; harmless for other tables.
+    // The driver has generated events.ts under two physical encodings
+    // across rounds: TIMESTAMP(NANOS) (readable only via nanosAsLong)
+    // and TIMESTAMP(MICROS). Enable the nanos escape hatch AND pin
+    // int64 timestamps to TimestampType (not TIMESTAMP_NTZ) so the
+    // micros encoding reads as raw micros-since-epoch internally —
+    // `events` below then normalizes either encoding to one contract.
+    // Set once per session; harmless for the other tables.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
@@ -24,7 +31,105 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** The events stream table with `ts` normalized to ONE canonical
+    * column: `ts_us`, micros-since-epoch as a long — the truncation
+    * DuckDB's `epoch_us(ts)` applies on its side of the oracle gate,
+    * whatever the physical encoding. Raw `ts` is dropped so no query
+    * can silently depend on an encoding-specific type again (round 6:
+    * 12 queries died at analysis when the driver regenerated the
+    * parquet as TIMESTAMP(MICROS) under a nanos-as-long assumption).
+    *
+    * Encodings handled:
+    *  - long            → TIMESTAMP(NANOS) via nanosAsLong: `ts div 1000`
+    *  - timestamp       → TIMESTAMP(MICROS): `unix_micros` (raw internal
+    *                      micros; int64 parquet timestamps are never
+    *                      tz-adjusted on read)
+    *  - timestamp_ntz   → as above after a cast (UTC sessions only —
+    *                      every entry point sets spark.sql.session.timeZone=UTC)
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    val tsUs = df.schema("ts").dataType match {
+      case LongType           => expr("ts div 1000")
+      case TimestampType      => unix_micros(col("ts"))
+      case TimestampNTZType   => unix_micros(col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"testdata schema changed: events.ts is now $other " +
+          "(expected TIMESTAMP(NANOS)-as-long, TIMESTAMP, or TIMESTAMP_NTZ) " +
+          "— teach Tables.events the new encoding")
+    }
+    df.withColumn("ts_us", tsUs.cast(LongType)).drop("ts")
+  }
+
+  /** Schema-drift tripwire (VERDICT r6 #2): assert every table still
+    * carries the columns/types the engine's queries assume, and fail
+    * with ONE labeled message instead of N opaque analysis errors when
+    * the driver regenerates testdata under a new encoding. Run by
+    * Verify and Bench before any query.
+    *
+    * Type cells are the EXPECTED Catalyst types after `table()`'s
+    * reader flags; a set means any member is acceptable (and the
+    * loader is known to normalize the difference away).
+    */
+  def validate(s: SparkSession, d: String): Unit = {
+    val ints: Set[DataType] = Set(LongType, IntegerType)
+    val str: Set[DataType] = Set(StringType)
+    val dbl: Set[DataType] = Set(DoubleType)
+    // date columns are compared against 'yyyy-MM-dd' literals; either a
+    // DATE or a TIMESTAMP encoding keeps those comparisons well-typed
+    val dateish: Set[DataType] = Set(DateType, TimestampType, TimestampNTZType)
+    val expected: Seq[(String, Seq[(String, Set[DataType])])] = Seq(
+      "region" -> Seq("r_regionkey" -> ints, "r_name" -> str),
+      "nation" -> Seq("n_nationkey" -> ints, "n_regionkey" -> ints,
+        "n_name" -> str),
+      "customer" -> Seq("c_custkey" -> ints, "c_name" -> str,
+        "c_nationkey" -> ints, "c_acctbal" -> dbl, "c_mktsegment" -> str),
+      "supplier" -> Seq("s_suppkey" -> ints, "s_name" -> str,
+        "s_nationkey" -> ints, "s_acctbal" -> dbl),
+      "part" -> Seq("p_partkey" -> ints, "p_name" -> str, "p_brand" -> str,
+        "p_type" -> str, "p_size" -> ints, "p_retailprice" -> dbl),
+      "orders" -> Seq("o_orderkey" -> ints, "o_custkey" -> ints,
+        "o_orderstatus" -> str, "o_totalprice" -> dbl,
+        "o_orderdate" -> dateish, "o_orderpriority" -> str),
+      "lineitem" -> Seq("l_orderkey" -> ints, "l_partkey" -> ints,
+        "l_suppkey" -> ints, "l_linenumber" -> ints, "l_quantity" -> dbl,
+        "l_extendedprice" -> dbl, "l_discount" -> dbl, "l_tax" -> dbl,
+        "l_returnflag" -> str, "l_linestatus" -> str,
+        "l_shipdate" -> dateish),
+      "events" -> Seq("event_id" -> ints, "user_id" -> ints,
+        "event_type" -> str, "value" -> dbl, "props" -> str,
+        // the encodings Tables.events normalizes (NTZ folds into
+        // TimestampType under table()'s reader flags)
+        "ts" -> Set[DataType](LongType, TimestampType, TimestampNTZType)),
+      "documents" -> Seq("doc_id" -> ints, "text" -> str, "lang" -> str,
+        "source" -> str, "n_chars" -> ints),
+      "embeddings" -> Seq("vec_id" -> ints, "label" -> ints,
+        "embedding" -> Set[DataType](ArrayType(FloatType, true),
+          ArrayType(FloatType, false), ArrayType(DoubleType, true),
+          ArrayType(DoubleType, false))))
+    val problems = expected.flatMap { case (t, cols) =>
+      try {
+        val byName = table(s, d, t).schema.fields
+          .map(f => f.name -> f.dataType).toMap
+        cols.flatMap { case (c, ok) =>
+          byName.get(c) match {
+            case None =>
+              Some(s"$t.$c missing (have: ${byName.keys.toSeq.sorted.mkString(", ")})")
+            case Some(dt) if !ok.contains(dt) =>
+              Some(s"$t.$c is now $dt (expected one of ${ok.mkString("/")})")
+            case _ => None
+          }
+        }
+      } catch {
+        case e: Throwable => Seq(s"table $t unreadable at $d: ${e.getMessage}")
+      }
+    }
+    if (problems.nonEmpty) fail(problems.mkString("; "))
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalStateException(s"testdata schema changed: $msg")
 }

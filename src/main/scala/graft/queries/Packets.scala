@@ -74,7 +74,7 @@ object Packets {
     * program. 'signup' events write the map; every event reads it
     * (LoraServerIOCollector.py:287-304,436-446). */
   def q22DeviceMapLww(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     events(s, d)
       .withColumn("dev_eui",
@@ -87,7 +87,7 @@ object Packets {
     * is enriched by the immediately following event iff it is a 'click'
     * (LoraServerIOCollector.py:368-399,411-459). */
   def q23PairingAsOf(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     events(s, d)
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .withColumn("next_id", lead(col("event_id"), 1).over(w))
@@ -102,16 +102,16 @@ object Packets {
     * the NEXT non-error event consumes it, and it is consumed at most once
     * (TTNCollector.py:202-209,241-247: read-and-clear). */
   def q24LocationTakeOnce(s: SparkSession, d: String): DataFrame = {
-    val wAll = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val wPrev = wAll.rowsBetween(Window.unboundedPreceding, -1)
     val wCur = wAll.rowsBetween(Window.unboundedPreceding, 0)
     events(s, d)
       .withColumn("held_val",
         last(when(col("event_type") === "error", col("value")), ignoreNulls = true).over(wCur))
       .withColumn("held_ts",
-        last(when(col("event_type") === "error", col("ts")), ignoreNulls = true).over(wCur))
+        last(when(col("event_type") === "error", col("ts_us")), ignoreNulls = true).over(wCur))
       .withColumn("prev_consumer_ts",
-        last(when(col("event_type") =!= "error", col("ts")), ignoreNulls = true).over(wPrev))
+        last(when(col("event_type") =!= "error", col("ts_us")), ignoreNulls = true).over(wPrev))
       .filter(col("event_type") =!= "error")
       .select(
         col("event_id"), col("user_id"),
@@ -125,9 +125,9 @@ object Packets {
     * key; emit the first row where `total ≥ 5 ∧ ok/total > 0.8` flips true
     * (BaseCollector.py:85-110, thresholds :11-12). */
   def q25VerificationGate(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     events(s, d)
       .withColumn("total", count(lit(1)).over(w))
       .withColumn("ok",
@@ -314,7 +314,7 @@ object Packets {
         appKey))
       .withColumn("ja_bytes", PhyFunctions.encodeJoinAccept(
         appKey, (col("event_id") % 16777216).cast("int"), lit("aabbcc"), devAddr))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val paired = tagged
       .withColumn("next_kind", lead(col("kind"), 1).over(w))
       .withColumn("next_ja", lead(col("ja_bytes"), 1).over(w))
@@ -364,7 +364,7 @@ object Packets {
       (col("user_id") % 8).as("data_collector_id"),
       lit(1L).as("organization_id"),
       col("event_id").as("seq"),
-      timestamp_micros(expr("ts div 1000")).as("arrival_ts"))
+      timestamp_micros(col("ts_us")).as("arrival_ts"))
     val envs = graft.streaming.Pipeline.chirpEnvelopeFrameBatch(raw)
     envs.groupBy(col("data_collector_id"))
       .agg(

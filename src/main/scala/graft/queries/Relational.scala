@@ -94,7 +94,7 @@ object Relational {
     * events stream table (the replay/reset detector shape from SURVEY §2.9 —
     * `lag(f_count) over (partition by dev_eui order by tmst)`). */
   def q05WindowLag(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     events(s, d)
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("prev_event_id", lag(col("event_id"), 1).over(w))

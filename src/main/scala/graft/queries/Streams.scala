@@ -10,15 +10,15 @@ import org.apache.spark.sql.functions._
   * readStream with a watermark (StreamingSpec); here they are
   * oracle-checked against DuckDB on the events table.
   *
-  * `events.ts` arrives as nanos-since-epoch (Tables loader note); both
-  * engines truncate to micros identically (`ts div 1000` vs DuckDB's
-  * TIMESTAMP read of a nanos parquet column).
+  * Event time arrives pre-normalized: `Tables.events` folds whatever
+  * physical encoding the driver generated (nanos-as-long or
+  * TIMESTAMP(MICROS)) into one canonical `ts_us` micros-since-epoch
+  * long — the same truncation DuckDB's `epoch_us(ts)` applies on the
+  * oracle side.
   */
 object Streams {
 
-  // integer `div`, not `/`: double division would round the microsecond
-  // while the parquet nanos→micros read truncates
-  private def eventTime = timestamp_micros(expr("ts div 1000"))
+  private def eventTime = timestamp_micros(col("ts_us"))
 
   /** q13: tumbling event-time window aggregation (the
     * `withWatermark + window()` shape, SURVEY §2.9). */
@@ -62,7 +62,7 @@ object Streams {
     * orchestrator's 5 s delta poll as a changelog query,
     * Orchestrator.py:88-135). */
   def q16StatusChanges(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     events(s, d)
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
@@ -92,7 +92,7 @@ object Streams {
     * Strictly-earlier tie-break is the total order (ts, event_id). */
   def q64AsofJoin(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     events(s, d)
       .filter(col("event_type").isin("click", "purchase"))
@@ -113,7 +113,7 @@ object Streams {
     * otherwise plan as a broadcast nested loop over N² pairs).
     *
     * Scale shape: bucket the time axis at the range radius
-    * (5 s → bucket = ts div 5e9 ns); a qualifying pair differs by ≤ 1
+    * (5 s → bucket = ts_us div 5e6 µs); a qualifying pair differs by ≤ 1
     * bucket, so exploding ONE side to its 3 neighboring buckets turns
     * the θ-join into an equi-join on the other side's home bucket —
     * shuffle-bounded, 3× duplication of one side, no quadratic scan.
@@ -121,11 +121,9 @@ object Streams {
     * unique), so no distinct is needed. A hot 5 s bucket is the skew
     * case: salt that bucket or shrink the band. */
   def q65RangeJoin(s: SparkSession, d: String): DataFrame = {
-    // micros, not nanos: both engines truncate the TIMESTAMP(NANOS)
-    // column to micros identically (see eventTime note above)
     val bandUs = 5000000L
     val e = events(s, d)
-      .select(col("event_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("event_id"), col("ts_us"))
     val probe = e.select(col("event_id").as("event_a"), col("ts_us").as("ts_a"),
       explode(array(expr(s"ts_us div $bandUs") - 1, expr(s"ts_us div $bandUs"),
         expr(s"ts_us div $bandUs") + 1)).as("bucket"))
@@ -158,7 +156,7 @@ object Streams {
     * `s_lo = Σ mod 2^32`, losslessly reconstructible. */
   def q67ApproxDistinct(s: SparkSession, d: String): DataFrame = {
     val key = concat(col("user_id").cast("string"), lit(":"),
-      expr("(ts div 1000) div 86400000000").cast("string"))
+      expr("ts_us div 86400000000").cast("string"))
     events(s, d)
       .withColumn("k", key)
       .groupBy(col("event_type"))
@@ -211,7 +209,6 @@ object Streams {
       .rowsBetween(Window.unboundedPreceding, -1)
     val base = events(s, d)
       .filter(col("event_type").isin("view", "click", "purchase"))
-      .withColumn("ts_us", expr("ts div 1000"))
     val withView = base.withColumn("last_view_ts",
       last(when(col("event_type") === "view", col("ts_us")), ignoreNulls = true).over(w))
     val withClick = withView.withColumn("lc",
@@ -241,10 +238,10 @@ object Streams {
   def q74AsofCustom(s: SparkSession, d: String): DataFrame = {
     val purchases = events(s, d).filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-        expr("ts div 1000").as("p_ts"))
+        col("ts_us").as("p_ts"))
     val clicks = events(s, d).filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-        expr("ts div 1000").as("c_ts"))
+        col("ts_us").as("c_ts"))
     graft.plans.AsOfJoin(s, purchases, clicks,
         "p_user", "c_user", "p_ts", "c_ts", "c_id")
       .select(col("p_id"), col("p_user"), col("p_ts"),
@@ -262,7 +259,6 @@ object Streams {
   def q77Scd2(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     events(s, d)
-      .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
       .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
@@ -278,7 +274,7 @@ object Streams {
     * join); integer week arithmetic so the oracle is exact. */
   def q86CohortRetention(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select(col("user_id"),
-      expr("(ts div 1000) div 604800000000").as("week"))
+      expr("ts_us div 604800000000").as("week"))
     val firstWeek = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
     ev.join(firstWeek, Seq("user_id"))
       .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
@@ -299,7 +295,7 @@ object Streams {
       .rowsBetween(-24, -1)
     val dev = col("cnt") * col("n") - col("s1")
     events(s, d)
-      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("hour"))
+      .select(col("event_type"), expr("ts_us div 3600000000").as("hour"))
       .groupBy(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("s1", sum(col("cnt")).over(w))

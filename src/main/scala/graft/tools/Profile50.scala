@@ -48,7 +48,7 @@ object Profile50 {
         (col("user_id") % 8).as("data_collector_id"),
         lit(1L).as("organization_id"),
         col("event_id").as("seq"),
-        timestamp_micros(expr("ts div 1000")).as("arrival_ts"))
+        timestamp_micros(col("ts_us")).as("arrival_ts"))
     }
 
     // NOTE: .count() over a projection column-prunes the expensive exprs

@@ -30,7 +30,7 @@ object Stress50 {
       .select(
         (col("event_id") * replicas + col("rep")).as("event_id"),
         (col("user_id") * replicas + col("rep")).as("user_id"),
-        col("ts"))
+        col("ts_us"))
     val devAddr = lpad(lower(hex(col("user_id") + 7)), 8, "0")
     val phyB64 = base64(PhyFunctions.encodeDataFrame(
       lit("UnconfirmedDataUp"), devAddr, lit(true), lit(false),
@@ -51,7 +51,7 @@ object Stress50 {
       (col("user_id") % 256).as("data_collector_id"), // more collectors → state parallelism
       lit(1L).as("organization_id"),
       col("event_id").as("seq"),
-      timestamp_micros(expr("ts div 1000")).as("arrival_ts"))
+      timestamp_micros(col("ts_us")).as("arrival_ts"))
 
     val n = nEvents * replicas
     val t0 = System.nanoTime()

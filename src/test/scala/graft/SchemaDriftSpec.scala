@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The round-6 failure mode, pinned: the driver regenerated events.ts as
+  * TIMESTAMP(MICROS) and 12 queries died at analysis under a
+  * nanos-as-long assumption. `Tables.events` must normalize EITHER
+  * physical encoding to the canonical `ts_us` micros long, and
+  * `Tables.validate` must turn any future re-typing into one labeled
+  * failure instead of N opaque analysis errors.
+  */
+class SchemaDriftSpec extends SparkSuite {
+
+  private def tmp(): String =
+    Files.createTempDirectory("schema_drift").toString
+
+  test("events normalizes TIMESTAMP(MICROS) ts to ts_us micros long") {
+    val dir = tmp()
+    import spark.implicits._
+    Seq((1L, 5L, "click", 1.5, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(lit(1723500000123456L)))
+      .write.parquet(s"$dir/events.parquet")
+    val out = Tables.events(spark, dir)
+    assert(!out.columns.contains("ts"))
+    val row = out.select(col("ts_us")).head
+    assert(row.getLong(0) == 1723500000123456L)
+  }
+
+  test("events normalizes nanos-as-long ts to the same ts_us") {
+    val dir = tmp()
+    import spark.implicits._
+    // TIMESTAMP(NANOS) parquet is not writable from Spark; the
+    // nanosAsLong escape hatch surfaces it as a plain long, which is
+    // exactly what a raw long column also reads as — same loader path.
+    Seq((1L, 5L, "click", 1.5, "{}", 1723500000123456789L))
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val row = Tables.events(spark, dir).select(col("ts_us")).head
+    assert(row.getLong(0) == 1723500000123456L) // truncated, not rounded
+  }
+
+  test("both encodings produce identical query results (q17 shape)") {
+    import spark.implicits._
+    val micros = Seq(
+      (1L, 5L, 1723500000123456L), (2L, 5L, 1723500999000001L),
+      (3L, 9L, 1723000000000000L))
+    val dirA = tmp()
+    micros.toDF("event_id", "user_id", "us")
+      .select(col("event_id"), col("user_id"), lit("click").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"),
+        timestamp_micros(col("us")).as("ts"))
+      .write.parquet(s"$dirA/events.parquet")
+    val dirB = tmp()
+    micros.toDF("event_id", "user_id", "us")
+      .select(col("event_id"), col("user_id"), lit("click").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"),
+        (col("us") * 1000).as("ts"))
+      .write.parquet(s"$dirB/events.parquet")
+    val a = graft.queries.Streams.q17LastSeen(spark, dirA).collect().toSeq
+    val b = graft.queries.Streams.q17LastSeen(spark, dirB).collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getLong(2)).sum == 3) // n_messages sanity
+  }
+
+  test("an unknown ts encoding fails with the labeled message") {
+    val dir = tmp()
+    import spark.implicits._
+    Seq((1L, 5L, "click", 1.5, "{}", "not-a-time"))
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("testdata schema changed"))
+    assert(e.getMessage.contains("events.ts"))
+  }
+
+  test("validate passes on the real testdata") {
+    Tables.validate(spark, "/root/testdata/sf0.001")
+  }
+
+  test("validate reports a deliberately re-typed fixture with table.column") {
+    val dir = tmp()
+    import spark.implicits._
+    // copy the real sf0.001 tables, then re-type events.value to string
+    val src = "/root/testdata/sf0.001"
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet").write.parquet(s"$dir/$t.parquet")
+    }
+    spark.read.parquet(s"$src/events.parquet")
+      .withColumn("value", col("value").cast("string"))
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.validate(spark, dir))
+    assert(e.getMessage.contains("testdata schema changed"))
+    assert(e.getMessage.contains("events.value"))
+  }
+}

@@ -196,4 +196,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("REPARTITION_BY_NUM"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("events ts_us normalization prunes away when a query doesn't use it") {
+    // Tables.events adds a ts_us projection over every read; a query
+    // that never touches event time must still scan only its own
+    // columns — the normalization Project must not defeat column
+    // pruning (at 100 TB the ts bytes are real money).
+    val p = plan(Relational.q12EventPivot(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("ts"), readSchema)
+    assert(!readSchema.contains("props"), readSchema)
+    assert(readSchema.contains("user_id") && readSchema.contains("event_type"),
+      readSchema)
+  }
 }

@@ -147,6 +147,60 @@ class EventsStreamTwinSpec extends SparkSuite {
     }
   }
 
+  test("q13 window state survives a stop/restart from a RocksDB checkpoint") {
+    // The deployment shape: the collector daemon keeps appending log
+    // files while the query is DOWN; on restart from the checkpoint the
+    // file-count offset resumes past batch 1 and the recovered window
+    // state absorbs the backlog — windows spanning the outage come out
+    // whole, and the transactional file sink keeps output exactly-once.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("events_twin_restart").toString
+      val ckpt = Files.createTempDirectory("events_twin_ckpt").toString
+      val outDir = Files.createTempDirectory("events_twin_sink").toString
+      def shape(df: DataFrame): DataFrame = df
+        .withColumn("event_ts", timestamp_micros(col("ts_us")))
+        .withWatermark("event_ts", "1 minute")
+        .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+      def start() = shape(parsedStream(dir))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+
+      val (first, second) = replayRows.splitAt(replayRows.length / 2)
+      writeHalf(dir, "000001.jsonl", first, 0)
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop()
+
+      writeHalf(dir, "000002.jsonl", second :+ sentinel, first.length.toLong)
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      def key(df: DataFrame) = df.collect().map { r =>
+        (r.getAs[java.sql.Timestamp]("window_start").getTime,
+          r.getString(1), r.getLong(2), r.getDouble(3))
+      }.toSet
+      val resumed = key(spark.read.parquet(outDir))
+      val batch = key(graft.queries.Streams.q13TumblingWindow(spark, sf))
+      assert(resumed == batch,
+        s"restart drift: onlySink=${resumed.diff(batch).take(3)} " +
+          s"onlyBatch=${batch.diff(resumed).take(3)}")
+    } finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("q67 native HLL sketch aggregates under streaming state == batch sketch") {
     // q67's sketch columns (Streams.scala:158) without countDistinct:
     // distinct aggregations are unsupported in streaming — the

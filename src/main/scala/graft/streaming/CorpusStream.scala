@@ -93,4 +93,40 @@ object CorpusStream {
       .agg(count(lit(1)).as("n_docs"))
       .select(col("window.start").as("window_start"), col("source"),
         col("n_docs"), (col("n_docs") > cap).as("over_cap"))
+
+  /** Streaming decontamination — the streaming twin of q51/q60: flag
+    * incoming documents whose 4-gram overlap with a STATIC benchmark
+    * set is non-zero, before they ever land in the corpus (the
+    * ingest-time scrub; the batch q51 is the release-time one).
+    *
+    * Design is MAP-ONLY, which is what makes it stream-safe AND
+    * scale-right: the benchmark side is small by contract (eval sets,
+    * not corpora — same asymmetry q51 exploits with its broadcast), so
+    * its distinct gram set ships to every task once and each document
+    * is scored row-locally against it. No shuffle, no watermark, no
+    * state store — a contaminated verdict needs nothing from any other
+    * stream row, so appending a billion docs/hour costs exactly one
+    * pass. For benchmark-gram sets past broadcast size, the q60 shape
+    * applies unchanged (bloom prefilter map-side, exact verify join);
+    * at that point the verify join makes the query stateful and
+    * windowing/watermarks re-enter.
+    *
+    * `benchGrams` is collected on the driver — deliberately, like
+    * q60's `stat.bloomFilter` build: it is the BENCHMARK side, bounded
+    * by the eval-suite size, never the corpus.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int = 4): DataFrame = {
+    import graft.functions.TextFunctions.ngramsDistinct
+    val spark = docs.sparkSession
+    val grams = bench
+      .select(explode(ngramsDistinct(col("text"), lit(n))).as("gram"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val gramsB = spark.sparkContext.broadcast(grams)
+    val hitCount = udf { (docGrams: Seq[String]) =>
+      if (docGrams == null) 0L else docGrams.count(gramsB.value.contains).toLong
+    }
+    docs
+      .withColumn("n_hit_grams", hitCount(ngramsDistinct(col("text"), lit(n))))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
+  }
 }

@@ -100,4 +100,47 @@ class CorpusStreamSpec extends SparkSuite {
       assert(rows == Set(("srcA", 3L, true), ("srcB", 1L, false)))
     } finally q.stop()
   }
+
+  test("streaming decontamination: benchmark-overlapping docs flag map-only") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    // benchmark: two eval prompts; contamination = any shared 4-gram
+    val bench = Seq("the quick brown fox jumps over the lazy dog",
+      "to be or not to be that is the question")
+      .toDF("text")
+    val docs = Seq(
+      (ts(9, 0), 1L, "we saw the quick brown fox jumps away yesterday"), // hits
+      (ts(9, 1), 2L, "completely unrelated training text with no overlap at all"),
+      (ts(9, 2), 3L, "or not to be that is the question asked twice: " +
+        "to be or not to be that is the question"), // many hits
+      (ts(9, 3), 4L, "too short"))                  // < n words → 0 grams
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = CorpusStream.decontaminate(
+      stream.toDS().toDF("ts", "doc_id", "text"), bench)
+    val q = out.writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hit_grams"),
+          r.getAs[Boolean]("contaminated"))).toSet
+      val streamed = key(spark.table("decon_out"))
+      // map-only op: batch application of the same function must agree
+      val batch = key(CorpusStream.decontaminate(
+        docs.toDF("ts", "doc_id", "text"), bench))
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+
+      val byId = streamed.map(t => t._1 -> t).toMap
+      assert(byId(1L)._3 && byId(1L)._2 >= 1)      // shared fox 4-grams
+      assert(!byId(2L)._3 && byId(2L)._2 == 0)
+      assert(byId(3L)._3 && byId(3L)._2 > byId(1L)._2) // near-verbatim copy
+      assert(!byId(4L)._3)                          // no grams, no flag
+    } finally q.stop()
+  }
 }

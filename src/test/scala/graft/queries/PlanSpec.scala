@@ -197,6 +197,34 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q69 funnel: both window passes share ONE user_id shuffle") {
+    // two chained ignore-nulls last() windows on the same partitioning —
+    // Catalyst must plan one hash exchange, not one per Window operator
+    val p = plan(Streams.q69Funnel(spark, sf))
+    val n = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 hash exchange, got $n:\n$p")
+  }
+
+  test("q86 cohort self-join is a shuffle join, never a nested loop") {
+    // first-touch agg joined back to activity on user_id: at 100 TB the
+    // user dimension is NOT broadcastable — the plan must stay an
+    // equi-join on the shared user_id partitioning
+    val p = plan(Streams.q86CohortRetention(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q87 anomaly: partial agg before the shuffle, bounded exchanges") {
+    // count per (type, hour) must map-side combine, and the trailing
+    // window re-keys by type only — two hash exchanges total, ever
+    val p = plan(Streams.q87HourlyAnomaly(spark, sf))
+    val n = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(n <= 2, s"expected <=2 hash exchanges, got $n:\n$p")
+    assert(p.contains("partial"), p) // map-side combine on the count
+  }
+
   test("events ts_us normalization prunes away when a query doesn't use it") {
     // Tables.events adds a ts_us projection over every read; a query
     // that never touches event time must still scan only its own

@@ -94,6 +94,58 @@ object CorpusStream {
       .select(col("window.start").as("window_start"), col("source"),
         col("n_docs"), (col("n_docs") > cap).as("over_cap"))
 
+  /** Streaming ANN lookup — the streaming twin of q49's SRP-LSH path:
+    * queries arrive as a stream (online retrieval: dedup-at-ingest,
+    * RAG, nearest-cluster routing) and probe a STATIC corpus. SRP fits
+    * streaming exactly because it has no training pass: the 8-bit
+    * signature (native codegen'd [[graft.functions.SrpSig]]) is
+    * map-only on each arriving query, which multi-probes its own
+    * bucket plus the 8 Hamming-1 neighbors.
+    *
+    * Shape per micro-batch: signature + probe explode (9 rows/query,
+    * stateless) → stream-static equi-join on `probe == sig` → exact
+    * cosine on candidates (native dot fold, every reported sim is
+    * true) → windowed top-k aggregation (the ONLY stateful step; state
+    * = one k-array per (window, query), bounded by horizon × query
+    * rate).
+    *
+    * 100 TB corpus: pre-bucket the corpus BY SIGNATURE at rest
+    * (bucketBy(sig) parquet, norms and sigs precomputed) — then the
+    * per-batch join ships only the exploded probe rows (9 × batch) to
+    * the corpus partitioning and the corpus never moves. The windowed
+    * agg shuffles candidate rows, ~9/256 of the corpus per query at
+    * uniform bucket load. */
+  def annLookup(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                window_ : String = "1 minute",
+                horizon: String = "1 minute"): DataFrame = {
+    import graft.functions.GraftFunctions.{dot, srpSig}
+    val bits = graft.functions.SrpKernel.SrpBits
+    val indexed = corpus.select(col("vec_id"),
+      col("embedding").as("cv"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nc"),
+      srpSig(col("embedding")).as("sig"))
+    val probeList = (0 until bits)
+      .map(b => s"int(qsig ^ ${1 << b})").mkString("array(qsig, ", ", ", ")")
+    val probed = queries.select(col("ts"), col("query_id"),
+        col("embedding").as("qv"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nq"),
+        srpSig(col("embedding")).as("qsig"))
+      .select(col("ts"), col("query_id"), col("qv"), col("nq"),
+        explode(expr(probeList)).as("probe"))
+    probed.join(indexed, col("probe") === col("sig"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("nq") * col("nc")))
+      .withWatermark("ts", horizon)
+      .groupBy(window(col("ts"), window_), col("query_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("sim")).as("ns"), col("vec_id").as("neighbor_id"),
+        col("sim").as("sim")))), 1, k).as("topk"))
+      .select(col("window.start").as("window_start"), col("query_id"),
+        posexplode(col("topk")).as(Seq("r", "c")))
+      .select(col("window_start"), col("query_id"),
+        (col("r") + 1).cast("long").as("rank"),
+        col("c.neighbor_id"), col("c.sim"))
+  }
+
   /** Streaming decontamination — the streaming twin of q51/q60: flag
     * incoming documents whose 4-gram overlap with a STATIC benchmark
     * set is non-zero, before they ever land in the corpus (the

@@ -101,6 +101,62 @@ class CorpusStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN lookup: stream probes == batch, twin vector is rank 1") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    // deterministic corpus: 64 vectors spread over the 8-dim sphere via
+    // an LCG; vec 7's direction also appears as the query "twin" probe
+    def vec(seed: Long): Array[Float] = {
+      var x = seed
+      Array.fill(8) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toInt % 1000) / 500.0f - 1.0f
+      }
+    }
+    val corpus = (0L until 64L).map(i => (i, vec(i + 1))).toDF("vec_id", "embedding")
+    val queries = Seq(
+      (ts(12, 0), 100L, vec(8)),                       // exact copy of vec 7
+      (ts(12, 1), 101L, vec(8).map(_ * 2.0f)),         // scaled copy: same direction
+      (ts(12, 30), 102L, vec(999)))                    // unrelated direction
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Array[Float])]
+    val out = CorpusStream.annLookup(
+      stream.toDS().toDF("ts", "query_id", "embedding"), corpus, k = 3,
+      window_ = "1 hour", horizon = "1 minute")
+    val q = out.writeStream.format("memory").queryName("ann_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(queries.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(queries.drop(2): _*)
+      // sentinel far ahead closes the 12:00 window
+      stream.addData((ts(15, 0), 999L, vec(5)))
+      q.processAllAvailable()
+
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .filter(org.apache.spark.sql.functions.col("query_id") =!= 999L).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"))).toSet
+      val streamed = key(spark.table("ann_out"))
+      val batch = key(CorpusStream.annLookup(
+        queries.toDF("ts", "query_id", "embedding"), corpus, k = 3,
+        window_ = "1 hour", horizon = "1 minute"))
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+
+      // the exact and the scaled copy of vec 7 both retrieve it at rank 1
+      // with cosine == 1 (same signature bucket, so LSH cannot miss it)
+      val rank1 = streamed.filter(_._2 == 1L).map(t => t._1 -> (t._3, t._4)).toMap
+      assert(rank1(100L)._1 == 7L && math.abs(rank1(100L)._2 - 1.0) < 1e-9, rank1.toString)
+      assert(rank1(101L)._1 == 7L && math.abs(rank1(101L)._2 - 1.0) < 1e-9, rank1.toString)
+      // every query got exactly k (or fewer) ranked rows, contiguous from 1
+      queries.take(3).map(_._2).foreach { qid =>
+        val ranks = streamed.filter(_._1 == qid).map(_._2).toSeq.sorted
+        assert(ranks == (1L to ranks.length), s"$qid ranks $ranks")
+      }
+    } finally q.stop()
+  }
+
   test("streaming decontamination: benchmark-overlapping docs flag map-only") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

@@ -120,10 +120,15 @@ object CorpusStream {
                 horizon: String = "1 minute"): DataFrame = {
     import graft.functions.GraftFunctions.{dot, srpSig}
     val bits = graft.functions.SrpKernel.SrpBits
+    // persisted: the static side re-plans EVERY micro-batch — without
+    // this the whole corpus re-signs per batch; with it the index
+    // materializes once and each batch joins against the cached layout
+    // (the in-memory stand-in for the bucketBy(sig) table at rest)
     val indexed = corpus.select(col("vec_id"),
       col("embedding").as("cv"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nc"),
       srpSig(col("embedding")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probeList = (0 until bits)
       .map(b => s"int(qsig ^ ${1 << b})").mkString("array(qsig, ", ", ", ")")
     val probed = queries.select(col("ts"), col("query_id"),

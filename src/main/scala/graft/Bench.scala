@@ -153,11 +153,15 @@ object Bench {
       (name, if (ok) Some(secs) else None)
     }
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    // Locale.ROOT: the f interpolator uses the JVM default locale, and a
+    // comma decimal separator would corrupt the JSON artifact
+    def num(fmtStr: String, x: Double): String =
+      String.format(java.util.Locale.ROOT, fmtStr, Double.box(x))
     // 4-decimal seconds: full Double.toString tripled the line length
     // and the driver's harvester truncated the r6 record mid-JSON —
     // keep the one-line artifact comfortably under capture limits
     val qs = results.map { case (k, v) =>
-        "\"" + k + "\":" + v.fold("null")(x => f"$x%.4f")
+        "\"" + k + "\":" + v.fold("null")(num("%.4f", _))
       }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val errs = failed.mkString("[", ",", "]")
@@ -172,7 +176,7 @@ object Bench {
     // quiet host, collapses when a co-resident process competes.
     val ownSharePct =
       if (busyJiff > 0) 100.0 * (own1 - own0) / busyJiff else 0.0
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":$stealPct%.1f,"own_cpu_share_pct":$ownSharePct%.1f,"load1_start":$load1Start%.1f,"load1_end":$load1End%.1f,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":${num("%.1f", stealPct)},"own_cpu_share_pct":${num("%.1f", ownSharePct)},"load1_start":${num("%.1f", load1Start)},"load1_end":${num("%.1f", load1End)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -126,9 +126,54 @@ object Tables {
       } catch {
         case e: Throwable => Seq(s"table $t unreadable at $d: ${e.getMessage}")
       }
-    }
+    } ++ eventsTsValueProblems(s, d)
     if (problems.nonEmpty) fail(problems.mkString("; "))
   }
+
+  /** Value-level guards the schema can't express, for the int64 ts
+    * path (a bare INT64 column is indistinguishable from the
+    * nanos-as-long read of TIMESTAMP(NANOS), so `events` would happily
+    * `div 1000` raw micros or seconds — a silent 1000×/10⁶× skew):
+    *  - magnitude: nanos-since-epoch for this century sits in
+    *    ~[1e18, 4.1e18]; micros land at ~1e15, seconds at ~1e9 — both
+    *    orders of magnitude outside the window, so one max() labels
+    *    the misread before any query runs;
+    *  - residue: sub-microsecond precision (ts % 1000 ≠ 0) cannot
+    *    survive the canonical micros contract — Spark would tie on
+    *    ts_us where the DuckDB oracles still order by full-precision
+    *    raw ts, silently diverging every window query. The generator
+    *    has only ever emitted whole-micros nanos; if that changes,
+    *    fail labeled rather than drift.
+    * One aggregate over the single ts column — validate-time cost,
+    * not query-time. */
+  private def eventsTsValueProblems(s: SparkSession, d: String): Seq[String] =
+    try {
+      val df = table(s, d, "events")
+      df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+        case Some(LongType) =>
+          val r = df.agg(max(col("ts")).as("mx"),
+            max(abs(col("ts") % 1000)).as("res")).head
+          val mx = r.getLong(0)
+          val res = r.getLong(1)
+          val magnitude =
+            if (mx < 100000000000000000L || mx > 4102444800000000000L)
+              Seq(s"events.ts int64 max=$mx is not nanos-since-epoch " +
+                "(expected ~[1e17, 4.1e18]) — raw micros/seconds re-encoding? " +
+                "teach Tables.events the new unit")
+            else Nil
+          val residue =
+            if (res != 0L)
+              Seq("events.ts carries sub-microsecond precision " +
+                s"(max residue $res ns) — the canonical micros contract " +
+                "(ts_us) would order ties differently than full-precision " +
+                "oracles; extend the contract before running")
+            else Nil
+          magnitude ++ residue
+        case _ => Nil // timestamp encodings are micros-physical already
+      }
+    } catch {
+      case _: Throwable => Nil // unreadable table already reported above
+    }
 
   private def fail(msg: String): Nothing =
     throw new IllegalStateException(s"testdata schema changed: $msg")

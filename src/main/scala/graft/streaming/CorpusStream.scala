@@ -115,20 +115,29 @@ object CorpusStream {
     * the corpus partitioning and the corpus never moves. The windowed
     * agg shuffles candidate rows, ~9/256 of the corpus per query at
     * uniform bucket load. */
+  /** The static-side signature index for [[annLookup]]: per-vector SRP
+    * signature + norm. Built separately so the CALLER owns the cache
+    * lifetime — the static side of a stream-static join re-plans every
+    * micro-batch, so a long-lived query should `.persist()` this (and
+    * unpersist when done) or write it `bucketBy(sig)` at rest;
+    * annLookup itself never hides a cache. */
+  def annIndex(corpus: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.{dot, srpSig}
+    corpus.select(col("vec_id"),
+      col("embedding").as("cv"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nc"),
+      srpSig(col("embedding")).as("sig"))
+  }
+
   def annLookup(queries: DataFrame, corpus: DataFrame, k: Int = 5,
                 window_ : String = "1 minute",
                 horizon: String = "1 minute"): DataFrame = {
     import graft.functions.GraftFunctions.{dot, srpSig}
     val bits = graft.functions.SrpKernel.SrpBits
-    // persisted: the static side re-plans EVERY micro-batch — without
-    // this the whole corpus re-signs per batch; with it the index
-    // materializes once and each batch joins against the cached layout
-    // (the in-memory stand-in for the bucketBy(sig) table at rest)
-    val indexed = corpus.select(col("vec_id"),
-      col("embedding").as("cv"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("nc"),
-      srpSig(col("embedding")).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // accept either a raw corpus (vec_id, embedding) or a pre-built —
+    // typically persisted/bucketed — annIndex output
+    val indexed =
+      if (corpus.columns.contains("sig")) corpus else annIndex(corpus)
     val probeList = (0 until bits)
       .map(b => s"int(qsig ^ ${1 << b})").mkString("array(qsig, ", ", ", ")")
     val probed = queries.select(col("ts"), col("query_id"),

@@ -79,20 +79,43 @@ class SchemaDriftSpec extends SparkSuite {
     Tables.validate(spark, "/root/testdata/sf0.001")
   }
 
-  test("validate reports a deliberately re-typed fixture with table.column") {
+  /** sf0.001 tables with `events` replaced by an arbitrary transform. */
+  private def fixtureWith(eventsTransform: org.apache.spark.sql.DataFrame
+      => org.apache.spark.sql.DataFrame): String = {
     val dir = tmp()
-    import spark.implicits._
-    // copy the real sf0.001 tables, then re-type events.value to string
     val src = "/root/testdata/sf0.001"
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").write.parquet(s"$dir/$t.parquet")
     }
-    spark.read.parquet(s"$src/events.parquet")
-      .withColumn("value", col("value").cast("string"))
+    eventsTransform(spark.read.parquet(s"$src/events.parquet"))
       .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("validate reports a deliberately re-typed fixture with table.column") {
+    val dir = fixtureWith(_.withColumn("value", col("value").cast("string")))
     val e = intercept[IllegalStateException](Tables.validate(spark, dir))
     assert(e.getMessage.contains("testdata schema changed"))
     assert(e.getMessage.contains("events.value"))
+  }
+
+  test("validate flags an int64 ts whose magnitude is micros, not nanos") {
+    // a bare INT64 micros column is schema-identical to the
+    // nanos-as-long read — only the value magnitude can tell them
+    // apart, and dividing micros by 1000 would silently skew every
+    // timestamp 1000x
+    val dir = fixtureWith(_.withColumn("ts", unix_micros(col("ts"))))
+    val e = intercept[IllegalStateException](Tables.validate(spark, dir))
+    assert(e.getMessage.contains("not nanos-since-epoch"), e.getMessage)
+  }
+
+  test("validate flags sub-microsecond precision in an int64 nanos ts") {
+    // ties under the canonical micros contract would order differently
+    // than full-precision oracles — fail labeled instead of drifting
+    val dir = fixtureWith(_.withColumn("ts",
+      unix_micros(col("ts")) * 1000L + 789L))
+    val e = intercept[IllegalStateException](Tables.validate(spark, dir))
+    assert(e.getMessage.contains("sub-microsecond"), e.getMessage)
   }
 }

@@ -121,8 +121,12 @@ class CorpusStreamSpec extends SparkSuite {
       (ts(12, 30), 102L, vec(999)))                    // unrelated direction
 
     val stream = MemoryStream[(java.sql.Timestamp, Long, Array[Float])]
+    // caller-owned cache: persist the index across micro-batches,
+    // release it when the query is done (annLookup hides no cache)
+    val index = CorpusStream.annIndex(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = CorpusStream.annLookup(
-      stream.toDS().toDF("ts", "query_id", "embedding"), corpus, k = 3,
+      stream.toDS().toDF("ts", "query_id", "embedding"), index, k = 3,
       window_ = "1 hour", horizon = "1 minute")
     val q = out.writeStream.format("memory").queryName("ann_out")
       .outputMode(OutputMode.Append).start()
@@ -154,7 +158,7 @@ class CorpusStreamSpec extends SparkSuite {
         val ranks = streamed.filter(_._1 == qid).map(_._2).toSeq.sorted
         assert(ranks == (1L to ranks.length), s"$qid ranks $ranks")
       }
-    } finally q.stop()
+    } finally { q.stop(); index.unpersist() }
   }
 
   test("streaming decontamination: benchmark-overlapping docs flag map-only") {

@@ -64,10 +64,18 @@ class EventsStreamTwinSpec extends SparkSuite {
   }
 
   private def writeHalf(dir: String, name: String, rows: Seq[(String, Long)],
-                        startSeq: Long): Unit =
-    Files.write(Paths.get(dir, name),
+                        startSeq: Long): Unit = {
+    // atomic publish: the running query polls the directory by file
+    // count, so a file must never be listable half-written — write
+    // outside the watched dir, then move in atomically (exactly the
+    // contract a real transport writer must follow)
+    val tmp = Files.createTempFile("events_twin_stage", ".jsonl")
+    Files.write(tmp,
       rows.zipWithIndex.map { case ((m, ts), i) => envelope(m, startSeq + i, ts) }
         .mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(dir, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   private def parsedStream(dir: String): DataFrame =
     spark.readStream.format(fmt).load(dir)

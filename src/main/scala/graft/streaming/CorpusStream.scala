@@ -181,13 +181,22 @@ object CorpusStream {
     * q60's `stat.bloomFilter` build: it is the BENCHMARK side, bounded
     * by the eval-suite size, never the corpus.
     */
-  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int = 4): DataFrame = {
+  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int = 4): DataFrame =
+    decontaminate(docs, benchGramSet(bench, n), n)
+
+  /** The benchmark's distinct n-gram set, extracted once — callers
+    * standing up several streams against the same eval suite should
+    * compute this once and pass it to the Set overload, so each call
+    * doesn't re-derive (and re-broadcast) the grams. */
+  def benchGramSet(bench: DataFrame, n: Int = 4): Set[String] = {
     import graft.functions.TextFunctions.ngramsDistinct
-    val spark = docs.sparkSession
-    val grams = bench
-      .select(explode(ngramsDistinct(col("text"), lit(n))).as("gram"))
+    bench.select(explode(ngramsDistinct(col("text"), lit(n))).as("gram"))
       .distinct().collect().map(_.getString(0)).toSet
-    val gramsB = spark.sparkContext.broadcast(grams)
+  }
+
+  def decontaminate(docs: DataFrame, benchGrams: Set[String], n: Int): DataFrame = {
+    import graft.functions.TextFunctions.ngramsDistinct
+    val gramsB = docs.sparkSession.sparkContext.broadcast(benchGrams)
     val hitCount = udf { (docGrams: Seq[String]) =>
       if (docGrams == null) 0L else docGrams.count(gramsB.value.contains).toLong
     }

@@ -43,9 +43,15 @@ class SchemaDriftSpec extends SparkSuite {
 
   test("both encodings produce identical query results (q17 shape)") {
     import spark.implicits._
-    val micros = Seq(
-      (1L, 5L, 1723500000123456L), (2L, 5L, 1723500999000001L),
-      (3L, 9L, 1723000000000000L))
+    // fixed-seed spread over the representable range: epoch, sub-second,
+    // 2024-era instants, and the far future (year ~2262, the int64-nanos
+    // ceiling) — every value whole-micros, as the generator emits
+    val rng = new scala.util.Random(20260813L)
+    val micros = Seq((1L, 5L, 0L), (2L, 5L, 123456L),
+      (3L, 9L, 9223372036854775L)) ++
+      (4L until 504L).map { i =>
+        (i, i % 17, math.abs(rng.nextLong()) % 9223372036854775L)
+      }
     val dirA = tmp()
     micros.toDF("event_id", "user_id", "us")
       .select(col("event_id"), col("user_id"), lit("click").as("event_type"),
@@ -61,7 +67,7 @@ class SchemaDriftSpec extends SparkSuite {
     val a = graft.queries.Streams.q17LastSeen(spark, dirA).collect().toSeq
     val b = graft.queries.Streams.q17LastSeen(spark, dirB).collect().toSeq
     assert(a == b)
-    assert(a.map(_.getLong(2)).sum == 3) // n_messages sanity
+    assert(a.map(_.getLong(2)).sum == 503) // n_messages covers every row
   }
 
   test("an unknown ts encoding fails with the labeled message") {

@@ -225,6 +225,25 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial"), p) // map-side combine on the count
   }
 
+  test("q13 window agg map-side combines and scans only its three columns") {
+    val p = plan(Streams.q13TumblingWindow(spark, sf))
+    assert(p.contains("partial"), p) // count/sum combine before the shuffle
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("props") && !readSchema.contains("user_id"),
+      readSchema)
+    assert(readSchema.contains("event_type") && readSchema.contains("value"),
+      readSchema)
+  }
+
+  test("q17 last_seen is one partial-agg pass over two scanned columns") {
+    val p = plan(Streams.q17LastSeen(spark, sf))
+    assert(p.contains("partial"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("event_type") && !readSchema.contains("props"),
+      readSchema)
+    assert(readSchema.contains("user_id"), readSchema)
+  }
+
   test("events ts_us normalization prunes away when a query doesn't use it") {
     // Tables.events adds a ts_us projection over every read; a query
     // that never touches event time must still scan only its own

@@ -215,6 +215,39 @@ object Multimodal {
           lit(997L)).cast("double")).as("features"))
   }
 
+  final case class ResizedImage(
+      width: Int, height: Int, pixels: Array[Int], error: String)
+
+  /** Real pixel resample: nearest-neighbor resize of a decoded 24-bit
+    * BMP to `outW`×`outH` gray pixels (top-down row-major) — the
+    * normalize-to-model-input step every vision pipeline runs before
+    * featurization. Pixel-center mapping
+    * `src = ⌊(dst + 0.5)·srcDim/outDim⌋`: all-integer result, no FP
+    * filter kernel to diverge between engines, exact for both up- and
+    * down-sampling. ROW-LOCAL (map-only): at 100 TB this is pure scan
+    * bandwidth — no shuffle, error rows flow through as data. */
+  val bmpResize = udf { (blob: Array[Byte], outW: Int, outH: Int) =>
+    val d = BmpCodec.decode(blob)
+    if (d.error != null) ResizedImage(0, 0, null, d.error)
+    else if (outW <= 0 || outH <= 0 || d.width <= 0 || d.height <= 0)
+      ResizedImage(0, 0, null, "bad_resize_target")
+    else {
+      val out = new Array[Int](outW * outH)
+      var y = 0
+      while (y < outH) {
+        val sy = math.min(((y + 0.5) * d.height / outH).toInt, d.height - 1)
+        var x = 0
+        while (x < outW) {
+          val sx = math.min(((x + 0.5) * d.width / outW).toInt, d.width - 1)
+          out(y * outW + x) = d.pixels(sy * d.width + sx)
+          x += 1
+        }
+        y += 1
+      }
+      ResizedImage(outW, outH, out, null)
+    }
+  }
+
   /** Fixture-side Y4M synthesis: the blob's bytes become the luma planes
     * of 4×2 4:2:0 frames (8 luma bytes per frame, zero-padded tail,
     * neutral chroma) in a VALID YUV4MPEG2 container, so the video path

@@ -127,11 +127,38 @@ object Media {
       .orderBy(col("media_id"), col("win"))
   }
 
+  /** q90: REAL pixel resample — every image blob (the one-row gray BMP
+    * fixture, so the source pixels ARE the text bytes) routes through
+    * the container parser and [[Multimodal.bmpResize]]'s
+    * nearest-neighbor kernel down to a fixed 8×1 "model input". The
+    * normalize-to-input-size step a vision pipeline runs at corpus
+    * scale: row-local, all-integer (pixel-center mapping
+    * ⌊(x+0.5)·L/8⌋), so the oracle restates the index math exactly.
+    * Empty blobs surface the kernel's bad_resize_target error row —
+    * decode/resize failure is row data, never an exception
+    * (PhyParser.py:10-12 semantics). */
+  def q90MediaResize(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.mediaTable(documents(s, d))
+      .filter(col("media_type") === "image")
+      .withColumn("r", Multimodal.bmpResize(
+        Multimodal.bmpFromBytes(col("media")), lit(8), lit(1)))
+    media.select(
+        col("media_id"),
+        col("r.width").as("resized_w"), col("r.height").as("resized_h"),
+        coalesce(element_at(col("r.pixels"), 1), lit(-1)).cast("long").as("p_first"),
+        coalesce(element_at(col("r.pixels"), -1), lit(-1)).cast("long").as("p_last"),
+        coalesce(aggregate(col("r.pixels"), lit(0L), (a, x) => a + x),
+          lit(-1L)).as("p_sum"),
+        col("r.error").as("error"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_media_decode" -> (q40MediaDecode _),
     "q41_video_frames" -> (q41VideoFrames _),
     "q57_media_phash"  -> (q57MediaPhashDedup _),
     "q73_audio_windows" -> (q73AudioWindows _),
+    "q90_media_resize" -> (q90MediaResize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -249,5 +276,24 @@ object Media {
         |  CAST(COALESCE(sl.s, 0) AS BIGINT) AS sampled_luma
         |FROM v LEFT JOIN sl ON v.media_id = sl.media_id
         |ORDER BY v.media_id""".stripMargin,
+    // the image fixture is one row of gray pixels = the text bytes, so
+    // the resize oracle restates the nearest-neighbor index math:
+    // src = floor((x + 0.5) * L / 8), 8 taps, 1-based substring
+    "q90_media_resize" ->
+      """WITH i AS (SELECT doc_id AS media_id, text AS t, length(text) AS L
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |r AS (SELECT media_id, L,
+        |    CASE WHEN L > 0 THEN list_transform(range(0, 8),
+        |      x -> ascii(substring(t,
+        |        CAST(floor((x + 0.5) * L / 8) AS BIGINT) + 1, 1))) END AS px
+        |  FROM i)
+        |SELECT media_id,
+        |  CAST(CASE WHEN L > 0 THEN 8 ELSE 0 END AS INTEGER) AS resized_w,
+        |  CAST(CASE WHEN L > 0 THEN 1 ELSE 0 END AS INTEGER) AS resized_h,
+        |  CAST(COALESCE(px[1], -1) AS BIGINT) AS p_first,
+        |  CAST(COALESCE(px[8], -1) AS BIGINT) AS p_last,
+        |  CAST(COALESCE(list_sum(px), -1) AS BIGINT) AS p_sum,
+        |  CASE WHEN L = 0 THEN 'bad_resize_target' END AS error
+        |FROM r ORDER BY media_id""".stripMargin,
   )
 }

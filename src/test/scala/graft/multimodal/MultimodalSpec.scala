@@ -35,4 +35,43 @@ class MultimodalSpec extends SparkSuite {
       .select("win", "n_bytes").collect()
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 2L)))
   }
+
+  test("bmpResize: exact nearest-neighbor downsample of a real 4x2 BMP") {
+    // gray values laid out top-down row-major:
+    //   10 20 30 40
+    //   50 60 70 80
+    // 2x1 target picks pixel centers (0.5,0.5)->(1,1)=60, (1.5,0.5)->(3,1)=80
+    val blob = BmpCodec.encode(Array(10, 20, 30, 40, 50, 60, 70, 80), 4)
+    val out = Seq((1L, blob)).toDF("media_id", "media")
+      .select(Multimodal.bmpResize(col("media"), lit(2), lit(1)).as("r"))
+      .select("r.width", "r.height", "r.pixels", "r.error").head
+    assert(out.getInt(0) == 2 && out.getInt(1) == 1)
+    assert(out.getSeq[Int](2) == Seq(60, 80))
+    assert(out.isNullAt(3))
+  }
+
+  test("bmpResize: upsample replicates pixels; identity resize is lossless") {
+    val px = Array(1, 2, 3, 4) // 2x2
+    val blob = BmpCodec.encode(px, 2)
+    val df = Seq((1L, blob)).toDF("media_id", "media")
+    val up = df.select(Multimodal.bmpResize(col("media"), lit(4), lit(2)).as("r"))
+      .select("r.pixels").head.getSeq[Int](0)
+    assert(up == Seq(1, 1, 2, 2, 3, 3, 4, 4))
+    val id = df.select(Multimodal.bmpResize(col("media"), lit(2), lit(2)).as("r"))
+      .select("r.pixels").head.getSeq[Int](0)
+    assert(id == px.toSeq)
+  }
+
+  test("bmpResize: malformed blobs and bad targets are error rows, not throws") {
+    val rows = Seq(
+      (1L, "JUNK".getBytes("US-ASCII")),
+      (2L, BmpCodec.encode(Array(9), 1)))
+      .toDF("media_id", "media")
+      .select(col("media_id"),
+        Multimodal.bmpResize(col("media"),
+          when(col("media_id") === 2L, lit(0)).otherwise(lit(2)), lit(2)).as("r"))
+      .select(col("media_id"), col("r.error")).orderBy("media_id").collect()
+    assert(rows(0).getString(1) == "short_header") // 4 bytes < the 54-byte header
+    assert(rows(1).getString(1) == "bad_resize_target")
+  }
 }

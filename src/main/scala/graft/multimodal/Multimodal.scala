@@ -248,6 +248,33 @@ object Multimodal {
     }
   }
 
+  final case class ResampledAudio(
+      nSamples: Int, samples: Array[Int], error: String)
+
+  /** Real sample-rate conversion: nearest-neighbor resample of a
+    * decoded WAV clip to exactly `outN` samples — the audio twin of
+    * [[bmpResize]] (fix every clip to the model's input length before
+    * featurization). Same all-integer pixel-center index mapping, same
+    * row-local/map-only scale shape, same error-rows-as-data contract.
+    * Empty clips surface `bad_resample_target` (there is nothing to
+    * pick a nearest sample FROM). */
+  val wavResample = udf { (blob: Array[Byte], outN: Int) =>
+    val d = WavCodec.decode(blob)
+    if (d.error != null) ResampledAudio(0, null, d.error)
+    else if (outN <= 0 || d.samples == null || d.samples.isEmpty)
+      ResampledAudio(0, null, "bad_resample_target")
+    else {
+      val n = d.samples.length
+      val out = new Array[Int](outN)
+      var i = 0
+      while (i < outN) {
+        out(i) = d.samples(math.min(((i + 0.5) * n / outN).toInt, n - 1))
+        i += 1
+      }
+      ResampledAudio(outN, out, null)
+    }
+  }
+
   /** Fixture-side Y4M synthesis: the blob's bytes become the luma planes
     * of 4×2 4:2:0 frames (8 luma bytes per frame, zero-padded tail,
     * neutral chroma) in a VALID YUV4MPEG2 container, so the video path

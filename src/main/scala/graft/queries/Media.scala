@@ -153,12 +153,38 @@ object Media {
       .orderBy(col("media_id"))
   }
 
+  /** q91: REAL sample-rate conversion — every audio clip (the
+    * one-sample-per-byte WAV fixture) routes through the RIFF parser
+    * and [[Multimodal.wavResample]]'s nearest-neighbor kernel to a
+    * fixed 16-sample "model input" (the resample-to-16kHz analog).
+    * Torn uploads (media_id % 10 = 7, the q73 convention) surface the
+    * parser's short_header error row; empty clips surface the kernel's
+    * bad_resample_target — failure is row data, never an exception. */
+  def q91AudioResample(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.mediaTable(documents(s, d))
+      .filter(col("media_type") === "audio")
+      .withColumn("wav", Multimodal.wavFromBytes(col("media")))
+      .withColumn("clip", when(col("media_id") % 10 === 7,
+        expr("substring(wav, 1, 10)")).otherwise(col("wav")))
+      .withColumn("r", Multimodal.wavResample(col("clip"), lit(16)))
+    media.select(
+        col("media_id"),
+        col("r.nSamples").as("n_samples"),
+        coalesce(element_at(col("r.samples"), 1), lit(-1)).cast("long").as("s_first"),
+        coalesce(element_at(col("r.samples"), -1), lit(-1)).cast("long").as("s_last"),
+        coalesce(aggregate(col("r.samples"), lit(0L), (a, x) => a + x),
+          lit(-1L)).as("s_sum"),
+        col("r.error").as("error"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_media_decode" -> (q40MediaDecode _),
     "q41_video_frames" -> (q41VideoFrames _),
     "q57_media_phash"  -> (q57MediaPhashDedup _),
     "q73_audio_windows" -> (q73AudioWindows _),
     "q90_media_resize" -> (q90MediaResize _),
+    "q91_audio_resample" -> (q91AudioResample _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -294,6 +320,28 @@ object Media {
         |  CAST(COALESCE(px[8], -1) AS BIGINT) AS p_last,
         |  CAST(COALESCE(list_sum(px), -1) AS BIGINT) AS p_sum,
         |  CASE WHEN L = 0 THEN 'bad_resize_target' END AS error
+        |FROM r ORDER BY media_id""".stripMargin,
+    // the WAV fixture stores one sample per source byte, so the
+    // resample oracle restates the same nearest-neighbor index math
+    // over the text; torn clips (media_id % 10 = 7) mirror the
+    // parser's short_header error row, empty clips the kernel's
+    // bad_resample_target
+    "q91_audio_resample" ->
+      """WITH a AS (SELECT doc_id AS media_id, text AS t, length(text) AS L
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |r AS (SELECT media_id, L,
+        |    CASE WHEN media_id % 10 != 7 AND L > 0 THEN
+        |      list_transform(range(0, 16),
+        |        x -> ascii(substring(t,
+        |          CAST(floor((x + 0.5) * L / 16) AS BIGINT) + 1, 1))) END AS sm
+        |  FROM a)
+        |SELECT media_id,
+        |  CAST(CASE WHEN media_id % 10 = 7 OR L = 0 THEN 0 ELSE 16 END AS INTEGER) AS n_samples,
+        |  CAST(COALESCE(sm[1], -1) AS BIGINT) AS s_first,
+        |  CAST(COALESCE(sm[16], -1) AS BIGINT) AS s_last,
+        |  CAST(COALESCE(list_sum(sm), -1) AS BIGINT) AS s_sum,
+        |  CASE WHEN media_id % 10 = 7 THEN 'short_header'
+        |       WHEN L = 0 THEN 'bad_resample_target' END AS error
         |FROM r ORDER BY media_id""".stripMargin,
   )
 }

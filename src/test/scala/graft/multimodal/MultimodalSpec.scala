@@ -62,6 +62,33 @@ class MultimodalSpec extends SparkSuite {
     assert(id == px.toSeq)
   }
 
+  test("wavResample: exact nearest-neighbor decimation and stretch") {
+    // 8 samples → 4: centers floor((x+0.5)·8/4) pick indices 1,3,5,7;
+    // 2 samples → 4: centers floor((x+0.5)·2/4) = 0,0,1,1 (replication)
+    val clip8 = WavCodec.encode(Array(10, 20, 30, 40, 50, 60, 70, 80))
+    val clip2 = WavCodec.encode(Array(3, 9))
+    val out = Seq((1L, clip8), (2L, clip2)).toDF("media_id", "media")
+      .select(col("media_id"),
+        Multimodal.wavResample(col("media"), lit(4)).as("r"))
+      .select(col("media_id"), col("r.samples"), col("r.error"))
+      .orderBy("media_id").collect()
+    assert(out(0).getSeq[Int](1) == Seq(20, 40, 60, 80))
+    assert(out(1).getSeq[Int](1) == Seq(3, 3, 9, 9))
+    assert(out(0).isNullAt(2) && out(1).isNullAt(2))
+  }
+
+  test("wavResample: torn and empty clips are error rows, not throws") {
+    val torn = WavCodec.encode(Array(1, 2, 3)).take(10)
+    val empty = WavCodec.encode(Array.empty[Int])
+    val out = Seq((1L, torn), (2L, empty)).toDF("media_id", "media")
+      .select(col("media_id"),
+        Multimodal.wavResample(col("media"), lit(4)).as("r"))
+      .select(col("media_id"), col("r.nSamples"), col("r.error"))
+      .orderBy("media_id").collect()
+    assert(out(0).getInt(1) == 0 && out(0).getString(2) == "short_header")
+    assert(out(1).getInt(1) == 0 && out(1).getString(2) == "bad_resample_target")
+  }
+
   test("bmpResize: malformed blobs and bad targets are error rows, not throws") {
     val rows = Seq(
       (1L, "JUNK".getBytes("US-ASCII")),

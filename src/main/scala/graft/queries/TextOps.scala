@@ -1047,7 +1047,131 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q92: per-document keyword extraction — top-3 terms by tf-idf.
+    *
+    * idf is the DIVISION form (N/df), not ln(N/df): the score is then
+    * pure integer→double arithmetic (exact conversions, one multiply,
+    * one divide — IEEE-identical in any engine), where ln's last bit
+    * depends on the host libm (Java Math.log vs DuckDB's C log) and
+    * would make the hash gate flaky. The division form is the
+    * "probabilistic idf without damping" variant; ranking keeps the
+    * rare-term-boosting property that matters for keyword extraction.
+    *
+    * 100 TB shape: explode is map-side; tf is a partial-aggregable
+    * hash-agg on (doc_id, term); df/N are vocabulary-sized aggregates
+    * that BROADCAST back onto tf; top-3 is a bounded per-doc window
+    * over ≤|vocab| rows per doc — no corpus-sized sort anywhere. */
+  def q92TfidfKeywords(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val tot = documents(s, d).agg(count(lit(1)).as("n_total"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_total").cast("double")
+          / col("df").cast("double"))
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** q93: n-gram language-model quality score — the CCNet-style "does a
+    * corpus LM find this document surprising?" filter, with a word-
+    * bigram add-one-smoothed model trained on the corpus itself:
+    * p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V). No logarithms — ln is
+    * libm-dependent in its last bit — so the per-doc statistic is the
+    * plain probability sum, folded left-to-right IN TOKEN ORDER inside
+    * each row (a fixed order makes the double sum bit-identical across
+    * engines; min is order-free).
+    *
+    * 100 TB shape: bigram explode is map-side; the count tables are
+    * vocabulary²-sized (corpus-size-independent) and broadcast back
+    * onto the bigram stream; per-doc reassembly is one hash-agg keyed
+    * doc_id. The in-row fold is O(doc length), interpreted — fine,
+    * because it runs on |doc| elements AFTER the vocabulary join, not
+    * in the corpus hot path. */
+  def q93LmScore(s: SparkSession, d: String): DataFrame = {
+    val w = documents(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+    val bg = w.select(col("doc_id"),
+        explode(expr(
+          """transform(
+            |  CASE WHEN size(w) >= 2 THEN sequence(0, size(w) - 2)
+            |       ELSE array() END,
+            |  i -> struct(i AS pos, w[i] AS w1, w[i+1] AS w2))""".stripMargin))
+          .as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = w.select(explode(col("w")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    val p = bg
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("p",
+        (col("c2").cast("double") + lit(1.0)) / (col("c1") + col("v")).cast("double"))
+    p.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("p")))).as("pp"),
+        min(col("p")).as("min_p"),
+        count(lit(1)).as("n_bigrams"))
+      .withColumn("sum_p",
+        expr("aggregate(pp, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)"))
+      .withColumn("avg_p", col("sum_p") / col("n_bigrams"))
+      .withColumn("keep", col("avg_p") >= lit(0.034))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_p"), col("avg_p"),
+        col("min_p"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Chunking geometry: window of 64 tokens, stride 48 (16-token
+    * overlap) — the context-window packing shape of a training-data
+    * pipeline (overlap preserves cross-boundary context). */
+  private val ChunkW = 64
+  private val ChunkS = 48
+
+  /** q94: overlapping document chunking — every doc sliced into
+    * fixed-token windows with overlap, each chunk stamped with its
+    * offsets and a content digest (the unit-of-training-example
+    * materialization q54 only computes offsets for).
+    *
+    * All-integer index math + md5 — nothing float-valued anywhere, so
+    * the oracle decision is exact by construction.
+    *
+    * 100 TB shape: pure per-row map + explode (fan-out ≈ n_tokens/48),
+    * no shuffle before the output sort; md5 and the slice both run
+    * inside whole-stage codegen. */
+  def q94ChunkOverlap(s: SparkSession, d: String): DataFrame = {
+    val w = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+    w
+      .withColumn("nc",
+        when(col("n") <= ChunkW, lit(1L))
+          .otherwise(expr(s"1L + (n - $ChunkW + ${ChunkS - 1}) div $ChunkS")))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(expr(s"sequence(0L, nc - 1)")).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * ChunkS)
+      .withColumn("toks", expr(s"slice(w, CAST(start_tok + 1 AS INT), $ChunkW)"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("toks")).cast("long").as("chunk_len"),
+        md5(concat_ws(" ", col("toks"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_tfidf_keywords"    -> (q92TfidfKeywords _),
+    "q93_lm_score"          -> (q93LmScore _),
+    "q94_chunk_overlap"     -> (q94ChunkOverlap _),
     "q42_neardup_survivors" -> (q42NeardupSurvivors _),
     "q43_train_split"       -> (q43TrainSplit _),
     "q44_source_cap"        -> (q44SourceCap _),
@@ -1094,6 +1218,65 @@ object TextOps {
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q92_tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * CAST(tot.n_total AS DOUBLE)
+        |      / CAST(df.df AS DOUBLE) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN tot)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, score FROM (
+        |  SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rk FROM scored)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q93_lm_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest([CAST(i - 1 AS BIGINT)
+        |      for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS pos,
+        |    unnest([w[i]
+        |      for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS w1,
+        |    unnest([w[i + 1]
+        |      for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS w2
+        |  FROM w),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |  FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+        |  FROM (SELECT unnest(w) AS t FROM w)),
+        |p AS (SELECT bg.doc_id, bg.pos,
+        |    (CAST(c2.c2 AS DOUBLE) + 1.0) / CAST(c1.c1 + v.v AS DOUBLE) AS p
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(p ORDER BY pos)), (acc, x) -> acc + x) AS sum_p,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(p ORDER BY pos)), (acc, x) -> acc + x) / count(*) AS avg_p,
+        |  min(p) AS min_p,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(p ORDER BY pos)), (acc, x) -> acc + x) / count(*) >= 0.034 AS keep
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q94_chunk_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |x AS (SELECT doc_id, w, n,
+        |    CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END AS nc
+        |  FROM w)
+        |SELECT doc_id,
+        |  unnest([CAST(i - 1 AS BIGINT) for i in range(1, nc + 1)]) AS chunk_idx,
+        |  unnest([CAST((i - 1) * 48 AS BIGINT)
+        |    for i in range(1, nc + 1)]) AS start_tok,
+        |  unnest([CAST(len(w[((i - 1) * 48 + 1):least((i - 1) * 48 + 64, n)])
+        |    AS BIGINT) for i in range(1, nc + 1)]) AS chunk_len,
+        |  unnest([md5(array_to_string(
+        |      w[((i - 1) * 48 + 1):least((i - 1) * 48 + 64, n)], ' '))
+        |    for i in range(1, nc + 1)]) AS chunk_md5
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
     "q42_neardup_survivors" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          |sh AS (SELECT doc_id, $duckShingles sh FROM w),

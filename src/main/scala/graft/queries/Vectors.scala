@@ -388,7 +388,52 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** q95: noisy-label / embedding-outlier audit — squared euclidean
+    * distance of every vector to its LABEL-GROUP centroid, flagged
+    * where the distance exceeds 1.05× the group mean. The
+    * label-consistency check a curation pipeline runs before training
+    * on weakly-labeled data (a vector far from its own class centroid
+    * is a mislabel or an encoder artifact).
+    *
+    * Determinism: centroids are per-(label, dim) double means CAST TO
+    * FLOAT (the q39 trick — the float cast absorbs summation-order LSB
+    * drift in both engines); d2 then comes from three [[dot_f]] folds
+    * (d2 = x·x − 2·x·c + c·c, bit-identical to the oracle's
+    * list_reduce); the per-label mean of d2 gets the same float
+    * absorption before the threshold compare.
+    *
+    * 100 TB shape: centroid build is two partial-aggregable hash-aggs
+    * keyed (label, dim) — vocabulary-sized output; the centroid and
+    * per-label-stat tables BROADCAST back onto the one corpus scan; no
+    * corpus-sized shuffle at any point (the output sort is the
+    * driver-gate convention, not part of the operator). */
+  def q95LabelOutliers(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cv"))
+    val j = e.join(broadcast(cent), Seq("label"))
+      .withColumn("d2",
+        dot_f(col("embedding"), col("embedding"))
+          - lit(2.0) * dot_f(col("embedding"), col("cv"))
+          + dot_f(col("cv"), col("cv")))
+      .select(col("vec_id"), col("label"), col("d2"))
+    val st = j.groupBy(col("label"))
+      .agg(avg(col("d2")).cast("float").as("a"))
+    j.join(broadcast(st), Seq("label"))
+      .withColumn("label_avg_d2", col("a").cast("double"))
+      .withColumn("is_outlier", col("d2") > lit(1.05) * col("label_avg_d2"))
+      .select(col("vec_id"), col("label"), col("d2"), col("label_avg_d2"),
+        col("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_label_outliers" -> (q95LabelOutliers _),
     "q79_semantic_decon" -> (q79SemanticDecon _),
     "q36_cosine_topk"    -> (q36CosineTopk _),
     "q37_cosine_neardup" -> (q37CosineNearDup _),
@@ -410,6 +455,25 @@ object Vectors {
     s"(${duckDot(a, b)}) / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
   val oracle: Map[String, String] = Map(
+    // Same float-absorption contract as q39: per-(label, dim) means and
+    // the per-label d2 mean are REAL-cast before use, d2 itself is the
+    // shared left-to-right fold — the threshold compare is deterministic.
+    "q95_label_outliers" ->
+      s"""WITH parts AS (SELECT label, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    unnest(embedding) AS v FROM embeddings),
+         |means AS (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m
+         |  FROM parts GROUP BY 1, 2),
+         |cent AS (SELECT label, list(CAST(m AS REAL) ORDER BY pos) AS cv
+         |  FROM means GROUP BY label),
+         |j AS (SELECT e.vec_id, e.label,
+         |    ${duckDot("e.embedding", "e.embedding")}
+         |      - 2.0 * ${duckDot("e.embedding", "c.cv")}
+         |      + ${duckDot("c.cv", "c.cv")} AS d2
+         |  FROM embeddings e JOIN cent c USING (label)),
+         |st AS (SELECT label, CAST(avg(d2) AS REAL) AS a FROM j GROUP BY label)
+         |SELECT j.vec_id, j.label, j.d2, CAST(st.a AS DOUBLE) AS label_avg_d2,
+         |  j.d2 > 1.05 * CAST(st.a AS DOUBLE) AS is_outlier
+         |FROM j JOIN st USING (label) ORDER BY j.vec_id""".stripMargin,
     // IVF is approximate relative to TRUE top-k, but the ALGORITHM is
     // deterministic — this restates it (seed-assign argmax → per-(bucket,
     // dim) mean → probe top-4 → in-bucket top-5) rather than "exact"

@@ -244,6 +244,32 @@ class PlanSpec extends SparkSuite {
     assert(readSchema.contains("user_id"), readSchema)
   }
 
+  test("q92 tf-idf joins the vocabulary tables by broadcast, aggs partial") {
+    val p = plan(TextOps.q92TfidfKeywords(spark, sf))
+    // df/N are vocabulary-sized: they must broadcast back onto tf — a
+    // corpus-side shuffle join here would be the 100 TB bottleneck
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // tf hash-agg combines map-side before its one shuffle
+    assert(p.contains("partial"), p)
+  }
+
+  test("q94 chunking is map-only until the output sort (no join, no agg)") {
+    val p = plan(TextOps.q94ChunkOverlap(spark, sf))
+    assert(p.contains("Generate"), p) // the explode
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("q95 centroid and stat tables broadcast onto the one corpus scan") {
+    val p = plan(Vectors.q95LabelOutliers(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // centroid build is a (label, dim) partial aggregate
+    assert(p.contains("partial"), p)
+  }
+
   test("events ts_us normalization prunes away when a query doesn't use it") {
     // Tables.events adds a ts_us projection over every read; a query
     // that never touches event time must still scan only its own

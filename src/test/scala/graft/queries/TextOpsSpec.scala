@@ -211,6 +211,100 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("q92 tf-idf keywords: ranks match a by-hand recomputation") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextOps.q92TfidfKeywords(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every doc contributes 1..3 rows, rk dense from 1, scores non-ascending
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.length <= 3)
+      val scores = sorted.map(_.getDouble(5)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+    // by-hand tf-idf for one doc from the raw corpus
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = docs.length.toDouble
+    val dfMap = docs.flatMap { case (_, t) => t.split(" ", -1).distinct }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val (id0, t0) = docs.minBy(_._1)
+    val tf0 = t0.split(" ", -1).groupBy(identity).view.mapValues(_.length)
+    val expected = tf0.toSeq
+      .map { case (w, tf) => (w, tf.toDouble * n / dfMap(w)) }
+      .sortBy { case (w, sc) => (-sc, w) }.take(3).map(_._1)
+    assert(byDoc(id0).sortBy(_.getLong(1)).map(_.getString(2)).toSeq == expected)
+  }
+
+  test("q93 LM score: per-doc statistics match a by-hand bigram model") {
+    val rows = TextOps.q93LmScore(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    // corpus model: bigram counts, start counts, vocab size
+    val bigrams = docs.flatMap { case (_, w) => w.sliding(2).filter(_.length == 2) }
+      .map(p => (p(0), p(1)))
+    val c2 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val v = docs.flatMap(_._2).distinct.length.toLong
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(rows.length == docs.length)
+    // full recomputation for every 50th doc (keep the spec fast)
+    docs.filter(_._1 % 50 == 0).foreach { case (id, w) =>
+      val ps = w.sliding(2).filter(_.length == 2)
+        .map(p => (c2((p(0), p(1))) + 1.0) / (c1(p(0)) + v).toDouble).toSeq
+      val r = byId(id)
+      assert(r.getLong(1) == ps.length, s"doc $id n_bigrams")
+      assert(r.getDouble(2) == ps.foldLeft(0.0)(_ + _), s"doc $id sum_p")
+      assert(r.getDouble(4) == ps.min, s"doc $id min_p")
+      assert(r.getBoolean(5) == (r.getDouble(3) >= 0.034), s"doc $id keep")
+    }
+    // the threshold must split the corpus (else the flag is vacuous)
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+  }
+
+  test("q94 chunks tile every doc with stride 48 and cover the tail") {
+    val rows = TextOps.q94ChunkOverlap(spark, sf).collect()
+    val nTok = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == nTok.keySet)
+    byDoc.foreach { case (id, rs) =>
+      val n = nTok(id)
+      val sorted = rs.sortBy(_.getLong(1))
+      // dense chunk ids, starts at stride 48
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length).toSeq)
+      sorted.foreach { r =>
+        val start = r.getLong(2)
+        assert(start == r.getLong(1) * 48)
+        assert(r.getLong(3) == math.min(64L, n - start), s"doc $id chunk len")
+      }
+      // coverage: the last chunk reaches the final token, and (unless the
+      // doc fits one window) the penultimate one does not — i.e. no
+      // redundant trailing chunk is ever emitted
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) == n)
+      if (sorted.length > 1)
+        assert(sorted(sorted.length - 2).getLong(2) + 64 < n)
+    }
+    // digest spot-check on the first doc's first chunk
+    val (id0, _) = nTok.minBy(_._1)
+    val text0 = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === id0)
+      .select(org.apache.spark.sql.functions.col("text"))
+      .head().getString(0)
+    val first64 = text0.split(" ", -1).take(64).mkString(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(first64.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(byDoc(id0).sortBy(_.getLong(1)).head.getString(4) == md)
+  }
+
   test("q35 blocked plan pairs via a hash equi-join, not an all-pairs scan") {
     val p = TextOps.q35SimhashBlocked(spark, sf)
       .queryExecution.executedPlan.toString

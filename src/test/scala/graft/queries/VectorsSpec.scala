@@ -67,6 +67,35 @@ class VectorsSpec extends SparkSuite {
     }
   }
 
+  test("q95 label outliers match a by-hand centroid-distance recompute") {
+    val rows = Vectors.q95LabelOutliers(spark, sf).collect()
+    val e = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    assert(rows.length == e.length)
+    // float-cast centroids per label (same absorption as the engine)
+    val cents = e.groupBy(_._2).view.mapValues { vs =>
+      val dims = vs.head._3.length
+      Array.tabulate(dims)(i => (vs.map(_._3(i).toDouble).sum / vs.length).toFloat)
+    }.toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    val d2ById = e.map { case (id, lab, v) =>
+      val c = cents(lab)
+      id -> (dot(v, v) - 2.0 * dot(v, c) + dot(c, c))
+    }.toMap
+    rows.foreach { r =>
+      val (id, d2) = (r.getLong(0), r.getDouble(2))
+      // same fold; the float-cast centroid absorbs summation-order LSB
+      // drift to ~1 ulp, so distances agree far tighter than any bug
+      assert(math.abs(d2 - d2ById(id)) <= 1e-4, s"vec $id d2 $d2 vs ${d2ById(id)}")
+      assert(d2 >= -1e-9, s"vec $id negative distance")
+      assert(r.getBoolean(4) == (d2 > 1.05 * r.getDouble(3)), s"vec $id flag")
+    }
+    // the threshold must split the corpus (else the audit is vacuous)
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
+  }
+
   test("q59 quantization error respects the analytic half-step bound") {
     val rows = Vectors.q59QuantizeAudit(spark, sf).collect()
     assert(rows.length == 500)

@@ -176,7 +176,23 @@ object Bench {
     // quiet host, collapses when a co-resident process competes.
     val ownSharePct =
       if (busyJiff > 0) 100.0 * (own1 - own0) / busyJiff else 0.0
-    println(s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":${num("%.1f", stealPct)},"own_cpu_share_pct":${num("%.1f", ownSharePct)},"load1_start":${num("%.1f", load1Start)},"load1_end":${num("%.1f", load1End)},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":${num("%.1f", stealPct)},"own_cpu_share_pct":${num("%.1f", ownSharePct)},"load1_start":${num("%.1f", load1Start)},"load1_end":${num("%.1f", load1End)},"sf":"$sfDir"}"""
+    println(line)
+    // Self-record: the one-line artifact also lands on disk, so a
+    // console harvester that truncates the stdout capture (the r6 bench
+    // record lost q01-q37 that way) can always recover the full JSON.
+    // Write-then-rename keeps the published file whole under any crash.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json"))
+      val tmp = out.resolveSibling(out.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, out,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] self-record write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

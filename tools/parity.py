@@ -3,11 +3,15 @@
 runs DuckDB oracle SQL against the sfDir parquet tables and compares with
 the parquet dumps written by `graft.Verify`.
 
-Usage: python3 tools/parity.py <sfDir> <verifyOutDir> [--prune-quadratic]
+Usage: python3 tools/parity.py <sfDir> <verifyOutDir> [--prune-quadratic] [--json <path>]
 
 --prune-quadratic skips the oracles whose DuckDB side is O(N^2) by
 design (the dedup-family pair lists) plus sf0.01-pinned q29 — the
 sf0.1 sweep recipe from the verify skill as one command.
+
+--json <path> additionally writes a machine-readable record (per-query
+ok/fail + the skip list) so a sweep leaves an artifact, not just a
+console log.
 
 (Dev tool only — the Scala library has no Python dependency.)
 """
@@ -20,7 +24,7 @@ QUADRATIC_ORACLES = ("q33", "q34", "q35", "q37", "q42", "q57", "q58",
                      "q61", "q62", "q63", "q72", "q76", "q79", "q82",
                      "q84", "q88", "q29")
 
-def main(sf_dir, out_dir, prune_quadratic=False):
+def main(sf_dir, out_dir, prune_quadratic=False, json_out=None):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -28,35 +32,42 @@ def main(sf_dir, out_dir, prune_quadratic=False):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    pruned = []
     if prune_quadratic:
-        skipped = sorted(n for n in oracle
-                         if n.split("_")[0] in QUADRATIC_ORACLES)
-        oracle = {n: q for n, q in oracle.items() if n not in skipped}
-        print(f"(pruned {len(skipped)} quadratic/pinned oracles: "
-              f"{', '.join(s.split('_')[0] for s in skipped)})")
+        pruned = sorted(n for n in oracle
+                        if n.split("_")[0] in QUADRATIC_ORACLES)
+        oracle = {n: q for n, q in oracle.items() if n not in pruned}
+        print(f"(pruned {len(pruned)} quadratic/pinned oracles: "
+              f"{', '.join(s.split('_')[0] for s in pruned)})")
     n_ok = n_bad = 0
+    record = {}
     for name in sorted(oracle):
         qdir = f"{out_dir}/{name}"
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+            print(f"FAIL {name}: no spark output"); n_bad += 1
+            record[name] = {"ok": False, "err": "no spark output"}; continue
         try:
             got = con.execute(f"SELECT * FROM '{files[0]}'").fetchdf()
             exp = con.execute(oracle[name]).fetchdf()
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+            print(f"FAIL {name}: {e}"); n_bad += 1
+            record[name] = {"ok": False, "err": str(e)[:300]}; continue
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
-            n_bad += 1; continue
+            n_bad += 1
+            record[name] = {"ok": False, "err": "columns differ"}; continue
         if list(got.dtypes) != list(exp.dtypes):
             print(f"FAIL {name}: dtypes differ: " + str(
                 [(c, str(a), str(b)) for c, a, b in
                  zip(got.columns, got.dtypes, exp.dtypes) if a != b]))
-            n_bad += 1; continue
+            n_bad += 1
+            record[name] = {"ok": False, "err": "dtypes differ"}; continue
         if len(got) != len(exp):
-            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_bad += 1; continue
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_bad += 1
+            record[name] = {"ok": False, "err": "row counts differ"}; continue
         # sort rows for order-insensitive compare, then exact value compare
         gs = got.sort_values(by=list(got.columns), ignore_index=True)
         es = exp.sort_values(by=list(exp.columns), ignore_index=True)
@@ -64,8 +75,10 @@ def main(sf_dir, out_dir, prune_quadratic=False):
         eq_ordered = got.reset_index(drop=True).equals(exp.reset_index(drop=True))
         if eq_ordered:
             print(f"OK   {name} ({len(got)} rows, ordered)"); n_ok += 1
+            record[name] = {"ok": True, "rows": len(got)}
         elif eq_sorted:
             print(f"WARN {name}: matches only after row sort"); n_ok += 1
+            record[name] = {"ok": True, "rows": len(got), "note": "row-sort only"}
         else:
             diff = (gs != es) & ~(gs.isna() & es.isna())
             bad_cols = [c for c in gs.columns if diff[c].any()]
@@ -74,9 +87,18 @@ def main(sf_dir, out_dir, prune_quadratic=False):
                 idx = diff[c].idxmax()
                 print(f"  {c}[{idx}]: spark={gs[c][idx]!r} oracle={es[c][idx]!r}")
             n_bad += 1
+            record[name] = {"ok": False, "err": f"value mismatch in {bad_cols}"}
     print(f"== {n_ok} ok, {n_bad} bad")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_ok": n_ok, "n_bad": n_bad,
+                       "pruned": pruned, "queries": record}, f, indent=1)
+        print(f"(record written to {json_out})")
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
+    _rest = sys.argv[3:]
+    _json = _rest[_rest.index("--json") + 1] if "--json" in _rest else None
     sys.exit(main(sys.argv[1], sys.argv[2],
-                  prune_quadratic="--prune-quadratic" in sys.argv[3:]))
+                  prune_quadratic="--prune-quadratic" in _rest,
+                  json_out=_json))

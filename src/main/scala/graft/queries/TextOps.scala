@@ -1150,23 +1150,29 @@ object TextOps {
     * 100 TB shape: pure per-row map + explode (fan-out ≈ n_tokens/48),
     * no shuffle before the output sort; md5 and the slice both run
     * inside whole-stage codegen. */
-  def q94ChunkOverlap(s: SparkSession, d: String): DataFrame = {
-    val w = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("n", size(col("w")).cast("long"))
-    w
-      .withColumn("nc",
-        when(col("n") <= ChunkW, lit(1L))
-          .otherwise(expr(s"1L + (n - $ChunkW + ${ChunkS - 1}) div $ChunkS")))
-      .select(col("doc_id"), col("w"), col("n"),
-        explode(expr(s"sequence(0L, nc - 1)")).as("chunk_idx"))
-      .withColumn("start_tok", col("chunk_idx") * ChunkS)
-      .withColumn("toks", expr(s"slice(w, CAST(start_tok + 1 AS INT), $ChunkW)"))
+  def q94ChunkOverlap(s: SparkSession, d: String): DataFrame =
+    chunked(documents(s, d), ChunkW, ChunkS)
       .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
-        size(col("toks")).cast("long").as("chunk_len"),
-        md5(concat_ws(" ", col("toks"))).as("chunk_md5"))
+        col("chunk_len"), col("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
-  }
+
+  /** The chunking column program shared by q94 and the streaming twin
+    * (CorpusStream.chunk): stream-safe (no sort, no agg — plain
+    * map + explode), passes every non-working input column through so
+    * a streaming caller keeps its event-time column for watermarks. */
+  def chunked(docs: DataFrame, cw: Int, cs: Int): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("nc",
+        when(col("n") <= cw, lit(1L))
+          .otherwise(expr(s"1L + (n - $cw + ${cs - 1}) div $cs")))
+      .withColumn("chunk_idx", explode(expr("sequence(0L, nc - 1)")))
+      .withColumn("start_tok", col("chunk_idx") * cs)
+      .withColumn("toks", expr(s"slice(w, CAST(start_tok + 1 AS INT), $cw)"))
+      .withColumn("chunk_len", size(col("toks")).cast("long"))
+      .withColumn("chunk_md5", md5(concat_ws(" ", col("toks"))))
+      .drop("w", "n", "nc", "toks")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_tfidf_keywords"    -> (q92TfidfKeywords _),

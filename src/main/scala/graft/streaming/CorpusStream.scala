@@ -204,4 +204,82 @@ object CorpusStream {
       .withColumn("n_hit_grams", hitCount(ngramsDistinct(col("text"), lit(n))))
       .withColumn("contaminated", col("n_hit_grams") > 0)
   }
+
+  /** Streaming overlapping chunking — the streaming twin of q94: each
+    * arriving document fans out into its 64/48 training-example chunks
+    * at ingest time. Map-only (explode, no state, no watermark needed);
+    * every input column, including the event-time column, passes
+    * through onto each chunk row, so downstream stateful stages can
+    * still watermark on it. Same column program as the batch query
+    * (TextOps.chunked), so digests are identical by construction. */
+  def chunk(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame =
+    graft.queries.TextOps.chunked(docs, window, stride).drop("text")
+
+  /** The q93 bigram model packaged for broadcast: counts are
+    * vocabulary²-sized BY CONTRACT (never corpus-sized), so a driver
+    * collect here is the same adjudicated shape as q60's bloom build
+    * and [[benchGramSet]] — the model side is small, the stream is not. */
+  final case class LmModel(c2: Map[(String, String), Long],
+                           c1: Map[String, Long], v: Long)
+
+  /** Train q93's add-one-smoothed word-bigram model from a corpus at
+    * rest (the reference corpus a quality filter scores new data
+    * against). Counts aggregate distributed (partial-aggregable
+    * hash-aggs, same shapes as q93) and only the vocabulary²-sized
+    * result is collected. */
+  def lmModel(corpus: DataFrame): LmModel = {
+    val w = corpus.select(split(col("text"), " ").as("w"))
+    val c2 = w
+      .select(explode(expr(
+        """transform(
+          |  CASE WHEN size(w) >= 2 THEN sequence(0, size(w) - 2)
+          |       ELSE array() END,
+          |  i -> struct(w[i] AS w1, w[i+1] AS w2))""".stripMargin)).as("b"))
+      .groupBy(col("b.w1"), col("b.w2")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = w.select(explode(col("w")).as("t")).distinct().count()
+    LmModel(c2, c1, v)
+  }
+
+  /** Streaming LM quality score — the streaming twin of q93, in its
+    * natural deployment shape: the model is trained ONCE on a reference
+    * corpus (CCNet's "does a clean-corpus LM find this surprising?"),
+    * broadcast, and every arriving document scores row-locally with the
+    * identical arithmetic — (c2+1)/(c1+V) summed left-to-right in token
+    * order, so a replay of the training corpus itself reproduces q93's
+    * doubles bit-for-bit. Unseen bigrams/words fall through add-one
+    * smoothing exactly as the model intends (p = 1/(c1+V), or 1/V for an
+    * unseen leading word). Map-only: no shuffle, no state. Documents
+    * with fewer than two tokens score null (q93 emits no row for them —
+    * here the row passes through unscored rather than vanishing). */
+  def lmScore(docs: DataFrame, model: LmModel,
+              keepThreshold: Double = 0.034): DataFrame = {
+    val mB = docs.sparkSession.sparkContext.broadcast(model)
+    val score = udf { (toks: Seq[String]) =>
+      if (toks == null || toks.length < 2) None
+      else {
+        val m = mB.value
+        var sum = 0.0
+        var mn = Double.MaxValue
+        var i = 0
+        while (i < toks.length - 1) {
+          val p = (m.c2.getOrElse((toks(i), toks(i + 1)), 0L) + 1.0) /
+            (m.c1.getOrElse(toks(i), 0L) + m.v).toDouble
+          sum += p
+          if (p < mn) mn = p
+          i += 1
+        }
+        Some((toks.length - 1L, sum, sum / (toks.length - 1), mn))
+      }
+    }
+    docs
+      .withColumn("s", score(split(col("text"), " ")))
+      .withColumn("n_bigrams", col("s._1"))
+      .withColumn("sum_p", col("s._2"))
+      .withColumn("avg_p", col("s._3"))
+      .withColumn("min_p", col("s._4"))
+      .withColumn("keep", col("avg_p") >= lit(keepThreshold))
+      .drop("s")
+  }
 }

@@ -203,4 +203,79 @@ class CorpusStreamSpec extends SparkSuite {
       assert(!byId(4L)._3)                          // no grams, no flag
     } finally q.stop()
   }
+
+  test("streaming chunking: stream chunks == batch q94 on the real corpus") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (ts(8, 0), r.getLong(0), r.getString(1)))
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = CorpusStream.chunk(stream.toDS().toDF("ts", "doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("chunk_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(docs.take(docs.length / 2): _*)
+      q.processAllAvailable()
+      stream.addData(docs.drop(docs.length / 2): _*)
+      q.processAllAvailable()
+
+      val streamed = spark.table("chunk_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+          r.getAs[Long]("start_tok"), r.getAs[Long]("chunk_len"),
+          r.getAs[String]("chunk_md5"))).toSet
+      // the ts column must survive onto every chunk row (watermarkable)
+      assert(spark.table("chunk_out").columns.contains("ts"))
+      val batch = graft.queries.TextOps.q94ChunkOverlap(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming LM score: corpus replay reproduces q93 bit-for-bit; unseen text scores") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+
+    val corpus = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val model = CorpusStream.lmModel(corpus)
+    assert(model.v > 0 && model.c2.nonEmpty)
+
+    val docs = corpus.collect().map(r => (ts(8, 0), r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = CorpusStream.lmScore(stream.toDS().toDF("ts", "doc_id", "text"), model)
+    val q = out.writeStream.format("memory").queryName("lm_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(docs: _*)
+      // a later batch with text the model never saw: add-one smoothing
+      // must price the unseen bigrams, not crash or null them
+      stream.addData((ts(8, 1), 900001L, "zzz qqq zzz qqq unseen words"),
+        (ts(8, 2), 900002L, "single"))
+      q.processAllAvailable()
+
+      val streamed = spark.table("lm_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_bigrams"), r.getAs[Double]("sum_p"),
+            r.getAs[Double]("avg_p"), r.getAs[Double]("min_p"))).toMap
+      val batch = graft.queries.TextOps.q93LmScore(spark, sf).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      // replaying the training corpus reproduces the batch doubles exactly
+      batch.foreach { case (id, exp) =>
+        assert(streamed(id) == exp, s"doc $id stream ${streamed(id)} vs batch $exp")
+      }
+      // the unseen doc scores via smoothing: every p = 1/(c1+V) or 1/V
+      val unseen = streamed(900001L)
+      assert(unseen._1 == 5L && unseen._4 > 0.0 && unseen._2 < 1.0)
+      // the 1-token doc passes through unscored (no bigrams)
+      val single = spark.table("lm_out").collect()
+        .find(_.getAs[Long]("doc_id") == 900002L).get
+      assert(single.isNullAt(single.fieldIndex("n_bigrams")))
+    } finally q.stop()
+  }
 }

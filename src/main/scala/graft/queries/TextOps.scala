@@ -1174,7 +1174,77 @@ object TextOps {
       .withColumn("chunk_md5", md5(concat_ws(" ", col("toks"))))
       .drop("w", "n", "nc", "toks")
 
+  /** q96: boilerplate shingle filter — the shingle-level analog of
+    * Common Crawl's repeated-line removal: a 3-gram whose document
+    * frequency exceeds 2× the corpus-mean gram df is boilerplate (nav
+    * chrome, license headers, templated text — phrases reused far more
+    * than the corpus's natural reuse rate); a document whose
+    * distinct-shingle set is > 25% boilerplate is flagged. The
+    * threshold is RELATIVE to the corpus's own df distribution, so the
+    * rule self-scales: an absolute df cutoff goes vacuous in both
+    * directions as the corpus grows (measured here: df≥5 flags nothing
+    * at 500 docs and everything at 5000). Distinct from q75
+    * (token-frequency familiarity): this measures PHRASE reuse, which
+    * single-token statistics cannot see.
+    *
+    * 100 TB shape: the gram→df table is NOT broadcast-sized at scale
+    * (shingle vocabulary grows with the corpus), so the join shuffles
+    * on the gram — the same inverted-index exchange q33's candidate
+    * join is built on; the mean-df scalar is a second aggregate OVER
+    * the df table (gram-vocabulary-sized input, one row out) that
+    * broadcasts; per-doc reassembly is one hash-agg keyed doc_id. */
+  def q96BoilerplateGrams(s: SparkSession, d: String): DataFrame = {
+    val g = shingled(documents(s, d))
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+    val df = g.groupBy(col("gram"))
+      .agg(count_distinct(col("doc_id")).as("gram_df"))
+    val m = df.agg(
+      (sum(col("gram_df")).cast("double") / count(lit(1))).as("mean_df"))
+    g.join(df, Seq("gram"))
+      .crossJoin(broadcast(m))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gram_df") > lit(2.0) * col("mean_df"), 1L)
+          .otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_grams"))
+      .withColumn("keep", col("boiler_frac") <= lit(0.25))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        col("boiler_frac"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q97: token-budget sampling — fill a fixed per-source token budget
+    * (1,000 tokens) in deterministic hash order, truncating the source's
+    * stream once the budget is spent (the "sample N tokens per domain"
+    * op of a mixture build; q44 caps DOCUMENTS, this caps TOKENS — the
+    * unit the training run actually consumes). A doc is kept iff it
+    * STARTS inside the budget, so every source gets ≥ 1 doc and the
+    * overshoot is at most one document — the standard contract.
+    *
+    * 100 TB shape: one window partitioned by source in hash order —
+    * the same exchange q44's per-source ranking already pays; the
+    * cumulative sum is a running aggregate, no second shuffle. */
+  def q97TokenBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 1000L
+    val ordKey = (col("doc_id") * 2654435761L) % 1000003L
+    val w = Window.partitionBy(col("source"))
+      .orderBy(ordKey, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("kept", col("tokens_before") < budget)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("tokens_before"), col("kept"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_boilerplate_grams" -> (q96BoilerplateGrams _),
+    "q97_token_budget"      -> (q97TokenBudget _),
     "q92_tfidf_keywords"    -> (q92TfidfKeywords _),
     "q93_lm_score"          -> (q93LmScore _),
     "q94_chunk_overlap"     -> (q94ChunkOverlap _),
@@ -1224,6 +1294,31 @@ object TextOps {
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q96_boilerplate_grams" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles sh FROM w),
+         |g AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+         |df AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS gram_df
+         |  FROM g GROUP BY 1),
+         |m AS (SELECT CAST(sum(gram_df) AS DOUBLE) / count(*) AS mean_df FROM df),
+         |agg AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN df.gram_df > 2.0 * m.mean_df THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_boiler
+         |  FROM g JOIN df USING (gram) CROSS JOIN m GROUP BY g.doc_id)
+         |SELECT doc_id, n_grams, n_boiler,
+         |  CAST(n_boiler AS DOUBLE) / n_grams AS boiler_frac,
+         |  CAST(n_boiler AS DOUBLE) / n_grams <= 0.25 AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    "q97_token_budget" ->
+      """WITH x AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    (doc_id * 2654435761) % 1000003 AS ok FROM documents),
+        |y AS (SELECT source, doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY ok, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+        |  FROM x)
+        |SELECT source, doc_id, n_tokens, CAST(tb AS BIGINT) AS tokens_before,
+        |  tb < 1000 AS kept FROM y ORDER BY source, doc_id""".stripMargin,
     "q92_tfidf_keywords" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |  FROM documents),

@@ -305,6 +305,52 @@ class TextOpsSpec extends SparkSuite {
     assert(byDoc(id0).sortBy(_.getLong(1)).head.getString(4) == md)
   }
 
+  test("q96 boilerplate fractions match a by-hand df recomputation") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextOps.q96BoilerplateGrams(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    def grams(w: Seq[String]) =
+      w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq.distinct
+    val byDocGrams = docs.map { case (id, w) => id -> grams(w) }.toMap
+    val dfMap = byDocGrams.values.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val meanDf = dfMap.values.sum.toDouble / dfMap.size
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      val gs = byDocGrams(r.getLong(0))
+      val boiler = gs.count(g => dfMap(g) > 2.0 * meanDf).toLong
+      assert(r.getLong(1) == gs.length, s"doc ${r.getLong(0)} n_grams")
+      assert(r.getLong(2) == boiler, s"doc ${r.getLong(0)} n_boiler")
+      assert(r.getBoolean(4) == (r.getDouble(3) <= 0.25))
+    }
+    // the relative threshold must split the corpus at the gate SF
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
+  }
+
+  test("q97 token budget: kept prefix in hash order, >=1 doc per source") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextOps.q97TokenBudget(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      // recompute the hash-order cumulative sum per source
+      val ordered = rs.sortBy(t => ((t._2 * 2654435761L) % 1000003L, t._2))
+      var cum = 0L
+      ordered.foreach { case (_, id, n, before, kept) =>
+        assert(before == cum, s"$src doc $id tokens_before")
+        assert(kept == (cum < 1000L), s"$src doc $id kept")
+        cum += n
+      }
+      // budget contract: the first doc of every source always ships
+      assert(ordered.head._5, s"$src first doc not kept")
+      // at the gate SF every source overflows its budget
+      assert(rs.exists(!_._5), s"$src never exceeds budget — vacuous")
+    }
+  }
+
   test("q35 blocked plan pairs via a hash equi-join, not an all-pairs scan") {
     val p = TextOps.q35SimhashBlocked(spark, sf)
       .queryExecution.executedPlan.toString

@@ -270,6 +270,36 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial"), p)
   }
 
+  test("q93 LM count tables broadcast; no corpus-side sort-merge join") {
+    val p = plan(TextOps.q93LmScore(spark, sf))
+    // c2/c1/V are vocabulary-sized: all three joins onto the bigram
+    // stream must broadcast — a gram-keyed shuffle join of the corpus
+    // side would re-exchange the whole stream three times at scale
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("q96 gram-df join keeps the inverted-index exchange, aggs partial") {
+    val p = plan(TextOps.q96BoilerplateGrams(spark, sf))
+    // the gram→df table grows with the corpus: the gram join is a
+    // legitimate shuffle (q33's exchange), but the one-row mean-df
+    // must come in broadcast, never trigger a nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("q97 budget scan is one window exchange, no join") {
+    val p = plan(TextOps.q97TokenBudget(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    // exactly one exchange before the window (hash by source), plus the
+    // final output range-sort — a second mid-plan shuffle would mean the
+    // cumulative sum re-partitioned needlessly
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+  }
+
   test("events ts_us normalization prunes away when a query doesn't use it") {
     // Tables.events adds a ts_us projection over every read; a query
     // that never touches event time must still scan only its own

@@ -282,4 +282,42 @@ object CorpusStream {
       .withColumn("keep", col("avg_p") >= lit(keepThreshold))
       .drop("s")
   }
+
+  final case class BudgetDoc(source: String, doc_id: Long, n_tokens: Long)
+  final case class BudgetOut(source: String, doc_id: Long, n_tokens: Long,
+                             tokens_before: Long, kept: Boolean)
+
+  /** Streaming token-budget admission — the STATEFUL twin of q97, in
+    * the online semantics: where the batch query fills each source's
+    * budget in deterministic hash order over the corpus at rest, the
+    * stream admits in ARRIVAL order — a document ships iff its
+    * source's budget still has room when it arrives, and the running
+    * token counter persists across micro-batches (and restarts, via
+    * the state store). Within one micro-batch arrival order is not
+    * defined, so ties process in ascending doc_id — deterministic
+    * replays for the spec and the checkpoint.
+    *
+    * 100 TB shape: state is ONE long per source — bounded by the
+    * source vocabulary, not the corpus; the only shuffle is the
+    * groupByKey on source, the same exchange the batch window pays.
+    * Same bookkeeping as q97: every arrival advances the counter
+    * (kept or not), so decisions match the batch rule exactly when
+    * arrival order equals hash order. */
+  def tokenBudget(docs: org.apache.spark.sql.Dataset[BudgetDoc],
+                  budget: Long = 1000L): org.apache.spark.sql.Dataset[BudgetOut] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[BudgetDoc], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val before = cum
+            cum += d.n_tokens
+            BudgetOut(source, d.doc_id, d.n_tokens, before, before < budget)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
 }

@@ -204,6 +204,40 @@ class CorpusStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming token budget: admission in arrival order, state crosses batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val stream = MemoryStream[CorpusStream.BudgetDoc]
+    val out = CorpusStream.tokenBudget(stream.toDS(), budget = 100L)
+    val q = out.writeStream.format("memory").queryName("budget_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: src-a fills 40+50=90 < 100, src-b takes one huge doc
+      stream.addData(
+        CorpusStream.BudgetDoc("a", 1L, 40L),
+        CorpusStream.BudgetDoc("a", 2L, 50L),
+        CorpusStream.BudgetDoc("b", 3L, 500L))
+      q.processAllAvailable()
+      // batch 2: src-a doc 4 still starts inside the budget (90 < 100),
+      // doc 5 does not; src-b is already exhausted — state persisted
+      stream.addData(
+        CorpusStream.BudgetDoc("a", 4L, 30L),
+        CorpusStream.BudgetDoc("a", 5L, 10L),
+        CorpusStream.BudgetDoc("b", 6L, 5L))
+      q.processAllAvailable()
+
+      val rows = spark.table("budget_out").collect()
+        .map(r => r.getLong(1) -> (r.getLong(3), r.getBoolean(4))).toMap
+      assert(rows(1L) == (0L, true))
+      assert(rows(2L) == (40L, true))
+      assert(rows(3L) == (0L, true))    // first doc of a source always ships
+      assert(rows(4L) == (90L, true))   // starts inside the budget
+      assert(rows(5L) == (120L, false)) // budget exhausted mid-batch-2
+      assert(rows(6L) == (500L, false)) // state crossed the batch boundary
+    } finally q.stop()
+  }
+
   test("streaming chunking: stream chunks == batch q94 on the real corpus") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

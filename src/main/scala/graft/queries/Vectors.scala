@@ -432,7 +432,67 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** q98: k-means proper — Lloyd's algorithm, K=16, THREE assignment
+    * passes over two mean-refinement rounds (q39 stops at one
+    * refinement because IVF only needs a usable partition; this is the
+    * clustering primitive itself, the SemDeDup/diversity-sampling
+    * shape). Deterministic end to end: seeds are the first 16 vectors,
+    * assignment is euclidean argmin with ties to the LOWEST centroid
+    * id via one min_by partial aggregate (no window, no sort), and
+    * each refined centroid is the per-(cluster, dim) double mean CAST
+    * TO FLOAT (the q39/q95 absorption contract). d2 comes from the
+    * dot-product identity x·x − 2·x·c + c·c with the shared
+    * left-to-right fold, so the argmin decisions — and therefore the
+    * whole trajectory — are oracle-decidable.
+    *
+    * An empty cluster simply drops out of the means table and later
+    * passes assign over the survivors — the same inner-join semantics
+    * in both engines, so even the degenerate path is deterministic.
+    *
+    * 100 TB shape: per iteration ONE corpus scan against 16 broadcast
+    * centroids, argmin as a map-side-combining min_by keyed vec_id,
+    * means as a (cluster, dim) partial aggregate (≤ K×dims rows out of
+    * the shuffle regardless of corpus size). All three assignment
+    * passes are structurally identical, so they share one compiled
+    * stage; iterations scale linearly in corpus size, never quadratic. */
+  def q98Kmeans(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("xx", dot_f(col("embedding"), col("embedding")))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def d2c = col("xx") - lit(2.0) * dot_f(col("embedding"), col("cv")) +
+      dot_f(col("cv"), col("cv"))
+    // argmin via min_by partial aggregation (ties → lowest c_id), one
+    // shape for all three passes → one compiled stage
+    def assign(cents: DataFrame): DataFrame = e.crossJoin(broadcast(cents))
+      .withColumn("d2", d2c)
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("embedding"), col("xx"), col("c_id"), col("d2")),
+        struct(col("d2"), col("c_id"))).as("w"))
+      .select(col("vec_id"), col("w.embedding").as("embedding"),
+        col("w.xx").as("xx"), col("w.c_id").as("cluster"),
+        col("w.d2").as("d2"))
+    def means(assigned: DataFrame): DataFrame = assigned
+      .select(col("cluster").as("c_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("c_id"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("c_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("c_id"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val c1 = means(assign(seeds))
+    val c2 = means(assign(c1))
+    assign(c2)
+      .select(col("vec_id"), col("cluster"), col("d2"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_kmeans"         -> (q98Kmeans _),
     "q95_label_outliers" -> (q95LabelOutliers _),
     "q79_semantic_decon" -> (q79SemanticDecon _),
     "q36_cosine_topk"    -> (q36CosineTopk _),
@@ -455,6 +515,37 @@ object Vectors {
     s"(${duckDot(a, b)}) / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
   val oracle: Map[String, String] = Map(
+    // Lloyd restated: the same unrolled-iteration idiom as q39's oracle
+    // (argmin → REAL-cast means → argmin …), euclidean via the dot
+    // identity with the shared left-to-right fold. Spark's min_by over
+    // struct(d2, c_id) is exactly ROW_NUMBER ORDER BY d2, c_id → rn=1.
+    "q98_kmeans" -> {
+      def d2(c: String) =
+        s"""e.xx - 2.0 * ${duckDot("e.embedding", s"$c.cv")}
+           |      + ${duckDot(s"$c.cv", s"$c.cv")}""".stripMargin
+      def assign(cents: String) =
+        s"""SELECT vec_id, embedding, xx, c_id AS cluster, d2 FROM (
+           |  SELECT e.vec_id, e.embedding, e.xx, c.c_id, ${d2("c")} AS d2,
+           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${d2("c")} ASC, c.c_id) AS rn
+           |  FROM e CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+      def cn(a: String) =
+        s"""SELECT c_id, list(CAST(m AS REAL) ORDER BY pos) AS cv FROM (
+           |  SELECT cluster AS c_id, pos, avg(CAST(v AS DOUBLE)) AS m FROM (
+           |    SELECT cluster, unnest(range(1, len(embedding) + 1)) AS pos,
+           |      unnest(embedding) AS v FROM $a)
+           |  GROUP BY cluster, pos) GROUP BY c_id""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    ${duckDot("embedding", "embedding")} AS xx FROM embeddings),
+         |seeds AS (SELECT vec_id AS c_id, embedding AS cv FROM e
+         |  WHERE vec_id < 16),
+         |a0 AS (${assign("seeds")}),
+         |cn1 AS (${cn("a0")}),
+         |a1 AS (${assign("cn1")}),
+         |cn2 AS (${cn("a1")}),
+         |a2 AS (${assign("cn2")})
+         |SELECT vec_id, cluster, d2 FROM a2 ORDER BY vec_id""".stripMargin
+    },
     // Same float-absorption contract as q39: per-(label, dim) means and
     // the per-label d2 mean are REAL-cast before use, d2 itself is the
     // shared left-to-right fold — the threshold compare is deterministic.

@@ -96,6 +96,52 @@ class VectorsSpec extends SparkSuite {
     assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
   }
 
+  test("q98 k-means matches a by-hand Lloyd run and descends monotonically") {
+    val rows = Vectors.q98Kmeans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val e = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def d2(x: Array[Float], c: Array[Float]): Double =
+      dot(x, x) - 2.0 * dot(x, c) + dot(c, c)
+    def assign(cents: Map[Long, Array[Float]]) = e.map { case (id, v) =>
+      val (cid, dd) = cents.toSeq
+        .map { case (c, cv) => (c, d2(v, cv)) }
+        .minBy { case (c, dd) => (dd, c) }
+      (id, cid, dd)
+    }
+    def means(a: Array[(Long, Long, Double)]) = {
+      val byId = e.toMap
+      a.groupBy(_._2).view.mapValues { members =>
+        val vs = members.map(m => byId(m._1))
+        Array.tabulate(vs.head.length)(i =>
+          (vs.map(_(i).toDouble).sum / vs.length).toFloat)
+      }.toMap
+    }
+    val seeds = e.filter(_._1 < 16).map { case (id, v) => id -> v }.toMap
+    val a0 = assign(seeds)
+    val a1 = assign(means(a0))
+    val a2 = assign(means(a1))
+    val expect = a2.map(t => t._1 -> t).toMap
+    assert(rows.length == e.length)
+    rows.foreach { case (id, cluster, dd) =>
+      assert(cluster == expect(id)._2, s"vec $id cluster")
+      // float-cast centroids bound cross-impl drift to ~1 ulp of c
+      assert(math.abs(dd - expect(id)._3) <= 1e-4, s"vec $id d2")
+    }
+    // Lloyd's monotone descent: each refinement round lowers (or holds)
+    // the total within-cluster squared distance
+    val s0 = a0.map(_._3).sum
+    val s1 = a1.map(_._3).sum
+    val s2 = a2.map(_._3).sum
+    assert(s1 <= s0 + 1e-6 && s2 <= s1 + 1e-6, s"descent $s0 -> $s1 -> $s2")
+    // the refinement must actually move something at this SF
+    assert(s2 < s0)
+    assert(rows.map(_._2).distinct.length > 1)
+  }
+
   test("q59 quantization error respects the analytic half-step bound") {
     val rows = Vectors.q59QuantizeAudit(spark, sf).collect()
     assert(rows.length == 500)

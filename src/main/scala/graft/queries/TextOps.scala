@@ -1242,7 +1242,75 @@ object TextOps {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Character-gram width for q99 — long enough that a duplicated gram
+    * is training-relevant verbatim reuse, short enough that partial
+    * phrase reuse (not just whole-doc copies) still surfaces at test SF. */
+  private val SubstrL = 25
+
+  /** q99: exact duplicated-substring spans — the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr operator, restated for a shared-nothing engine: the
+    * suffix array over the corpus is replaced by a fixed-width
+    * character-gram inventory. A gram (25 chars) is DUPLICATED when its
+    * exact text occurs ≥ 2 times corpus-wide (cross- or intra-doc);
+    * per document, overlapping/adjacent duplicated grams merge into
+    * maximal spans (gaps-and-islands) — every duplicated substring of
+    * length ≥ L is covered by duplicated L-grams, so the merged spans
+    * are exactly the maximal ≥L verbatim-repeat regions a suffix-array
+    * scan would emit (the one relaxation: two distinct repeat sources
+    * that abut in a doc merge into one span).
+    *
+    * 100 TB shape: gram inventory is map-side (after the pinned-width
+    * exchange that ships raw text — same rationale as `shingled`); the
+    * duplicated-gram test is a whole-partition count window OVER the
+    * gram — ONE gram-keyed exchange of the inventory and ONE corpus
+    * scan, where the textbook "aggregate then semi-join back" shape
+    * shuffles the inventory twice and scans/generates the corpus twice
+    * (column pruning specializes the two subtrees, so Catalyst cannot
+    * reuse the exchange — measured on the explain before restructuring);
+    * the islands pass is one doc_id window whose partitioning the final
+    * (doc_id, island) agg inherits (subset rule). Keys on the exchange
+    * are the 25-byte gram text itself: exactness is the operator's
+    * contract, so a hash-only index (q33/q88 style) would need a second
+    * verify pass that reads the texts again — strictly worse than
+    * shipping 25 bytes once. */
+  def q99SubstringDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = pinned(documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(
+             |  CASE WHEN length(text) >= $SubstrL
+             |       THEN sequence(0, length(text) - $SubstrL)
+             |       ELSE array() END,
+             |  i -> struct(CAST(i AS BIGINT) AS pos,
+             |              substring(text, i + 1, $SubstrL) AS gram))"""
+            .stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.gram").as("gram"))
+    val hits = g
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("cnt") >= 2)
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > SubstrL, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + SubstrL).as("span_end"),
+        (max(col("pos")) + SubstrL - min(col("pos"))).as("span_len"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("island").as("span_idx"), col("span_start"),
+        col("span_end"), col("span_len"), col("n_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_substring_dedup"  -> (q99SubstringDedup _),
     "q96_boilerplate_grams" -> (q96BoilerplateGrams _),
     "q97_token_budget"      -> (q97TokenBudget _),
     "q92_tfidf_keywords"    -> (q92TfidfKeywords _),
@@ -1294,6 +1362,28 @@ object TextOps {
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q99_substring_dedup" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    substr(text, i, $SubstrL) AS gram
+         |  FROM documents,
+         |    unnest(range(1, greatest(length(text) - ${SubstrL - 2}, 1))) AS t(i)),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, pos FROM g SEMI JOIN dup USING (gram)),
+         |isl AS (SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |           > $SubstrL THEN 1 ELSE 0 END AS brk
+         |  FROM hits),
+         |grp AS (SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |                   ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM isl)
+         |SELECT doc_id, CAST(island AS BIGINT) AS span_idx,
+         |  min(pos) AS span_start, max(pos) + $SubstrL AS span_end,
+         |  CAST(max(pos) + $SubstrL - min(pos) AS BIGINT) AS span_len,
+         |  CAST(count(*) AS BIGINT) AS n_grams
+         |FROM grp GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
     "q96_boilerplate_grams" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          |sh AS (SELECT doc_id, $duckShingles sh FROM w),

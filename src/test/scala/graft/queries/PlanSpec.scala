@@ -312,4 +312,19 @@ class PlanSpec extends SparkSuite {
     assert(readSchema.contains("user_id") && readSchema.contains("event_type"),
       readSchema)
   }
+
+  test("q99 dup-gram test is one count-window: single scan, no join") {
+    val p = plan(TextOps.q99SubstringDedup(spark, sf))
+    // the aggregate-then-semi-join shape scans + gram-generates the
+    // corpus twice (pruned subtrees defeat exchange reuse); the
+    // count-window shape must keep exactly one documents scan and no
+    // join anywhere
+    // formatted explain lists each operator twice (tree + details):
+    // count the numbered detail headers only
+    assert(p.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet\\b.*")) == 1, p)
+    assert(!p.contains("Join"), p)
+    // two logical windows (gram count, doc islands) + the final agg
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_min"), p)
+  }
 }

@@ -362,4 +362,49 @@ class TextOpsSpec extends SparkSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q99 spans match a by-hand suffix-scan recomputation") {
+    import org.apache.spark.sql.functions.col
+    val L = 25
+    val rows = TextOps.q99SubstringDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // corpus-wide gram frequency, the brute-force way
+    val freq = scala.collection.mutable.Map[String, Int]()
+    docs.foreach { case (_, t) =>
+      (0 to t.length - L).foreach { i =>
+        val g = t.substring(i, i + L)
+        freq(g) = freq.getOrElse(g, 0) + 1
+      }
+    }
+    // expected spans: merge adjacent/overlapping duplicated gram intervals
+    val expected = docs.flatMap { case (id, t) =>
+      val dupPos = (0 to t.length - L)
+        .filter(i => freq(t.substring(i, i + L)) >= 2)
+      if (dupPos.isEmpty) Seq.empty
+      else {
+        val spans = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        var start = dupPos.head; var prev = dupPos.head; var n = 1L
+        dupPos.tail.foreach { p =>
+          if (p - prev > L) {
+            spans += ((start.toLong, (prev + L).toLong, n)); start = p; n = 0L
+          }
+          prev = p; n += 1
+        }
+        spans += ((start.toLong, (prev + L).toLong, n))
+        spans.zipWithIndex.map { case ((s0, e0, ng), idx) =>
+          (id, idx.toLong, s0, e0, e0 - s0, ng)
+        }
+      }
+    }.sortBy(t => (t._1, t._3))
+    assert(rows.toSeq == expected.toSeq)
+    // the gate SF must exercise the interesting structure: some doc with
+    // >1 span (partial reuse) and some span shorter than its whole doc
+    assert(rows.groupBy(_._1).exists(_._2.length > 1))
+    val lenById = docs.toMap.view.mapValues(_.length.toLong).toMap
+    assert(rows.exists(r => r._5 < lenById(r._1)))
+  }
 }

@@ -1,12 +1,14 @@
 package graft.sources
 
 import java.util
+import java.util.concurrent.atomic.AtomicLong
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,6 +31,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * what a transport writer produces. Batch reads (replay/tests) see every
   * file at once. One file = one partition: scale ingest by sharding the
   * writer across files.
+  *
+  * Scan pushdown (SURVEY §7.6 backlog 6c):
+  *   - column pruning: the reader materializes ONLY the required
+  *     columns — a metadata query (`select data_collector_id, count(*)`)
+  *     never pays for the message bodies it immediately drops;
+  *   - row-level filters: comparisons on the three id/seq longs and
+  *     topic equality/nullness are evaluated during the line scan, so
+  *     unreferenced rows are dropped before Spark ever sees them. All
+  *     pushed filters are ALSO returned as post-scan residuals (the
+  *     parquet row-group model): pushdown is an I/O saver, never the
+  *     correctness gate;
+  *   - segment pruning: the writer stamps `seq` from one increasing
+  *     counter, so seq is STRICTLY increasing across the sorted file
+  *     listing; a `seq` bound then prunes whole files from the scan by
+  *     peeking each file's first record (the log-segment analog of a
+  *     parquet footer min/max — one small read per segment at plan time,
+  *     no data read for pruned segments). Row filters stay correct even
+  *     if a writer violates the monotonicity contract; only the
+  *     file-skip optimization relies on it.
   *
   * Usage:
   * {{{
@@ -61,6 +82,98 @@ object MessageLogSource {
       .filter(f => f.isFile && !f.getName.startsWith("."))
       .map(_.getAbsolutePath).sorted
   }
+
+  /** Test hook: readers opened since the last reset (local-mode specs
+    * assert segment pruning by counting opens; meaningless on a real
+    * cluster where readers open in executor JVMs). */
+  val readersOpened = new AtomicLong(0)
+
+  /** The filters the reader can evaluate during the line scan. Numeric
+    * comparisons cover the long columns; topic supports equality and
+    * null tests (MQTT topic routing). arrival_ts is deliberately NOT
+    * claimed: timestamp literals arrive tz-shaped and buy nothing over
+    * the equivalent seq bound. */
+  private[sources] def supported(f: Filter): Boolean = f match {
+    case EqualTo(c, v) => longCol(c) && numeric(v) || c == "topic" && v.isInstanceOf[String]
+    case GreaterThan(c, v)        => longCol(c) && numeric(v)
+    case GreaterThanOrEqual(c, v) => longCol(c) && numeric(v)
+    case LessThan(c, v)           => longCol(c) && numeric(v)
+    case LessThanOrEqual(c, v)    => longCol(c) && numeric(v)
+    case IsNull("topic") | IsNotNull("topic") => true
+    case _ => false
+  }
+  private def longCol(c: String) =
+    c == "seq" || c == "data_collector_id" || c == "organization_id"
+  private def numeric(v: Any) = v.isInstanceOf[Number]
+
+  private[sources] def eval(f: Filter, topic: String, dc: Long, org: Long,
+                            seq: Long): Boolean = {
+    def n(c: String): Long = c match {
+      case "seq" => seq
+      case "data_collector_id" => dc
+      case _ => org
+    }
+    def v(x: Any): Long = x.asInstanceOf[Number].longValue
+    f match {
+      case EqualTo("topic", t)      => topic != null && topic == t
+      case EqualTo(c, x)            => n(c) == v(x)
+      case GreaterThan(c, x)        => n(c) > v(x)
+      case GreaterThanOrEqual(c, x) => n(c) >= v(x)
+      case LessThan(c, x)           => n(c) < v(x)
+      case LessThanOrEqual(c, x)    => n(c) <= v(x)
+      case IsNull("topic")          => topic == null
+      case IsNotNull("topic")       => topic != null
+      case _ => true
+    }
+  }
+
+  /** [lower, upper] bound on `seq` implied by the pushed filters
+    * (Long.Min/MaxValue when unbounded). */
+  private[sources] def seqBounds(pushed: Array[Filter]): (Long, Long) = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    pushed.foreach {
+      case EqualTo("seq", v: Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue)
+      case GreaterThan("seq", v: Number) if v.longValue < Long.MaxValue =>
+        lo = math.max(lo, v.longValue + 1)
+      case GreaterThanOrEqual("seq", v: Number) => lo = math.max(lo, v.longValue)
+      case LessThan("seq", v: Number) if v.longValue > Long.MinValue =>
+        hi = math.min(hi, v.longValue - 1)
+      case LessThanOrEqual("seq", v: Number) => hi = math.min(hi, v.longValue)
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
+  /** First record's seq, or None when unreadable (empty segment, torn
+    * write) — pruning then keeps the file: conservatism over I/O. */
+  private[sources] def firstSeq(file: String): Option[Long] =
+    try {
+      val src = scala.io.Source.fromFile(file, "UTF-8")
+      try src.getLines().buffered.headOption.flatMap { l =>
+        val node = new ObjectMapper().readTree(l)
+        if (node != null && node.hasNonNull("seq")) Some(node.get("seq").asLong)
+        else None
+      } finally src.close()
+    } catch { case _: Throwable => None }
+
+  /** Drop files that provably contain no seq in [lo, hi]: `seq` is one
+    * writer counter, strictly increasing across the sorted listing, so
+    * file i's seqs lie in [first_i, first_(i+1) - 1] (last file
+    * unbounded above). */
+  private[sources] def pruneBySeq(files: Array[String],
+                                  pushed: Array[Filter]): Array[String] = {
+    val (lo, hi) = seqBounds(pushed)
+    if (lo == Long.MinValue && hi == Long.MaxValue) return files
+    val firsts = files.map(firstSeq)
+    files.indices.filter { i =>
+      val startsPastUpper = firsts(i).exists(_ > hi)
+      val endsBeforeLower =
+        i + 1 < files.length && firsts(i + 1).exists(_ <= lo)
+      !startsPastUpper && !endsBeforeLower
+    }.map(files).toArray
+  }
 }
 
 class MessageLogTable(path: String) extends Table with SupportsRead {
@@ -69,25 +182,51 @@ class MessageLogTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new MessageLogScan(path)
+    new MessageLogScanBuilder(path)
 }
 
-class MessageLogScan(path: String) extends Scan {
-  override def readSchema(): StructType = MessageLogSource.schema
+class MessageLogScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = MessageLogSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(MessageLogSource.supported)
+    filters // everything re-checked post-scan (parquet row-group model)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new MessageLogScan(path, required, pushed)
+}
+
+class MessageLogScan(path: String,
+                     required: StructType = MessageLogSource.schema,
+                     pushed: Array[Filter] = Array.empty) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"msglog($path) PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      MessageLogSource.listFiles(path).map(FilePartition(_): InputPartition)
-    override def createReaderFactory(): PartitionReaderFactory = MsgReaderFactory
+      MessageLogSource.pruneBySeq(MessageLogSource.listFiles(path), pushed)
+        .map(FilePartition(_): InputPartition)
+    override def createReaderFactory(): PartitionReaderFactory =
+      MsgReaderFactory(required, pushed)
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MessageLogMicroBatch(path)
+    new MessageLogMicroBatch(path, required, pushed)
 }
 
 case class FileCountOffset(n: Int) extends Offset {
   override def json(): String = n.toString
 }
 
-class MessageLogMicroBatch(path: String) extends MicroBatchStream {
+/** Offsets denominate POSITIONS in the sorted listing (files consumed),
+  * so segment pruning inside a batch's [start, end) slice never moves
+  * the offset math — a pruned file is still "consumed". */
+class MessageLogMicroBatch(path: String, required: StructType,
+                           pushed: Array[Filter]) extends MicroBatchStream {
   override def initialOffset(): Offset = FileCountOffset(0)
   override def latestOffset(): Offset =
     FileCountOffset(MessageLogSource.listFiles(path).length)
@@ -99,19 +238,25 @@ class MessageLogMicroBatch(path: String) extends MicroBatchStream {
     val files = MessageLogSource.listFiles(path)
     val s = start.asInstanceOf[FileCountOffset].n
     val e = math.min(end.asInstanceOf[FileCountOffset].n, files.length)
-    files.slice(s, e).map(FilePartition(_): InputPartition)
+    MessageLogSource.pruneBySeq(files.slice(s, e), pushed)
+      .map(FilePartition(_): InputPartition)
   }
-  override def createReaderFactory(): PartitionReaderFactory = MsgReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    MsgReaderFactory(required, pushed)
 }
 
 case class FilePartition(file: String) extends InputPartition
 
-object MsgReaderFactory extends PartitionReaderFactory {
+case class MsgReaderFactory(required: StructType,
+                            pushed: Array[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new MessageLogReader(partition.asInstanceOf[FilePartition].file)
+    new MessageLogReader(partition.asInstanceOf[FilePartition].file,
+      required, pushed)
 }
 
-class MessageLogReader(file: String) extends PartitionReader[InternalRow] {
+class MessageLogReader(file: String, required: StructType,
+                       pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+  MessageLogSource.readersOpened.incrementAndGet()
   private val mapper = new ObjectMapper()
   private val source = scala.io.Source.fromFile(file, "UTF-8")
   private val lines = source.getLines()
@@ -119,18 +264,29 @@ class MessageLogReader(file: String) extends PartitionReader[InternalRow] {
   private var closed = false
 
   override def next(): Boolean = {
-    if (!lines.hasNext) { close(); return false }
-    val node = mapper.readTree(lines.next())
-    def str(f: String): Any =
-      if (node.hasNonNull(f)) UTF8String.fromString(node.get(f).asText) else null
-    current = InternalRow(
-      str("topic"),
-      str("message"),
-      node.get("data_collector_id").asLong(),
-      node.get("organization_id").asLong(),
-      node.get("seq").asLong(),
-      node.get("arrival_ts").asLong()) // epoch micros
-    true
+    while (lines.hasNext) {
+      val node = mapper.readTree(lines.next())
+      val topic =
+        if (node.hasNonNull("topic")) node.get("topic").asText else null
+      val dc = node.get("data_collector_id").asLong()
+      val org = node.get("organization_id").asLong()
+      val seq = node.get("seq").asLong()
+      if (pushed.forall(MessageLogSource.eval(_, topic, dc, org, seq))) {
+        current = InternalRow.fromSeq(required.fields.map(_.name).toSeq.map {
+          case "topic" =>
+            if (topic == null) null else UTF8String.fromString(topic)
+          case "message" =>
+            if (node.hasNonNull("message"))
+              UTF8String.fromString(node.get("message").asText) else null
+          case "data_collector_id" => dc
+          case "organization_id" => org
+          case "seq" => seq
+          case _ => node.get("arrival_ts").asLong() // epoch micros
+        })
+        return true
+      }
+    }
+    close(); false
   }
   override def get(): InternalRow = current
   override def close(): Unit =

@@ -101,4 +101,64 @@ class MessageLogSourceSpec extends SparkSuite {
       assert(out.head.messages.size == 2)
     } finally q.stop()
   }
+
+  test("scan prunes columns and reports pushed filters in the plan") {
+    val dir = Files.createTempDirectory("msglog").toString
+    writeFile(dir, "000001.jsonl", Seq(line(1, "t/a", "m1"), line(2, "t/b", "m2")))
+    val df = spark.read.format(fmt).load(dir)
+      .filter("seq >= 2 and data_collector_id = 1")
+      .select("seq", "topic")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThanOrEqual(seq,2)"), plan)
+    assert(plan.contains("EqualTo(data_collector_id,1)"), plan)
+    // message (the wide column) never reaches the scan schema
+    assert(!plan.contains("message"), plan)
+    val rows = df.collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 2L
+      && rows(0).getString(1) == "t/b")
+  }
+
+  test("seq bounds prune whole segments; residual filter keeps answers exact") {
+    val dir = Files.createTempDirectory("msglog").toString
+    writeFile(dir, "000001.jsonl", Seq(line(1, "t/a", "m1"), line(2, "t/a", "m2")))
+    writeFile(dir, "000002.jsonl", Seq(line(3, "t/b", "m3"), line(4, "t/b", "m4")))
+    writeFile(dir, "000003.jsonl", Seq(line(5, "t/c", "m5"), line(6, "t/c", "m6")))
+    MessageLogSource.readersOpened.set(0)
+    val hi = spark.read.format(fmt).load(dir)
+      .filter("seq >= 5").select("seq").collect()
+    assert(hi.map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L))
+    assert(MessageLogSource.readersOpened.get == 1,
+      s"files 1-2 should be pruned (opened ${MessageLogSource.readersOpened.get})")
+    MessageLogSource.readersOpened.set(0)
+    val lo = spark.read.format(fmt).load(dir)
+      .filter("seq < 3").select("seq").collect()
+    assert(lo.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(MessageLogSource.readersOpened.get == 1,
+      s"files 2-3 should be pruned (opened ${MessageLogSource.readersOpened.get})")
+    // a point lookup opens exactly the covering segment
+    MessageLogSource.readersOpened.set(0)
+    val pt = spark.read.format(fmt).load(dir).filter("seq = 4").collect()
+    assert(pt.length == 1 && MessageLogSource.readersOpened.get == 1)
+  }
+
+  test("filter eval + bounds unit contracts (incl. unreadable segments)") {
+    import org.apache.spark.sql.sources._
+    assert(MessageLogSource.supported(EqualTo("topic", "t")))
+    assert(MessageLogSource.supported(LessThanOrEqual("organization_id", 5L)))
+    assert(!MessageLogSource.supported(EqualTo("message", "m")))
+    assert(!MessageLogSource.supported(StringStartsWith("topic", "t")))
+    assert(MessageLogSource.eval(EqualTo("topic", "t"), "t", 1, 2, 3))
+    assert(!MessageLogSource.eval(EqualTo("topic", "t"), null, 1, 2, 3))
+    assert(MessageLogSource.eval(IsNull("topic"), null, 1, 2, 3))
+    assert(MessageLogSource.seqBounds(Array(
+      GreaterThan("seq", 2L), LessThanOrEqual("seq", 9L),
+      EqualTo("data_collector_id", 7L))) == (3L, 9L))
+    // unreadable first record → file kept, never skipped
+    val dir = Files.createTempDirectory("msglog").toString
+    writeFile(dir, "000001.jsonl", Seq("this is not json"))
+    val files = MessageLogSource.listFiles(dir)
+    assert(MessageLogSource.pruneBySeq(files,
+      Array(GreaterThanOrEqual("seq", 100L))).toSeq == files.toSeq)
+  }
 }

@@ -1309,7 +1309,87 @@ object TextOps {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** q100: BPE tokenizer induction — three unrolled merge rounds of
+    * byte-pair encoding learned from the corpus itself (the q98-kmeans
+    * treatment applied to tokenizer training). Each round: count
+    * adjacent symbol pairs over the VOCABULARY weighted by word
+    * frequency (position-based counting, the classical BPE statistic),
+    * take the argmax (ties → lexicographically smallest pair), and
+    * apply the merge greedily left-to-right. Symbol sequences ride in
+    * the per-symbol-wrapped string encoding `' s1  s2  s3 '` — each
+    * symbol owns its flanking spaces, so one `replace(' a  b ', ' ab ')`
+    * pass implements exactly the greedy non-overlapping merge (the
+    * consecutive-pair case " a  b  a  b " merges BOTH occurrences
+    * because neighbours' wrappers survive the splice; the overlap case
+    * " a  a  a " merges once, as BPE specifies). Output: per doc, the
+    * base char-token count, the count after 3 merges, and the learned
+    * merge trajectory — so the hash gate decides every round's argmax.
+    *
+    * 100 TB shape: ONE corpus hash-agg builds the vocabulary (word →
+    * count, partial-aggregable); every merge round then runs over the
+    * vocabulary table only — pair explode, pair hash-agg, and a 1-row
+    * TakeOrdered argmax that broadcasts back — corpus-size-independent
+    * after round 0, the standard scalable BPE formulation. The corpus
+    * is touched once more at the end: a map-only tokenize via the
+    * broadcast final vocabulary. */
+  def q100BpeMerges(s: SparkSession, d: String): DataFrame = {
+    val dw = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    // persisted (q98's pattern): each unrolled round re-derives its
+    // inputs from the full lineage otherwise — with 3 rounds that is
+    // 2^k parquet scans; cached, the corpus is scanned exactly twice
+    // (vocab build + final tokenize join)
+    val vocab = dw.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ' k  e  y ' — regexp char-split avoids engine-specific
+    // empty-pattern split() semantics
+    val v0 = vocab.withColumn("seq",
+      concat(lit(" "), rtrim(regexp_replace(col("word"), "(.)", "$1  ")),
+        lit(" ")))
+    def pairCounts(v: DataFrame): DataFrame = v
+      .select(col("c"), split(trim(col("seq")), "  ").as("sy"))
+      .select(col("c"), explode(expr(
+        """transform(
+          |  CASE WHEN size(sy) >= 2 THEN sequence(0, size(sy) - 2)
+          |       ELSE array() END,
+          |  i -> struct(sy[i] AS s1, sy[i+1] AS s2))""".stripMargin)).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(sum(col("c")).as("cnt"))
+    def argmax(pc: DataFrame): DataFrame =
+      pc.orderBy(col("cnt").desc, col("s1"), col("s2")).limit(1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def applyMerge(v: DataFrame, m: DataFrame): DataFrame = v
+      .crossJoin(broadcast(m.select(col("s1").as("ms1"), col("s2").as("ms2"))))
+      .withColumn("seq", expr(
+        "replace(seq, concat(' ', ms1, '  ', ms2, ' '), concat(' ', ms1, ms2, ' '))"))
+      .drop("ms1", "ms2")
+    val m1 = argmax(pairCounts(v0))
+    val v1 = applyMerge(v0, m1)
+    val m2 = argmax(pairCounts(v1))
+    val v2 = applyMerge(v1, m2)
+    val m3 = argmax(pairCounts(v2))
+    val v3 = applyMerge(v2, m3)
+    val vt = v3.select(col("word"),
+      length(col("word")).cast("long").as("n_base"),
+      size(split(trim(col("seq")), "  ")).cast("long").as("n_toks"))
+    def mcol(m: DataFrame, name: String): DataFrame =
+      m.select(concat(col("s1"), col("s2")).as(name))
+    dw.join(broadcast(vt), Seq("word"))
+      .crossJoin(broadcast(mcol(m1, "m1")))
+      .crossJoin(broadcast(mcol(m2, "m2")))
+      .crossJoin(broadcast(mcol(m3, "m3")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_base")).as("n_char_tokens"),
+        sum(col("n_toks")).as("n_bpe_tokens"),
+        (sum(col("n_base")) - sum(col("n_toks"))).as("n_saved"),
+        min(col("m1")).as("merge1"), min(col("m2")).as("merge2"),
+        min(col("m3")).as("merge3"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_bpe_merges"      -> (q100BpeMerges _),
     "q99_substring_dedup"  -> (q99SubstringDedup _),
     "q96_boilerplate_grams" -> (q96BoilerplateGrams _),
     "q97_token_budget"      -> (q97TokenBudget _),
@@ -1362,6 +1442,56 @@ object TextOps {
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q100_bpe_merges" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
+        |  FROM documents),
+        |vocab AS (SELECT word, CAST(count(*) AS BIGINT) c FROM w
+        |  WHERE word <> '' GROUP BY 1),
+        |v0 AS (SELECT word, c,
+        |  ' ' || array_to_string(regexp_split_to_array(word,''), '  ') || ' '
+        |    AS seq FROM vocab),
+        |pc1 AS (SELECT u.p.s1 AS s1, u.p.s2 AS s2,
+        |    CAST(sum(c) AS BIGINT) cnt
+        |  FROM (SELECT c, string_split(trim(seq),'  ') s FROM v0) t,
+        |    unnest([{'s1': t.s[i], 's2': t.s[i+1]}
+        |      for i in range(1, len(t.s))]) u(p)
+        |  GROUP BY 1, 2),
+        |m1 AS (SELECT s1, s2 FROM pc1 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+        |v1 AS (SELECT word, c,
+        |  replace(seq, ' '||m.s1||'  '||m.s2||' ', ' '||m.s1||m.s2||' ') seq
+        |  FROM v0 CROSS JOIN m1 m),
+        |pc2 AS (SELECT u.p.s1 AS s1, u.p.s2 AS s2,
+        |    CAST(sum(c) AS BIGINT) cnt
+        |  FROM (SELECT c, string_split(trim(seq),'  ') s FROM v1) t,
+        |    unnest([{'s1': t.s[i], 's2': t.s[i+1]}
+        |      for i in range(1, len(t.s))]) u(p)
+        |  GROUP BY 1, 2),
+        |m2 AS (SELECT s1, s2 FROM pc2 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+        |v2 AS (SELECT word, c,
+        |  replace(seq, ' '||m.s1||'  '||m.s2||' ', ' '||m.s1||m.s2||' ') seq
+        |  FROM v1 CROSS JOIN m2 m),
+        |pc3 AS (SELECT u.p.s1 AS s1, u.p.s2 AS s2,
+        |    CAST(sum(c) AS BIGINT) cnt
+        |  FROM (SELECT c, string_split(trim(seq),'  ') s FROM v2) t,
+        |    unnest([{'s1': t.s[i], 's2': t.s[i+1]}
+        |      for i in range(1, len(t.s))]) u(p)
+        |  GROUP BY 1, 2),
+        |m3 AS (SELECT s1, s2 FROM pc3 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+        |v3 AS (SELECT word, c,
+        |  replace(seq, ' '||m.s1||'  '||m.s2||' ', ' '||m.s1||m.s2||' ') seq
+        |  FROM v2 CROSS JOIN m3 m),
+        |vt AS (SELECT word, CAST(length(word) AS BIGINT) n_base,
+        |  CAST(len(string_split(trim(seq),'  ')) AS BIGINT) n_toks FROM v3)
+        |SELECT w.doc_id,
+        |  CAST(sum(vt.n_base) AS BIGINT) AS n_char_tokens,
+        |  CAST(sum(vt.n_toks) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(vt.n_base) - sum(vt.n_toks) AS BIGINT) AS n_saved,
+        |  min(m1.s1 || m1.s2) AS merge1,
+        |  min(m2.s1 || m2.s2) AS merge2,
+        |  min(m3.s1 || m3.s2) AS merge3
+        |FROM w JOIN vt USING (word)
+        |  CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
     "q99_substring_dedup" ->
       s"""WITH g AS (
          |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,

@@ -313,6 +313,15 @@ class PlanSpec extends SparkSuite {
       readSchema)
   }
 
+  test("q100 BPE rounds run over the cached vocabulary, not the corpus") {
+    val p = plan(TextOps.q100BpeMerges(spark, sf))
+    // without the persists, each unrolled round re-derives its full
+    // lineage: 2^rounds parquet scans; cached, at most the vocab build
+    // + the final tokenize join touch parquet
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet\\b.*")) <= 2, p)
+  }
+
   test("q99 dup-gram test is one count-window: single scan, no join") {
     val p = plan(TextOps.q99SubstringDedup(spark, sf))
     // the aggregate-then-semi-join shape scans + gram-generates the

@@ -363,6 +363,53 @@ class TextOpsSpec extends SparkSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q100 BPE merges match a by-hand 3-round recomputation") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextOps.q100BpeMerges(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val vocab = scala.collection.mutable.Map[String, Long]()
+    docs.foreach(_._2.split(" ").filter(_.nonEmpty)
+      .foreach(w => vocab(w) = vocab.getOrElse(w, 0L) + 1))
+    var seqs: Map[String, Vector[String]] =
+      vocab.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val merges = scala.collection.mutable.ArrayBuffer[String]()
+    (1 to 3).foreach { _ =>
+      val cnt = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (w, c) =>
+        val sy = seqs(w)
+        (0 until sy.length - 1).foreach { i =>
+          cnt((sy(i), sy(i + 1))) = cnt.getOrElse((sy(i), sy(i + 1)), 0L) + c
+        }
+      }
+      val best = cnt.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+      merges += (best._1 + best._2)
+      seqs = seqs.map { case (w, sy) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < sy.length) {
+          if (i < sy.length - 1 && (sy(i), sy(i + 1)) == best) {
+            out += best._1 + best._2; i += 2 // greedy left-to-right
+          } else { out += sy(i); i += 1 }
+        }
+        w -> out.toVector
+      }
+    }
+    val expected = docs.map { case (id, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      val base = ws.map(_.length.toLong).sum
+      val bpe = ws.map(w => seqs(w).length.toLong).sum
+      (id, base, bpe, base - bpe, merges(0), merges(1), merges(2))
+    }.sortBy(_._1)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getString(4), r.getString(5), r.getString(6)))
+      .toSeq == expected.toSeq)
+    // the rounds must learn three DISTINCT merges and actually compress
+    assert(merges.distinct.length == 3)
+    assert(expected.forall(e => e._4 > 0))
+  }
+
   test("q99 spans match a by-hand suffix-scan recomputation") {
     import org.apache.spark.sql.functions.col
     val L = 25

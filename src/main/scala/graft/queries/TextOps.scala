@@ -1388,7 +1388,61 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q101: hashed-feature linear quality classifier — the
+    * fastText-shaped classifier-INFERENCE filter (the GPT-3 / CCNet /
+    * DataComp "quality classifier" stage that follows the heuristic
+    * filters q30/q52 implement): each word hashes into one of 64
+    * feature buckets via a polynomial char fold (the q38 hash
+    * vocabulary, proven to hash-match cross-engine on this corpus),
+    * each bucket carries a signed weight, and a document's score is
+    * the sum of its words' bucket weights — keep iff score ≥ 0.
+    * Weights are a deterministic zero-mean stand-in formula
+    * ((b·2654435761) mod 17 − 8); the swap-in point for LEARNED
+    * weights is a broadcast 64-element literal array indexed by the
+    * same bucket id — identical plan shape.
+    *
+    * 100 TB shape: inference is row-local — one map over the corpus
+    * with ZERO exchanges (the output orderBy is gate determinism only;
+    * a production filter keeps rows in place). The model rides as a
+    * literal/broadcast, never a join: this is the embarrassingly-
+    * parallel filter every corpus build runs at full width, so it must
+    * not shuffle — and it doesn't. The scoring fold is a nested
+    * higher-order `aggregate` (interpreted, not codegen'd — the known
+    * HOF caveat); measured 0.3 s warm over sf0.1, so the hot-kernel
+    * upgrade at real scale is the same one the shingle kernel took: a
+    * JIT'd UDF or native Expression computing the identical integer
+    * fold, bit-compatible with this oracle by construction. */
+  def q101QualityClassifier(s: SparkSession, d: String): DataFrame =
+    classifierScored(documents(s, d))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        col("mean_weight"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  /** The q101 column program, shared verbatim with the streaming twin
+    * (`CorpusStream.classify`) so stream and batch scores are identical
+    * by construction. Row-local: adds n_tokens/score/mean_weight/keep
+    * to whatever columns `docs` carries. */
+  private[graft] def classifierScored(docs: DataFrame): DataFrame = {
+    val words = "filter(split(text, ' '), w -> w <> '')"
+    val score = expr(
+      s"""aggregate(
+         |  $words,
+         |  CAST(0 AS BIGINT),
+         |  (acc, w) -> acc +
+         |    pmod(pmod(aggregate(sequence(1, length(w)), CAST(7 AS BIGINT),
+         |           (a, i) -> pmod(a * 31 + ascii(substring(w, i, 1)), 1048573)),
+         |         64) * 2654435761, 17) - 8)""".stripMargin)
+    docs
+      .withColumn("n_tokens", size(expr(words)).cast("long"))
+      .withColumn("score", score)
+      .withColumn("mean_weight",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("score").cast("double") / col("n_tokens")))
+      .withColumn("keep", col("score") >= 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_quality_classifier" -> (q101QualityClassifier _),
     "q100_bpe_merges"      -> (q100BpeMerges _),
     "q99_substring_dedup"  -> (q99SubstringDedup _),
     "q96_boilerplate_grams" -> (q96BoilerplateGrams _),
@@ -1442,6 +1496,22 @@ object TextOps {
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q101_quality_classifier" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ws, w ->
+        |      ((list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |           list_transform(generate_series(1, CAST(length(w) AS INTEGER)),
+        |             i -> CAST(ascii(substring(w, i, 1)) AS BIGINT))),
+        |         (a, c) -> (a * 31 + c) % 1048573) % 64) * 2654435761) % 17 - 8)),
+        |    (acc, v) -> acc + v) AS score FROM t)
+        |SELECT doc_id, n_tokens, score,
+        |  CASE WHEN n_tokens = 0 THEN 0.0
+        |       ELSE CAST(score AS DOUBLE) / n_tokens END AS mean_weight,
+        |  score >= 0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q100_bpe_merges" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
         |  FROM documents),

@@ -205,6 +205,18 @@ object CorpusStream {
       .withColumn("contaminated", col("n_hit_grams") > 0)
   }
 
+  /** Streaming quality-classifier inference — the streaming twin of
+    * q101: each arriving document is scored by the hashed-feature
+    * linear classifier at ingest time. Map-only (the model is a
+    * formula/literal riding inside the column program — a learned
+    * weight vector swaps in as a broadcast literal array with the same
+    * plan shape), no state, no watermark: a keep/drop verdict needs
+    * nothing from any other stream row. Same column program as the
+    * batch query (TextOps.classifierScored), so scores are identical
+    * by construction. */
+  def classify(docs: DataFrame): DataFrame =
+    graft.queries.TextOps.classifierScored(docs).drop("text")
+
   /** Streaming overlapping chunking — the streaming twin of q94: each
     * arriving document fans out into its 64/48 training-example chunks
     * at ingest time. Map-only (explode, no state, no watermark needed);

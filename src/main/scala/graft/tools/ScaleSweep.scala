@@ -1,0 +1,129 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Dev-only: measured scaling evidence for the 100 TB story.
+  *
+  * Runs the scale-critical query family at each given SF directory and
+  * records, per (sf, query): wall seconds, summed task CPU (executorRunTime),
+  * shuffle WRITE bytes (what actually crosses the exchange — the number
+  * that decides whether a design survives 1000x), shuffle read bytes,
+  * and spill. (Parquet input bytes are NOT recorded: the vectorized
+  * reader does not populate task-level inputMetrics in this Spark
+  * build — verified footer-sized values — so the field would lie.)
+  *
+  * A blocked/bucketed dedup design shows shuffle bytes growing
+  * ~linearly in corpus size; an all-pairs design shows them growing
+  * quadratically — this tool makes that difference a committed
+  * artifact instead of an argument.
+  *
+  * runMain graft.tools.ScaleSweep <outJson> <sfDir1> <sfDir2> ...
+  * (queries default to the dedup/ANN/text family; override with
+  *  SCALESWEEP_QUERIES=q33_ngram_jaccard,q34_minhash_lsh,...)
+  */
+object ScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val outPath = args(0)
+    val sfDirs = args.drop(1).toSeq
+    val defaultQueries = Seq(
+      // relational anchors (shuffle = agg exchange only)
+      "q01_pricing_summary", "q03_revenue_by_nation",
+      // exact + near dedup family
+      "q32_dedup_exact", "q33_ngram_jaccard", "q34_minhash_lsh",
+      "q35_simhash", "q37_cosine_neardup", "q62_dup_clusters",
+      "q88_containment_join", "q99_substring_dedup",
+      // ANN / embedding family
+      "q36_cosine_topk", "q39_ann_ivf", "q49_ann_lsh", "q61_semantic_dedup",
+      // decontamination (broadcast-side designs)
+      "q51_decontaminate", "q60_decontaminate_bloom",
+      // corpus statistics / tokenizer
+      "q56_vocabulary", "q92_tfidf_keywords", "q93_lm_score",
+      "q97_token_budget", "q100_bpe_merges", "q101_quality_classifier")
+    val queries = sys.env.get("SCALESWEEP_QUERIES")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(defaultQueries)
+
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    final case class M(var taskMs: Long = 0L, var shufWrite: Long = 0L,
+                       var shufRead: Long = 0L,
+                       var spillMem: Long = 0L, var spillDisk: Long = 0L,
+                       var tasks: Long = 0L, var stages: Long = 0L)
+    val cur = new M
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val tm = e.stageInfo.taskMetrics
+        cur.synchronized {
+          cur.taskMs += tm.executorRunTime
+          cur.shufWrite += tm.shuffleWriteMetrics.bytesWritten
+          cur.shufRead += tm.shuffleReadMetrics.totalBytesRead
+          cur.spillMem += tm.memoryBytesSpilled
+          cur.spillDisk += tm.diskBytesSpilled
+          cur.tasks += e.stageInfo.numTasks
+          cur.stages += 1
+        }
+      }
+    })
+    def reset(): Unit = cur.synchronized {
+      cur.taskMs = 0; cur.shufWrite = 0; cur.shufRead = 0
+      cur.spillMem = 0; cur.spillDisk = 0; cur.tasks = 0; cur.stages = 0
+    }
+
+    val rows = ArrayBuffer.empty[String]
+    // JVM/JIT warm-up outside measurement so the smallest SF (first in
+    // the arg order) isn't charged the compile cost of every kernel.
+    queries.foreach { q =>
+      graft.SparkEntry.queries.get(q).foreach(f => f(spark, sfDirs.head).count())
+    }
+    for (sf <- sfDirs; q <- queries) {
+      graft.SparkEntry.queries.get(q) match {
+        case None => System.err.println(s"[scalesweep] unknown query $q — skipped")
+        case Some(f) =>
+          // two executions: rep1 absorbs per-(sf,query) first-execution
+          // state (codegen, cache materialization of intra-query
+          // persists); rep2 is the warm wall. Byte metrics are
+          // deterministic and recorded from rep2.
+          var wallCold = 0.0; var wall = 0.0; var n = 0L
+          var snap = (0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          for (rep <- 1 to 2) {
+            org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
+            spark.sharedState.cacheManager.clearCache()
+            reset()
+            val t0 = System.nanoTime()
+            n = f(spark, sf).count()
+            val w = (System.nanoTime() - t0) / 1e9
+            org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
+            if (rep == 1) wallCold = w
+            else {
+              wall = w
+              snap = cur.synchronized {
+                (cur.taskMs, cur.shufWrite, cur.shufRead,
+                 cur.spillMem, cur.spillDisk, cur.tasks, cur.stages)
+              }
+            }
+          }
+          val line =
+            s"""{"sf":"${sf.split('/').last}","query":"$q","wall_s":${f"$wall%.3f"},""" +
+            s""""wall_cold_s":${f"$wallCold%.3f"},""" +
+            s""""rows":$n,"task_cpu_s":${f"${snap._1 / 1e3}%.2f"},""" +
+            s""""shuffle_write_b":${snap._2},"shuffle_read_b":${snap._3},""" +
+            s""""spill_mem_b":${snap._4},""" +
+            s""""spill_disk_b":${snap._5},"tasks":${snap._6},"stages":${snap._7}}"""
+          println(line)
+          rows += line
+      }
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      rows.mkString("[\n", ",\n", "\n]\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

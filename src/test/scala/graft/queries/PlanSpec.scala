@@ -336,4 +336,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"), p)
     assert(p.contains("partial_min"), p)
   }
+
+  test("q101 classifier inference is one map over one scan — zero joins/aggs") {
+    // classifier inference runs at full corpus width: the model is a
+    // formula/literal, never a join, and scoring is row-local — the only
+    // exchange allowed is the output sort's range partitioning
+    val p = plan(TextOps.q101QualityClassifier(spark, sf))
+    assert(p.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet\\b.*")) == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"$exchanges exchanges:\n$p")
+  }
 }

@@ -454,4 +454,35 @@ class TextOpsSpec extends SparkSuite {
     val lenById = docs.toMap.view.mapValues(_.length.toLong).toMap
     assert(rows.exists(r => r._5 < lenById(r._1)))
   }
+
+  test("q101 classifier score matches a by-hand hashed-feature recompute") {
+    val rows = TextOps.q101QualityClassifier(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    // the engine formula, restated from scratch: polynomial char fold
+    // (init 7, ×31 + codepoint, mod 1048573) → bucket mod 64 →
+    // weight (b·2654435761 mod 17) − 8
+    def weight(w: String): Long = {
+      var a = 7L
+      w.codePoints().forEach(c => a = (a * 31 + c) % 1048573)
+      ((a % 64) * 2654435761L) % 17 - 8
+    }
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    docs.filter(_._1 % 50 == 0).foreach { case (id, text) =>
+      val ws = text.split(" ", -1).filter(_.nonEmpty).toSeq
+      val score = ws.map(weight).sum
+      val r = byId(id)
+      assert(r.getLong(1) == ws.length, s"doc $id n_tokens")
+      assert(r.getLong(2) == score, s"doc $id score")
+      assert(r.getDouble(3) ==
+        (if (ws.isEmpty) 0.0 else score.toDouble / ws.length), s"doc $id mean")
+      assert(r.getBoolean(4) == (score >= 0), s"doc $id keep")
+    }
+    // a classifier that keeps (or drops) everything is vacuous — the
+    // stand-in weights must split the corpus like learned ones would
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
+  }
 }

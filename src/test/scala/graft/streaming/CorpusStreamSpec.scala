@@ -270,6 +270,41 @@ class CorpusStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming classifier: stream scores == batch q101 on the real corpus") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (ts(8, 0), r.getLong(0), r.getString(1)))
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = CorpusStream.classify(stream.toDS().toDF("ts", "doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("classify_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(docs.take(docs.length / 2): _*)
+      q.processAllAvailable()
+      stream.addData(docs.drop(docs.length / 2): _*)
+      q.processAllAvailable()
+
+      val streamed = spark.table("classify_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("score"), r.getAs[Double]("mean_weight"),
+          r.getAs[Boolean]("keep"))).toSet
+      // the event-time column survives (downstream stages can watermark)
+      assert(spark.table("classify_out").columns.contains("ts"))
+      val batch = graft.queries.TextOps.q101QualityClassifier(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getBoolean(4))).toSet
+      assert(streamed == batch)
+      // both verdicts occur even at the smallest SF — the filter is live
+      assert(streamed.exists(_._5) && streamed.exists(!_._5))
+    } finally q.stop()
+  }
+
   test("streaming LM score: corpus replay reproduces q93 bit-for-bit; unseen text scores") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

@@ -1441,7 +1441,55 @@ object TextOps {
       .withColumn("keep", col("score") >= 0)
   }
 
+  /** q102: temperature-based source mixing — the DoReMi / multilingual
+    * mixture-sampling stage: per-source sampling targets derived FROM
+    * the corpus histogram as c_s^α (α = 0.5, the standard multilingual
+    * temperature), so over-represented sources are down-weighted and
+    * small sources up-weighted relative to proportional sampling. This
+    * completes the mixture family — q53 downsamples to a UNIFORM
+    * target, q66 applies FIXED per-stratum rates, q97 caps TOKENS;
+    * this is the one whose rates come from the data. Budget = half the
+    * corpus; each source keeps its t_s = max(1, ⌊B·√c_s / Σ√c⌋) first
+    * docs in deterministic hash order.
+    *
+    * Float determinism: sqrt and IEEE ÷/× are correctly rounded in
+    * both engines, but the Σ√c denominator is order-sensitive — so it
+    * is an ORDER-PINNED fold over the source histogram sorted by name
+    * (the q93 in-row-fold treatment), bit-identical cross-engine.
+    *
+    * 100 TB shape: the histogram is #sources rows (a partial-agg
+    * count), the fold is one 1-row aggregate, targets broadcast back
+    * onto the corpus, and the only corpus-width exchange is the
+    * per-source hash-order window q44/q97 already pay. */
+  def q102TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d).select(col("doc_id"), col("source"))
+    val hist = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+    val folded = hist
+      .agg(sort_array(collect_list(struct(col("source"), col("c")))).as("h"))
+      .select(col("h"),
+        expr("aggregate(h, CAST(0.0 AS DOUBLE), (a, x) -> a + sqrt(CAST(x.c AS DOUBLE)))")
+          .as("denom"),
+        expr("aggregate(h, CAST(0 AS BIGINT), (a, x) -> a + x.c)")
+          .as("n_total"))
+    val targets = folded
+      .select(explode(col("h")).as("x"), col("denom"), col("n_total"))
+      .select(col("x.source").as("source"), col("x.c").as("c"),
+        greatest(lit(1L),
+          floor(col("n_total").cast("double") / lit(2.0) *
+            sqrt(col("c").cast("double")) / col("denom"))).as("target"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy((col("doc_id") * 2654435761L) % 1000003L, col("doc_id"))
+    docs.join(broadcast(targets), Seq("source"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("kept", col("rank") <= col("target"))
+      .select(col("doc_id"), col("source"), col("c"), col("target"),
+        col("rank"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_temperature_mix" -> (q102TemperatureMix _),
     "q101_quality_classifier" -> (q101QualityClassifier _),
     "q100_bpe_merges"      -> (q100BpeMerges _),
     "q99_substring_dedup"  -> (q99SubstringDedup _),
@@ -1496,6 +1544,29 @@ object TextOps {
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q102_temperature_mix" ->
+      """WITH hist AS (SELECT source, CAST(count(*) AS BIGINT) c
+        |  FROM documents GROUP BY 1),
+        |agg AS (SELECT list(struct_pack(source := source, c := c)
+        |    ORDER BY source) h FROM hist),
+        |den AS (SELECT
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(h, x -> sqrt(CAST(x.c AS DOUBLE)))),
+        |    (a, b) -> a + b) AS denom,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(h, x -> x.c)), (a, b) -> a + b) AS n_total
+        |  FROM agg),
+        |targets AS (SELECT h.source, h.c,
+        |  greatest(1, CAST(floor(CAST(d.n_total AS DOUBLE) / 2.0 *
+        |    sqrt(CAST(h.c AS DOUBLE)) / d.denom) AS BIGINT)) AS target
+        |  FROM hist h, den d),
+        |r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS BIGINT)
+        |    AS rank FROM documents)
+        |SELECT r.doc_id, r.source, t.c, t.target, r.rank,
+        |  r.rank <= t.target AS kept
+        |FROM r JOIN targets t USING (source) ORDER BY doc_id""".stripMargin,
     "q101_quality_classifier" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), w -> w <> '') AS ws

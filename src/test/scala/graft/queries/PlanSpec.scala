@@ -349,4 +349,15 @@ class PlanSpec extends SparkSuite {
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 1, s"$exchanges exchanges:\n$p")
   }
+
+  test("q102 targets broadcast onto the corpus; one window exchange") {
+    // the histogram/denominator side is #sources rows — it must come
+    // back as a broadcast, never shuffle the corpus against it; the
+    // only corpus-width exchange is the per-source window (q44's)
+    val p = plan(TextOps.q102TemperatureMix(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }

@@ -485,4 +485,45 @@ class TextOpsSpec extends SparkSuite {
     // stand-in weights must split the corpus like learned ones would
     assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
   }
+
+  test("q102 temperature mix: targets match a by-hand c^0.5 recompute") {
+    val rows = TextOps.q102TemperatureMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val docs = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == docs.length)
+    // histogram + order-pinned denominator, restated from scratch
+    val hist = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val denom = hist.keys.toSeq.sorted
+      .foldLeft(0.0)((a, s) => a + math.sqrt(hist(s).toDouble))
+    val nTotal = docs.length.toLong
+    val target = hist.map { case (s, c) =>
+      s -> math.max(1L,
+        math.floor(nTotal.toDouble / 2.0 * math.sqrt(c.toDouble) / denom).toLong)
+    }
+    rows.foreach { case (_, src, c, t, _, _) =>
+      assert(c == hist(src)); assert(t == target(src), s"source $src target")
+    }
+    // ranks: dense per source in hash order; kept iff rank <= target
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val expected = rs.map(_._1).sortBy(id => ((id * 2654435761L) % 1000003L, id))
+        .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+      rs.foreach { case (id, _, _, t, rank, kept) =>
+        assert(rank == expected(id), s"doc $id rank")
+        assert(kept == (rank <= t), s"doc $id kept")
+      }
+    }
+    // the temperature property itself: the largest source is kept at a
+    // LOWER rate than the smallest (α < 1 reallocates mass downward) —
+    // without this the query could be vacuous proportional sampling
+    val (minSrc, maxSrc) = (hist.minBy(_._2)._1, hist.maxBy(_._2)._1)
+    if (hist(minSrc) < hist(maxSrc)) {
+      def rate(s: String) =
+        math.min(target(s), hist(s)).toDouble / hist(s)
+      assert(rate(minSrc) > rate(maxSrc), s"$minSrc vs $maxSrc")
+    }
+  }
 }

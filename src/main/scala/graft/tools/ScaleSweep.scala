@@ -41,7 +41,8 @@ object ScaleSweep {
       "q51_decontaminate", "q60_decontaminate_bloom",
       // corpus statistics / tokenizer
       "q56_vocabulary", "q92_tfidf_keywords", "q93_lm_score",
-      "q97_token_budget", "q100_bpe_merges", "q101_quality_classifier")
+      "q97_token_budget", "q100_bpe_merges", "q101_quality_classifier",
+      "q102_temperature_mix")
     val queries = sys.env.get("SCALESWEEP_QUERIES")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(defaultQueries)
 
@@ -78,6 +79,11 @@ object ScaleSweep {
       cur.spillMem = 0; cur.spillDisk = 0; cur.tasks = 0; cur.stages = 0
     }
 
+    // Locale.ROOT: the f interpolator uses the JVM default locale — a
+    // comma-decimal locale would corrupt the JSON (same fix as Bench)
+    def num(fmt: String, x: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(x))
+
     val rows = ArrayBuffer.empty[String]
     // JVM/JIT warm-up outside measurement so the smallest SF (first in
     // the arg order) isn't charged the compile cost of every kernel.
@@ -112,9 +118,9 @@ object ScaleSweep {
             }
           }
           val line =
-            s"""{"sf":"${sf.split('/').last}","query":"$q","wall_s":${f"$wall%.3f"},""" +
-            s""""wall_cold_s":${f"$wallCold%.3f"},""" +
-            s""""rows":$n,"task_cpu_s":${f"${snap._1 / 1e3}%.2f"},""" +
+            s"""{"sf":"${sf.split('/').filter(_.nonEmpty).last}","query":"$q","wall_s":${num("%.3f", wall)},""" +
+            s""""wall_cold_s":${num("%.3f", wallCold)},""" +
+            s""""rows":$n,"task_cpu_s":${num("%.2f", snap._1 / 1e3)},""" +
             s""""shuffle_write_b":${snap._2},"shuffle_read_b":${snap._3},""" +
             s""""spill_mem_b":${snap._4},""" +
             s""""spill_disk_b":${snap._5},"tasks":${snap._6},"stages":${snap._7}}"""

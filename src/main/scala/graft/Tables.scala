@@ -135,9 +135,11 @@ object Tables {
     * nanos-as-long read of TIMESTAMP(NANOS), so `events` would happily
     * `div 1000` raw micros or seconds — a silent 1000×/10⁶× skew):
     *  - magnitude: nanos-since-epoch for this century sits in
-    *    ~[1e18, 4.1e18]; micros land at ~1e15, seconds at ~1e9 — both
-    *    orders of magnitude outside the window, so one max() labels
-    *    the misread before any query runs;
+    *    ~[1e18, 4.1e18]; the check's lower bound is deliberately the
+    *    looser 1e17 (≈1973) so any plausible nanos clock passes, while
+    *    micros (~1e15) and seconds (~1e9) stay orders of magnitude
+    *    outside it — one max() labels the misread before any query
+    *    runs;
     *  - residue: sub-microsecond precision (ts % 1000 ≠ 0) cannot
     *    survive the canonical micros contract — Spark would tie on
     *    ts_us where the DuckDB oracles still order by full-precision

@@ -19,6 +19,10 @@ object Verify {
     Tables.validate(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // isolation: drop cached relations the previous query registered
+      // (intra-query persists) so 102 queries don't accumulate cached
+      // blocks and never cross-feed each other's caches
+      spark.sharedState.cacheManager.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1161,18 +1161,23 @@ object TextOps {
     * map + explode), passes every non-working input column through so
     * a streaming caller keeps its event-time column for watermarks. */
   def chunked(docs: DataFrame, cw: Int, cs: Int): DataFrame =
+    // working columns carry a __chunk_ prefix: the passthrough contract
+    // ("every non-working input column survives onto each chunk row")
+    // must hold even when a caller's frame already has a column named
+    // w/n/nc/toks — plain names would clobber-then-drop it
     docs
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("n", size(col("w")).cast("long"))
-      .withColumn("nc",
-        when(col("n") <= cw, lit(1L))
-          .otherwise(expr(s"1L + (n - $cw + ${cs - 1}) div $cs")))
-      .withColumn("chunk_idx", explode(expr("sequence(0L, nc - 1)")))
+      .withColumn("__chunk_w", split(col("text"), " "))
+      .withColumn("__chunk_n", size(col("__chunk_w")).cast("long"))
+      .withColumn("__chunk_nc",
+        when(col("__chunk_n") <= cw, lit(1L))
+          .otherwise(expr(s"1L + (__chunk_n - $cw + ${cs - 1}) div $cs")))
+      .withColumn("chunk_idx", explode(expr("sequence(0L, __chunk_nc - 1)")))
       .withColumn("start_tok", col("chunk_idx") * cs)
-      .withColumn("toks", expr(s"slice(w, CAST(start_tok + 1 AS INT), $cw)"))
-      .withColumn("chunk_len", size(col("toks")).cast("long"))
-      .withColumn("chunk_md5", md5(concat_ws(" ", col("toks"))))
-      .drop("w", "n", "nc", "toks")
+      .withColumn("__chunk_toks",
+        expr(s"slice(__chunk_w, CAST(start_tok + 1 AS INT), $cw)"))
+      .withColumn("chunk_len", size(col("__chunk_toks")).cast("long"))
+      .withColumn("chunk_md5", md5(concat_ws(" ", col("__chunk_toks"))))
+      .drop("__chunk_w", "__chunk_n", "__chunk_nc", "__chunk_toks")
 
   /** q96: boilerplate shingle filter — the shingle-level analog of
     * Common Crawl's repeated-line removal: a 3-gram whose document
@@ -1343,9 +1348,12 @@ object TextOps {
     val vocab = dw.groupBy(col("word")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ' k  e  y ' — regexp char-split avoids engine-specific
-    // empty-pattern split() semantics
+    // empty-pattern split() semantics. (?s): Java's dot excludes line
+    // terminators by default, while the oracle's char split does not —
+    // a newline inside a whitespace-delimited token must wrap like any
+    // other symbol or the two engines' pair counts diverge
     val v0 = vocab.withColumn("seq",
-      concat(lit(" "), rtrim(regexp_replace(col("word"), "(.)", "$1  ")),
+      concat(lit(" "), rtrim(regexp_replace(col("word"), "(?s)(.)", "$1  ")),
         lit(" ")))
     def pairCounts(v: DataFrame): DataFrame = v
       .select(col("c"), split(trim(col("seq")), "  ").as("sy"))

@@ -404,9 +404,15 @@ object Vectors {
     *
     * 100 TB shape: centroid build is two partial-aggregable hash-aggs
     * keyed (label, dim) — vocabulary-sized output; the centroid and
-    * per-label-stat tables BROADCAST back onto the one corpus scan; no
+    * per-label-stat tables BROADCAST back onto corpus scans; no
     * corpus-sized shuffle at any point (the output sort is the
-    * driver-gate convention, not part of the operator). */
+    * driver-gate convention, not part of the operator). The corpus is
+    * SCANNED three times (centroid build, per-label d2 stats, per-row
+    * verdict) and the d2 subtree recomputes rather than persist:
+    * caching a corpus-sized intermediate is the thing that does NOT
+    * survive 100 TB, while scans parallelize perfectly — the analytic
+    * shortcut (avg d2 from sufficient statistics) would cut one pass
+    * but re-rounds differently and breaks the bit-pinned oracle. */
   def q95LabelOutliers(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val cent = e

@@ -161,12 +161,24 @@ object MessageLogSource {
   /** Drop files that provably contain no seq in [lo, hi]: `seq` is one
     * writer counter, strictly increasing across the sorted listing, so
     * file i's seqs lie in [first_i, first_(i+1) - 1] (last file
-    * unbounded above). */
+    * unbounded above).
+    *
+    * The monotonicity premise is CHECKED, not assumed: if the observed
+    * first-seqs are not strictly increasing across the listing (a
+    * writer restart that reset its counter, a rotated file sorting out
+    * of order), pruning is skipped entirely — residual row filters
+    * stay correct but cannot resurrect rows in files that were never
+    * opened, so a violated premise must degrade to "read everything",
+    * never to silent row loss. */
   private[sources] def pruneBySeq(files: Array[String],
                                   pushed: Array[Filter]): Array[String] = {
     val (lo, hi) = seqBounds(pushed)
     if (lo == Long.MinValue && hi == Long.MaxValue) return files
     val firsts = files.map(firstSeq)
+    val known = firsts.flatten
+    val monotonic = known.length == firsts.length &&
+      known.sliding(2).forall(p => p.length < 2 || p(0) < p(1))
+    if (!monotonic) return files
     files.indices.filter { i =>
       val startsPastUpper = firsts(i).exists(_ > hi)
       val endsBeforeLower =
@@ -281,7 +293,12 @@ class MessageLogReader(file: String, required: StructType,
           case "data_collector_id" => dc
           case "organization_id" => org
           case "seq" => seq
-          case _ => node.get("arrival_ts").asLong() // epoch micros
+          case "arrival_ts" => node.get("arrival_ts").asLong() // epoch micros
+          case other =>
+            // a wildcard here would silently fill any FUTURE schema
+            // column with arrival_ts values — fail loudly instead
+            throw new IllegalStateException(
+              s"MessageLogReader: unhandled projected column '$other'")
         })
         return true
       }

@@ -95,9 +95,13 @@ object ScaleSweep {
         case None => System.err.println(s"[scalesweep] unknown query $q — skipped")
         case Some(f) =>
           // two executions: rep1 absorbs per-(sf,query) first-execution
-          // state (codegen, cache materialization of intra-query
-          // persists); rep2 is the warm wall. Byte metrics are
-          // deterministic and recorded from rep2.
+          // JIT/codegen; rep2 is the recorded wall. clearCache() runs
+          // before BOTH reps deliberately — cached subtrees skip their
+          // exchanges, so byte metrics from a warm-cache rep would
+          // undercount what the design actually ships. wall_s is
+          // therefore warm-CODE / cold-CACHE: it re-pays intra-query
+          // persist materialization, which is exactly the per-query
+          // cost a fresh production job pays.
           var wallCold = 0.0; var wall = 0.0; var n = 0L
           var snap = (0L, 0L, 0L, 0L, 0L, 0L, 0L)
           for (rep <- 1 to 2) {

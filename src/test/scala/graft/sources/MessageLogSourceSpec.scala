@@ -161,4 +161,33 @@ class MessageLogSourceSpec extends SparkSuite {
     assert(MessageLogSource.pruneBySeq(files,
       Array(GreaterThanOrEqual("seq", 100L))).toSeq == files.toSeq)
   }
+
+  test("seq pruning degrades to read-everything when monotonicity is violated") {
+    import org.apache.spark.sql.sources._
+    // a writer restart reset the counter: firsts are [0, 80, 0]. The
+    // interval premise (file i spans [first_i, first_{i+1}-1]) is now
+    // false — file 2 (seqs 80..179) would be pruned for seq >= 100 by
+    // interval logic, silently losing rows. The checked guard must
+    // keep every file instead.
+    val dir = Files.createTempDirectory("msglog").toString
+    writeFile(dir, "000001.jsonl", Seq(line(0, "t/a", "m"), line(1, "t/a", "m")))
+    writeFile(dir, "000002.jsonl", (80L to 179L).map(s => line(s, "t/a", "m")))
+    writeFile(dir, "000003.jsonl", Seq(line(0, "t/a", "m")))
+    val files = MessageLogSource.listFiles(dir)
+    val kept = MessageLogSource.pruneBySeq(files,
+      Array(GreaterThanOrEqual("seq", 100L)))
+    assert(kept.toSeq == files.toSeq)
+    // and the end-to-end read returns exactly the matching rows
+    val df = spark.read.format("graft.sources.MessageLogSource").load(dir)
+      .filter("seq >= 100")
+    assert(df.count() == 80)
+    // sanity: with an intact monotone listing the same filter DOES prune
+    val dir2 = Files.createTempDirectory("msglog").toString
+    writeFile(dir2, "000001.jsonl", Seq(line(0, "t/a", "m")))
+    writeFile(dir2, "000002.jsonl", Seq(line(80, "t/a", "m")))
+    writeFile(dir2, "000003.jsonl", Seq(line(200, "t/a", "m")))
+    val files2 = MessageLogSource.listFiles(dir2)
+    assert(MessageLogSource.pruneBySeq(files2,
+      Array(GreaterThanOrEqual("seq", 201L))).length < files2.length)
+  }
 }

@@ -97,8 +97,16 @@ def main(sf_dir, out_dir, prune_quadratic=False, json_out=None):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        sys.exit(__doc__ or "usage: parity.py <sfDir> <verifyOutDir> "
+                            "[--prune-quadratic] [--json <path>]")
     _rest = sys.argv[3:]
-    _json = _rest[_rest.index("--json") + 1] if "--json" in _rest else None
+    _json = None
+    if "--json" in _rest:
+        _i = _rest.index("--json")
+        if _i + 1 >= len(_rest) or _rest[_i + 1].startswith("--"):
+            sys.exit("--json requires a path operand")
+        _json = _rest[_i + 1]
     sys.exit(main(sys.argv[1], sys.argv[2],
                   prune_quadratic="--prune-quadratic" in _rest,
                   json_out=_json))

@@ -413,6 +413,11 @@ object Lorawan {
       case "JoinAccept" =>
         phy.joinAcceptBytes.get
       case _ =>
+        // parse() never produces RejoinRequest/Proprietary, so a Phy
+        // built by hand with mac=None must fail with the same labeled
+        // error style as every other malformed-input path — not None.get
+        require(phy.mac.isDefined,
+          s"unsupported mType for encode: ${phy.mType} (no MAC payload)")
         val mac = phy.mac.get
         val up = isUplink(phy.mType)
         val fOptsB = mac.fhdr.fOpts.toArray.flatMap { c =>

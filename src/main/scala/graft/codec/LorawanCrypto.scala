@@ -135,45 +135,12 @@ object LorawanCrypto {
   }
 
   /** AES-CMAC (RFC 4493). Verified against the RFC's test vectors in
-    * LorawanCryptoSpec. */
-  def aesCmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
-    // one key schedule for the whole CMAC (n+1 block encryptions)
-    val ks = Aes128.expandKey(key)
-    def aesEncryptBlock(unused: Array[Byte], block: Array[Byte]): Array[Byte] = {
-      val out = new Array[Byte](16)
-      Aes128.encryptBlock(ks, block, 0, out, 0)
-      out
-    }
-    val zero = new Array[Byte](16)
-    val l = aesEncryptBlock(key, zero)
-    val k1 = {
-      val s = leftShiftOne(l)
-      if ((l(0) & 0x80) != 0) { s(15) = (s(15) ^ Rb).toByte }; s
-    }
-    val k2 = {
-      val s = leftShiftOne(k1)
-      if ((k1(0) & 0x80) != 0) { s(15) = (s(15) ^ Rb).toByte }; s
-    }
-    val n = if (msg.length == 0) 1 else (msg.length + 15) / 16
-    val lastComplete = msg.length > 0 && msg.length % 16 == 0
-    var x = new Array[Byte](16)
-    var i = 0
-    while (i < n - 1) {
-      x = aesEncryptBlock(key, xor(x, java.util.Arrays.copyOfRange(msg, i * 16, i * 16 + 16)))
-      i += 1
-    }
-    val lastBlock =
-      if (lastComplete)
-        xor(java.util.Arrays.copyOfRange(msg, (n - 1) * 16, n * 16), k1)
-      else {
-        val padded = new Array[Byte](16)
-        val rem = msg.length - (n - 1) * 16
-        System.arraycopy(msg, (n - 1) * 16, padded, 0, rem)
-        padded(rem) = 0x80.toByte
-        xor(padded, k2)
-      }
-    aesEncryptBlock(key, xor(x, lastBlock))
-  }
+    * LorawanCryptoSpec. One-shot convenience over [[CmacSession]] —
+    * the session IS the implementation (subkeys + block loop live
+    * there once; a second copy here had already started to drift in
+    * shape before it was folded away). */
+  def aesCmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] =
+    new CmacSession(key).cmac(msg)
 
   // ------------------------------------------------------------------ MIC
 

@@ -86,7 +86,12 @@ object ProtoWire {
       sb.append('"').append(k).append("\":")
     }
     def num(k: String, v: Long): Unit = if (v != 0) key(k).append(v)
-    def dbl(k: String, v: Double): Unit = if (v != 0.0) key(k).append(v)
+    // non-finite doubles (a corrupt fixed64 decoding to NaN/Infinity)
+    // would render as bare NaN/Infinity — invalid JSON that downstream
+    // from_json nulls wholesale; treat them like proto3 defaults and
+    // omit the field, keeping the rest of the frame routable
+    def dbl(k: String, v: Double): Unit =
+      if (v != 0.0 && !v.isNaN && !v.isInfinite) key(k).append(v)
     def str(k: String, v: String): Unit =
       if (v != null && v.nonEmpty) {
         key(k).append('"')

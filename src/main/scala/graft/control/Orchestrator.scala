@@ -31,10 +31,22 @@ object Orchestrator {
         c.copy(gatewayIdCsv = g, gatewayName = g))
     else Seq(c)
 
-  /** Config DataFrame flavor of the fan-out (for bulk bootstrap). */
+  /** Config DataFrame flavor of the fan-out (for bulk bootstrap).
+    * Mirrors [[fanOut]] exactly — only `ttn` configs with a non-empty
+    * CSV fan out (one row per gateway id); every other config passes
+    * through as ONE row with `gateway_id` null. An unconditional
+    * explode would disagree with the typed event path on which
+    * collectors exist (e.g. a chirpstack row with a leftover CSV
+    * becoming two collectors). Equivalence is pinned in
+    * OrchestratorSpec. */
   def fanOutDf(configs: DataFrame): DataFrame =
     configs.withColumn("gateway_id",
-      explode_outer(split(col("gateway_id_csv"), ",")))
+      // explode_outer emits one null-valued row for a null array — the
+      // pass-through case
+      explode_outer(
+        when(col("ctype") === "ttn" &&
+            col("gateway_id_csv").isNotNull && col("gateway_id_csv") =!= "",
+          split(col("gateway_id_csv"), ","))))
 
   // ----------------------------------------------------------- F7 deltas
 
@@ -42,15 +54,27 @@ object Orchestrator {
   final case class StatusEvent(collectorId: Long, status: String, verified: Boolean)
 
   /** F7 status-change detection: compare current statuses against the
-    * cache, emit deltas only (Orchestrator.py:88-135). Pure. */
+    * cache, emit deltas only (Orchestrator.py:88-135). Pure.
+    *
+    * Reference-faithful contract, both edges:
+    *  - unknown ids default to CONNECTED/unverified (`dict.get(id,
+    *    'CONNECTED')` / `get(id, False)`, :104-105) — a brand-new
+    *    collector that comes up connected emits NOTHING; only a new
+    *    collector that is down (or already verified) is a delta;
+    *  - a collector ABSENT from `current` (deleted / crashed out of
+    *    the snapshot) emits nothing and its cache entry is KEPT (the
+    *    reference dicts never forget, so a reappearance with the same
+    *    last-seen status is silent). Downstream learns about removals
+    *    from lifecycle Deleted events, not the status poll. */
   def statusDeltas(cache: Map[Long, Status],
                    current: Map[Long, Status]): (Map[Long, Status], Seq[StatusEvent]) = {
+    val defaultStatus = Status(connected = true, verified = false)
     val events = current.toSeq.sortBy(_._1).flatMap { case (id, st) =>
-      if (cache.get(id).contains(st)) Nil
+      if (cache.getOrElse(id, defaultStatus) == st) Nil
       else Seq(StatusEvent(id,
         if (st.connected) "CONNECTED" else "DISCONNECTED", st.verified))
     }
-    (current, events)
+    (cache ++ current, events)
   }
 
   // ------------------------------------------------- F5 timeout (driver)
@@ -122,6 +146,11 @@ object Orchestrator {
         running -= id
       }
       plan.start.groupBy(_.id).foreach { case (id, configs) =>
+        // the control bus is at-least-once: a duplicate Created for an
+        // id that is already running must not overwrite the map entry
+        // and orphan live queries (they would keep consuming and
+        // double-writing, unreachable by stopAll) — stop them first
+        running.get(id).foreach(_._2.foreach(_.stop()))
         running += id -> (configs.head, configs.map(build))
       }
     }

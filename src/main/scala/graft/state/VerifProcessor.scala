@@ -45,6 +45,13 @@ class VerifProcessor(passes: Rec => Boolean,
   @transient private var failed: ValueState[Boolean] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    // the 600 s timeout is a PROCESSING-TIME timer: wiring this
+    // processor with TimeMode.None (the pattern the stateless-timer
+    // processors in Pipeline use) would fail obscurely at the first
+    // registerTimer — fail fast with the actual requirement instead
+    require(timeMode == org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+      s"VerifProcessor requires TimeMode.ProcessingTime (600 s timeout " +
+        s"timer); got $timeMode")
     state = getHandle.getValueState[VerifState](
       "verif", Encoders.product[VerifState], TTLConfig.NONE)
     armed = getHandle.getValueState[Boolean](

@@ -107,7 +107,11 @@ object CorpusStream {
     * cosine on candidates (native dot fold, every reported sim is
     * true) → windowed top-k aggregation (the ONLY stateful step; state
     * = one k-array per (window, query), bounded by horizon × query
-    * rate).
+    * rate — enforced by the bounded [[graft.functions.TopKAgg]]
+    * accumulator, whose buffer never exceeds 2k candidates; a
+    * collect_list here would hold EVERY joined candidate, ~9/256 of
+    * the corpus per query, in the state store until the window
+    * closes).
     *
     * 100 TB corpus: pre-bucket the corpus BY SIGNATURE at rest
     * (bucketBy(sig) parquet, norms and sigs precomputed) — then the
@@ -146,18 +150,19 @@ object CorpusStream {
         srpSig(col("embedding")).as("qsig"))
       .select(col("ts"), col("query_id"), col("qv"), col("nq"),
         explode(expr(probeList)).as("probe"))
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAgg(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.TopKCand])
     probed.join(indexed, col("probe") === col("sig"))
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("nq") * col("nc")))
       .withWatermark("ts", horizon)
       .groupBy(window(col("ts"), window_), col("query_id"))
-      .agg(slice(array_sort(collect_list(struct(
-        (-col("sim")).as("ns"), col("vec_id").as("neighbor_id"),
-        col("sim").as("sim")))), 1, k).as("topk"))
+      .agg(topk(-col("sim"), col("vec_id"), col("sim")).as("tb"))
       .select(col("window.start").as("window_start"), col("query_id"),
-        posexplode(col("topk")).as(Seq("r", "c")))
+        posexplode(col("tb")("items")).as(Seq("r", "c")))
       .select(col("window_start"), col("query_id"),
         (col("r") + 1).cast("long").as("rank"),
-        col("c.neighbor_id"), col("c.sim"))
+        col("c.neighborId").as("neighbor_id"), col("c.sim"))
   }
 
   /** Streaming decontamination — the streaming twin of q51/q60: flag

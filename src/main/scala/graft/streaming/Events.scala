@@ -49,10 +49,18 @@ object Events {
   /** K1 idempotency key for effective exactly-once at the consumer
     * (SURVEY §2.2: the reference is at-least-once with silent drops,
     * Publisher.py:113-114; we keep at-least-once delivery but document
-    * the dedup key instead of silently improving semantics). */
+    * the dedup key instead of silently improving semantics).
+    *
+    * The key covers the MESSAGES payload too, not just the packet
+    * fields: envelope ts is epoch seconds and the join/raw routes
+    * produce packet-less envelopes, so two distinct packet-less
+    * envelopes from one collector in the same second would otherwise
+    * collide — and the upsert's anti-join would silently drop the
+    * second, losing an envelope a replay can never restore. */
   def idempotencyKey: Column =
     sha2(concat_ws("|",
       col("data_collector_id"), col("ts"),
       coalesce(col("packet")("mic"), lit("")),
-      coalesce(col("packet")("data"), lit(""))), 256)
+      coalesce(col("packet")("data"), lit("")),
+      coalesce(to_json(col("messages")), lit(""))), 256)
 }

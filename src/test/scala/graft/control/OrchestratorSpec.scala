@@ -1,10 +1,11 @@
 package graft.control
 
-import org.scalatest.funsuite.AnyFunSuite
 import Orchestrator._
 
-/** Pure-function tests for the control plane (Orchestrator.py semantics). */
-class OrchestratorSpec extends AnyFunSuite {
+/** Pure-function tests for the control plane (Orchestrator.py
+  * semantics), plus the DataFrame fan-out's equivalence pin (the one
+  * test here that needs a session). */
+class OrchestratorSpec extends graft.SparkSuite {
 
   private def cfg(id: Long, ctype: String = "chirpstack", csv: String = "",
                   enabled: Boolean = true) =
@@ -14,6 +15,30 @@ class OrchestratorSpec extends AnyFunSuite {
     val out = fanOut(cfg(1, "ttn", "eui-a,eui-b,eui-c"))
     assert(out.map(_.gatewayIdCsv) == Seq("eui-a", "eui-b", "eui-c"))
     assert(fanOut(cfg(2, "chirpstack", "x,y")).size == 1) // only ttn fans out
+  }
+
+  test("F9 fanOutDf agrees with the typed fanOut on a mixed config set") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val configs = Seq(
+      cfg(1, "ttn", "eui-a,eui-b,eui-c"),
+      cfg(2, "chirpstack", "x,y"), // leftover CSV must NOT fan out
+      cfg(3, "ttn", ""),           // empty CSV: pass through, not one '' gateway
+      cfg(4, "ttn", null))
+    val df = Seq(
+      (1L, "ttn", "eui-a,eui-b,eui-c"),
+      (2L, "chirpstack", "x,y"),
+      (3L, "ttn", ""),
+      (4L, "ttn", null.asInstanceOf[String]))
+      .toDF("id", "ctype", "gateway_id_csv")
+    val got = fanOutDf(df).select(col("id"), col("gateway_id"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sorted
+    val expected = configs.flatMap { c =>
+      val fanned = fanOut(c)
+      if (fanned == Seq(c)) Seq((c.id, None))
+      else fanned.map(f => (c.id, Some(f.gatewayIdCsv)))
+    }.sorted
+    assert(got == expected)
   }
 
   test("F9 lifecycle decisions (Orchestrator.py:138-243)") {
@@ -40,6 +65,16 @@ class OrchestratorSpec extends AnyFunSuite {
       StatusEvent(3, "DISCONNECTED", verified = false)))
     // second poll with no change emits nothing
     assert(statusDeltas(cache2, now)._2.isEmpty)
+    // reference edge 1 (:104-105 defaults): a NEW collector that comes
+    // up connected+unverified matches the dict defaults — silent
+    assert(statusDeltas(Map.empty,
+      Map(9L -> Status(connected = true, verified = false)))._2.isEmpty)
+    // reference edge 2 (dicts never forget): a collector absent from
+    // the snapshot emits nothing, stays cached, and a reappearance
+    // with its last-seen status is silent
+    val (cache3, ev3) = statusDeltas(cache2, now - 3L)
+    assert(ev3.isEmpty && cache3.contains(3L))
+    assert(statusDeltas(cache3, now)._2.isEmpty)
   }
 
   test("F5 600 s verification timeout (BaseCollector.py:43-53)") {

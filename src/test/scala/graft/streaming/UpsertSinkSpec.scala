@@ -48,4 +48,40 @@ class UpsertSinkSpec extends SparkSuite {
     // and the key is genuinely unique on disk
     assert(after.select("idem_key").distinct().count() == n2)
   }
+
+  test("distinct packet-less envelopes in the same second both survive") {
+    // join/raw routes emit packet=null envelopes; ts is epoch SECONDS,
+    // so two different such envelopes from one collector in one second
+    // are distinguished ONLY by their message payloads — the key must
+    // cover them or the upsert's anti-join silently drops the second
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert2")
+      .resolve("sink").toString
+    def jr(devNonce: Int): String = {
+      val body = Array(0x00.toByte) ++
+        graft.codec.Lorawan.hexToLe("70b3d57ed0000000") ++
+        graft.codec.Lorawan.hexToLe("0004a30b001fbc00") ++
+        Array((devNonce & 0xff).toByte, ((devNonce >> 8) & 0xff).toByte) ++
+        graft.codec.Lorawan.hexToBytes("00000000")
+      graft.codec.Lorawan.b64encode(body)
+    }
+    val raw = Seq(
+      ("application/1/device/aa/join",
+        s"""{"phyPayload":"${jr(1)}","devEUI":"0004a30b001fbc00"}""",
+        7L, 1L),
+      ("application/1/device/aa/join",
+        s"""{"phyPayload":"${jr(2)}","devEUI":"0004a30b001fbc00"}""",
+        7L, 2L))
+      .toDF("topic", "message", "data_collector_id", "seq")
+      .withColumn("organization_id", lit(1L))
+      // same arrival second for both
+      .withColumn("arrival_ts", timestamp_micros(lit(5L) * 1000000L))
+    val batch = Pipeline.chirpEnvelopeFrameBatch(raw)
+    val nulls = batch.filter(col("packet").isNull).count()
+    Pipeline.upsertEnvelopeBatch(batch, dir)
+    val onDisk = spark.read.parquet(dir)
+    assert(onDisk.count() == batch.count(),
+      s"envelopes lost in upsert (batch ${batch.count()}, disk ${onDisk.count()})")
+    // the scenario is only exercised if packet-less envelopes exist
+    assert(nulls >= 2, s"expected >=2 packet-less envelopes, got $nulls")
+  }
 }

@@ -165,6 +165,8 @@ object TextFunctions {
     * pairwise independent, restoring the banding math
     * (P(miss | j≥0.8) = (1-j⁴)^32 < 1e-7). */
   val minhashSig = udf { (sh: Seq[String]) =>
+    if (sh == null) null
+    else {
     val sig = Array.fill(128)(Long.MaxValue)
     sh.foreach { s =>
       val h = java.lang.Math.floorMod(xxh64(s), P)
@@ -176,11 +178,17 @@ object TextFunctions {
       }
     }
     sig
+    }
   }
 
   /** 60-bit SimHash over distinct tokens, md5-derived token hashes
     * (low 15 hex chars) — mirrored exactly by the DuckDB oracle. */
   val simhash = udf { (text: String) =>
+    // null text -> null signature (SQL semantics, the sibling guard at
+    // shingles/nfc): a regenerated corpus with one NULL row must not
+    // NPE the whole q35 plan
+    if (text == null) null.asInstanceOf[java.lang.Long]
+    else {
     val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](60)
     val seen = new java.util.HashSet[String]()
@@ -210,7 +218,8 @@ object TextFunctions {
       if (votes(j) > 0) out |= (1L << j)
       j += 1
     }
-    out
+    java.lang.Long.valueOf(out)
+    }
   }
 
   /** Exact Jaccard between two string sets (verification kernel). */

@@ -47,14 +47,23 @@ object BmpCodec {
     val hRaw = le32(blob, 22)
     val bits = le16(blob, 28)
     val compression = le32(blob, 30)
-    if (infoSize < 40 || bits != 24 || compression != 0 || w < 0)
+    // hRaw = Int.MinValue survives math.abs still negative and would
+    // skip the h > 0 truncation guard into NegativeArraySizeException —
+    // reject it with the other unsupported geometries
+    if (infoSize < 40 || bits != 24 || compression != 0 || w < 0 ||
+        hRaw == Int.MinValue)
       return err("unsupported_bmp")
     val h = math.abs(hRaw)
     val topDown = hRaw < 0
     if (dataOff < 54 || dataOff > blob.length) return err("short_header")
-    val st = stride(w)
-    if (h > 0 && (st <= 0 || dataOff.toLong + h.toLong * st > blob.length))
+    // stride in Long: 3*w wraps for w >= ~715M and a wrapped small
+    // stride would pass the bounds check on a crafted header, then
+    // crash on allocation — the never-throws contract needs
+    // overflow-proof geometry math
+    val stL = ((3L * w + 3L) / 4L) * 4L
+    if (h > 0 && (stL <= 0 || dataOff.toLong + h.toLong * stL > blob.length))
       return err("truncated_pixels")
+    val st = stL.toInt // h > 0 bounds it by blob.length; h == 0 never reads it
     val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {

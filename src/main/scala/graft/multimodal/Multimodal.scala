@@ -209,8 +209,13 @@ object Multimodal {
       lit(1).as("n_frames"),
       array(
         size(d("pixels")).cast("double"),
-        coalesce(element_at(d("pixels"), 1), lit(0)).cast("double"),
-        coalesce(element_at(d("pixels"), -1), lit(0)).cast("double"),
+        // size guard, not bare coalesce: ANSI element_at THROWS on an
+        // empty (non-null) array — a 0x0 image is in-domain (the L=0
+        // oracle case) and must yield 0, not INVALID_ARRAY_INDEX
+        when(size(d("pixels")) > 0, element_at(d("pixels"), 1))
+          .otherwise(lit(0)).cast("double"),
+        when(size(d("pixels")) > 0, element_at(d("pixels"), -1))
+          .otherwise(lit(0)).cast("double"),
         pmod(aggregate(d("pixels"), lit(0L), (a, x) => a + x.cast("long")),
           lit(997L)).cast("double")).as("features"))
   }

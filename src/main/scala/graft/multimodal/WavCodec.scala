@@ -55,7 +55,10 @@ object WavCodec {
       val id = tag(blob, off)
       val sz = le32(blob, off + 4)
       val body = off + 8
-      if (sz < 0 || body + sz > blob.length) {
+      // Long arithmetic: a crafted sz near 2^31 would wrap `body + sz`
+      // negative and sail past this check into an allocation/index crash
+      // — the never-throws contract requires overflow-proof bounds
+      if (sz < 0 || body.toLong + sz.toLong > blob.length) {
         return if (id == "data") err("truncated_data") else err("short_header")
       }
       id match {

@@ -59,8 +59,13 @@ object Y4mCodec {
     }
     if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0 || !chroma.startsWith("420"))
       return err("unsupported_y4m")
-    val lumaLen = w * h
-    val frameLen = lumaLen + 2 * (w / 2) * (h / 2)
+    // Long geometry: W65536 H65536 wraps w*h to 0 and frameLen negative,
+    // which would pass the truncation check and walk `off` backwards
+    // into a StringIndexOutOfBounds — never-throws needs overflow-proof
+    // frame math (the loop below compares in Long and only narrows
+    // after the bounds check has capped the values by blob.length)
+    val lumaLenL = w.toLong * h
+    val frameLenL = lumaLenL + 2L * (w / 2) * (h / 2)
     val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
     var off = nl + 1
     while (off < blob.length) {
@@ -77,7 +82,10 @@ object Y4mCodec {
       }
       if (fnl < 0) return err("bad_frame_marker")
       val body = fnl + 1
-      if (body + frameLen > blob.length) return err("truncated_frame")
+      if (body.toLong + frameLenL > blob.length) return err("truncated_frame")
+      // bounds check passed → both fit int
+      val lumaLen = lumaLenL.toInt
+      val frameLen = frameLenL.toInt
       var s = 0L
       var p = 0
       while (p < lumaLen) { s += blob(body + p) & 0xffL; p += 1 }

@@ -214,20 +214,33 @@ object Packets {
     * hit by construction — Spark must rediscover them by testing all
     * 196,608 candidates (~1.6M AES-CMACs here; embarrassingly parallel,
     * no shuffle of either side at scale beyond the candidate broadcast). */
-  def q48KeyPatterns(s: SparkSession, d: String): DataFrame = {
-    def hex2(c: Column) = lpad(lower(hex(c)), 2, "0")
+  /** Shared by q48/q89: the 3-template candidate keyspace (65,536 ×
+    * {hi+hj*15, (hi hj)*8, zeros+hi+hj}, deduped) and the key3-shaped
+    * per-event planted key. ONE definition: the "planted by
+    * construction" oracle contract requires the generator and the
+    * planted key to stay in lockstep across both brute-force queries —
+    * two verbatim copies had already been flagged as drift risk. */
+  private def hex2(c: Column) = lpad(lower(hex(c)), 2, "0")
+
+  private def keyPatternCandidates(s: SparkSession): DataFrame = {
     val gen = s.range(65536).select(
       hex2((col("id") / 256).cast("int")).as("hi"),
       hex2((col("id") % 256).cast("int")).as("hj"))
-    val cands = gen.select(explode(array(
+    gen.select(explode(array(
         concat(col("hi"), repeat(col("hj"), 15)),
         repeat(concat(col("hi"), col("hj")), 8),
         concat(lit("0" * 28), col("hi"), col("hj")))).as("cand_key"))
       .distinct()
+  }
+
+  private def key3Hex: Column = concat(lit("0" * 28),
+    hex2((col("user_id") % 256).cast("int")),
+    hex2((col("event_id") % 256).cast("int")))
+
+  def q48KeyPatterns(s: SparkSession, d: String): DataFrame = {
+    val cands = keyPatternCandidates(s)
     val e = events(s, d).filter(col("event_id") < 8)
-    val keyHex = concat(lit("0" * 28),
-      hex2((col("user_id") % 256).cast("int")),
-      hex2((col("event_id") % 256).cast("int")))
+    val keyHex = key3Hex
     val jr = PhyFunctions.encodeJoinRequest(
       lpad(lower(hex(col("user_id") + 1)), 16, "0"),
       lpad(lower(hex(col("event_id") + 1)), 16, "0"),
@@ -265,19 +278,9 @@ object Packets {
     * key space is the streamed side, the capture broadcasts as one
     * packed row, one amortized crypto session per candidate. */
   def q89JoinAcceptKeys(s: SparkSession, d: String): DataFrame = {
-    def hex2(c: Column) = lpad(lower(hex(c)), 2, "0")
-    val gen = s.range(65536).select(
-      hex2((col("id") / 256).cast("int")).as("hi"),
-      hex2((col("id") % 256).cast("int")).as("hj"))
-    val cands = gen.select(explode(array(
-        concat(col("hi"), repeat(col("hj"), 15)),
-        repeat(concat(col("hi"), col("hj")), 8),
-        concat(lit("0" * 28), col("hi"), col("hj")))).as("cand_key"))
-      .distinct()
+    val cands = keyPatternCandidates(s)
     val e = events(s, d).filter(col("event_id") < 8)
-    val keyHex = concat(lit("0" * 28),
-      hex2((col("user_id") % 256).cast("int")),
-      hex2((col("event_id") % 256).cast("int")))
+    val keyHex = key3Hex
     val devAddr = lpad(lower(hex(col("user_id") + 7)), 8, "0")
     val packed = e.select(col("event_id"),
         PhyFunctions.encodeJoinAccept(keyHex,

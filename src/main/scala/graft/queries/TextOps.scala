@@ -92,10 +92,16 @@ object TextOps {
     val nStop = size(filter(toks, t => array_contains(stop, t))).cast("long")
     val nAlnumSpace = length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
     val stopRatio = nStop.cast("double") / nTokens
+    // length(text) = 0 is in-domain (an empty document); ANSI divides
+    // THROW on zero, so the alpha-ratio term needs the guard — mirrored
+    // in the oracle so both engines score an empty doc identically
+    // (nTokens is never 0: split('', ' ') yields [''])
+    val alphaRatio = when(length(col("text")) > 0,
+      nAlnumSpace.cast("double") / length(col("text"))).otherwise(lit(0.0))
     val quality =
       lit(0.4) * least(lit(1.0), nTokens.cast("double") / 100.0) +
         lit(0.3) * (lit(1.0) - stopRatio) +
-        lit(0.3) * (nAlnumSpace.cast("double") / length(col("text")))
+        lit(0.3) * alphaRatio
     documents(s, d).select(
         col("doc_id"),
         nTokens.as("n_tokens"),
@@ -630,8 +636,12 @@ object TextOps {
     documents(s, d)
       .withColumn("raw", raw)
       .withColumn("n_sym", regexp_count(col("raw"), lit("[{}();=]")).cast("long"))
+      // empty raw (empty doc off the %13 tail) would hit ANSI's
+      // DIVIDE_BY_ZERO — guard mirrored in the oracle
       .withColumn("sym_frac",
-        col("n_sym").cast("double") / length(col("raw")))
+        when(length(col("raw")) > 0,
+          col("n_sym").cast("double") / length(col("raw")))
+          .otherwise(lit(0.0)))
       .select(col("doc_id"), col("n_sym"), col("sym_frac"),
         (col("sym_frac") > 0.005).as("is_code"))
       .orderBy(col("doc_id"))
@@ -1032,10 +1042,17 @@ object TextOps {
     val dupB = q33NgramJaccard(s, d).select(col("doc_b").as("doc_id")).distinct()
     val repKeep = q52RepetitionFilter(s, d).filter(col("keep")).select(col("doc_id"))
     val contaminated = q51Decontaminate(s, d).select(col("doc_id"))
+    // broadcast ONLY the genuinely small sides: dupB (near-dup ids) and
+    // contaminated (benchmark hits) are slivers of the corpus by
+    // definition. keepExact and repKeep are ~one id per surviving
+    // document — corpus-sized — and a forced broadcast would override
+    // AQE's byte threshold exactly where it protects the executors at
+    // scale; unhinted, AQE still broadcasts them at test SF and
+    // correctly shuffles them at 100 TB.
     docs
-      .join(broadcast(keepExact), Seq("doc_id"), "left_semi")
+      .join(keepExact, Seq("doc_id"), "left_semi")
       .join(broadcast(dupB), Seq("doc_id"), "left_anti")
-      .join(broadcast(repKeep), Seq("doc_id"), "left_semi")
+      .join(repKeep, Seq("doc_id"), "left_semi")
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       .filter(col("doc_id") % 41 =!= 0) // the benchmark slice never ships
       .filter(col("lang") === "en")
@@ -1796,8 +1813,9 @@ object TextOps {
         |  + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
         |      t -> t IN ('the','a','of','is','and','to'))) AS DOUBLE)
         |      / len(string_split(text, ' ')))
-        |  + 0.3 * (CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-        |      / length(text)) AS quality_score
+        |  + 0.3 * (CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / length(text) END) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q31_langid" ->
       """WITH x AS (SELECT doc_id, lang AS labeled_lang,
@@ -2025,8 +2043,9 @@ object TextOps {
         |  FROM documents),
         |c AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(raw, '[{}();=]')) AS BIGINT) AS n_sym,
-        |    CAST(len(regexp_extract_all(raw, '[{}();=]')) AS DOUBLE)
-        |      / length(raw) AS sym_frac
+        |    CASE WHEN length(raw) = 0 THEN 0.0
+        |      ELSE CAST(len(regexp_extract_all(raw, '[{}();=]')) AS DOUBLE)
+        |      / length(raw) END AS sym_frac
         |  FROM m)
         |SELECT doc_id, n_sym, sym_frac, sym_frac > 0.005 AS is_code
         |FROM c ORDER BY doc_id""".stripMargin,

@@ -335,13 +335,18 @@ object Vectors {
     * codegen left-to-right fold as q36/q37 (bit-identical to the
     * oracle's list_reduce), so the ≥-threshold decision is deterministic
     * across engines. */
+  /** Shared by q61/q79: the axis-aligned SRP sign bucket (bit b set iff
+    * embedding[b] > 0) — ONE definition, because both DuckDB oracles
+    * mirror this expression literally and an edit to one copy but not
+    * the other would break exactly one query's parity. */
+  private def signBucket: org.apache.spark.sql.Column = (0 until SemBits)
+    .map(b => when(col("embedding").getItem(b) > 0f, lit(1L << b)).otherwise(lit(0L)))
+    .reduce(_ + _)
+
   def q61SemanticDedup(s: SparkSession, d: String): DataFrame = {
-    val bucketCol = (0 until SemBits)
-      .map(b => when(col("embedding").getItem(b) > 0f, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
     val e = embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("bucket", bucketCol)
+      .withColumn("bucket", signBucket)
       .withColumn("nv", sqrt(dot_f(col("embedding"), col("embedding"))))
     val a = e.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("va"), col("nv").as("na"))
@@ -367,12 +372,9 @@ object Vectors {
     * benchmark side is MBs and broadcasts, the corpus side never
     * self-joins. */
   def q79SemanticDecon(s: SparkSession, d: String): DataFrame = {
-    val bucketCol = (0 until SemBits)
-      .map(b => when(col("embedding").getItem(b) > 0f, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
     val e = embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", bucketCol)
+      .withColumn("bucket", signBucket)
       .withColumn("nv", sqrt(dot_f(col("embedding"), col("embedding"))))
     val bench = e.filter(col("vec_id") % 41 === 0)
       .select(col("bucket"), col("vec_id").as("bench_id"),

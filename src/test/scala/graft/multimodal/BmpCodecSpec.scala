@@ -56,4 +56,18 @@ class BmpCodecSpec extends AnyFunSuite {
     val d = decode(encode(Array.empty[Int], width = 0))
     assert(d.error == null && d.width == 0 && d.height == 0 && d.pixels.isEmpty)
   }
+
+  test("overflow geometries error instead of wrapping past the bounds check") {
+    def put32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+      b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    val good = encode(Array(1, 2, 3, 4), width = 4)
+    // width 1431655766: 3*w wraps to 2 in int math, stride looks tiny
+    val wideW = good.clone(); put32(wideW, 18, 1431655766)
+    assert(decode(wideW).error == "truncated_pixels")
+    // height Int.MinValue survives math.abs negative
+    val minH = good.clone(); put32(minH, 22, Int.MinValue)
+    assert(decode(minH).error == "unsupported_bmp")
+  }
 }

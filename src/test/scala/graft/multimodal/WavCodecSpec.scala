@@ -50,4 +50,15 @@ class WavCodecSpec extends AnyFunSuite {
     val d = decode(encode(Array.empty[Int]))
     assert(d.error == null && d.nSamples == 0 && d.samples.isEmpty)
   }
+
+  test("a chunk size near 2^31 errors instead of wrapping the bounds check") {
+    // body + sz would wrap negative in int math, bypassing truncation
+    // and crashing on allocation — the never-throws contract's edge
+    val good = encode(samples)
+    val evil = good.clone()
+    val szOff = 40 // data chunk size field
+    evil(szOff) = 0xf0.toByte; evil(szOff + 1) = 0xff.toByte
+    evil(szOff + 2) = 0xff.toByte; evil(szOff + 3) = 0x7f.toByte // 0x7ffffff0
+    assert(decode(evil).error == "truncated_data")
+  }
 }

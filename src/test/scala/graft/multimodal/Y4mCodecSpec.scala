@@ -67,5 +67,9 @@ class Y4mCodecSpec extends AnyFunSuite {
     assert(decode(bad).error == "bad_frame_marker")
     // last frame cut short
     assert(decode(good.slice(0, good.length - 3)).error == "truncated_frame")
+    // W65536 H65536 wraps frameLen negative in int math — must report
+    // truncation, not walk the offset backwards and throw
+    val huge = ("YUV4MPEG2 W65536 H65536 C420\n" + "FRAME\n").getBytes
+    assert(decode(huge).error == "truncated_frame")
   }
 }

@@ -338,15 +338,13 @@ object Packets {
     * parallelism with one state shuffle. Rows-only check (envelope
     * emission depends on the state machine; its semantics are pinned by
     * StateOpsSpec + the q22-q25 window-analog oracles). */
-  def q50PipelineE2e(s: SparkSession, d: String): DataFrame = {
-    implicit val sp: SparkSession = s
-    // The sf parquet is one file → one scan partition, which would run the
-    // whole map-side normalize on a single core. A real message source
-    // (MQTT consumer, log replay) delivers many partitions; spread the
-    // narrow 3-column event rows first so synth+normalize run at full
-    // parallelism. (At cluster scale the source is already partitioned and
-    // this is a no-op-sized shuffle of the keys.)
-    val e = events(s, d).repartition(s.sparkContext.defaultParallelism)
+  /** q50's synthesized raw-message frame, shared with the dev tools
+    * (Profile50/Stress50) that profile the same workload — ONE
+    * definition so a change to the message shape cannot leave a tool
+    * silently profiling something else. `e` carries
+    * (event_id, user_id, ts_us); `collectors` sets the per-collector
+    * fan (8 for the graded query, more for state-parallelism stress). */
+  def synthRawMessages(e: DataFrame, collectors: Int): DataFrame = {
     val devAddr = lpad(lower(hex(col("user_id") + 7)), 8, "0")
     val phyB64 = base64(PhyFunctions.encodeDataFrame(
       lit("UnconfirmedDataUp"), devAddr, lit(true), lit(false),
@@ -360,14 +358,26 @@ object Packets {
              |"rssi":-60,"loRaSNR":9.0,"size":17,"timestamp":""".stripMargin.replace("\n", "")),
       col("event_id"),
       lit(""","frequency":868100000,"mac":"aabb","dataRate":{"modulation":"LORA","spreadFactor":7,"bandwidth":125}}}"""))
-    val raw = e.select(
+    e.select(
       when(col("event_id") % 5 === 0, concat(lit("application/1/device/d"), col("user_id"), lit("/join")))
         .otherwise(lit("gateway/gw1/rx")).as("topic"),
       when(col("event_id") % 5 === 0, joinMsg).otherwise(radioMsg).as("message"),
-      (col("user_id") % 8).as("data_collector_id"),
+      (col("user_id") % collectors).as("data_collector_id"),
       lit(1L).as("organization_id"),
       col("event_id").as("seq"),
       timestamp_micros(col("ts_us")).as("arrival_ts"))
+  }
+
+  def q50PipelineE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    // The sf parquet is one file → one scan partition, which would run the
+    // whole map-side normalize on a single core. A real message source
+    // (MQTT consumer, log replay) delivers many partitions; spread the
+    // narrow 3-column event rows first so synth+normalize run at full
+    // parallelism. (At cluster scale the source is already partitioned and
+    // this is a no-op-sized shuffle of the keys.)
+    val e = events(s, d).repartition(s.sparkContext.defaultParallelism)
+    val raw = synthRawMessages(e, collectors = 8)
     val envs = graft.streaming.Pipeline.chirpEnvelopeFrameBatch(raw)
     envs.groupBy(col("data_collector_id"))
       .agg(

@@ -26,11 +26,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * }}}
   *
   * Offsets are the count of files consumed from the lexicographically
-  * sorted directory listing — files must be append-only and named
-  * monotonically (e.g. zero-padded sequence numbers), which is exactly
-  * what a transport writer produces. Batch reads (replay/tests) see every
-  * file at once. One file = one partition: scale ingest by sharding the
-  * writer across files.
+  * sorted directory listing. WRITER CONTRACT (what a transport daemon
+  * must do, and what EventsStreamTwinSpec demonstrates): a segment is
+  * IMMUTABLE ONCE LISTABLE — write it outside the watched directory,
+  * then move it in atomically; name segments monotonically (zero-padded
+  * sequence numbers). Appending to an already-listed file is OUT of
+  * contract: a micro-batch whose offset has passed that file will never
+  * re-read it, so in-place appends would be silently lost — atomic
+  * whole-file publish is what makes file-count offsets exactly-once.
+  * The log is append-only at FILE granularity, never within a file.
+  * Batch reads (replay/tests) see every file at once. One file = one
+  * partition: scale ingest by sharding the writer across files.
   *
   * Scan pushdown (SURVEY §7.6 backlog 6c):
   *   - column pruning: the reader materializes ONLY the required
@@ -163,13 +169,18 @@ object MessageLogSource {
     * file i's seqs lie in [first_i, first_(i+1) - 1] (last file
     * unbounded above).
     *
-    * The monotonicity premise is CHECKED, not assumed: if the observed
-    * first-seqs are not strictly increasing across the listing (a
-    * writer restart that reset its counter, a rotated file sorting out
-    * of order), pruning is skipped entirely — residual row filters
-    * stay correct but cannot resurrect rows in files that were never
-    * opened, so a violated premise must degrade to "read everything",
-    * never to silent row loss. */
+    * The CROSS-FILE half of the premise is CHECKED, not assumed: if
+    * the observed first-seqs are not strictly increasing across the
+    * listing (a writer restart that reset its counter, a rotated file
+    * sorting out of order), pruning is skipped entirely — residual row
+    * filters stay correct but cannot resurrect rows in files that were
+    * never opened, so a violated cross-file premise degrades to "read
+    * everything". The WITHIN-file half (rows inside a segment carry
+    * seqs in [first_i, first_(i+1))) is the single-counter writer
+    * contract and is NOT cheaply checkable (an interior out-of-order
+    * row is invisible to any endpoint peek); a writer broken in that
+    * specific way could still lose rows to pruning — callers who
+    * cannot trust their writer should not push seq bounds. */
   private[sources] def pruneBySeq(files: Array[String],
                                   pushed: Array[Filter]): Array[String] = {
     val (lo, hi) = seqBounds(pushed)
@@ -275,31 +286,69 @@ class MessageLogReader(file: String, required: StructType,
   private var current: InternalRow = _
   private var closed = false
 
+  // Per-reader projection plan, computed ONCE: the per-row loop below
+  // is the hot path column pruning exists to speed up — rebuilding the
+  // field-name Seq and string-matching per line would allocate on
+  // every record of a multi-million-line segment. The wildcard throw
+  // also fires here at reader construction (a FUTURE schema column
+  // wrongly wired would otherwise be filled silently).
+  private val colIds: Array[Int] = required.fields.map { f =>
+    f.name match {
+      case "topic" => 0
+      case "message" => 1
+      case "data_collector_id" => 2
+      case "organization_id" => 3
+      case "seq" => 4
+      case "arrival_ts" => 5
+      case other => throw new IllegalStateException(
+        s"MessageLogReader: unhandled projected column '$other'")
+    }
+  }
+
+  /** Contract violation (half-written or hand-edited segment) fails
+    * LOUDLY with the offending file, never as a bare NPE mid-scan:
+    * the writer contract is atomic whole-file publish, so a malformed
+    * line means the log is corrupt — silent skipping would turn that
+    * into unexplained missing rows. */
+  private def requireLong(node: com.fasterxml.jackson.databind.JsonNode,
+                          field: String): Long = {
+    val v = node.get(field)
+    if (v == null || v.isNull) throw new IllegalStateException(
+      s"MessageLogReader: record missing '$field' in $file — " +
+        "segment violates the atomic-publish writer contract")
+    v.asLong()
+  }
+
   override def next(): Boolean = {
     while (lines.hasNext) {
-      val node = mapper.readTree(lines.next())
+      val line = lines.next()
+      val node =
+        try mapper.readTree(line)
+        catch { case e: Exception => throw new IllegalStateException(
+          s"MessageLogReader: unparseable line in $file — segment " +
+            s"violates the atomic-publish writer contract: ${e.getMessage}") }
       val topic =
         if (node.hasNonNull("topic")) node.get("topic").asText else null
-      val dc = node.get("data_collector_id").asLong()
-      val org = node.get("organization_id").asLong()
-      val seq = node.get("seq").asLong()
+      val dc = requireLong(node, "data_collector_id")
+      val org = requireLong(node, "organization_id")
+      val seq = requireLong(node, "seq")
       if (pushed.forall(MessageLogSource.eval(_, topic, dc, org, seq))) {
-        current = InternalRow.fromSeq(required.fields.map(_.name).toSeq.map {
-          case "topic" =>
-            if (topic == null) null else UTF8String.fromString(topic)
-          case "message" =>
-            if (node.hasNonNull("message"))
-              UTF8String.fromString(node.get("message").asText) else null
-          case "data_collector_id" => dc
-          case "organization_id" => org
-          case "seq" => seq
-          case "arrival_ts" => node.get("arrival_ts").asLong() // epoch micros
-          case other =>
-            // a wildcard here would silently fill any FUTURE schema
-            // column with arrival_ts values — fail loudly instead
-            throw new IllegalStateException(
-              s"MessageLogReader: unhandled projected column '$other'")
-        })
+        val vals = new Array[Any](colIds.length)
+        var i = 0
+        while (i < colIds.length) {
+          vals(i) = colIds(i) match {
+            case 0 => if (topic == null) null else UTF8String.fromString(topic)
+            case 1 =>
+              if (node.hasNonNull("message"))
+                UTF8String.fromString(node.get("message").asText) else null
+            case 2 => dc
+            case 3 => org
+            case 4 => seq
+            case _ => requireLong(node, "arrival_ts") // epoch micros
+          }
+          i += 1
+        }
+        current = InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
         return true
       }
     }

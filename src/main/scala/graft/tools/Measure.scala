@@ -34,7 +34,14 @@ object Measure {
     var bytes = 0L
     var records = 0L
     var exchanges = 0
+    // identity de-dup: a ReusedExchangeExec points at an exchange that
+    // ALSO appears under its original parent — walking through both
+    // paths would double-count the one materialization's bytes (and
+    // inflate exactly the shuffle-bytes numbers a perf CI keys on)
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     def walk(p: SparkPlan): Unit = {
+      if (!seen.add(p)) return
       p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
         // AQE hides the materialized exchange inside a LEAF query-stage

@@ -33,7 +33,10 @@ object PlanAudit {
         println(f"$name%-24s exch=$exch%2d bcast=$bcast%d wscg=$wscg%2d " +
           f"scans=$scans%d scansNoPush=$noPush%d")
       } catch { case e: Throwable =>
-        println(f"$name%-24s PLAN-ERROR ${e.getMessage.take(80)}")
+        // getMessage is null for bare NPEs etc. — the survey tool must
+        // outlive any one query's failure
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        println(f"$name%-24s PLAN-ERROR ${msg.take(80)}")
       }
     }
     spark.stop()

@@ -23,33 +23,13 @@ object Profile50 {
       println(f"  $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
 
-    // replicate q50's synthesized raw-message frame
-    val raw: DataFrame = {
-      import graft.functions.PhyFunctions
-      val e = graft.Tables.events(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism)
-      val devAddr = lpad(lower(hex(col("user_id") + 7)), 8, "0")
-      val phyB64 = base64(PhyFunctions.encodeDataFrame(
-        lit("UnconfirmedDataUp"), devAddr, lit(true), lit(false),
-        (col("event_id") % 65536).cast("int"),
-        lit(null).cast("int"), lit(null).cast("binary"), lit("00000000")))
-      val joinMsg = concat(lit("""{"devAddr":""""), devAddr,
-        lit("""","devEUI":"cafe"""), col("user_id"), lit("\"}"))
-      val radioMsg = concat(
-        lit("""{"phyPayload":""""), phyB64,
-        lit("""","rxInfo":{"channel":1,"rfChain":0,"crcStatus":1,"codeRate":"4/5",
-               |"rssi":-60,"loRaSNR":9.0,"size":17,"timestamp":""".stripMargin.replace("\n", "")),
-        col("event_id"),
-        lit(""","frequency":868100000,"mac":"aabb","dataRate":{"modulation":"LORA","spreadFactor":7,"bandwidth":125}}}"""))
-      e.select(
-        when(col("event_id") % 5 === 0, concat(lit("application/1/device/d"), col("user_id"), lit("/join")))
-          .otherwise(lit("gateway/gw1/rx")).as("topic"),
-        when(col("event_id") % 5 === 0, joinMsg).otherwise(radioMsg).as("message"),
-        (col("user_id") % 8).as("data_collector_id"),
-        lit(1L).as("organization_id"),
-        col("event_id").as("seq"),
-        timestamp_micros(col("ts_us")).as("arrival_ts"))
-    }
+    // q50's synthesized raw-message frame — the SHARED definition
+    // (Packets.synthRawMessages), so this tool always profiles exactly
+    // the workload the graded query runs
+    val raw: DataFrame = graft.queries.Packets.synthRawMessages(
+      graft.Tables.events(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism),
+      collectors = 8)
 
     // NOTE: .count() over a projection column-prunes the expensive exprs
     // away — use queryExecution.toRdd.count() to force full-row

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerJobStart, SparkListenerJobEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 import scala.collection.mutable.ArrayBuffer
@@ -28,8 +28,6 @@ object StageClock {
     final case class St(id: Int, name: String, submitted: Long, completed: Long,
                         taskMs: Long, tasks: Int, gcMs: Long)
     val stages = ArrayBuffer.empty[St]
-    val jobs = ArrayBuffer.empty[(Int, Long, Long)]
-    var jobStart = Map.empty[Int, Long]
     // Listener callbacks arrive on the async listener-bus thread while
     // main clears/reads the buffers between reps — guard every access
     // with the buffer's own lock, and drain the bus before each read so
@@ -45,10 +43,6 @@ object StageClock {
             si.taskMetrics.jvmGCTime)
         }
       }
-      override def onJobStart(e: SparkListenerJobStart): Unit =
-        jobs.synchronized { jobStart += e.jobId -> e.time }
-      override def onJobEnd(e: SparkListenerJobEnd): Unit =
-        jobs.synchronized { jobs += ((e.jobId, jobStart.getOrElse(e.jobId, 0L), e.time)) }
     })
 
     graft.SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
@@ -67,7 +61,7 @@ object StageClock {
     }
     for (r <- 1 to reps) {
       org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
-      stages.synchronized(stages.clear()); jobs.synchronized(jobs.clear())
+      stages.synchronized(stages.clear())
       spark.sharedState.cacheManager.clearCache()
       System.gc()
       val t0 = System.nanoTime()

@@ -31,27 +31,9 @@ object Stress50 {
         (col("event_id") * replicas + col("rep")).as("event_id"),
         (col("user_id") * replicas + col("rep")).as("user_id"),
         col("ts_us"))
-    val devAddr = lpad(lower(hex(col("user_id") + 7)), 8, "0")
-    val phyB64 = base64(PhyFunctions.encodeDataFrame(
-      lit("UnconfirmedDataUp"), devAddr, lit(true), lit(false),
-      (col("event_id") % 65536).cast("int"),
-      lit(null).cast("int"), lit(null).cast("binary"), lit("00000000")))
-    val joinMsg = concat(lit("""{"devAddr":""""), devAddr,
-      lit("""","devEUI":"cafe"""), col("user_id"), lit("\"}"))
-    val radioMsg = concat(
-      lit("""{"phyPayload":""""), phyB64,
-      lit("""","rxInfo":{"channel":1,"rfChain":0,"crcStatus":1,"codeRate":"4/5",
-             |"rssi":-60,"loRaSNR":9.0,"size":17,"timestamp":""".stripMargin.replace("\n", "")),
-      col("event_id"),
-      lit(""","frequency":868100000,"mac":"aabb","dataRate":{"modulation":"LORA","spreadFactor":7,"bandwidth":125}}}"""))
-    val raw: DataFrame = e.select(
-      when(col("event_id") % 5 === 0, concat(lit("application/1/device/d"), col("user_id"), lit("/join")))
-        .otherwise(lit("gateway/gw1/rx")).as("topic"),
-      when(col("event_id") % 5 === 0, joinMsg).otherwise(radioMsg).as("message"),
-      (col("user_id") % 256).as("data_collector_id"), // more collectors → state parallelism
-      lit(1L).as("organization_id"),
-      col("event_id").as("seq"),
-      timestamp_micros(col("ts_us")).as("arrival_ts"))
+    // shared q50 synth (Packets.synthRawMessages); 256 collectors for
+    // state parallelism instead of the graded query's 8
+    val raw: DataFrame = graft.queries.Packets.synthRawMessages(e, collectors = 256)
 
     val n = nEvents * replicas
     val t0 = System.nanoTime()

@@ -68,4 +68,41 @@ object MediaCodecPropSpec extends Properties("MediaCodecs") {
     val d = Y4mCodec.decode(b)
     (d.error == null) != (d.lumaSums == null)
   }
+
+  // Structured fuzz: pure-random bytes almost never survive the magic
+  // checks, so they exercise little of the header math. Corrupting a
+  // 4-byte window of a VALID blob with an extreme int is exactly the
+  // class that found the 2^31 overflow bugs — keep hammering it.
+  private val genExtreme: Gen[Int] = Gen.oneOf(
+    Gen.oneOf(Int.MinValue, Int.MinValue + 1, -1, 0, 1,
+      Int.MaxValue, Int.MaxValue - 15, 0x7ffffff0, 1431655766),
+    Gen.choose(Int.MinValue, Int.MaxValue))
+
+  private def corrupt(blob: Array[Byte], off: Int, v: Int): Array[Byte] = {
+    val b = blob.clone()
+    var i = 0
+    while (i < 4 && off + i < b.length) {
+      b(off + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1
+    }
+    b
+  }
+
+  property("WAV decode is total under 4-byte header corruption") =
+    forAll(genSamples, Gen.choose(0, 60), genExtreme) { (s, off, v) =>
+      val d = WavCodec.decode(corrupt(WavCodec.encode(s), off, v))
+      (d.error == null) != (d.samples == null)
+    }
+
+  property("BMP decode is total under 4-byte header corruption") =
+    forAll(genGray, Gen.choose(0, 60), genExtreme) { (g, off, v) =>
+      val w = if (g.isEmpty) 0 else g.length
+      val d = BmpCodec.decode(corrupt(BmpCodec.encode(g, w), off, v))
+      (d.error == null) != (d.pixels == null)
+    }
+
+  property("Y4M decode is total under header-text corruption") =
+    forAll(genGray, Gen.choose(0, 40), genExtreme) { (g, off, v) =>
+      val d = Y4mCodec.decode(corrupt(Y4mCodec.encode(g, 4, 2), off, v))
+      (d.error == null) != (d.lumaSums == null)
+    }
 }

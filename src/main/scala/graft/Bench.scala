@@ -164,17 +164,20 @@ object Bench {
       (name, if (ok) Some(secs) else None)
     }
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
-    // Locale.ROOT: the f interpolator uses the JVM default locale, and a
-    // comma decimal separator would corrupt the JSON artifact
-    def num(fmtStr: String, x: Double): String =
-      String.format(java.util.Locale.ROOT, fmtStr, Double.box(x))
+    import graft.JsonNum.num // Locale.ROOT JSON numerals (shared helper)
     // 4-decimal seconds: full Double.toString tripled the line length
     // and the driver's harvester truncated the r6 record mid-JSON —
-    // keep the one-line artifact comfortably under capture limits
-    val qs = results.map { case (k, v) =>
+    // keep the one-line artifact comfortably under capture limits.
+    // Round per-query FIRST and sum the rounded values so the artifact
+    // is self-consistent: sum(queries) == value exactly, and a
+    // harvester cross-checking the record never sees rounding drift.
+    val rounded = results.map { case (k, v) =>
+      (k, v.map(x => math.rint(x * 1e4) / 1e4))
+    }
+    val qs = rounded.map { case (k, v) =>
         "\"" + k + "\":" + v.fold("null")(num("%.4f", _))
       }.mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
+    val total = rounded.flatMap(_._2).sum
     val errs = failed.mkString("[", ",", "]")
     val (busy1, idle1, steal1) = cpuJiffies()
     val own1 = ownJiffies()

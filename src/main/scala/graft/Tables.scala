@@ -153,14 +153,21 @@ object Tables {
       val df = table(s, d, "events")
       df.schema.fields.find(_.name == "ts").map(_.dataType) match {
         case Some(LongType) =>
-          val r = df.agg(max(col("ts")).as("mx"),
+          val r = df.agg(max(col("ts")).as("mx"), min(col("ts")).as("mn"),
             max(abs(col("ts") % 1000)).as("res")).head
           val mx = r.getLong(0)
-          val res = r.getLong(1)
+          val mn = r.getLong(1)
+          val res = r.getLong(2)
+          // BOTH bounds: max alone would pass a MIXED-unit table (mostly
+          // nanos plus one raw-micros segment) and the skewed rows would
+          // silently divide to 1000x-too-small timestamps — exactly the
+          // class this guard exists to label
           val magnitude =
-            if (mx < 100000000000000000L || mx > 4102444800000000000L)
-              Seq(s"events.ts int64 max=$mx is not nanos-since-epoch " +
-                "(expected ~[1e17, 4.1e18]) — raw micros/seconds re-encoding? " +
+            if (mx < 100000000000000000L || mx > 4102444800000000000L ||
+                mn < 100000000000000000L)
+              Seq(s"events.ts int64 range=[$mn, $mx] is not nanos-since-epoch " +
+                "(all rows expected within ~[1e17, 4.1e18]) — raw " +
+                "micros/seconds re-encoding, or a mixed-unit table? " +
                 "teach Tables.events the new unit")
             else Nil
           val residue =

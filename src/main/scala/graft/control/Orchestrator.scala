@@ -39,14 +39,24 @@ object Orchestrator {
     * collectors exist (e.g. a chirpstack row with a leftover CSV
     * becoming two collectors). Equivalence is pinned in
     * OrchestratorSpec. */
-  def fanOutDf(configs: DataFrame): DataFrame =
-    configs.withColumn("gateway_id",
+  def fanOutDf(configs: DataFrame): DataFrame = {
+    val fanned = configs.withColumn("gateway_id",
       // explode_outer emits one null-valued row for a null array — the
       // pass-through case
       explode_outer(
         when(col("ctype") === "ttn" &&
             col("gateway_id_csv").isNotNull && col("gateway_id_csv") =!= "",
           split(col("gateway_id_csv"), ","))))
+    // mirror the typed path's copy(gatewayIdCsv = g, gatewayName = g):
+    // fanned rows must not keep the whole CSV in the per-collector
+    // columns, or a consumer reading them labels collectors with 'a,b'
+    val withCsv = fanned.withColumn("gateway_id_csv",
+      coalesce(col("gateway_id"), col("gateway_id_csv")))
+    if (withCsv.columns.contains("gateway_name"))
+      withCsv.withColumn("gateway_name",
+        coalesce(col("gateway_id"), col("gateway_name")))
+    else withCsv
+  }
 
   // ----------------------------------------------------------- F7 deltas
 

@@ -152,13 +152,17 @@ object MessageLogSource {
     (lo, hi)
   }
 
+  // shared, thread-safe for readTree: a per-call ObjectMapper would be
+  // constructed once per segment file on EVERY plan of a pruned scan
+  private val planMapper = new ObjectMapper()
+
   /** First record's seq, or None when unreadable (empty segment, torn
     * write) — pruning then keeps the file: conservatism over I/O. */
   private[sources] def firstSeq(file: String): Option[Long] =
     try {
       val src = scala.io.Source.fromFile(file, "UTF-8")
       try src.getLines().buffered.headOption.flatMap { l =>
-        val node = new ObjectMapper().readTree(l)
+        val node = planMapper.readTree(l)
         if (node != null && node.hasNonNull("seq")) Some(node.get("seq").asLong)
         else None
       } finally src.close()

@@ -79,12 +79,15 @@ object ScaleSweep {
       cur.spillMem = 0; cur.spillDisk = 0; cur.tasks = 0; cur.stages = 0
     }
 
-    // Locale.ROOT: the f interpolator uses the JVM default locale — a
-    // comma-decimal locale would corrupt the JSON (same fix as Bench)
-    def num(fmt: String, x: Double): String =
-      String.format(java.util.Locale.ROOT, fmt, Double.box(x))
+    import graft.JsonNum.num // Locale.ROOT JSON numerals (shared helper)
 
     val rows = ArrayBuffer.empty[String]
+    // incremental publish: a failure in query N of a long sweep must
+    // not lose the N-1 rows already measured — rewrite the (small)
+    // artifact after every row
+    def publish(): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        rows.mkString("[\n", ",\n", "\n]\n").getBytes("UTF-8"))
     // JVM/JIT warm-up outside measurement so the smallest SF (first in
     // the arg order) isn't charged the compile cost of every kernel.
     queries.foreach { q =>
@@ -130,10 +133,9 @@ object ScaleSweep {
             s""""spill_disk_b":${snap._5},"tasks":${snap._6},"stages":${snap._7}}"""
           println(line)
           rows += line
+          publish()
       }
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      rows.mkString("[\n", ",\n", "\n]\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

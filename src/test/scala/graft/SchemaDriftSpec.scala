@@ -116,6 +116,17 @@ class SchemaDriftSpec extends SparkSuite {
     assert(e.getMessage.contains("not nanos-since-epoch"), e.getMessage)
   }
 
+  test("validate flags a MIXED-unit int64 ts (max alone would pass it)") {
+    // mostly nanos plus one raw-micros segment: max(ts) is plausible
+    // nanos, so only the min-bound check labels the skewed rows that
+    // would otherwise silently divide to 1000x-too-small timestamps
+    val dir = fixtureWith(df => df.withColumn("ts",
+      when(col("event_id") % 97 === 0, unix_micros(col("ts")))
+        .otherwise(unix_micros(col("ts")) * 1000L)))
+    val e = intercept[IllegalStateException](Tables.validate(spark, dir))
+    assert(e.getMessage.contains("not nanos-since-epoch"), e.getMessage)
+  }
+
   test("validate flags sub-microsecond precision in an int64 nanos ts") {
     // ties under the canonical micros contract would order differently
     // than full-precision oracles — fail labeled instead of drifting

@@ -26,17 +26,26 @@ class OrchestratorSpec extends graft.SparkSuite {
       cfg(3, "ttn", ""),           // empty CSV: pass through, not one '' gateway
       cfg(4, "ttn", null))
     val df = Seq(
-      (1L, "ttn", "eui-a,eui-b,eui-c"),
-      (2L, "chirpstack", "x,y"),
-      (3L, "ttn", ""),
-      (4L, "ttn", null.asInstanceOf[String]))
-      .toDF("id", "ctype", "gateway_id_csv")
-    val got = fanOutDf(df).select(col("id"), col("gateway_id"))
-      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sorted
+      (1L, "ttn", "eui-a,eui-b,eui-c", "gw"),
+      (2L, "chirpstack", "x,y", "gw"),
+      (3L, "ttn", "", "gw"),
+      (4L, "ttn", null.asInstanceOf[String], "gw"))
+      .toDF("id", "ctype", "gateway_id_csv", "gateway_name")
+    val got = fanOutDf(df)
+      .select(col("id"), col("gateway_id"), col("gateway_id_csv"),
+        col("gateway_name"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)),
+        r.getString(3))).toSeq.sorted
+    // the typed path is the contract: fanned rows rewrite BOTH the csv
+    // and the name to the single gateway (c.copy(gatewayIdCsv = g,
+    // gatewayName = g)); pass-through rows keep their columns
     val expected = configs.flatMap { c =>
       val fanned = fanOut(c)
-      if (fanned == Seq(c)) Seq((c.id, None))
-      else fanned.map(f => (c.id, Some(f.gatewayIdCsv)))
+      if (fanned == Seq(c))
+        Seq((c.id, None, Option(c.gatewayIdCsv), c.gatewayName))
+      else fanned.map(f =>
+        (c.id, Some(f.gatewayIdCsv), Some(f.gatewayIdCsv), f.gatewayName))
     }.sorted
     assert(got == expected)
   }

@@ -86,6 +86,46 @@ class OrchestratorSpec extends graft.SparkSuite {
     assert(statusDeltas(cache3, now)._2.isEmpty)
   }
 
+  /** Minimal StreamingQuery stub recording stop() — QueryManager only
+    * ever calls stop on the queries it builds. */
+  private class StubQuery extends org.apache.spark.sql.streaming.StreamingQuery {
+    @volatile var stopped = false
+    override def stop(): Unit = stopped = true
+    override def name: String = "stub"
+    override def id: java.util.UUID = java.util.UUID.randomUUID()
+    override def runId: java.util.UUID = java.util.UUID.randomUUID()
+    override def sparkSession: org.apache.spark.sql.SparkSession = spark
+    override def isActive: Boolean = !stopped
+    override def exception: Option[org.apache.spark.sql.streaming.StreamingQueryException] = None
+    override def status: org.apache.spark.sql.streaming.StreamingQueryStatus = null
+    override def recentProgress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = Array.empty
+    override def lastProgress: org.apache.spark.sql.streaming.StreamingQueryProgress = null
+    override def awaitTermination(): Unit = ()
+    override def awaitTermination(timeoutMs: Long): Boolean = true
+    override def processAllAvailable(): Unit = ()
+    override def explain(): Unit = ()
+    override def explain(extended: Boolean): Unit = ()
+  }
+
+  test("QueryManager: duplicate Created stops the old queries, never orphans them") {
+    val built = scala.collection.mutable.ArrayBuffer.empty[StubQuery]
+    val mgr = new QueryManager(_ => { val q = new StubQuery; built += q; q })
+    mgr.handle(Created(1, cfg(1, "ttn", "a,b")))
+    assert(mgr.runningIds == Set(1L) && built.size == 2) // fanned to 2 gateways
+    // at-least-once control bus redelivers the Created
+    mgr.handle(Created(1, cfg(1, "ttn", "a,b")))
+    assert(mgr.runningIds == Set(1L) && built.size == 4)
+    // the FIRST generation must be stopped, not orphaned double-writing
+    assert(built.take(2).forall(_.stopped))
+    assert(built.drop(2).forall(!_.stopped))
+    // Deleted stops the live generation; stopAll covers the rest
+    mgr.handle(Deleted(1))
+    assert(mgr.runningIds.isEmpty && built.forall(_.stopped))
+    mgr.handle(Created(2, cfg(2)))
+    mgr.stopAll()
+    assert(mgr.runningIds.isEmpty && built.forall(_.stopped))
+  }
+
   test("F5 600 s verification timeout (BaseCollector.py:43-53)") {
     val started = Map(1L -> 0L, 2L -> 0L, 3L -> 500000L)
     assert(verifyTimeouts(600000L, started, verified = Set(2L)) == Seq(1L))

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Empty documents are in-domain (a scraper CAN emit one) but the
+  * driver's generator never has — so nothing in the parity gate
+  * exercises the ANSI edges an empty text hits: `element_at` on an
+  * empty (non-null) pixel array throws INVALID_ARRAY_INDEX, and a
+  * zero `length(text)` divisor throws DIVIDE_BY_ZERO, both verified
+  * live on this Spark build. This fixture pins the guards so a future
+  * regeneration (or a real corpus) with empty docs cannot fail whole
+  * queries. */
+class EmptyDocSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** documents-shaped dir: doc_id 3 is EMPTY text and lands on the
+    * image media route (3 % 3 == 0 → 0x0 BMP → empty pixels array). */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-emptydoc").toString
+    Seq(
+      (1L, "the quick brown fox jumps", "en", "src1", 25L),
+      (2L, "a b c d e f g", "en", "src1", 13L),
+      (3L, "", "en", "src2", 0L),
+      (4L, "la la la the the", "en", "src2", 16L),
+      (5L, "one two three four five six", "en", "src3", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q30 text stats survive an empty document (zero-length divisor)") {
+    val rows = TextOps.q30TextStats(spark, dir).collect()
+    assert(rows.length == 5)
+    val empty = rows.find(_.getLong(0) == 3L).get
+    // split('', ' ') = [''] → 1 token; the alpha-ratio term guards to 0
+    assert(empty.getLong(1) == 1L, "n_tokens")
+    assert(empty.getLong(3) == 0L, "n_chars_computed")
+    assert(!empty.getDouble(7).isNaN && !empty.getDouble(7).isInfinite)
+  }
+
+  test("q81 code detect survives an empty document") {
+    val rows = TextOps.q81CodeDetect(spark, dir).collect()
+    val empty = rows.find(_.getLong(0) == 3L).get
+    assert(empty.getLong(1) == 0L && empty.getDouble(2) == 0.0)
+    assert(!empty.getBoolean(3))
+  }
+
+  test("q101 classifier scores an empty document as zero, keep=true") {
+    val rows = TextOps.q101QualityClassifier(spark, dir).collect()
+    val empty = rows.find(_.getLong(0) == 3L).get
+    assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L)
+    assert(empty.getDouble(3) == 0.0 && empty.getBoolean(4))
+  }
+
+  test("q40 media decode survives a 0x0 image (empty non-null pixels)") {
+    val rows = Media.q40MediaDecode(spark, dir).collect()
+    assert(rows.length == 5)
+    val img0 = rows.find(_.getLong(0) == 3L).get
+    // 0x0 BMP decodes clean: empty pixels, features guard to 0
+    assert(img0.getString(1) == "image")
+    assert(img0.getInt(3) == 0 && img0.getInt(4) == 0) // width, height
+    assert(img0.getDouble(7) == 0.0 && img0.getDouble(8) == 0.0) // f_len, f_first
+  }
+}

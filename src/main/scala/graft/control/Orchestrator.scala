@@ -156,12 +156,19 @@ object Orchestrator {
         running -= id
       }
       plan.start.groupBy(_.id).foreach { case (id, configs) =>
-        // the control bus is at-least-once: a duplicate Created for an
+        // Build the replacement generation FIRST: if any build() throws,
+        // the exception propagates with the previous generation still
+        // running and still correctly recorded in the map — stopping
+        // first and then failing to build would leave stopped queries
+        // registered as running (and the collector dark).
+        val built = configs.map(build)
+        // The control bus is at-least-once: a duplicate Created for an
         // id that is already running must not overwrite the map entry
         // and orphan live queries (they would keep consuming and
-        // double-writing, unreachable by stopAll) — stop them first
+        // double-writing, unreachable by stopAll) — stop the old
+        // generation before the swap.
         running.get(id).foreach(_._2.foreach(_.stop()))
-        running += id -> (configs.head, configs.map(build))
+        running += id -> (configs.head, built)
       }
     }
 

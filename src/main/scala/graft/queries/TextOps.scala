@@ -95,9 +95,13 @@ object TextOps {
     // length(text) = 0 is in-domain (an empty document); ANSI divides
     // THROW on zero, so the alpha-ratio term needs the guard — mirrored
     // in the oracle so both engines score an empty doc identically
-    // (nTokens is never 0: split('', ' ') yields [''])
-    val alphaRatio = when(length(col("text")) > 0,
-      nAlnumSpace.cast("double") / length(col("text"))).otherwise(lit(0.0))
+    // (nTokens is never 0: split('', ' ') yields ['']). The guard tests
+    // `=== 0` (not `> 0`) so a NULL text falls through to the ratio and
+    // propagates NULL in BOTH engines — `> 0` here with otherwise(0.0)
+    // would score a NULL text 0.0 in Spark but NULL in the oracle's
+    // `CASE WHEN length = 0` form, a latent parity divergence.
+    val alphaRatio = when(length(col("text")) === 0, lit(0.0))
+      .otherwise(nAlnumSpace.cast("double") / length(col("text")))
     val quality =
       lit(0.4) * least(lit(1.0), nTokens.cast("double") / 100.0) +
         lit(0.3) * (lit(1.0) - stopRatio) +
@@ -609,8 +613,8 @@ object TextOps {
     * the cached q33 pair list with the deterministic split — at scale
     * it is one broadcast of the tiny pair list. */
   def q82SplitLeakage(s: SparkSession, d: String): DataFrame = {
-    val splitCol = when((col("doc_id") * 2654435761L) % 100 < 80, "train")
-      .when((col("doc_id") * 2654435761L) % 100 < 90, "val").otherwise("test")
+    val splitCol = when((col("doc_id") % 100) * 2654435761L % 100 < 80, "train")
+      .when((col("doc_id") % 100) * 2654435761L % 100 < 90, "val").otherwise("test")
     val sp = documents(s, d).select(col("doc_id"), splitCol.as("split"))
     q33NgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
       .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
@@ -820,7 +824,7 @@ object TextOps {
     * re-runs. 80/10/10. */
   def q43TrainSplit(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("bucket", (col("doc_id") * 2654435761L) % 100)
+      .withColumn("bucket", (col("doc_id") % 100) * 2654435761L % 100)
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val").otherwise("test"))
@@ -842,7 +846,7 @@ object TextOps {
       array(lit(10), lit(25), lit(50), lit(75)), (srcNum % 4 + 1).cast("int"))
     documents(s, d)
       .withColumn("rate_pct", ratePct)
-      .withColumn("bucket", (col("doc_id") * 2654435761L) % 100)
+      .withColumn("bucket", (col("doc_id") % 100) * 2654435761L % 100)
       .groupBy(col("source"), col("rate_pct"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("bucket") < col("rate_pct"), 1L).otherwise(0L)).as("n_kept"))
@@ -855,7 +859,7 @@ object TextOps {
   def q44SourceCap(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"))
-      .orderBy(((col("doc_id") * 2654435761L) % 1000003).asc, col("doc_id"))
+      .orderBy(((col("doc_id") % 1000003L) * 2654435761L % 1000003L).asc, col("doc_id"))
     documents(s, d)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
@@ -973,7 +977,7 @@ object TextOps {
     val srcN = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
     val tot = docs.agg(count(lit(1)).as("n_total"),
       count_distinct(col("source")).as("n_sources"))
-    val h = (col("doc_id") * 2654435761L) % 1000003L
+    val h = (col("doc_id") % 1000003L) * 2654435761L % 1000003L
     val kept = h * col("n_sources") * col("n_src") * 5L <
       lit(1000003L) * col("n_total") * 3L
     docs.join(broadcast(srcN), Seq("source")).crossJoin(broadcast(tot))
@@ -1056,7 +1060,7 @@ object TextOps {
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       .filter(col("doc_id") % 41 =!= 0) // the benchmark slice never ships
       .filter(col("lang") === "en")
-      .withColumn("bucket", (col("doc_id") * 2654435761L) % 100)
+      .withColumn("bucket", (col("doc_id") % 100) * 2654435761L % 100)
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val").otherwise("test"))
@@ -1111,14 +1115,42 @@ object TextOps {
     * engines; min is order-free).
     *
     * 100 TB shape: bigram explode is map-side; the count tables are
-    * vocabulary²-sized (corpus-size-independent) and broadcast back
-    * onto the bigram stream; per-doc reassembly is one hash-agg keyed
-    * doc_id. The in-row fold is O(doc length), interpreted — fine,
-    * because it runs on |doc| elements AFTER the vocabulary join, not
-    * in the corpus hot path. */
+    * CORPUS-DERIVED — distinct-bigram cardinality grows with the
+    * corpus (web scale: 10⁸-10⁹ rows; "vocab²-bounded" is a paper
+    * bound, not a practical one) — so the model joins carry NO
+    * broadcast hints: they are plain shuffle joins on (w1,w2)/(w1),
+    * partial-aggregable on both sides, and AQE converts them to
+    * broadcasts exactly when the model side measures small (it does at
+    * test SFs). A forced broadcast here was the r7 q58 mistake class —
+    * overriding AQE's byte threshold precisely where it protects
+    * executors. The 1-row V aggregate stays an explicit broadcast.
+    * Per-doc reassembly is one hash-agg keyed doc_id; the in-row fold
+    * is O(doc length), interpreted — fine, because it runs on |doc|
+    * elements AFTER the model join, not in the corpus hot path. The
+    * BOUNDED-model variant (count-threshold prune + top-K cap, the
+    * CCNet treatment) is [[graft.streaming.CorpusStream.lmModel]],
+    * scored by q103 with the pruned contract oracle-matched. */
   def q93LmScore(s: SparkSession, d: String): DataFrame = {
     val w = documents(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
-    val bg = w.select(col("doc_id"),
+    val bg = lmBigrams(w)
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = w.select(explode(col("w")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    val p = bg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("p",
+        (col("c2").cast("double") + lit(1.0)) / (col("c1") + col("v")).cast("double"))
+    lmFold(p).orderBy(col("doc_id"))
+  }
+
+  /** The (pos, w1, w2) bigram explode shared by q93/q103 — one edit
+    * point so the two queries (and their mirrored oracles) can never
+    * desynchronize on the extraction. */
+  private def lmBigrams(w: DataFrame): DataFrame =
+    w.select(col("doc_id"),
         explode(expr(
           """transform(
             |  CASE WHEN size(w) >= 2 THEN sequence(0, size(w) - 2)
@@ -1127,16 +1159,11 @@ object TextOps {
           .as("b"))
       .select(col("doc_id"), col("b.pos").as("pos"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val v = w.select(explode(col("w")).as("t"))
-      .agg(count_distinct(col("t")).as("v"))
-    val p = bg
-      .join(broadcast(c2), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
-      .crossJoin(broadcast(v))
-      .withColumn("p",
-        (col("c2").cast("double") + lit(1.0)) / (col("c1") + col("v")).cast("double"))
+
+  /** The per-doc reassembly shared by q93/q103: sum folded IN TOKEN
+    * ORDER (array_sort on pos — a fixed order makes the double sum
+    * bit-identical cross-engine), min order-free, keep at 0.034. */
+  private def lmFold(p: DataFrame): DataFrame =
     p.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("p")))).as("pp"),
         min(col("p")).as("min_p"),
@@ -1147,6 +1174,62 @@ object TextOps {
       .withColumn("keep", col("avg_p") >= lit(0.034))
       .select(col("doc_id"), col("n_bigrams"), col("sum_p"), col("avg_p"),
         col("min_p"), col("keep"))
+
+  /** q103 pruning knobs (mirrored literally in the oracle): bigrams
+    * with count < 2 prune to the smoothing floor; of the survivors only
+    * the 500 highest-count (ties (w1,w2) ascending) stay in the model.
+    * Both bites are LIVE at sf0.01 (916 distinct bigrams, 906 at c≥2). */
+  private val LmMinCount = 2L
+  private val LmMaxEntries = 500
+
+  /** q103: LM quality score under the BOUNDED model — q93's arithmetic
+    * with the model pruned the way a 100 TB deployment must prune it
+    * (the CCNet treatment, and the contract
+    * [[graft.streaming.CorpusStream.lmModel]] ships):
+    *
+    *  - count-threshold: bigrams with c2 < [[LmMinCount]] leave the
+    *    model and score the add-one floor (0+1)/(c1+V), exactly as an
+    *    unseen bigram;
+    *  - top-K cap: of the survivors only the [[LmMaxEntries]]
+    *    highest-count stay (ties (w1,w2) ascending — deterministic);
+    *  - c1 keeps EXACT full-corpus context totals, but only for
+    *    leading words of retained bigrams (|c1| ≤ |c2| ≤ K by
+    *    construction); a dropped leading word scores 1/(0+V).
+    *
+    * `n_oov` counts the fallback bigrams per doc, so the output also
+    * AUDITS how much of each document the pruned model still covers.
+    *
+    * 100 TB shape: this is the version of q93 whose model side is
+    * bounded BY PLAN SHAPE — the cap is an orderBy+limit (TakeOrdered)
+    * over the aggregated count table, so the model never exceeds K
+    * rows no matter the corpus; the scoring joins are then broadcast-
+    * able at ANY corpus size (K-bounded), which q93's full-model joins
+    * are not. The fold is the q93 order-pinned sum. */
+  def q103LmScorePruned(s: SparkSession, d: String): DataFrame = {
+    val w = documents(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+    val bg = lmBigrams(w)
+    val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val kept = cnt
+      .filter(col("c2") >= LmMinCount)
+      .orderBy(col("c2").desc, col("w1"), col("w2"))
+      .limit(LmMaxEntries)
+    val c1 = cnt.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      .join(kept.select(col("w1")).distinct(), Seq("w1"), "left_semi")
+    val v = w.select(explode(col("w")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    val p = bg
+      .join(kept, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("p",
+        (coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+      .withColumn("oov", when(col("c2").isNull, lit(1L)).otherwise(lit(0L)))
+    val oov = p.groupBy(col("doc_id")).agg(sum(col("oov")).as("n_oov"))
+    lmFold(p)
+      .join(oov, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("sum_p"),
+        col("avg_p"), col("min_p"), col("keep"))
       .orderBy(col("doc_id"))
   }
 
@@ -1250,7 +1333,7 @@ object TextOps {
   def q97TokenBudget(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val budget = 1000L
-    val ordKey = (col("doc_id") * 2654435761L) % 1000003L
+    val ordKey = (col("doc_id") % 1000003L) * 2654435761L % 1000003L
     val w = Window.partitionBy(col("source"))
       .orderBy(ordKey, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1503,8 +1586,14 @@ object TextOps {
         greatest(lit(1L),
           floor(col("n_total").cast("double") / lit(2.0) *
             sqrt(col("c").cast("double")) / col("denom"))).as("target"))
+    // Hash-order key with doc_id PRE-REDUCED mod m: ((id mod m)·k) mod m
+    // equals (id·k) mod m by modular arithmetic, but the product is
+    // bounded by (m−1)·2654435761 ≪ 2^63 — the unreduced form overflows
+    // BIGINT (ANSI: throws) for doc_id ≳ 3.47e9, i.e. exactly the
+    // 100 TB corpus this query advertises. Same treatment at every
+    // doc_id·2654435761 site in this file, mirrored in the oracles.
     val w = Window.partitionBy(col("source"))
-      .orderBy((col("doc_id") * 2654435761L) % 1000003L, col("doc_id"))
+      .orderBy((col("doc_id") % 1000003L) * 2654435761L % 1000003L, col("doc_id"))
     docs.join(broadcast(targets), Seq("source"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("kept", col("rank") <= col("target"))
@@ -1522,6 +1611,7 @@ object TextOps {
     "q97_token_budget"      -> (q97TokenBudget _),
     "q92_tfidf_keywords"    -> (q92TfidfKeywords _),
     "q93_lm_score"          -> (q93LmScore _),
+    "q103_lm_score_pruned"  -> (q103LmScorePruned _),
     "q94_chunk_overlap"     -> (q94ChunkOverlap _),
     "q42_neardup_survivors" -> (q42NeardupSurvivors _),
     "q43_train_split"       -> (q43TrainSplit _),
@@ -1587,7 +1677,7 @@ object TextOps {
         |  FROM hist h, den d),
         |r AS (SELECT doc_id, source,
         |  CAST(row_number() OVER (PARTITION BY source
-        |    ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS BIGINT)
+        |    ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id) AS BIGINT)
         |    AS rank FROM documents)
         |SELECT r.doc_id, r.source, t.c, t.target, r.rank,
         |  r.rank <= t.target AS kept
@@ -1698,7 +1788,7 @@ object TextOps {
     "q97_token_budget" ->
       """WITH x AS (SELECT source, doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    (doc_id * 2654435761) % 1000003 AS ok FROM documents),
+        |    ((doc_id % 1000003) * 2654435761) % 1000003 AS ok FROM documents),
         |y AS (SELECT source, doc_id, n_tokens,
         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY ok, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
@@ -1748,6 +1838,40 @@ object TextOps {
         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |    list(p ORDER BY pos)), (acc, x) -> acc + x) / count(*) >= 0.034 AS keep
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q103_lm_score_pruned" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         |bg AS (SELECT doc_id,
+         |    unnest([CAST(i - 1 AS BIGINT)
+         |      for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS pos,
+         |    unnest([w[i]
+         |      for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS w1,
+         |    unnest([w[i + 1]
+         |      for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS w2
+         |  FROM w),
+         |cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+         |  FROM bg GROUP BY 1, 2),
+         |kept AS (SELECT w1, w2, c2 FROM cnt WHERE c2 >= $LmMinCount
+         |  ORDER BY c2 DESC, w1, w2 LIMIT $LmMaxEntries),
+         |c1 AS (SELECT cnt.w1, CAST(sum(cnt.c2) AS BIGINT) AS c1 FROM cnt
+         |  WHERE cnt.w1 IN (SELECT w1 FROM kept) GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+         |  FROM (SELECT unnest(w) AS t FROM w)),
+         |p AS (SELECT bg.doc_id, bg.pos,
+         |    (CAST(COALESCE(kept.c2, 0) AS DOUBLE) + 1.0)
+         |      / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE) AS p,
+         |    CASE WHEN kept.c2 IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM bg LEFT JOIN kept USING (w1, w2) LEFT JOIN c1 USING (w1)
+         |  CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(p ORDER BY pos)), (acc, x) -> acc + x) AS sum_p,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(p ORDER BY pos)), (acc, x) -> acc + x) / count(*) AS avg_p,
+         |  min(p) AS min_p,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(p ORDER BY pos)), (acc, x) -> acc + x) / count(*) >= 0.034 AS keep
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q94_chunk_overlap" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') w,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
@@ -1776,8 +1900,8 @@ object TextOps {
          |ORDER BY doc_id""".stripMargin,
     "q43_train_split" ->
       """SELECT lang,
-        |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |  CASE WHEN ((doc_id % 100) * 2654435761) % 100 < 80 THEN 'train'
+        |       WHEN ((doc_id % 100) * 2654435761) % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
@@ -1785,7 +1909,7 @@ object TextOps {
       """WITH x AS (SELECT source, doc_id,
         |    CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4
         |      WHEN 0 THEN 10 WHEN 1 THEN 25 WHEN 2 THEN 50 ELSE 75 END AS rate_pct,
-        |    (doc_id * 2654435761) % 100 AS bucket
+        |    ((doc_id % 100) * 2654435761) % 100 AS bucket
         |  FROM documents)
         |SELECT source, rate_pct, COUNT(*) AS n_total,
         |  CAST(SUM(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
@@ -1793,7 +1917,7 @@ object TextOps {
     "q44_source_cap" ->
       """WITH r AS (SELECT source, doc_id,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
-        |      ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS BIGINT) AS rk
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id) AS BIGINT) AS rk
         |  FROM documents)
         |SELECT source, rk, doc_id FROM r WHERE rk <= 5
         |ORDER BY source, rk""".stripMargin,
@@ -1858,8 +1982,8 @@ object TextOps {
          |  JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0) b USING (gram)
          |  WHERE g.doc_id % 41 != 0)
          |SELECT d.doc_id, d.source,
-         |  CASE WHEN (d.doc_id * 2654435761) % 100 < 80 THEN 'train'
-         |       WHEN (d.doc_id * 2654435761) % 100 < 90 THEN 'val'
+         |  CASE WHEN ((d.doc_id % 100) * 2654435761) % 100 < 80 THEN 'train'
+         |       WHEN ((d.doc_id % 100) * 2654435761) % 100 < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents d
          |WHERE d.doc_id IN (SELECT doc_id FROM keepex)
@@ -1898,7 +2022,7 @@ object TextOps {
         |t AS (SELECT count(*) AS n_total, count(DISTINCT source) AS n_sources
         |      FROM documents)
         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(CASE WHEN ((d.doc_id * 2654435761) % 1000003)
+        |  CAST(SUM(CASE WHEN (((d.doc_id % 1000003) * 2654435761) % 1000003)
         |      * t.n_sources * s.n_src * 5 < 1000003 * t.n_total * 3
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents d JOIN s USING (source) CROSS JOIN t
@@ -2026,8 +2150,8 @@ object TextOps {
          |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
          |sp AS (SELECT doc_id,
-         |    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-         |         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+         |    CASE WHEN ((doc_id % 100) * 2654435761) % 100 < 80 THEN 'train'
+         |         WHEN ((doc_id % 100) * 2654435761) % 100 < 90 THEN 'val'
          |         ELSE 'test' END AS split
          |  FROM documents)
          |SELECT sa.split AS split_a, sb.split AS split_b,

@@ -56,7 +56,18 @@ object Events {
     * produce packet-less envelopes, so two distinct packet-less
     * envelopes from one collector in the same second would otherwise
     * collide — and the upsert's anti-join would silently drop the
-    * second, losing an envelope a replay can never restore. */
+    * second, losing an envelope a replay can never restore.
+    *
+    * KEY VERSION BOUNDARY (v2): including `messages` changed every
+    * key value relative to the pre-r7 definition (v1: collector|ts|
+    * mic|data only). A sink directory written under v1 will never
+    * match replayed rows keyed under v2, so a replay spanning the
+    * upgrade RE-INSERTS duplicates of pre-upgrade envelopes instead
+    * of deduplicating them. Operators upgrading an existing sink must
+    * either rebuild it from the source log (one replay into an empty
+    * directory) or re-key it in place (recompute `_idem_key` over the
+    * stored envelopes with this definition) BEFORE replaying old
+    * segments. New/empty sinks are unaffected. */
   def idempotencyKey: Column =
     sha2(concat_ws("|",
       col("data_collector_id"), col("ts"),

@@ -1549,6 +1549,154 @@ object TextOps {
       .withColumn("keep", col("score") >= 0)
   }
 
+  /** q104/q105 training geometry (mirrored literally in the generated
+    * oracle CTEs — see [[classifierTrainCtes]]):
+    *  - LmS: weights are fixed-point with denominator 2^LmS (targets
+    *    live at y·2^LmS);
+    *  - LmK: learning-rate shift — the mean gradient moves weights by
+    *    2^-LmK of itself per epoch;
+    *  - LmM: heavy-ball momentum 1 − 2^-LmM = 15/16;
+    *  - LmEpochs unrolled passes;
+    *  - bucket 64 is the bias feature (x = 1 on every doc).
+    * Stability is CORPUS-SIZE-INDEPENDENT because the gradient is
+    * mean-normalized (floor-divided by N): the GD contraction bound
+    * depends on λ_max(XᵀX)/N ≈ E|x|², a per-document quantity, so the
+    * same constants hold from sf0.001 through 100 TB (verified stable
+    * and monotone-loss at all three test SFs). */
+  private val LmS = 14
+  private val LmK = 7
+  private val LmM = 4
+  private val LmEpochs = 12
+
+  /** The (doc_id, bucket, count) hashed-feature table shared by the
+    * classifier TRAINING pair q104/q105 — word buckets from the same
+    * 64-bucket char-fold hash as q101's inference kernel (so learned
+    * weights drop straight into q101's broadcast slot), plus the
+    * constant bias feature at bucket 64 on every document. */
+  private def classifierFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+      .withColumn("b", expr(
+        """pmod(aggregate(sequence(1, length(w)), CAST(7 AS BIGINT),
+          |  (a, i) -> pmod(a * 31 + ascii(substring(w, i, 1)), 1048573)), 64)"""
+          .stripMargin))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("x"))
+      .unionByName(docs.select(col("doc_id"), lit(64L).as("b"), lit(1L).as("x")))
+
+  /** The q104/q105 training label: the TEACHER is q101's stand-in
+    * weight formula — y = +1 iff q101's score ≥ 0 — so the learning
+    * problem is REALIZABLE in the learner's own feature space (a
+    * planted linear concept, the q28/q48 planted-key discipline
+    * applied to ML) and the spec can measure how much of the teacher
+    * the student recovers. Integer throughout. */
+  private def classifierLabels(docs: DataFrame): DataFrame =
+    classifierScored(docs)
+      .withColumn("y", when(col("score") >= 0, lit(1L)).otherwise(lit(-1L)))
+      .select(col("doc_id"), col("n_tokens"), col("y"))
+
+  /** The q104 trajectory: [[LmEpochs]] unrolled epochs of fixed-point
+    * integer least-squares gradient descent with heavy-ball momentum
+    * over the hashed features — the batch-gradient training loop
+    * q101's docstring promised a swap-in point for (SURVEY §7.6.8e).
+    * Per epoch, with everything BIGINT:
+    *   s_d  = Σ_b x_db·w_b                  (per-doc score)
+    *   r_d  = y_d·2^LmS − s_d               (residual)
+    *   g_b  = floor( Σ_d r_d·x_db / N )     (mean gradient)
+    *   v_b ← g_b + v_b − (v_b >> LmM)       (momentum)
+    *   w_b ← w_b + (v_b >> LmK)             (update)
+    * ALL-INTEGER, so every sum is order-free and the full trajectory
+    * is oracle-decidable (the q98 unrolled-Lloyd treatment without
+    * even its exact-double caveat); >> is arithmetic shift (= floor
+    * division by 2^k) in both engines, and the mean uses the explicit
+    * floor form (g − pmod(g, N)) div N — exactly divisible, so
+    * DuckDB's truncating `//` computes the identical floor.
+    * Returns (epoch, bucket, weight, n_wrong) where n_wrong counts the
+    * sign errors ENTERING the epoch — on this corpus the trajectory is
+    * genuinely learned: majority-class 348/500 at epoch 1 falls to
+    * ~50-60 errors by epoch 12 (~89% teacher recovery; the exact LSQ
+    * optimum reaches 95%).
+    *
+    * 100 TB shape: the feature table is built once and persisted (the
+    * q100 vocabulary treatment — the unrolled lineage must not rescan
+    * the corpus per epoch); each epoch is two partial-aggregable
+    * hash-aggs over it (per-doc scores, then a 65-row gradient) with
+    * the 65-row weight/velocity vectors riding as broadcasts — the
+    * corpus never shuffles on anything wider than doc_id, and the
+    * gradient map-side-combines down to 65 rows. Overflow audit:
+    * weights stay O(2^LmS) (the LSQ fixpoint is y-scaled), so per-term
+    * r·x ≲ 2^25 and the gradient sum stays inside BIGINT up to ~2^37
+    * documents — two orders past a 100 TB corpus. */
+  private[graft] def classifierTrainSteps(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val feats = classifierFeatures(docs).persist(mem)
+    val labels = classifierLabels(docs).persist(mem)
+    val n = labels.agg(count(lit(1)).as("n"))
+    val buckets = s.range(65).select(col("id").as("b"))
+    var w: DataFrame = buckets.withColumn("nw", lit(0L))
+    var v: DataFrame = buckets.withColumn("nv", lit(0L))
+    val epochs = (1 to LmEpochs).map { e =>
+      val sDf = feats.join(broadcast(w), Seq("b"))
+        .groupBy(col("doc_id")).agg(sum(col("x") * col("nw")).as("s"))
+      val res = labels.join(sDf, Seq("doc_id")) // bias row ⇒ s exists ∀ docs
+        .withColumn("r", col("y") * lit(1L << LmS) - col("s"))
+      val nWrong = res.agg(sum(when((col("s") >= 0) =!= (col("y") === 1), 1L)
+        .otherwise(0L)).as("n_wrong"))
+      val grad = res.select(col("doc_id"), col("r")).join(feats, Seq("doc_id"))
+        .groupBy(col("b")).agg(sum(col("r") * col("x")).as("gsum"))
+        .crossJoin(broadcast(n))
+        .select(col("b"),
+          expr("(gsum - pmod(gsum, n)) div n").as("g"))
+      // Eager localCheckpoint, not persist: each epoch references the
+      // previous weights TWICE (scores + update), so a lazy lineage
+      // doubles per epoch — 2^12 plan nodes by epoch 12 and the
+      // optimizer never returns. Checkpointing the 65-row frames cuts
+      // the lineage dead; the materialization job is 65 rows/epoch.
+      v = v.join(grad, Seq("b"), "left")
+        .select(col("b"), (coalesce(col("g"), lit(0L)) + col("nv") -
+          shiftright(col("nv"), LmM)).as("nv"))
+        .localCheckpoint(true)
+      w = w.join(v, Seq("b"))
+        .select(col("b"), (col("nw") + shiftright(col("nv"), LmK)).as("nw"))
+        .localCheckpoint(true)
+      w.crossJoin(broadcast(nWrong)).withColumn("epoch", lit(e.toLong))
+    }
+    epochs.reduce(_.unionByName(_))
+      .select(col("epoch"), col("b").as("bucket"), col("nw").as("weight"),
+        col("n_wrong"))
+  }
+
+  /** q104: classifier TRAINING — emits the full [[LmEpochs]]-epoch
+    * fixed-point weight trajectory plus the per-epoch error count, so
+    * the oracle decides not just the final model but every
+    * optimization step (see [[classifierTrainSteps]]). */
+  def q104ClassifierTrain(s: SparkSession, d: String): DataFrame =
+    classifierTrainSteps(s, d).orderBy(col("epoch"), col("bucket"))
+
+  /** q105: classifier INFERENCE with the LEARNED weights — q101's plan
+    * shape (row-local scoring against a broadcast 65-entry model) with
+    * q104's final-epoch weights in the broadcast slot instead of the
+    * stand-in formula, plus the teacher-recovery audit (label,
+    * correct) a real pipeline reads before trusting a filter.
+    *
+    * 100 TB shape: one groupBy(doc_id) over the persisted feature
+    * table joined to the 65-row broadcast weights; the label frame
+    * joins back on doc_id — both exchanges partial-aggregate first. */
+  def q105ClassifierLearned(s: SparkSession, d: String): DataFrame = {
+    val steps = classifierTrainSteps(s, d)
+    val wFinal = steps.filter(col("epoch") === LmEpochs)
+      .select(col("bucket").as("b"), col("weight").as("nw"))
+    val docs = documents(s, d)
+    val scored = classifierFeatures(docs).join(broadcast(wFinal), Seq("b"))
+      .groupBy(col("doc_id")).agg(sum(col("x") * col("nw")).as("s"))
+    classifierLabels(docs).join(scored, Seq("doc_id"))
+      .withColumn("keep", col("s") >= 0)
+      .withColumn("correct", (col("s") >= 0) === (col("y") === 1))
+      .select(col("doc_id"), col("n_tokens"), col("y").as("label"),
+        col("s").as("score"), col("keep"), col("correct"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q102: temperature-based source mixing — the DoReMi / multilingual
     * mixture-sampling stage: per-source sampling targets derived FROM
     * the corpus histogram as c_s^α (α = 0.5, the standard multilingual
@@ -1612,6 +1760,8 @@ object TextOps {
     "q92_tfidf_keywords"    -> (q92TfidfKeywords _),
     "q93_lm_score"          -> (q93LmScore _),
     "q103_lm_score_pruned"  -> (q103LmScorePruned _),
+    "q104_classifier_train" -> (q104ClassifierTrain _),
+    "q105_classifier_learned" -> (q105ClassifierLearned _),
     "q94_chunk_overlap"     -> (q94ChunkOverlap _),
     "q42_neardup_survivors" -> (q42NeardupSurvivors _),
     "q43_train_split"       -> (q43TrainSplit _),
@@ -1657,6 +1807,67 @@ object TextOps {
       |SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hit_grams
       |FROM g JOIN bench USING (gram) WHERE g.doc_id % 41 != 0
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  /** Shared CTE prefix of the q104/q105 oracles: features → teacher
+    * labels → [[LmEpochs]] GENERATED epochs of the fixed-point
+    * GD+momentum recurrence — one definition (and one generator loop)
+    * so the train and infer oracles can never desynchronize on the
+    * model they restate (the q48/q89 dedup discipline), and the epoch
+    * count/constants stay literally tied to [[classifierTrainSteps]]'s.
+    * Declared before `oracle`: object vals initialize in source order.
+    * DuckDB notes: `>>` is arithmetic shift on BIGINT (floor division
+    * by 2^k, matching Spark's shiftright — verified on negatives), but
+    * `//` TRUNCATES toward zero on negatives (-7//2 = -3, verified) —
+    * so the mean gradient uses the explicit floor form
+    * (gs − ((gs % n + n) % n)) // n, which is exactly divisible and
+    * therefore trunc-vs-floor-proof, mirroring Spark's
+    * (g − pmod(g, n)) div n. */
+  private val classifierTrainCtes: String = {
+    val base =
+      """t AS MATERIALIZED (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |wb AS MATERIALIZED (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS x FROM (
+        |    SELECT doc_id,
+        |      (list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |         list_transform(generate_series(1, CAST(length(w) AS INTEGER)),
+        |           i -> CAST(ascii(substring(w, i, 1)) AS BIGINT))),
+        |       (a, c) -> (a * 31 + c) % 1048573) % 64) AS b
+        |    FROM (SELECT doc_id, unnest(ws) AS w FROM t))
+        |  GROUP BY 1, 2),
+        |feats AS MATERIALIZED (SELECT * FROM wb UNION ALL
+        |  SELECT doc_id, CAST(64 AS BIGINT), CAST(1 AS BIGINT) FROM t),
+        |teacher AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS b,
+        |  (range * 2654435761) % 17 - 8 AS wt FROM range(64)),
+        |ts AS MATERIALIZED (SELECT f.doc_id, CAST(sum(f.x * te.wt) AS BIGINT) AS v
+        |  FROM wb f JOIN teacher te USING (b) GROUP BY 1),
+        |lab AS MATERIALIZED (SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |    CASE WHEN COALESCE(ts.v, 0) >= 0 THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(-1 AS BIGINT) END AS y
+        |  FROM t LEFT JOIN ts USING (doc_id)),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+        |buckets AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS b FROM range(65)),
+        |w0 AS MATERIALIZED (SELECT b, CAST(0 AS BIGINT) AS nw FROM buckets),
+        |v0 AS MATERIALIZED (SELECT b, CAST(0 AS BIGINT) AS nv FROM buckets)""".stripMargin
+    val epochs = (1 to LmEpochs).map { e =>
+      s"""s$e AS MATERIALIZED (SELECT f.doc_id, CAST(sum(f.x * w.nw) AS BIGINT) AS s
+         |  FROM feats f JOIN w${e - 1} w USING (b) GROUP BY 1),
+         |r$e AS MATERIALIZED (SELECT lab.doc_id, lab.y * ${1L << LmS} - s.s AS r,
+         |    CASE WHEN (s.s >= 0) <> (lab.y = 1) THEN 1 ELSE 0 END AS wrong
+         |  FROM lab JOIN s$e s USING (doc_id)),
+         |n$e AS MATERIALIZED (SELECT CAST(sum(wrong) AS BIGINT) AS cw FROM r$e),
+         |gs$e AS MATERIALIZED (SELECT f.b, CAST(sum(r.r * f.x) AS BIGINT) AS gs
+         |  FROM r$e r JOIN feats f USING (doc_id) GROUP BY 1),
+         |g$e AS MATERIALIZED (SELECT b,
+         |    (gs - (((gs % n.n) + n.n) % n.n)) // n.n AS g FROM gs$e, nn n),
+         |v$e AS MATERIALIZED (SELECT b,
+         |    CAST(COALESCE(g.g, 0) + v.nv - (v.nv >> $LmM) AS BIGINT) AS nv
+         |  FROM buckets LEFT JOIN g$e g USING (b) JOIN v${e - 1} v USING (b)),
+         |w$e AS MATERIALIZED (SELECT b, CAST(w.nw + (v.nv >> $LmK) AS BIGINT) AS nw
+         |  FROM w${e - 1} w JOIN v$e v USING (b))""".stripMargin
+    }
+    (base +: epochs).mkString(",\n")
+  }
 
   val oracle: Map[String, String] = Map(
     "q102_temperature_mix" ->
@@ -1838,6 +2049,20 @@ object TextOps {
         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |    list(p ORDER BY pos)), (acc, x) -> acc + x) / count(*) >= 0.034 AS keep
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q104_classifier_train" -> {
+      val sel = (1 to LmEpochs).map(e =>
+        s"""SELECT CAST($e AS BIGINT) AS epoch, b AS bucket, nw AS weight,
+           |  (SELECT cw FROM n$e) AS n_wrong FROM w$e""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"WITH $classifierTrainCtes\n$sel\nORDER BY epoch, bucket"
+    },
+    "q105_classifier_learned" ->
+      s"""WITH $classifierTrainCtes,
+         |sc AS (SELECT f.doc_id, CAST(sum(f.x * w.nw) AS BIGINT) AS s
+         |  FROM feats f JOIN w$LmEpochs w USING (b) GROUP BY 1)
+         |SELECT lab.doc_id, lab.n_tokens, lab.y AS label, sc.s AS score,
+         |  sc.s >= 0 AS keep, (sc.s >= 0) = (lab.y = 1) AS correct
+         |FROM lab JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q103_lm_score_pruned" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          |bg AS (SELECT doc_id,

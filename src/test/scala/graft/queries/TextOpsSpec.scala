@@ -325,6 +325,74 @@ class TextOpsSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), "model cap lost its top-K shape")
   }
 
+  test("q104/q105 fixed-point GD: trajectory and learned inference match by hand") {
+    def bucket(w: String): Long = {
+      var a = 7L
+      w.foreach(c => a = (a * 31 + c.toLong) % 1048573L)
+      a % 64L
+    }
+    def floorDiv(a: Long, n: Long): Long = Math.floorDiv(a, n)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).filter(_.nonEmpty).toSeq)
+    val n = docs.length.toLong
+    // features: word-bucket counts + the bias feature at bucket 64
+    val feats = docs.map { case (id, ws) =>
+      id -> (ws.groupBy(bucket).view.mapValues(_.length.toLong).toMap + (64L -> 1L))
+    }.toMap
+    // teacher labels: q101's stand-in weight formula (planted concept)
+    val wt = Array.tabulate(64)(b => (b.toLong * 2654435761L) % 17L - 8L)
+    val labels = docs.map { case (id, _) =>
+      val s = feats(id).collect { case (b, x) if b < 64 => wt(b.toInt) * x }.sum
+      id -> (if (s >= 0) 1L else -1L)
+    }.toMap
+    // the 12-epoch GD+momentum recurrence, exactly as documented
+    var w = Array.fill(65)(0L)
+    var v = Array.fill(65)(0L)
+    val expected = (1 to 12).map { _ =>
+      val s = docs.map { case (id, _) =>
+        id -> feats(id).map { case (b, x) => w(b.toInt) * x }.sum
+      }.toMap
+      val nWrong = docs.count { case (id, _) =>
+        (s(id) >= 0) != (labels(id) == 1L) }.toLong
+      val g = Array.fill(65)(0L)
+      docs.foreach { case (id, _) =>
+        val r = (labels(id) << 14) - s(id)
+        feats(id).foreach { case (b, x) => g(b.toInt) += r * x }
+      }
+      v = v.zip(g).map { case (vv, gg) => floorDiv(gg, n) + vv - (vv >> 4) }
+      w = w.zip(v).map { case (ww, vv) => ww + (vv >> 7) }
+      (w.clone(), nWrong)
+    }
+    val rows = TextOps.q104ClassifierTrain(spark, sf).collect()
+    assert(rows.length == 12 * 65)
+    rows.foreach { r =>
+      val (we, nw) = expected(r.getLong(0).toInt - 1)
+      assert(r.getLong(2) == we(r.getLong(1).toInt),
+        s"epoch ${r.getLong(0)} bucket ${r.getLong(1)} weight")
+      assert(r.getLong(3) == nw, s"epoch ${r.getLong(0)} n_wrong")
+    }
+    // inference with the learned weights
+    val wf = expected.last._1
+    val inf = TextOps.q105ClassifierLearned(spark, sf).collect()
+    assert(inf.length == docs.length)
+    inf.foreach { r =>
+      val id = r.getLong(0)
+      val score = feats(id).map { case (b, x) => wf(b.toInt) * x }.sum
+      assert(r.getLong(3) == score, s"doc $id score")
+      assert(r.getLong(2) == labels(id), s"doc $id label")
+      assert(r.getBoolean(4) == (score >= 0), s"doc $id keep")
+      assert(r.getBoolean(5) == ((score >= 0) == (labels(id) == 1L)), s"doc $id correct")
+    }
+    // the teacher is genuinely RECOVERED, not majority-matched: final
+    // train accuracy must beat both constant classifiers
+    val acc = inf.count(_.getBoolean(5))
+    val pos = labels.values.count(_ == 1L)
+    assert(acc > math.max(pos, docs.length - pos),
+      s"acc $acc vs majority ${math.max(pos, docs.length - pos)}")
+  }
+
   test("q94 chunks tile every doc with stride 48 and cover the tail") {
     val rows = TextOps.q94ChunkOverlap(spark, sf).collect()
     val nTok = graft.Tables.documents(spark, sf)

@@ -389,31 +389,24 @@ object TextOps {
     * canonical doc per group or audit family sizes; pair-at-a-time
     * dedup under-removes when A~B, B~C but A̸~C.
     *
-    * Iterative min-label propagation to fixpoint. Scale design: the
-    * loop runs ONLY over edge-touched nodes (near-dups are a sliver of
-    * the corpus — the untouched majority joins back once at the end);
-    * each round is one partial-aggregable groupBy-min plus a key-joined
-    * label update, both hash-partitioned on the node id; rounds =
-    * component diameter (dup families are shallow, 2-3 rounds); the
-    * convergence probe is `isEmpty` on the changed-label set — an
-    * aggregate, no row data to the driver. The literature upgrade for
-    * adversarial chain-shaped components is alternating
-    * large-star/small-star (Kiveris et al. 2014) — same per-round plan,
-    * fewer rounds — worth it only past ~billions of edges. */
+    * Alternating large-star/small-star to fixpoint (Kiveris et al.
+    * 2014, "Connected Components in MapReduce and Beyond" — the
+    * literature's shared-nothing CC). Scale design: the rounds run
+    * ONLY over the edge list (near-dups are a sliver of the corpus —
+    * the untouched majority joins back once at the end); each
+    * half-round is one hash-exchange on the star center plus a
+    * distinct; rounds are O(log n) in COMPONENT SIZE — not diameter —
+    * so a 100 TB corpus's adversarial chain-shaped dup families (the
+    * case that makes min-label propagation crawl at diameter rounds)
+    * finish in the same handful of passes as shallow ones. The r7
+    * driver union-find fast path is REMOVED (r7 verdict task 4): with
+    * log-round convergence the distributed path costs a few scheduling
+    * rounds at toy scale and wins everywhere else, and one code path
+    * beats two guarded ones. The min-label propagator below is kept as
+    * an independent implementation, spec-pinned label-identical. */
   def q62DupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = q33NgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
-    // size switch (the q35 precedent: the scale path is code, not
-    // prose): the edge list is the NEAR-DUP PAIR list — a sliver of the
-    // corpus — so up to a comfortable bound the driver runs union-find
-    // in microseconds instead of 3+ distributed rounds of join+agg jobs
-    // (~2 s of pure scheduling at any SF). Past the bound — a corpus
-    // so dirty its pair list alone overflows a driver — the iterative
-    // min-label loop takes over. Both paths produce identical labels
-    // (TextOpsSpec pins them against each other and against the
-    // recursive-CTE oracle).
-    val labels =
-      if (pairs.count() <= 200000) ccLabelsDriver(s, pairs)
-      else ccLabelsDistributed(pairs)
+    val labels = ccLabelsStar(pairs)
     documents(s, d).select(col("doc_id"))
       .join(labels.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -421,35 +414,69 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Small-graph fast path: classic union-find over the collected pair
-    * list (path compression + union by min label). Collecting is safe
-    * ONLY because the caller size-guards the edge count. */
-  private[queries] def ccLabelsDriver(
-      s: SparkSession, pairs: DataFrame): DataFrame = {
-    import s.implicits._
-    val es = pairs.as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    // Iterative (walk to root, then compress) — no stack bound even on a
-    // pathological parent chain near the 200k-edge guard.
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      var c = x
-      while (c != r) { val n = parent(c); parent(c) = r; c = n }
-      r
+  /** Large-star/small-star connected components (Kiveris et al. 2014):
+    * repeat [large-star; small-star] on the undirected edge set until
+    * the edge set is stable, at which point every edge is (component
+    * minimum → member) and labels read off directly.
+    *
+    *  - large-star, per center c over its full neighborhood N(c):
+    *    every neighbor n > c re-attaches to m = min(N(c) ∪ {c}) —
+    *    processed at the LOWER endpoint of each edge, so each edge is
+    *    emitted exactly once per half-round;
+    *  - small-star, per center c over its smaller neighbors
+    *    N₋(c) = {n < c}: every n ∈ N₋(c) and c itself attach to
+    *    m = min(N₋(c)).
+    *
+    * Each half-round is ONE exchange (window-min on the center key) +
+    * a distinct; edge multiplicity never grows (emissions ≤ inputs,
+    * then dedup'd), and the per-round eager localCheckpoint cuts the
+    * loop's lineage (the q104 lesson: self-referencing iteration must
+    * not compound plans). Convergence probe: set equality via count +
+    * one-sided except-isEmpty — aggregates only, no rows to the
+    * driver. */
+  private[queries] def ccLabelsStar(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var nEdges = edges.count()
+    var converged = nEdges == 0
+    while (!converged) {
+      // large-star over the bidirected neighborhood
+      val bi = edges.select(col("u").as("c"), col("v").as("n"))
+        .union(edges.select(col("v").as("c"), col("u").as("n")))
+      val ls = bi
+        .withColumn("m",
+          least(min(col("n")).over(Window.partitionBy(col("c"))), col("c")))
+        .filter(col("n") > col("c")) // m ≤ c < n ⇒ (m, n) is normalized
+        .select(col("m").as("u"), col("n").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star at the higher endpoint: centers are v, neighbors u < v
+      val ss = ls.select(col("v").as("c"), col("u").as("n"))
+        .withColumn("m", min(col("n")).over(Window.partitionBy(col("c"))))
+      val next = ss.filter(col("n") =!= col("m"))
+        .select(col("m").as("u"), col("n").as("v"))
+        .union(ss.select(col("m").as("u"), col("c").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val nNext = next.count()
+      converged = nNext == nEdges && next.exceptAll(edges).isEmpty
+      edges = next
+      nEdges = nNext
     }
-    es.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
-        parent(hi) = lo }
-    }
-    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
-    nodes.map(n => (n, find(n))).toSeq.toDF("u", "lbl")
+    // stable state: every edge is (root u = component min, member v)
+    edges.select(col("v").as("u"), col("u").as("lbl"))
+      .union(edges.select(col("u"), col("u").as("lbl")).distinct())
+      .distinct()
   }
 
-  /** Scale path: iterative min-label propagation to fixpoint — each
+  /** Independent second implementation, kept for the equality pin in
+    * TextOpsSpec: iterative min-label propagation to fixpoint — each
     * round one partial-aggregable groupBy-min + a key-joined update,
-    * rounds = component diameter (dup families are shallow). */
+    * rounds = component DIAMETER (fine for shallow dup families; the
+    * star loop above needs only O(log n) on chains). */
   private[queries] def ccLabelsDistributed(pairs: DataFrame): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))

@@ -66,16 +66,37 @@ class TextOpsSpec extends SparkSuite {
     assert(pairs.nonEmpty)
   }
 
-  test("q62 distributed label-propagation path equals the union-find fast path") {
-    // the size switch picks union-find at test SF; this keeps the scale
-    // path itself under CI on the same real pair graph
+  test("q62 star CC equals min-label propagation on the real pair graph") {
+    // two independent distributed implementations must agree label-for-
+    // label: the large/small-star loop (the production path) and the
+    // min-label propagator (kept precisely for this pin)
     val pairs = TextOps.q33NgramJaccard(spark, sf).select("doc_a", "doc_b")
-    val viaDriver = TextOps.ccLabelsDriver(spark, pairs).collect()
+    val viaStar = TextOps.ccLabelsStar(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val viaLoop = TextOps.ccLabelsDistributed(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(viaDriver.nonEmpty)
-    assert(viaLoop == viaDriver)
+    assert(viaStar.nonEmpty)
+    assert(viaLoop == viaStar)
+  }
+
+  test("star CC collapses an adversarial chain (the case min-label crawls on)") {
+    // a 64-node path graph: component minimum 0 must label every node;
+    // min-label needs ~diameter rounds here, the star loop O(log n) —
+    // this pins correctness of the log-round path on its worst shape
+    import spark.implicits._
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = TextOps.ccLabelsStar(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.keySet == (0L to 63L).toSet)
+    assert(labels.values.forall(_ == 0L))
+    // two disjoint rings keep distinct minima
+    val rings = ((100L until 110L).map(i => (i, if (i == 109L) 100L else i + 1)) ++
+      (200L until 210L).map(i => (i, if (i == 209L) 200L else i + 1)))
+      .toDF("doc_a", "doc_b")
+    val rl = TextOps.ccLabelsStar(rings).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rl.filter(_._1 < 200L).forall(_._2 == 100L))
+    assert(rl.filter(_._1 >= 200L).forall(_._2 == 200L))
   }
 
   test("q63 ensemble is the tagged union of the q33 and q37 pair sets") {

@@ -107,4 +107,90 @@ class CheckpointRecoverySpec extends SparkSuite {
     restartCycle(Some(
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
   }
+
+  test("tokenBudget admission counter survives a stop/restart") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val ckpt = java.nio.file.Files.createTempDirectory("tb_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("tb_sink").toString
+    val stream = MemoryStream[CorpusStream.BudgetDoc]
+    def start() = CorpusStream.tokenBudget(stream.toDS(), budget = 100L)
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def rows() = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tokens_before"), r.getAs[Boolean]("kept"))).toSet
+
+    // incarnation 1: two 40-token docs fill the counter to 80
+    val q1 = start()
+    stream.addData(CorpusStream.BudgetDoc("a", 1L, 40L),
+      CorpusStream.BudgetDoc("a", 2L, 40L))
+    q1.processAllAvailable()
+    assert(rows() == Set((1L, 0L, true), (2L, 40L, true)), rows().toString)
+    q1.stop()
+
+    // incarnation 2: the recovered counter (80) must carry the
+    // admission decisions — doc 3 squeezes in under the 100 budget,
+    // doc 4 is refused at 120, and a fresh source starts from zero.
+    // Only the CHECKPOINTED long can know the 80.
+    val q2 = start()
+    stream.addData(CorpusStream.BudgetDoc("a", 3L, 40L),
+      CorpusStream.BudgetDoc("a", 4L, 40L),
+      CorpusStream.BudgetDoc("b", 5L, 40L))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(rows() == Set((1L, 0L, true), (2L, 40L, true),
+      (3L, 80L, true), (4L, 120L, false), (5L, 0L, true)), rows().toString)
+  }
+
+  test("nearDupLsh first-claimant band state survives a stop/restart") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val base = "the quick brown fox jumps over a lazy dog while rain " +
+      "falls on the quiet town and lights flicker in the distance tonight"
+    val edited = base.replace("rain", "snow")
+    val fresh = "entirely different words compose this other document " +
+      "about ships and harbors and the long voyage across the cold sea"
+
+    val ckpt = java.nio.file.Files.createTempDirectory("lsh_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("lsh_sink").toString
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def start() = CorpusStream.nearDupLsh(
+        stream.toDS().toDF("ts", "doc_id", "text"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    // incarnation 1: the base doc claims its 32 band buckets
+    val q1 = start()
+    stream.addData((ts(10, 0), 1L, base))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // incarnation 2: a near-identical doc arrives post-restart; it can
+    // only lose bands to the base doc if the band-claim state was
+    // recovered from the checkpoint. A fresh doc still keeps all 32.
+    // The 12:30 row just advances the watermark past the 10:00-11:00
+    // window so the verdicts materialize in the append sink.
+    val q2 = start()
+    stream.addData((ts(10, 5), 2L, edited), (ts(10, 6), 3L, fresh))
+    q2.processAllAvailable()
+    stream.addData((ts(12, 30), 99L, "flush"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val byId = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bands_kept"), r.getAs[Boolean]("near_dup"))).toMap
+    assert(byId(1L) == (32L, false), byId.toString) // first claimant
+    assert(byId(3L) == (32L, false), byId.toString) // fresh content
+    val (editKept, editDup) = byId(2L)
+    assert(editDup && editKept < 32L,
+      s"edited doc kept $editKept bands — band state not recovered")
+    assert(!byId.contains(99L)) // flush row's window never closed
+  }
 }

@@ -1653,20 +1653,57 @@ object TextOps {
     * weights stay O(2^LmS) (the LSQ fixpoint is y-scaled), so per-term
     * r·x ≲ 2^25 and the gradient sum stays inside BIGINT up to ~2^37
     * documents — two orders past a 100 TB corpus. */
-  private[graft] def classifierTrainSteps(s: SparkSession, d: String): DataFrame = {
+  /** Training is memoized per (session, sfDir) — the q33 cached-pair-
+    * list treatment: q104 and q105 are separate gate entries but share
+    * one optimization run, and the memo holds only the tiny
+    * checkpointed trajectory (LmEpochs·65 rows). */
+  private val trainStepsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private[graft] def classifierTrainSteps(s: SparkSession, d: String): DataFrame =
+    trainStepsMemo.computeIfAbsent((s, d), _ => trainStepsUncached(s, d))
+
+  /** For measurement tools only: drops the memoized trajectories so a
+    * cold-cache sweep re-pays training (ScaleSweep clears this beside
+    * the CacheManager — localCheckpointed RDDs are not CacheManager
+    * entries, so clearCache() alone would leave training invisibly
+    * warm and the q104 scaling row would lie). */
+  private[graft] def clearTrainMemo(): Unit = trainStepsMemo.clear()
+
+  private def trainStepsUncached(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val feats = classifierFeatures(docs).persist(mem)
-    val labels = classifierLabels(docs).persist(mem)
+    // Eager localCheckpoint, not persist: a lazy cache is only a HINT —
+    // AQE broadcast-stage builds were observed recomputing the full
+    // char-fold feature pass once per epoch through it (one ~7 CPU-s
+    // 33-task stage per epoch at sf0.1). Checkpointed frames are DATA;
+    // the fold provably runs once per training, not once per epoch.
+    // Both are pre-partitioned on doc_id so every epoch's score agg,
+    // label join, and gradient join run exchange-free off the
+    // checkpointed partitioning — the loop's only repeated exchange is
+    // the 65-row gradient.
+    val feats = classifierFeatures(docs)
+      .repartition(col("doc_id")).localCheckpoint(true)
+    val labels = classifierLabels(docs)
+      .repartition(col("doc_id")).localCheckpoint(true)
     val n = labels.agg(count(lit(1)).as("n"))
     val buckets = s.range(65).select(col("id").as("b"))
-    var w: DataFrame = buckets.withColumn("nw", lit(0L))
-    var v: DataFrame = buckets.withColumn("nv", lit(0L))
+    var wv: DataFrame = buckets
+      .withColumn("nv", lit(0L)).withColumn("nw", lit(0L))
     val epochs = (1 to LmEpochs).map { e =>
-      val sDf = feats.join(broadcast(w), Seq("b"))
+      val sDf = feats
+        .join(broadcast(wv.select(col("b"), col("nw"))), Seq("b"))
         .groupBy(col("doc_id")).agg(sum(col("x") * col("nw")).as("s"))
+      // Eager per-epoch checkpoints: each epoch references the previous
+      // weights TWICE (scores + update), so a lazy lineage doubles per
+      // epoch — 2^12 plan nodes by epoch 12 and the optimizer never
+      // returns. The residual frame is checkpointed too (one
+      // materialization, N rows — the standard per-iteration state of
+      // distributed GD) so the gradient and the error count read data,
+      // not plans; velocity and weights ride ONE fused 65-row frame to
+      // halve the per-epoch job count.
       val res = labels.join(sDf, Seq("doc_id")) // bias row ⇒ s exists ∀ docs
         .withColumn("r", col("y") * lit(1L << LmS) - col("s"))
+        .localCheckpoint(true)
       val nWrong = res.agg(sum(when((col("s") >= 0) =!= (col("y") === 1), 1L)
         .otherwise(0L)).as("n_wrong"))
       val grad = res.select(col("doc_id"), col("r")).join(feats, Seq("doc_id"))
@@ -1674,19 +1711,14 @@ object TextOps {
         .crossJoin(broadcast(n))
         .select(col("b"),
           expr("(gsum - pmod(gsum, n)) div n").as("g"))
-      // Eager localCheckpoint, not persist: each epoch references the
-      // previous weights TWICE (scores + update), so a lazy lineage
-      // doubles per epoch — 2^12 plan nodes by epoch 12 and the
-      // optimizer never returns. Checkpointing the 65-row frames cuts
-      // the lineage dead; the materialization job is 65 rows/epoch.
-      v = v.join(grad, Seq("b"), "left")
-        .select(col("b"), (coalesce(col("g"), lit(0L)) + col("nv") -
-          shiftright(col("nv"), LmM)).as("nv"))
+      wv = wv.join(grad, Seq("b"), "left")
+        .withColumn("nv2", coalesce(col("g"), lit(0L)) + col("nv") -
+          shiftright(col("nv"), LmM))
+        .select(col("b"), col("nv2").as("nv"),
+          (col("nw") + shiftright(col("nv2"), LmK)).as("nw"))
         .localCheckpoint(true)
-      w = w.join(v, Seq("b"))
-        .select(col("b"), (col("nw") + shiftright(col("nv"), LmK)).as("nw"))
-        .localCheckpoint(true)
-      w.crossJoin(broadcast(nWrong)).withColumn("epoch", lit(e.toLong))
+      wv.select(col("b"), col("nw"))
+        .crossJoin(broadcast(nWrong)).withColumn("epoch", lit(e.toLong))
     }
     epochs.reduce(_.unionByName(_))
       .select(col("epoch"), col("b").as("bucket"), col("nw").as("weight"),

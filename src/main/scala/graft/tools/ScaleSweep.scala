@@ -42,7 +42,10 @@ object ScaleSweep {
       // corpus statistics / tokenizer
       "q56_vocabulary", "q92_tfidf_keywords", "q93_lm_score",
       "q97_token_budget", "q100_bpe_merges", "q101_quality_classifier",
-      "q102_temperature_mix")
+      "q102_temperature_mix",
+      // r8: bounded-model LM scoring + the classifier training loop
+      "q103_lm_score_pruned", "q104_classifier_train",
+      "q105_classifier_learned")
     val queries = sys.env.get("SCALESWEEP_QUERIES")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(defaultQueries)
 
@@ -110,6 +113,9 @@ object ScaleSweep {
           for (rep <- 1 to 2) {
             org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
             spark.sharedState.cacheManager.clearCache()
+            // q104/q105 memoize their training trajectory outside the
+            // CacheManager — clear it too, or their rows under-report
+            graft.queries.TextOps.clearTrainMemo()
             reset()
             val t0 = System.nanoTime()
             n = f(spark, sf).count()

@@ -196,13 +196,15 @@ object Bench {
     // console harvester that truncates the stdout capture (the r6 bench
     // record lost q01-q37, and the r7 committed record lost q01-q31 +
     // the total the same way) can always recover the full JSON.
-    // The default path is IN THE REPO (cwd) — the round's end-of-round
-    // commit then always captures the untruncated line as BENCH_SELF
-    // .json, so the headline number survives without a /tmp file.
+    // The default path is cwd-relative BENCH_SELF.json: Bench runs from
+    // the repo root (sbt runMain), so the round's end-of-round commit
+    // always captures the untruncated line — and a run from a worktree
+    // or another checkout records into ITS OWN tree instead of
+    // clobbering this one's committed artifact.
     // Write-then-rename keeps the published file whole under any crash.
     try {
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_SELF.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json"))
       val tmp = out.resolveSibling(out.getFileName.toString + ".tmp")
       java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
       java.nio.file.Files.move(tmp, out,

@@ -160,15 +160,25 @@ object Orchestrator {
         // the exception propagates with the previous generation still
         // running and still correctly recorded in the map — stopping
         // first and then failing to build would leave stopped queries
-        // registered as running (and the collector dark).
-        val built = configs.map(build)
+        // registered as running (and the collector dark). build() START
+        // queries as it goes, so a mid-batch failure must stop the
+        // ones already started before rethrowing — otherwise they run
+        // orphaned (never registered, unreachable by stopAll,
+        // double-writing beside the surviving old generation).
+        val built = Vector.newBuilder[StreamingQuery]
+        try configs.foreach(c => built += build(c))
+        catch { case e: Throwable =>
+          built.result().foreach(q => try q.stop() catch { case _: Exception => () })
+          throw e
+        }
+        val builtQueries = built.result()
         // The control bus is at-least-once: a duplicate Created for an
         // id that is already running must not overwrite the map entry
         // and orphan live queries (they would keep consuming and
         // double-writing, unreachable by stopAll) — stop the old
         // generation before the swap.
         running.get(id).foreach(_._2.foreach(_.stop()))
-        running += id -> (configs.head, built)
+        running += id -> (configs.head, builtQueries)
       }
     }
 

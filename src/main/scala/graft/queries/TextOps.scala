@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication operators over the `documents` table —
@@ -451,8 +451,9 @@ object TextOps {
         .withColumn("m",
           least(min(col("n")).over(Window.partitionBy(col("c"))), col("c")))
         .filter(col("n") > col("c")) // m ≤ c < n ⇒ (m, n) is normalized
+        // no self-loop filter needed: m ≤ c < n means u < v strictly
         .select(col("m").as("u"), col("n").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .distinct()
       // small-star at the higher endpoint: centers are v, neighbors u < v
       val ss = ls.select(col("v").as("c"), col("u").as("n"))
         .withColumn("m", min(col("n")).over(Window.partitionBy(col("c"))))
@@ -1189,18 +1190,23 @@ object TextOps {
 
   /** The per-doc reassembly shared by q93/q103: sum folded IN TOKEN
     * ORDER (array_sort on pos — a fixed order makes the double sum
-    * bit-identical cross-engine), min order-free, keep at 0.034. */
-  private def lmFold(p: DataFrame): DataFrame =
+    * bit-identical cross-engine), min order-free, keep at 0.034.
+    * `extra` rides additional aggregates (column, name) through the
+    * SAME doc_id aggregation — q103's n_oov lives here so the scoring
+    * pipeline is aggregated once, not once per output statistic. */
+  private def lmFold(p: DataFrame, extra: (Column, String)*): DataFrame = {
+    val aggs = Seq(min(col("p")).as("min_p"), count(lit(1)).as("n_bigrams")) ++
+      extra.map { case (c, name) => c.as(name) }
     p.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("p")))).as("pp"),
-        min(col("p")).as("min_p"),
-        count(lit(1)).as("n_bigrams"))
+        aggs: _*)
       .withColumn("sum_p",
         expr("aggregate(pp, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)"))
       .withColumn("avg_p", col("sum_p") / col("n_bigrams"))
       .withColumn("keep", col("avg_p") >= lit(0.034))
-      .select(col("doc_id"), col("n_bigrams"), col("sum_p"), col("avg_p"),
-        col("min_p"), col("keep"))
+      .select((Seq("doc_id", "n_bigrams") ++ extra.map(_._2) ++
+        Seq("sum_p", "avg_p", "min_p", "keep")).map(col): _*)
+  }
 
   /** q103 pruning knobs (mirrored literally in the oracle): bigrams
     * with count < 2 prune to the smoothing floor; of the survivors only
@@ -1252,11 +1258,7 @@ object TextOps {
         (coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0)) /
           (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
       .withColumn("oov", when(col("c2").isNull, lit(1L)).otherwise(lit(0L)))
-    val oov = p.groupBy(col("doc_id")).agg(sum(col("oov")).as("n_oov"))
-    lmFold(p)
-      .join(oov, Seq("doc_id"))
-      .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("sum_p"),
-        col("avg_p"), col("min_p"), col("keep"))
+    lmFold(p, (sum(col("oov")), "n_oov"))
       .orderBy(col("doc_id"))
   }
 
@@ -1655,13 +1657,24 @@ object TextOps {
     * documents — two orders past a 100 TB corpus. */
   /** Training is memoized per (session, sfDir) — the q33 cached-pair-
     * list treatment: q104 and q105 are separate gate entries but share
-    * one optimization run, and the memo holds only the tiny
-    * checkpointed trajectory (LmEpochs·65 rows). */
+    * one optimization run. The memo carries the checkpointed FEATURE
+    * and LABEL tables alongside the trajectory so inference never
+    * re-pays the char-fold passes training already materialized. */
+  private final case class TrainArtifacts(steps: DataFrame, feats: DataFrame,
+                                          labels: DataFrame)
   private val trainStepsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), TrainArtifacts]
+
+  private def trainArtifacts(s: SparkSession, d: String): TrainArtifacts = {
+    // evict entries whose session has stopped: they pin checkpointed
+    // RDDs of dead sessions forever, and a reuse would surface as an
+    // opaque "SparkContext has been shut down" instead of a retrain
+    trainStepsMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    trainStepsMemo.computeIfAbsent((s, d), _ => trainStepsUncached(s, d))
+  }
 
   private[graft] def classifierTrainSteps(s: SparkSession, d: String): DataFrame =
-    trainStepsMemo.computeIfAbsent((s, d), _ => trainStepsUncached(s, d))
+    trainArtifacts(s, d).steps
 
   /** For measurement tools only: drops the memoized trajectories so a
     * cold-cache sweep re-pays training (ScaleSweep clears this beside
@@ -1670,7 +1683,7 @@ object TextOps {
     * warm and the q104 scaling row would lie). */
   private[graft] def clearTrainMemo(): Unit = trainStepsMemo.clear()
 
-  private def trainStepsUncached(s: SparkSession, d: String): DataFrame = {
+  private def trainStepsUncached(s: SparkSession, d: String): TrainArtifacts = {
     val docs = documents(s, d)
     // Eager localCheckpoint, not persist: a lazy cache is only a HINT —
     // AQE broadcast-stage builds were observed recomputing the full
@@ -1720,9 +1733,10 @@ object TextOps {
       wv.select(col("b"), col("nw"))
         .crossJoin(broadcast(nWrong)).withColumn("epoch", lit(e.toLong))
     }
-    epochs.reduce(_.unionByName(_))
+    val steps = epochs.reduce(_.unionByName(_))
       .select(col("epoch"), col("b").as("bucket"), col("nw").as("weight"),
         col("n_wrong"))
+    TrainArtifacts(steps, feats, labels)
   }
 
   /** q104: classifier TRAINING — emits the full [[LmEpochs]]-epoch
@@ -1742,13 +1756,15 @@ object TextOps {
     * table joined to the 65-row broadcast weights; the label frame
     * joins back on doc_id — both exchanges partial-aggregate first. */
   def q105ClassifierLearned(s: SparkSession, d: String): DataFrame = {
-    val steps = classifierTrainSteps(s, d)
-    val wFinal = steps.filter(col("epoch") === LmEpochs)
+    val art = trainArtifacts(s, d)
+    val wFinal = art.steps.filter(col("epoch") === LmEpochs)
       .select(col("bucket").as("b"), col("weight").as("nw"))
-    val docs = documents(s, d)
-    val scored = classifierFeatures(docs).join(broadcast(wFinal), Seq("b"))
+    // score off the CHECKPOINTED feature/label tables training already
+    // materialized — rebuilding them here would re-pay the two
+    // corpus-scale char-fold passes per q105 run
+    val scored = art.feats.join(broadcast(wFinal), Seq("b"))
       .groupBy(col("doc_id")).agg(sum(col("x") * col("nw")).as("s"))
-    classifierLabels(docs).join(scored, Seq("doc_id"))
+    art.labels.join(scored, Seq("doc_id"))
       .withColumn("keep", col("s") >= 0)
       .withColumn("correct", (col("s") >= 0) === (col("y") === 1))
       .select(col("doc_id"), col("n_tokens"), col("y").as("label"),

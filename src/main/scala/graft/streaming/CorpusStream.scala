@@ -266,6 +266,10 @@ object CorpusStream {
   def lmModel(corpus: DataFrame, minCount: Long = 1L,
               maxEntries: Int = 1 << 20): LmModel = {
     val w = corpus.select(split(col("text"), " ").as("w"))
+    // persisted: three consumers below (kept's collect, c1's aggregate,
+    // and kept's subtree inside c1's semi-join) would otherwise each
+    // re-run the corpus-scale bigram explode+aggregate — the model
+    // build's dominant cost at any real corpus size
     val counts = w
       .select(explode(expr(
         """transform(
@@ -273,20 +277,23 @@ object CorpusStream {
           |       ELSE array() END,
           |  i -> struct(w[i] AS w1, w[i+1] AS w2))""".stripMargin)).as("b"))
       .groupBy(col("b.w1"), col("b.w2")).agg(count(lit(1)).as("c"))
-    val kept = counts
-      .filter(col("c") >= minCount)
-      .orderBy(col("c").desc, col("w1"), col("w2"))
-      .limit(maxEntries)
-    val c2 = kept
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    // Exact full totals, semi-joined to the retained leading-word set:
-    // result cardinality ≤ maxEntries by construction (bounded collect,
-    // the q60-bloom adjudicated shape — provably small before collect).
-    val c1 = counts.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
-      .join(kept.select(col("w1")).distinct(), Seq("w1"), "left_semi")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val v = w.select(explode(col("w")).as("t")).distinct().count()
-    LmModel(c2, c1, v)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val kept = counts
+        .filter(col("c") >= minCount)
+        .orderBy(col("c").desc, col("w1"), col("w2"))
+        .limit(maxEntries)
+      val c2 = kept
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // Exact full totals, semi-joined to the retained leading-word set:
+      // result cardinality ≤ maxEntries by construction (bounded collect,
+      // the q60-bloom adjudicated shape — provably small before collect).
+      val c1 = counts.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+        .join(kept.select(col("w1")).distinct(), Seq("w1"), "left_semi")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val v = w.select(explode(col("w")).as("t")).distinct().count()
+      LmModel(c2, c1, v)
+    } finally counts.unpersist()
   }
 
   /** Streaming LM quality score — the streaming twin of q93, in its

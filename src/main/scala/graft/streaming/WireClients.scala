@@ -134,13 +134,15 @@ object WireClients {
     * diverge. */
   final class JdbcEnvelopeWriter(connector: SqlConnector, table: String)
       extends ForeachWriter[Row] {
+    // constant for the writer's lifetime — built once, not per row
+    private val sql = insertSql(table)
     @transient private var session: SqlSession = _
     override def open(partitionId: Long, epochId: Long): Boolean = {
       session = connector.open()
       true
     }
     override def process(row: Row): Unit =
-      session.execute(insertSql(table), Seq(
+      session.execute(sql, Seq(
         row.getAs[String]("_idem_key"),
         // collector id / ts pass through at whatever type the envelope
         // frame carries (the key already normalized them to strings)

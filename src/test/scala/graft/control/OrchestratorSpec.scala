@@ -126,6 +126,30 @@ class OrchestratorSpec extends graft.SparkSuite {
     assert(mgr.runningIds.isEmpty && built.forall(_.stopped))
   }
 
+  test("QueryManager: build failure leaves the old generation running and stops partial builds") {
+    val built = scala.collection.mutable.ArrayBuffer.empty[StubQuery]
+    var failFrom = Int.MaxValue
+    val mgr = new QueryManager(_ => {
+      if (built.size >= failFrom) throw new RuntimeException("source unreachable")
+      val q = new StubQuery; built += q; q
+    })
+    mgr.handle(Created(1, cfg(1, "ttn", "a,b")))
+    assert(mgr.runningIds == Set(1L) && built.size == 2)
+    // redelivered Created whose SECOND build throws: the first build of
+    // the new generation must be stopped (not orphaned double-writing),
+    // the old generation must keep running and stay registered
+    failFrom = 3
+    intercept[RuntimeException] {
+      mgr.handle(Created(1, cfg(1, "ttn", "a,b")))
+    }
+    assert(mgr.runningIds == Set(1L))
+    assert(built.take(2).forall(!_.stopped), "old generation was stopped")
+    assert(built.size == 3 && built(2).stopped, "partial build left running")
+    // the manager is still consistent: a later Deleted stops generation 1
+    mgr.handle(Deleted(1))
+    assert(mgr.runningIds.isEmpty && built.take(2).forall(_.stopped))
+  }
+
   test("F5 600 s verification timeout (BaseCollector.py:43-53)") {
     val started = Map(1L -> 0L, 2L -> 0L, 3L -> 500000L)
     assert(verifyTimeouts(600000L, started, verified = Set(2L)) == Seq(1L))

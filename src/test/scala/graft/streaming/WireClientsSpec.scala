@@ -128,11 +128,10 @@ class WireClientsSpec extends SparkSuite {
     assert(FakeWire.dbSuppressed.get() == 0)
 
     // full redelivery (at-least-once source replay: a FRESH checkpoint
-    // over the same data re-sends everything) — every insert must hit
-    // the conflict clause and change nothing
-    val (_, stream2) = (batch, stream)
+    // over the same source re-sends everything) — every insert must
+    // hit the conflict clause and change nothing
     val ck2 = java.nio.file.Files.createTempDirectory("jdbc_ck2").toString
-    val q2 = WireClients.startJdbcSink(stream2, new FakeWire.Db,
+    val q2 = WireClients.startJdbcSink(stream, new FakeWire.Db,
       table = "packets", checkpoint = ck2, trigger = Trigger.AvailableNow())
     assert(q2.awaitTermination(120000))
     assert(FakeWire.dbRows.size() == nEnv, "replay inserted new rows")

@@ -53,6 +53,35 @@ class EmptyDocSpec extends SparkSuite {
     assert(empty.getDouble(3) == 0.0 && empty.getBoolean(4))
   }
 
+  test("q93/q103 LM scores: an empty document emits no row, the rest score") {
+    val q93 = TextOps.q93LmScore(spark, dir).collect()
+    assert(q93.map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 5L)) // <2 tokens → no bigrams
+    assert(q93.forall(r => !r.getDouble(2).isNaN))
+    val q103 = TextOps.q103LmScorePruned(spark, dir).collect()
+    assert(q103.map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 5L))
+    // on this tiny corpus only the repeated bigrams survive the c>=2
+    // prune; every fallback is still a finite add-one floor
+    assert(q103.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(q103.forall(r => !r.getDouble(3).isNaN && r.getDouble(5) > 0.0))
+  }
+
+  test("q104/q105 train and score through an empty document (bias-only features)") {
+    TextOps.clearTrainMemo() // other suites may have trained other dirs
+    val steps = TextOps.q104ClassifierTrain(spark, dir).collect()
+    assert(steps.length == 12 * 65)
+    val lastWrong = steps.filter(_.getLong(0) == 12L).head.getLong(3)
+    assert(lastWrong <= 5L)
+    val inf = TextOps.q105ClassifierLearned(spark, dir).collect()
+    assert(inf.length == 5)
+    val empty = inf.find(_.getLong(0) == 3L).get
+    // the empty doc carries only the bias feature: its score IS the
+    // learned bias weight, its teacher label +1 (score-0 convention)
+    val bias = steps.filter(r => r.getLong(0) == 12L && r.getLong(1) == 64L)
+      .head.getLong(2)
+    assert(empty.getLong(3) == bias, "empty doc must score the bias weight")
+    assert(empty.getLong(2) == 1L)
+  }
+
   test("q40 media decode survives a 0x0 image (empty non-null pixels)") {
     val rows = Media.q40MediaDecode(spark, dir).collect()
     assert(rows.length == 5)

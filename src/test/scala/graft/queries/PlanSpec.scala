@@ -50,6 +50,27 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q103 caps the model with a global top-K and keeps its joins off the sort path") {
+    val p = plan(TextOps.q103LmScorePruned(spark, sf))
+    // the K-bound is the whole point: the model side must compile to a
+    // TakeOrdered (bounded memory at ANY corpus size), never a global
+    // Sort feeding a limit
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q105 scores through a broadcast of the 65-row learned weights") {
+    graft.queries.TextOps.clearTrainMemo()
+    val p = plan(TextOps.q105ClassifierLearned(spark, sf))
+    // the weight join must broadcast the model side — the corpus-side
+    // feature table must not shuffle to meet 65 rows
+    assert(p.contains("BroadcastHashJoin"), p)
+    // inference reads the CHECKPOINTED feature/label tables (training's
+    // materialized artifacts), not a re-derived corpus explode
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Generate explode"), p)
+  }
+
   test("q48 streams the generated keyspace and broadcasts the packets") {
     val p = plan(Packets.q48KeyPatterns(spark, sf))
     // the 196,608-key candidate table must be the partitioned stream side

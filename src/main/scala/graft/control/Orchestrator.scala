@@ -143,7 +143,19 @@ object Orchestrator {
 
   /** Driver-side manager: applies [[lifecycle]] plans to real
     * StreamingQueries. `build` is the per-collector query factory
-    * (source → pipeline → sink). */
+    * (source → pipeline → sink).
+    *
+    * CONTRACT on `build`: each invocation must allocate a FRESH
+    * checkpoint location (generation-scoped, not config-derived). The
+    * manager builds a replacement generation BEFORE stopping the one
+    * it replaces (so a build failure rolls back cleanly), which means
+    * the two generations briefly overlap: with a shared checkpoint,
+    * Spark's stopActiveRunOnRestart would silently kill the old run
+    * mid-build — and a rollback would then leave a dead query
+    * registered as running. With fresh checkpoints the overlap is
+    * plain at-least-once double-delivery for the build window, which
+    * the K1 idempotency key absorbs at the consumer (the same
+    * adjudication as every other at-least-once edge in this engine). */
   final class QueryManager(build: CollectorConfig => StreamingQuery) {
     private var running: Map[Long, (CollectorConfig, Seq[StreamingQuery])] = Map.empty
 

@@ -427,15 +427,18 @@ object TextOps {
     *    N₋(c) = {n < c}: every n ∈ N₋(c) and c itself attach to
     *    m = min(N₋(c)).
     *
-    * Each half-round is ONE exchange (window-min on the center key) +
-    * a distinct; edge multiplicity never grows (emissions ≤ inputs,
-    * then dedup'd), and the per-round eager localCheckpoint cuts the
-    * loop's lineage (the q104 lesson: self-referencing iteration must
-    * not compound plans). Convergence probe: set equality via count +
-    * one-sided except-isEmpty — aggregates only, no rows to the
-    * driver. */
+    * Each half-round computes neighborhood minima with a PARTIAL-
+    * AGGREGABLE groupBy-min joined back on the center key (a window
+    * over partitionBy(c) would funnel a star center's ~component-size
+    * neighborhood through one sorted task — the skew case this
+    * algorithm exists for; the groupBy's exchange carries one row per
+    * center and the join back is AQE-skew-eligible), then dedups.
+    * Edge multiplicity never grows (emissions ≤ inputs, then dedup'd),
+    * and the per-round eager localCheckpoint cuts the loop's lineage
+    * (the q104 lesson: self-referencing iteration must not compound
+    * plans). Convergence probe: set equality via count + one-sided
+    * except-isEmpty — aggregates only, no rows to the driver. */
   private[queries] def ccLabelsStar(pairs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     var edges = pairs
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
@@ -444,22 +447,31 @@ object TextOps {
     var nEdges = edges.count()
     var converged = nEdges == 0
     while (!converged) {
+      // Neighborhood minima via groupBy-min + join-back, NOT a window:
+      // a window over partitionBy(c) funnels a high-degree center's
+      // whole neighborhood through one sorted task — at convergence a
+      // giant component's star center has ~component-size degree,
+      // exactly the skew case this algorithm exists for. The groupBy
+      // partial-aggregates map-side (the exchange carries one row per
+      // center) and the join back is AQE-skew-eligible.
       // large-star over the bidirected neighborhood
       val bi = edges.select(col("u").as("c"), col("v").as("n"))
         .union(edges.select(col("v").as("c"), col("u").as("n")))
-      val ls = bi
-        .withColumn("m",
-          least(min(col("n")).over(Window.partitionBy(col("c"))), col("c")))
+      val lsMin = bi.groupBy(col("c"))
+        .agg(min(col("n")).as("mn"))
+        .select(col("c"), least(col("mn"), col("c")).as("m"))
+      val ls = bi.join(lsMin, Seq("c"))
         .filter(col("n") > col("c")) // m ≤ c < n ⇒ (m, n) is normalized
         // no self-loop filter needed: m ≤ c < n means u < v strictly
         .select(col("m").as("u"), col("n").as("v"))
         .distinct()
       // small-star at the higher endpoint: centers are v, neighbors u < v
-      val ss = ls.select(col("v").as("c"), col("u").as("n"))
-        .withColumn("m", min(col("n")).over(Window.partitionBy(col("c"))))
+      val ssIn = ls.select(col("v").as("c"), col("u").as("n"))
+      val ssMin = ssIn.groupBy(col("c")).agg(min(col("n")).as("m"))
+      val ss = ssIn.join(ssMin, Seq("c"))
       val next = ss.filter(col("n") =!= col("m"))
         .select(col("m").as("u"), col("n").as("v"))
-        .union(ss.select(col("m").as("u"), col("c").as("v")))
+        .union(ssMin.select(col("m").as("u"), col("c").as("v")))
         .distinct()
         .localCheckpoint(true)
       val nNext = next.count()
@@ -1717,8 +1729,13 @@ object TextOps {
       val res = labels.join(sDf, Seq("doc_id")) // bias row ⇒ s exists ∀ docs
         .withColumn("r", col("y") * lit(1L << LmS) - col("s"))
         .localCheckpoint(true)
+      // error count collected to a DRIVER LONG (1 row — training is
+      // eager anyway): embedding it as a literal means the memoized
+      // trajectory references only the 65-row weight frames, not 12
+      // corpus-sized residual checkpoints pinned for the session
+      // lifetime just to serve a 1-row aggregate each
       val nWrong = res.agg(sum(when((col("s") >= 0) =!= (col("y") === 1), 1L)
-        .otherwise(0L)).as("n_wrong"))
+        .otherwise(0L))).collect()(0).getLong(0)
       val grad = res.select(col("doc_id"), col("r")).join(feats, Seq("doc_id"))
         .groupBy(col("b")).agg(sum(col("r") * col("x")).as("gsum"))
         .crossJoin(broadcast(n))
@@ -1730,8 +1747,11 @@ object TextOps {
         .select(col("b"), col("nv2").as("nv"),
           (col("nw") + shiftright(col("nv2"), LmK)).as("nw"))
         .localCheckpoint(true)
+      // res is now unreferenced — its checkpoint blocks are reclaimable
+      // by the ContextCleaner instead of living as long as the memo
       wv.select(col("b"), col("nw"))
-        .crossJoin(broadcast(nWrong)).withColumn("epoch", lit(e.toLong))
+        .withColumn("epoch", lit(e.toLong))
+        .withColumn("n_wrong", lit(nWrong))
     }
     val steps = epochs.reduce(_.unionByName(_))
       .select(col("epoch"), col("b").as("bucket"), col("nw").as("weight"),

@@ -114,8 +114,12 @@ object ScaleSweep {
             org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
             spark.sharedState.cacheManager.clearCache()
             // q104/q105 memoize their training trajectory outside the
-            // CacheManager — clear it too, or their rows under-report
+            // CacheManager — clear it too, or their rows under-report;
+            // the GC nudge lets the ContextCleaner reclaim the evicted
+            // runs' checkpoint blocks before the next measurement
+            // instead of mid-rep
             graft.queries.TextOps.clearTrainMemo()
+            System.gc()
             reset()
             val t0 = System.nanoTime()
             n = f(spark, sf).count()

@@ -63,6 +63,9 @@ object StageClock {
       org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
       stages.synchronized(stages.clear())
       spark.sharedState.cacheManager.clearCache()
+      // q104/q105 memoize their training trajectory outside the
+      // CacheManager — without this, reps 2+ skip training entirely
+      graft.queries.TextOps.clearTrainMemo()
       System.gc()
       val t0 = System.nanoTime()
       val cnt = graft.SparkEntry.queries(name)(spark, sfDir).count()

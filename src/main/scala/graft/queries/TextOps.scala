@@ -465,6 +465,11 @@ object TextOps {
         // no self-loop filter needed: m ≤ c < n means u < v strictly
         .select(col("m").as("u"), col("n").as("v"))
         .distinct()
+        // the small-star half consumes ls TWICE (ssMin build + join
+        // back); checkpoint makes the second reference read data, not
+        // re-run the large-star join+distinct if exchange reuse is
+        // ever defeated
+        .localCheckpoint(true)
       // small-star at the higher endpoint: centers are v, neighbors u < v
       val ssIn = ls.select(col("v").as("c"), col("u").as("n"))
       val ssMin = ssIn.groupBy(col("c")).agg(min(col("n")).as("m"))
@@ -1648,9 +1653,11 @@ object TextOps {
     * ALL-INTEGER, so every sum is order-free and the full trajectory
     * is oracle-decidable (the q98 unrolled-Lloyd treatment without
     * even its exact-double caveat); >> is arithmetic shift (= floor
-    * division by 2^k) in both engines, and the mean uses the explicit
-    * floor form (g − pmod(g, N)) div N — exactly divisible, so
-    * DuckDB's truncating `//` computes the identical floor.
+    * division by 2^k) in both engines, and the mean is a FLOOR
+    * division on both sides — `Math.floorDiv` in the driver
+    * recurrence, the explicit (g − pmod(g, N)) div N form in the
+    * DuckDB CTEs (exactly divisible, so DuckDB's truncating `//`
+    * computes the identical floor).
     * Returns (epoch, bucket, weight, n_wrong) where n_wrong counts the
     * sign errors ENTERING the epoch — on this corpus the trajectory is
     * genuinely learned: majority-class 348/500 at epoch 1 falls to
@@ -1676,6 +1683,7 @@ object TextOps {
     * re-pays the char-fold passes training already materialized. */
   private final case class TrainArtifacts(steps: DataFrame, feats: DataFrame,
                                           labels: DataFrame)
+  private val trainConfLock = new Object
   private val trainStepsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), TrainArtifacts]
 
@@ -1729,7 +1737,7 @@ object TextOps {
     // b = 64 and the epoch needs no second pass.
     val w = Array.fill(65)(0L)
     val v = Array.fill(65)(0L)
-    val steps = Vector.newBuilder[(Long, Long, Long, Long)]
+    val steps = Vector.newBuilder[(Long, Long, Long, Option[Long])]
     // AQE off for the epoch loop only (restored in finally): each epoch
     // is a fixed 65-row aggregate over checkpointed, already-sized
     // partitions — there is nothing for AQE to adapt, but its stage-by-
@@ -1750,14 +1758,26 @@ object TextOps {
     // doc_id checkpoint partitioning provides — the planner's
     // size-based choice is correct at both ends, which is exactly why
     // the choice is left to it.)
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeBefore = s.conf.getOption(aqeKey)
-    try {
-      s.conf.set(aqeKey, "false")
-      trainLoop(s, feats, labels, n, w, v, steps)
-    } finally aqeBefore match {
-      case Some(v0) => s.conf.set(aqeKey, v0)
-      case None => s.conf.unset(aqeKey)
+    // The flip mutates SESSION-scoped conf, so trainings are serialized
+    // under one lock: two overlapping trainings on the same session
+    // would otherwise interleave capture/restore and could leave AQE
+    // off for the session's lifetime (the restore-the-captured-"false"
+    // race). Training is heavyweight and memoized, so serializing it
+    // costs nothing real. A non-training query planned on the same
+    // session DURING a training window still sees AQE off for that
+    // plan — a perf-only effect (skew split / coalescing), never a
+    // correctness one; streaming queries are immune (they snapshot
+    // session conf at start).
+    trainConfLock.synchronized {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val aqeBefore = s.conf.getOption(aqeKey)
+      try {
+        s.conf.set(aqeKey, "false")
+        trainLoop(s, feats, labels, n, w, v, steps)
+      } finally aqeBefore match {
+        case Some(v0) => s.conf.set(aqeKey, v0)
+        case None => s.conf.unset(aqeKey)
+      }
     }
     import s.implicits._
     val stepsDf = steps.result()
@@ -1768,7 +1788,8 @@ object TextOps {
   private def trainLoop(s: SparkSession, feats: DataFrame, labels: DataFrame,
                         n: Long, w: Array[Long], v: Array[Long],
                         steps: scala.collection.mutable.Builder[
-                          (Long, Long, Long, Long), Vector[(Long, Long, Long, Long)]]): Unit = {
+                          (Long, Long, Long, Option[Long]),
+                          Vector[(Long, Long, Long, Option[Long])]]): Unit = {
     for (e <- 1 to LmEpochs) {
       val wLit = typedlit(w.toSeq)
       val sDf = feats
@@ -1784,11 +1805,14 @@ object TextOps {
           sum(when(col("wrong"), 1L).otherwise(0L)).as("wsum"))
         .collect()
       val gsum = Array.fill(65)(0L)
-      var nWrong = 0L
+      // None (⇒ SQL NULL) when the b=64 bias row is ABSENT — i.e. a
+      // zero-document corpus — matching the oracle's SUM-over-empty
+      // NULL and the pre-rewrite crossJoin(agg) semantics exactly
+      var nWrong: Option[Long] = None
       agg.foreach { row =>
         val b = row.getLong(0).toInt
         gsum(b) = row.getLong(1)
-        if (b == 64) nWrong = row.getLong(2)
+        if (b == 64) nWrong = Some(row.getLong(2))
       }
       var b = 0
       while (b < 65) {

@@ -82,6 +82,23 @@ class EmptyDocSpec extends SparkSuite {
     assert(empty.getLong(2) == 1L)
   }
 
+  test("q104 on a ZERO-document corpus: weights stay 0, n_wrong is NULL") {
+    // the oracle's per-epoch error count is SUM over an empty residual
+    // set → NULL; the driver-resident trainer must mirror that, not
+    // default to 0 (review-found parity edge on the r8 rewrite)
+    val d = java.nio.file.Files.createTempDirectory("graft-zerodoc").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    TextOps.clearTrainMemo()
+    try {
+      val steps = TextOps.q104ClassifierTrain(spark, d).collect()
+      assert(steps.length == 12 * 65)
+      assert(steps.forall(_.getLong(2) == 0L), "weights must stay 0")
+      assert(steps.forall(_.isNullAt(3)), "n_wrong must be NULL, not 0")
+    } finally TextOps.clearTrainMemo() // don't leak the zero-doc model
+  }
+
   test("q40 media decode survives a 0x0 image (empty non-null pixels)") {
     val rows = Media.q40MediaDecode(spark, dir).collect()
     assert(rows.length == 5)

@@ -113,20 +113,33 @@ object Vectors {
     * are bit-identical. */
   def q37CosineNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // null and EMPTY embeddings carry no geometry: a null would NPE the
+    // kernel where the oracle's NULL cosine just fails its predicate,
+    // and a zero-length vector is dimension-corrupt (the fixed-width
+    // fold indexes the other side's length — ragged input is
+    // out-of-contract). Both are dropped HERE and in the oracle's WHERE
+    // (mirrored guards, the engine's standing rule), so the two engines
+    // agree row-for-row instead of each failing its own way.
+    val e = embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
     // count-only scan (no embedding column read) to size the blocks
     val nB = pairBlocks(e.count())
+    // Long block-pair keys: b*nB+j in Int wraps once nB > ~46k
+    // (N ≳ 3e9 vectors) — exactly the corpus size the docstring
+    // advertises; at Long it holds to nB = 3e9 blocks
+    val nBL = nB.toLong
     val left = e.flatMap { case (id, v) =>
       val b = (id % nB).toInt
-      (b until nB).map(j => (b * nB + j, id, v))
+      (b until nB).map(j => (b * nBL + j, id, v))
     }
     val right = e.flatMap { case (id, v) =>
       val b = (id % nB).toInt
-      (0 to b).map(i => (i * nB + b, id, v))
+      (0 to b).map(i => (i * nBL + b, id, v))
     }
     left.groupByKey(_._1).cogroup(right.groupByKey(_._1)) { (key, la, ra) =>
-      val diagonal = key / nB == key % nB // same block on both sides
+      val diagonal = key / nBL == key % nBL // same block on both sides
       val rb = ra.map { case (_, id, v) => (id, v, math.sqrt(dotD(v, v))) }.toArray
       la.flatMap { case (_, idA, va) =>
         val na = math.sqrt(dotD(va, va))
@@ -136,7 +149,12 @@ object Vectors {
             val sim = dotD(va, vb) / (na * nb)
             if (idA < idB) (idA, idB, sim) else (idB, idA, sim)
           }
-          .filter(_._3 >= 0.4)
+          // !(sim < 0.4), not sim >= 0.4: keeps NaN (zero-norm vectors),
+          // matching BOTH the DuckDB oracle's total order (NaN > all) and
+          // Spark SQL's nanSafeCompare that q61's identical threshold
+          // uses — a Scala primitive >= would silently drop those pairs
+          // on one engine only
+          .filter(t => !(t._3 < 0.4))
       }
     }.toDF("id_a", "id_b", "sim")
       .orderBy(col("id_a"), col("id_b"))
@@ -271,6 +289,10 @@ object Vectors {
     * scale = range/255). One pass, left-to-right fold — the oracle
     * mirrors the exact expression tree so doubles are bit-identical. */
   private val quantStats = udf { (v: Seq[Float]) =>
+    // null AND empty both yield a null struct — the oracle mirrors the
+    // empty case explicitly (len(embedding) = 0 THEN NULL; DuckDB's
+    // list_min/list_max of [] are already NULL), else its ELSE branch
+    // would compute 0/0 where this side returns NULL
     if (v == null || v.isEmpty) None
     else {
       var mn = v(0); var mx = v(0)
@@ -672,7 +694,8 @@ object Vectors {
         |    CAST(list_max(embedding) AS DOUBLE) AS mx
         |  FROM embeddings)
         |SELECT vec_id, mn AS vmin, mx AS vmax,
-        |  CASE WHEN mx = mn THEN 0.0 ELSE
+        |  CASE WHEN len(embedding) = 0 THEN NULL
+        |       WHEN mx = mn THEN 0.0 ELSE
         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |      [abs(CAST(x AS DOUBLE) - (mn + least(255.0, greatest(0.0,
         |         floor((CAST(x AS DOUBLE) - mn) / ((mx - mn) / 255.0) + 0.5)))
@@ -692,10 +715,15 @@ object Vectors {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, sim
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q37_cosine_neardup" ->
+      // the len/NULL guards mirror the Spark-side filter (null/empty
+      // vectors carry no geometry — dropped on BOTH engines); NOT
+      // (sim < 0.4) keeps NaN zero-norm pairs, the convention Spark
+      // SQL's nanSafeCompare and DuckDB's total order share
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${duckCosine("a.embedding", "b.embedding")} AS sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.4
+         |WHERE len(a.embedding) > 0 AND len(b.embedding) > 0
+         |  AND NOT (${duckCosine("a.embedding", "b.embedding")} < 0.4)
          |ORDER BY id_a, id_b""".stripMargin,
     "q61_semantic_dedup" -> {
       val duckBucket = (0 until SemBits)

@@ -58,11 +58,36 @@ object CorpusStream {
     * row (dedup-on-replay is exactly dropDuplicates semantics; if replays
     * must re-emit, mix an arrival component such as the batch timestamp
     * into the marker hash). */
-  def nearDupLsh(docs: DataFrame, horizon: String = "10 minutes"): DataFrame = {
+  def nearDupLsh(docs: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    lshBandRows(docs)
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("band", "bh")
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"))
+      .select(col("doc_id"), (col("n_kept") - 1).as("n_bands_kept"),
+        (col("n_kept") - 1 < 32).as("near_dup"))
+
+  /** (ts, doc_id) → one row per (band, bucket-hash): the signature +
+    * band-explode section of [[nearDupLsh]], factored so the plan pin
+    * in CorpusStreamSpec can read the optimized plan of the REAL code
+    * path on a batch frame (a micro-batch plan is only observable
+    * per-batch, and trailing no-data batches fold to an empty
+    * LocalRelation). */
+  private[streaming] def lshBandRows(docs: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.minhashSig
     import graft.functions.TextFunctions.shingles
     docs
       .withColumn("sig", minhashSig(shingles(col("text"))))
+      // `sig` is referenced from inside the 33-element transform lambda
+      // below. On this Spark build the optimizer does NOT substitute a
+      // single-reference projection into a higher-order-function lambda
+      // (verified: the plan keeps one kernel above the Generate, with
+      // or without a repartition barrier — so no q34-style barrier is
+      // spent here; an exchange per micro-batch on the ingest path is
+      // pure cost when nothing collapses). CorpusStreamSpec pins ONE
+      // kernel occurrence in the optimized plan so any future optimizer
+      // change that starts inlining it — re-running MinHash once per
+      // band — trips a spec instead of shipping.
       .select(col("ts"), col("doc_id"),
         explode(expr(
           """transform(sequence(-1, 31), b -> struct(b AS band,
@@ -71,12 +96,6 @@ object CorpusStream {
           .as("bb"))
       .select(col("ts"), col("doc_id"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .withWatermark("ts", horizon)
-      .dropDuplicatesWithinWatermark("band", "bh")
-      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"))
-      .select(col("doc_id"), (col("n_kept") - 1).as("n_bands_kept"),
-        (col("n_kept") - 1 < 32).as("near_dup"))
   }
 
   /** Streaming per-source quota — the streaming twin of q44's per-source

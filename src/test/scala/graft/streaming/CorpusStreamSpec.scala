@@ -76,6 +76,30 @@ class CorpusStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("nearDupLsh computes the MinHash kernel ONCE per row, not per band") {
+    import spark.implicits._
+    // the signature projection is referenced from inside the 33-element
+    // band-explode lambda; if the optimizer ever starts substituting a
+    // single-reference projection into a higher-order-function lambda,
+    // the 128-perm kernel re-runs once PER BAND on the ingest hot path.
+    // Verified not to happen on this Spark build (with or without a
+    // barrier) — this pin exists so an optimizer change trips a spec
+    // instead of silently 33x-ing the ingest CPU. lshBandRows is the
+    // exact code path nearDupLsh streams through; the optimizer treats
+    // the projection pattern identically on a batch frame, where the
+    // plan is observable without a micro-batch.
+    // parquet-backed, not a LocalRelation: ConvertToLocalRelation would
+    // eagerly evaluate the kernel at optimization time and hide it
+    val d = java.nio.file.Files.createTempDirectory("graft-lshpin").toString
+    Seq((ts(10, 0), 1L, "alpha beta gamma delta epsilon"))
+      .toDF("ts", "doc_id", "text").write.parquet(s"$d/docs.parquet")
+    val docs = spark.read.parquet(s"$d/docs.parquet")
+    val plan = CorpusStream.lshBandRows(docs).queryExecution.optimizedPlan.toString
+    val kernelCount = "graft_minhash_sig".r.findAllIn(plan).length
+    assert(kernelCount == 1,
+      s"expected ONE minhash kernel in the optimized plan, found $kernelCount:\n$plan")
+  }
+
   test("streaming source quota: closed windows emit counts with over-cap flag") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

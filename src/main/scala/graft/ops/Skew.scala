@@ -10,6 +10,19 @@ import org.apache.spark.sql.functions._
   * explicit salt is for the cases AQE can't touch — aggregations over a
   * hot key, and shuffle-hash joins against a small-but-not-broadcastable
   * side. Both utilities are semantics-preserving (proved in SkewSpec).
+  *
+  * Salts are derived from ROW CONTENT (xxhash64 over every column),
+  * never from position (`monotonically_increasing_id`, `rand`,
+  * `spark_partition_id`): positional salts change when a lost map task
+  * recomputes a differently-fetch-ordered partition, so a stage retry
+  * re-salts rows some reducers already consumed — duplicated or lost
+  * rows, the SPARK-23207 class. Content hashing is retry-stable by
+  * construction. The trade, documented: rows IDENTICAL in every column
+  * share a salt. For the aggregate that is free (identical rows combine
+  * in the map-side partial anyway — they never pile on a reducer); for
+  * the join it means a key whose hot side is millions of byte-identical
+  * rows still lands on one task — distinct-content skew, the case that
+  * occurs in practice, spreads fully.
   */
 object Skew {
 
@@ -20,12 +33,15 @@ object Skew {
     * Correct for any algebraic aggregate; exposed here for counts+sums
     * (the common hot-key shapes). */
   def saltedCountSum(df: DataFrame, key: Column, valueCol: Column,
-                     salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+                     salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    df.withColumn("__salt",
+        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
       .groupBy(key.as("key"), col("__salt"))
       .agg(count(lit(1)).as("__n"), sum(valueCol).as("__s"))
       .groupBy(col("key"))
       .agg(sum(col("__n")).as("n"), sum(col("__s")).as("total"))
+  }
 
   /** Salted join: replicate the small side `salts` times, salt the big
     * side's key — the one hot key now lands on `salts` tasks instead of
@@ -33,8 +49,12 @@ object Skew {
     * enough to replicate `salts`×. */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, salts: Int): DataFrame = {
+    // require, don't degrade: salts = 0 would make pmod NULL for every
+    // big row and sequence(0, -1) replicate bogus salts — a silently
+    // EMPTY join result instead of an error
+    require(salts > 0, s"salts must be positive, got $salts")
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(col(bigKey), monotonically_increasing_id()), lit(salts)))
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val replicatedSmall = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
       .withColumn("__salt", col("__salt").cast("long"))

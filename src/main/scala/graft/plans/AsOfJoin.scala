@@ -80,6 +80,17 @@ case class AsOfJoinExec(
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
       SortOrder(rightTieBreak, Ascending)))
 
+  // Output rows are 1:1 with the left child's, in the left child's
+  // partitions and order — advertise that, or EnsureRequirements
+  // re-exchanges and re-sorts for any downstream per-key operator
+  // (groupBy on the same key, a second join) over data this node just
+  // had clustered and sorted. Same contract SortMergeJoinExec exposes.
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output
@@ -104,6 +115,14 @@ case class AsOfJoinExec(
       // the key currently being scanned
       var heldKey = 0L
       var held: InternalRow = null
+      // cached projection of rb.head, invalidated only when the right
+      // iterator advances: a key run of many left rows against a right
+      // head already past the key would otherwise re-project the same
+      // unchanged row once per left row
+      var headValid = false
+      var headNull = false
+      var headK = 0L
+      var headT = 0L
       li.map { l =>
         val lkt = lproj(l)
         // standard join semantics: a NULL key or time never matches.
@@ -118,21 +137,23 @@ case class AsOfJoinExec(
           val lt = lkt.getLong(1)
           var advancing = true
           while (advancing && rb.hasNext) {
-            val rkt = rproj(rb.head)
-            if (rkt.isNullAt(0) || rkt.isNullAt(1)) {
-              rb.next() // null-keyed right rows (sorted first) never match
+            if (!headValid) {
+              val rkt = rproj(rb.head)
+              headNull = rkt.isNullAt(0) || rkt.isNullAt(1)
+              if (!headNull) { headK = rkt.getLong(0); headT = rkt.getLong(1) }
+              headValid = true
+            }
+            if (headNull) {
+              rb.next(); headValid = false // null-keyed rows (sorted first) never match
+            } else if (headK < lk) {
+              rb.next(); headValid = false // right row of an already-passed key: discard
+              // (a stale `held` is harmless: the heldKey == lk guard)
+            } else if (headK == lk && headT <= lt) {
+              held = rb.next().copy() // newest qualifying row wins
+              headValid = false
+              heldKey = lk
             } else {
-              val rk = rkt.getLong(0)
-              val rt = rkt.getLong(1)
-              if (rk < lk) {
-                rb.next() // right row of an already-passed key: discard
-                // (a stale `held` is harmless: the heldKey == lk guard)
-              } else if (rk == lk && rt <= lt) {
-                held = rb.next().copy() // newest qualifying row wins
-                heldKey = lk
-              } else {
-                advancing = false
-              }
+              advancing = false
             }
           }
           val r = if (held != null && heldKey == lk) held else nullRight

@@ -41,10 +41,29 @@ object ChirpFoldInternal {
     "devName", "latitude", "longitude", "altitude", "gwName", "packet",
     "arrivalTs")
 
-  def requireInputSchema(schema: StructType): Unit =
+  /** The TYPES the ordinal accessors below read (getLong/getUTF8String/
+    * getDouble/getStruct) — pinned literally, not derived from the Rec
+    * encoder, so a type change in toChirpRecs OR in Rec itself fails
+    * here instead of as a mid-fold wrong-offset read. Compared via
+    * `.sql` (structural, nullability-insensitive — nullability varies
+    * legitimately with upstream lineage and no accessor depends on it). */
+  private val expectedTypes: Seq[DataType] = Seq(
+    LongType, LongType, StringType, StringType, StringType, StringType,
+    LongType, StringType, StringType, StringType, DoubleType, DoubleType,
+    DoubleType, StringType, PacketSchema.packet, LongType)
+
+  def requireInputSchema(schema: StructType): Unit = {
     require(schema.fieldNames.toSeq == expectedInput,
       s"ChirpFoldInternal input columns [${schema.fieldNames.mkString(", ")}] " +
         s"do not match the ordinal layout [${expectedInput.mkString(", ")}]")
+    val got = schema.fields.map(_.dataType.sql)
+    val want = expectedTypes.map(_.sql)
+    require(got.sameElements(want),
+      "ChirpFoldInternal input TYPES drifted from the ordinal accessors: " +
+        expectedInput.indices.filter(i => got(i) != want(i))
+          .map(i => s"${expectedInput(i)} is ${got(i)} (fold reads ${want(i)})")
+          .mkString("; "))
+  }
 
   // input column ordinals (radioRecs column order, see Pipeline.radioRecs)
   private final val SEQ = 0
@@ -128,6 +147,16 @@ object ChirpFoldInternal {
 
     private def str(row: InternalRow, i: Int): UTF8String =
       if (row.isNullAt(i)) null else row.getUTF8String(i)
+    /** For strings stored in the LONG-LIVED devices map: an UnsafeRow's
+      * getUTF8String returns a VIEW into the row's buffer, so storing it
+      * would pin the entire copied row (38-col packet struct + raw
+      * message, ~1 KB) per device entry for the collector's lifetime —
+      * 100k devices ≈ 100 MB of dead row bytes. clone() keeps only the
+      * short string's own bytes. */
+    private def strOwned(row: InternalRow, i: Int): UTF8String = {
+      val s = str(row, i)
+      if (s == null) null else s.clone()
+    }
     private def dbl(row: InternalRow, i: Int): java.lang.Double =
       if (row.isNullAt(i)) null else java.lang.Double.valueOf(row.getDouble(i))
 
@@ -186,7 +215,8 @@ object ChirpFoldInternal {
         // F1 upsert (dev_eui only) + F3 raw-log envelope; the join absorbs
         // any buffered messages and leaves prev_packet pending (:287-304)
         val da = str(row, DEV_ADDR)
-        if (da != null) devices.put(da, Dev(str(row, DEV_EUI), null, null, fromApp = false))
+        if (da != null)
+          devices.put(da.clone(), Dev(strOwned(row, DEV_EUI), null, null, fromApp = false))
         emit(ts, null, prevMsgs :+ msg)
         prevMsgs = Nil
 
@@ -223,8 +253,8 @@ object ChirpFoldInternal {
             // pair hit (:415-446): F1 upsert from the app message + enrich
             val da = str(p, DEV_ADDR)
             if (da != null)
-              devices.put(da, Dev(str(row, DEV_EUI), str(row, APP_NAME),
-                str(row, DEV_NAME), fromApp = true))
+              devices.put(da.clone(), Dev(strOwned(row, DEV_EUI), strOwned(row, APP_NAME),
+                strOwned(row, DEV_NAME), fromApp = true))
             def orElseD(a: java.lang.Double, b: java.lang.Double) = if (a != null) a else b
             val pkt =
               if (p.isNullAt(PACKET)) null

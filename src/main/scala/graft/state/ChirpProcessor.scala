@@ -21,15 +21,10 @@ class ChirpProcessor extends StatefulProcessor[Long, Rec, Envelope] {
 
   override def handleInputRows(key: Long, rows: Iterator[Rec],
                                timers: TimerValues): Iterator[Envelope] = {
-    var st = if (state.exists()) state.get() else ChirpState.empty
-    val out = Seq.newBuilder[Envelope]
-    rows.toSeq.sortBy(_.seq).foreach { r =>
-      val (st2, envs) = StateOps.chirpStep(st, r)
-      st = st2
-      out ++= envs
-    }
+    val (st, envs) = StateOps.runOrdered(
+      if (state.exists()) state.get() else ChirpState.empty, rows)(StateOps.chirpStep)
     state.update(st)
     // persistence gate, exactly as chirpFlatMap (PacketPersistence.py:28-31)
-    out.result().iterator.filter(_.messages.nonEmpty)
+    envs.iterator.filter(_.messages.nonEmpty)
   }
 }

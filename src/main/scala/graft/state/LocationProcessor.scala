@@ -20,17 +20,12 @@ class LocationProcessor extends StatefulProcessor[Long, Rec, Envelope] {
 
   override def handleInputRows(key: Long, rows: Iterator[Rec],
                                timers: TimerValues): Iterator[Envelope] = {
-    var st = if (state.exists()) Some(state.get()) else None
-    val out = Seq.newBuilder[Envelope]
-    rows.toSeq.sortBy(_.seq).foreach { r =>
-      val (st2, envs) = StateOps.locationStep(st, r)
-      st = st2
-      out ++= envs
-    }
+    val (st, envs) = StateOps.runOrdered(
+      if (state.exists()) Some(state.get()) else None, rows)(StateOps.locationStep)
     st match {
       case Some(s) => state.update(s)
       case None    => state.clear()
     }
-    out.result().iterator
+    envs.iterator
   }
 }

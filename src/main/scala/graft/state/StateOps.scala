@@ -27,6 +27,24 @@ import org.apache.spark.sql.streaming.GroupState
   */
 object StateOps {
 
+  /** The seq-ordered fold every stateful host runs: sort the batch's
+    * records by seq (the ONLY ordering the state ops depend on —
+    * cross-batch order is the source's monotonic-seq responsibility),
+    * thread state through `step`, collect the output. ONE definition so
+    * an ordering change (e.g. a tie-break on seq collisions) cannot
+    * silently diverge across the five hosts. */
+  def runOrdered[S, O](st0: S, it: Iterator[Rec])(
+      step: (S, Rec) => (S, Seq[O])): (S, Seq[O]) = {
+    var st = st0
+    val out = Seq.newBuilder[O]
+    it.toSeq.sortBy(_.seq).foreach { r =>
+      val (st2, o) = step(st, r)
+      st = st2
+      out ++= o
+    }
+    (st, out.result())
+  }
+
   /** The full normalized packet row (PacketSchema.packet as a typed
     * struct) — travels OPAQUELY through the state machine: the state ops
     * read/write only the Rec-level fields; carrying the row as a struct
@@ -186,18 +204,13 @@ object StateOps {
     * responsibility (monotonic seq per collector). */
   def chirpFlatMap(key: Long, it: Iterator[Rec],
                    state: GroupState[ChirpState]): Iterator[Envelope] = {
-    var st = state.getOption.getOrElse(ChirpState.empty)
-    val out = Seq.newBuilder[Envelope]
-    it.toSeq.sortBy(_.seq).foreach { r =>
-      val (st2, envs) = chirpStep(st, r)
-      st = st2
-      out ++= envs
-    }
+    val (st, envs) =
+      runOrdered(state.getOption.getOrElse(ChirpState.empty), it)(chirpStep)
     state.update(st)
     // Persistence gate: the reference's save() drops envelopes with zero
     // messages (PacketPersistence.py:28-31) — the only way one arises is a
     // prev flush whose message buffer was absorbed by an interleaved join.
-    out.result().iterator.filter(_.messages.nonEmpty)
+    envs.iterator.filter(_.messages.nonEmpty)
   }
 
   // ------------------------------------------------------------- F4 state
@@ -231,18 +244,12 @@ object StateOps {
 
   def locationFlatMap(key: Long, it: Iterator[Rec],
                       state: GroupState[LocState]): Iterator[Envelope] = {
-    var st = state.getOption
-    val out = Seq.newBuilder[Envelope]
-    it.toSeq.sortBy(_.seq).foreach { r =>
-      val (st2, envs) = locationStep(st, r)
-      st = st2
-      out ++= envs
-    }
+    val (st, envs) = runOrdered(state.getOption, it)(locationStep)
     st match {
       case Some(s) => state.update(s)
       case None    => if (state.exists) state.remove()
     }
-    out.result().iterator
+    envs.iterator
   }
 
   // ------------------------------------------------------------- F5 state

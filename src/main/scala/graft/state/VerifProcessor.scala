@@ -67,15 +67,13 @@ class VerifProcessor(passes: Rec => Boolean,
       getHandle.registerTimer(timers.getCurrentProcessingTimeInMs() + timeoutMs)
       armed.update(true)
     }
-    var st = if (state.exists()) state.get() else VerifState.empty
-    val out = Seq.newBuilder[VerifOut]
-    rows.toSeq.sortBy(_.seq).foreach { r =>
-      val (st2, o) = StateOps.verifStep(st, passes(r), r, minPackets, ratio)
-      st = st2
-      out ++= o
+    val (st, outs) = StateOps.runOrdered(
+      if (state.exists()) state.get() else VerifState.empty, rows) {
+      (s: StateOps.VerifState, r: StateOps.Rec) =>
+        StateOps.verifStep(s, passes(r), r, minPackets, ratio)
     }
     state.update(st)
-    out.result().iterator
+    outs.iterator
   }
 
   override def handleExpiredTimer(key: Long, timers: TimerValues,

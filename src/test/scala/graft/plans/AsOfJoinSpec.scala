@@ -153,4 +153,17 @@ class AsOfJoinSpec extends SparkSuite {
     assert(plan.contains("AsOfJoinExec") || plan.contains("AsOfJoin"), plan)
     assert(plan.contains("Sort"), plan)
   }
+
+  test("advertised output partitioning: a same-key groupBy adds NO exchange") {
+    val p = Seq((1L, 5L, 100L), (2L, 5L, 200L)).toDF("p_id", "p_user", "p_ts")
+    val c = Seq((10L, 5L, 90L)).toDF("c_id", "c_user", "c_ts")
+    val agg = AsOfJoin(spark, p, c, "p_user", "c_user", "p_ts", "c_ts", "c_id")
+      .groupBy(col("p_user")).count()
+    val plan = agg.queryExecution.executedPlan.toString
+    // exactly the join's two child exchanges — the downstream aggregate
+    // must reuse the left side's hash partitioning this exec advertises
+    // (pre-fix: UnknownPartitioning forced a THIRD exchange above the join)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 exchanges (join children only):\n$plan")
+  }
 }

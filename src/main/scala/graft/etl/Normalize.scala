@@ -25,7 +25,10 @@ object Normalize {
 
   import PacketSchema._
 
-  private def nullCol(name: String): Column = {
+  /** Null literal typed from the packet schema — shared with the fused
+    * normalize path (Pipeline.toChirpRecs) so the null typing cannot
+    * drift between the two forms. */
+  private[graft] def nullCol(name: String): Column = {
     val f = packet.fields(packet.fieldIndex(name))
     lit(null).cast(f.dataType).as(name)
   }
@@ -212,7 +215,9 @@ object Normalize {
       .otherwise("raw")
 
   private def stripOffsets(msg: Column, kind: Column): Column = {
-    def strip(n: Int) = expr(s"substring(message_unesc, ${n + 1}, length(message_unesc) - ${n + 2})")
+    // built from the msg PARAMETER, not a hard-coded column name — a
+    // caller-side rename must not silently resolve elsewhere
+    def strip(n: Int) = msg.substr(lit(n + 1), length(msg) - lit(n + 2))
     when(kind === "downlink", strip(20))
       .when(kind === "uplink", strip(18))
       .when(kind === "join_request", strip(24))
@@ -247,7 +252,7 @@ object Normalize {
       nullCol("size"),
       m("payload").as("data")) ++
       phyCols(phy) ++ Seq(
-      coalesce(m("dev_eui"), lit(null).cast("string")).as("dev_eui"),
+      m("dev_eui").as("dev_eui"),
       m("status")("location")("latitude").as("latitude"),
       m("status")("location")("longitude").as("longitude"),
       m("status")("location")("altitude").as("altitude"),

@@ -110,7 +110,28 @@ object MessageLogSource {
   }
   private def longCol(c: String) =
     c == "seq" || c == "data_collector_id" || c == "organization_id"
-  private def numeric(v: Any) = v.isInstanceOf[Number]
+  /** INTEGRAL values only: eval/seqBounds compare via longValue, which
+    * TRUNCATES — accepting LessThan(seq, 5.5) would evaluate seq < 5
+    * row-side and prune segments to hi = 4, silently dropping the
+    * seq = 5 rows the true predicate matches (and the rows are gone
+    * before Spark's residual filter could restore them). Catalyst's
+    * UnwrapCastInBinaryComparison normally rewrites such predicates to
+    * integral form before pushdown, but this contract must not depend
+    * on an optimizer rule. Non-integral comparisons stay unpushed —
+    * Spark evaluates them residually, correct just slower. */
+  private def numeric(v: Any): Boolean = v match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => true
+    // wider integral types must also FIT in a long — longValue silently
+    // wraps past 2^63 (a wrapped bound inverts the comparison)
+    case b: java.math.BigInteger => b.bitLength < 64
+    case d: java.math.BigDecimal =>
+      d.stripTrailingZeros.scale <= 0 &&
+        (try { d.longValueExact(); true } catch { case _: ArithmeticException => false })
+    case bd: scala.math.BigDecimal => bd.isWhole && bd.isValidLong
+    case bi: scala.math.BigInt => bi.isValidLong
+    case _ => false
+  }
 
   private[sources] def eval(f: Filter, topic: String, dc: Long, org: Long,
                             seq: Long): Boolean = {
@@ -284,18 +305,16 @@ case class MsgReaderFactory(required: StructType,
 class MessageLogReader(file: String, required: StructType,
                        pushed: Array[Filter]) extends PartitionReader[InternalRow] {
   MessageLogSource.readersOpened.incrementAndGet()
-  private val mapper = new ObjectMapper()
-  private val source = scala.io.Source.fromFile(file, "UTF-8")
-  private val lines = source.getLines()
-  private var current: InternalRow = _
-  private var closed = false
 
   // Per-reader projection plan, computed ONCE: the per-row loop below
   // is the hot path column pruning exists to speed up — rebuilding the
   // field-name Seq and string-matching per line would allocate on
   // every record of a multi-million-line segment. The wildcard throw
   // also fires here at reader construction (a FUTURE schema column
-  // wrongly wired would otherwise be filled silently).
+  // wrongly wired would otherwise be filled silently). Computed BEFORE
+  // the file is opened: a throw here would leak the handle (Spark never
+  // receives a reader instance to close) — one leaked fd per task
+  // retry, per partition.
   private val colIds: Array[Int] = required.fields.map { f =>
     f.name match {
       case "topic" => 0
@@ -308,6 +327,12 @@ class MessageLogReader(file: String, required: StructType,
         s"MessageLogReader: unhandled projected column '$other'")
     }
   }
+
+  private val mapper = new ObjectMapper()
+  private val source = scala.io.Source.fromFile(file, "UTF-8")
+  private val lines = source.getLines()
+  private var current: InternalRow = _
+  private var closed = false
 
   /** Contract violation (half-written or hand-edited segment) fails
     * LOUDLY with the offending file, never as a bare NPE mid-scan:
@@ -343,8 +368,16 @@ class MessageLogReader(file: String, required: StructType,
           vals(i) = colIds(i) match {
             case 0 => if (topic == null) null else UTF8String.fromString(topic)
             case 1 =>
+              // same loud contract as the long fields: message is
+              // non-optional downstream (Rec.message: String, the F0a
+              // keepalive filter reads its length) — a silent null here
+              // surfaces later as an unexplained NPE with no pointer to
+              // the corrupt segment
               if (node.hasNonNull("message"))
-                UTF8String.fromString(node.get("message").asText) else null
+                UTF8String.fromString(node.get("message").asText)
+              else throw new IllegalStateException(
+                s"MessageLogReader: record missing 'message' in $file — " +
+                  "segment violates the atomic-publish writer contract")
             case 2 => dc
             case 3 => org
             case 4 => seq

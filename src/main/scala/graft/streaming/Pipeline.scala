@@ -142,10 +142,9 @@ object Pipeline {
     val phyFields = Seq("m_type", "major", "mic", "join_eui",
       "dev_nonce", "dev_addr", "adr", "ack", "adr_ack_req", "f_pending",
       "class_b", "f_count", "f_opts", "f_port", "error")
-    def nul(name: String) = {
-      val f = PacketSchema.packet.fields(PacketSchema.packet.fieldIndex(name))
-      lit(null).cast(f.dataType)
-    }
+    // one definition of "null typed from the packet schema" — shared
+    // with the branch-per-route normalizers so the typing cannot drift
+    def nul(name: String) = Normalize.nullCol(name)
     val pktCols: Seq[Column] = PacketSchema.packetColumns.map {
       case "date" => col("arrival_ts").as("date")
       case "topic" => col("topic")
@@ -209,15 +208,33 @@ object Pipeline {
     val routed = df.withColumn("route", Normalize.chirpstackRoute(col("topic")))
 
     val radio = routed.filter(col("route") === "radio")
+      // F0h raw-protobuf leg, branch form: a non-JSON message on a
+      // gateway/.../up topic is tried as a base64 gw.UplinkFrame
+      // (LoraServerIOCollector.py:254-261), same as the fused path
+      .withColumn("proto_json",
+        when(col("topic").rlike("^gateway/.*up$") &&
+            !ltrim(col("message")).startsWith("{"),
+          graft.functions.PhyFunctions.proto_uplink_json(col("message"))))
+    val radioTxt = radio.filter(col("proto_json").isNull)
       .withColumn("dialect",
         when(get_json_object(col("message"), "$.rxInfo.gatewayID").isNotNull ||
           get_json_object(col("message"), "$.txInfo.loRaModulationInfo").isNotNull, "proto")
           .otherwise("json"))
     val radioJson = radioRecs(
-      Normalize.chirpstackJsonRadio(radio.filter(col("dialect") === "json")),
+      Normalize.chirpstackJsonRadio(radioTxt.filter(col("dialect") === "json")),
       lit(null).cast("string"))
+    // decoded raw frames run the SAME proto normalizer over the decoded
+    // JSON, then the ORIGINAL base64 message is restored for the
+    // envelope log (joined back on the per-collector-unique seq)
+    val radioRaw = radio.filter(col("proto_json").isNotNull)
+    val radioProtoRaw = Normalize
+      .chirpstackProtoRadio(radioRaw.withColumn("message", col("proto_json")))
+      .drop("raw_message")
+      .join(radioRaw.select(col("seq"), col("data_collector_id"),
+        col("message").as("raw_message")), Seq("seq", "data_collector_id"))
     val radioProto = radioRecs(
-      Normalize.chirpstackProtoRadio(radio.filter(col("dialect") === "proto")),
+      Normalize.chirpstackProtoRadio(radioTxt.filter(col("dialect") === "proto"))
+        .unionByName(radioProtoRaw),
       lit(null).cast("string"))
 
     val joins = emptyRec(routed.filter(col("route") === "join"), "join")
@@ -254,11 +271,12 @@ object Pipeline {
   def toTtnRecs(df: DataFrame, v3: Boolean)(implicit s: SparkSession): Dataset[Rec] = {
     import s.implicits._
     val norm = if (v3) Normalize.ttnV3(df) else Normalize.ttnV2(df)
+    // v2 has no gateway name; radioRecs reads the gwName EXPRESSION, so
+    // no placeholder column is projected onto the v2 frame
     val gwName = if (v3) col("gw_name") else lit(null).cast("string")
     // location + raw rows share the radio column layout here (the packet
     // struct is ignored downstream for non-radio routes)
-    radioRecs(if (v3) norm else norm.withColumn("gw_name", lit(null).cast("string")),
-      gwName).as[Rec]
+    radioRecs(norm, gwName).as[Rec]
   }
 
   // ------------------------------------------------------- state hookups
@@ -379,21 +397,44 @@ object Pipeline {
       .persist()
     try {
       // resolve through Hadoop's FileSystem so the dedup branch engages
-      // on any supported filesystem (HDFS/S3/local), not just local disk
+      // on any supported filesystem (HDFS/S3/local), not just local disk.
+      // "Exists" must mean HAS A DATA FILE, not "directory present": an
+      // empty first batch writes only _SUCCESS, and a later read of that
+      // file-less directory throws "unable to infer schema" — the query
+      // would then die on every checkpoint replay of the same batch.
+      // The recursive listing stops at the FIRST data file, so on an
+      // established sink it touches one listing page, not the table.
       val sinkPath = new org.apache.hadoop.fs.Path(outDir)
-      val sinkExists = sinkPath
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(sinkPath)
+      val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sinkHasData = fs.exists(sinkPath) && {
+        val it = fs.listFiles(sinkPath, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val n = it.next().getPath.getName
+          found = !n.startsWith("_") && !n.startsWith(".")
+        }
+        found
+      }
       val fresh =
-        if (sinkExists) {
+        if (sinkHasData) {
+          val sink = spark.read.parquet(outDir)
+          // a sink written by the plain append sink (startEnvelopeSink)
+          // carries no idem_key — reading it with an assumed schema
+          // would anti-join against NULLs and silently re-insert every
+          // replayed row. Fail labeled instead: mixed-mode sinks must be
+          // rebuilt/re-keyed first (see Events.idempotencyKey's
+          // key-version note).
+          require(sink.columns.contains("idem_key"),
+            s"envelope sink at $outDir has no idem_key column — it was " +
+              "written by the plain append sink; rebuild/re-key it before " +
+              "pointing the upsert sink at it")
           // prune the sink scan to the partitions this batch touches —
           // a batch from K collectors reads K partitions' key columns,
           // not the whole table (partition pruning on the sink layout)
           val cids = keyed.select(col("data_collector_id")).distinct()
             .collect().map(_.getLong(0))
           keyed.join(
-            spark.read.parquet(outDir)
-              .filter(col("data_collector_id").isin(cids.toIndexedSeq: _*))
+            sink.filter(col("data_collector_id").isin(cids.toIndexedSeq: _*))
               .select(col("idem_key")),
             Seq("idem_key"), "left_anti")
         } else keyed

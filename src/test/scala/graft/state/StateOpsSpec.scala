@@ -209,6 +209,34 @@ class StateOpsSpec extends SparkSuite {
       s"""{"phyPayload":"$pay","rxInfo":{"channel":1,"rfChain":0,"crcStatus":1,"codeRate":"4/5","rssi":-60,"loRaSNR":9.0,"size":17,"timestamp":42,"frequency":868100000,"mac":"aabb","dataRate":{"modulation":"LORA","spreadFactor":7,"bandwidth":125}}}"""
     def protoRadio(pay: String) =
       s"""{"phyPayload":"$pay","rxInfo":{"gatewayID":"qrs=","channel":2,"rfChain":1,"crcStatus":"CRC_OK","rssi":-50,"loRaSNR":7.5,"size":17,"timestamp":123},"txInfo":{"frequency":867500000,"loRaModulationInfo":{"spreadingFactor":9,"bandwidth":125,"codeRate":"4/5"}}}"""
+    // minimal proto3 writer for the F0h raw-frame case (field numbers
+    // per the public chirpstack-api v3 gw.proto, as in NormalizeSpec)
+    def vint(v: Long): Array[Byte] = {
+      val b = scala.collection.mutable.ArrayBuffer[Byte]()
+      var x = v; var more = true
+      while (more) {
+        val lo = (x & 0x7f).toInt; x = x >>> 7; more = x != 0
+        b += (if (more) lo | 0x80 else lo).toByte
+      }
+      b.toArray
+    }
+    def pLd(f: Int, c: Array[Byte]) = vint((f << 3) | 2) ++ vint(c.length) ++ c
+    def pV(f: Int, v: Long) = vint((f << 3) | 0) ++ vint(v)
+    def pD(f: Int, v: Double) = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      vint((f << 3) | 1) ++ (0 to 7).map(i => ((bits >>> (8 * i)) & 0xff).toByte)
+    }
+    val rawProtoFrame: String = {
+      val upBytes = Array(0x40.toByte) ++ graft.codec.Lorawan.hexToLe("44332211") ++
+        Array(0x80.toByte) ++ Array(9.toByte, 0.toByte) ++
+        Array(1.toByte) ++ Array(10.toByte, 20.toByte) ++
+        graft.codec.Lorawan.hexToBytes("00000000")
+      val lmi = pV(1, 125) ++ pV(2, 9) ++ pLd(3, "4/5".getBytes("UTF-8"))
+      val tx = pV(1, 867500000L) ++ pLd(3, lmi)
+      val rx = pLd(1, graft.codec.Lorawan.hexToBytes("aabbccddeeff0011")) ++
+        pV(5, -50L) ++ pD(6, 7.5) ++ pV(7, 2) ++ pV(8, 1) ++ pV(17, 2)
+      graft.codec.Lorawan.b64encode(pLd(1, upBytes) ++ pLd(2, tx) ++ pLd(3, rx))
+    }
     val oversized = "A" * 301
     val cases: Seq[(String, String)] = Seq(
       "gateway/gw1/rx" -> jsonRadio(mkUp("017fc1c4", 7)),          // json dialect
@@ -220,7 +248,8 @@ class StateOpsSpec extends SparkSuite {
       "application/1/device/d9/rx" ->
         """{"devEUI":"eui9","applicationName":"app9","deviceName":"dev9","fCnt":7,"rxInfo":[{"name":"gw","location":{"latitude":9.0,"longitude":2.0,"altitude":3.0}}]}""",
       "application/1/device/j1/join" -> """{"devAddr":"11223344","devEUI":"feed01"}""",
-      "some/other/topic" -> "not-json-raw")
+      "some/other/topic" -> "not-json-raw",
+      "gateway/gw3/up" -> rawProtoFrame)                           // F0h raw protobuf
     val raw = cases.zipWithIndex
       .map { case ((t, m), i) => (t, m, (i % 2).toLong, i.toLong) }
       .toDF("topic", "message", "data_collector_id", "seq")
@@ -236,7 +265,16 @@ class StateOpsSpec extends SparkSuite {
     assert(fused.filterNot(_.route == "drop") == union)
     // routes land where expected
     assert(fused.map(_.route) ==
-      Seq("radio", "radio", "drop", "drop", "radio", "radio", "app", "join", "raw"))
+      Seq("radio", "radio", "drop", "drop", "radio", "radio", "app", "join",
+        "raw", "radio"))
+    // the F0h raw frame actually PARSED on both paths (not a metadata-
+    // only fallthrough): the envelope keeps the original base64 text,
+    // the packet carries the decoded proto fields
+    val rawProto = fused.last
+    assert(rawProto.message == cases.last._2)
+    assert(rawProto.packet.get.gateway.contains("aabbccddeeff0011"))
+    assert(rawProto.packet.get.dev_addr.contains("44332211"))
+    assert(rawProto.packet.get.f_count.contains(9L))
   }
 
   // ------------------------------------------------------ pipeline e2e

@@ -49,6 +49,36 @@ class UpsertSinkSpec extends SparkSuite {
     assert(after.select("idem_key").distinct().count() == n2)
   }
 
+  test("an empty FIRST batch does not wedge the sink (review-found stream killer)") {
+    // an empty first micro-batch is realistic (a map-miss radio record
+    // buffers in state and emits nothing): it writes only _SUCCESS, and
+    // the next batch's dedup read of that file-less directory used to
+    // throw "unable to infer schema" on every checkpoint replay
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert3")
+      .resolve("sink").toString
+    val empty = Pipeline.chirpEnvelopeFrameBatch(rawDf(Seq.empty[Int]))
+    Pipeline.upsertEnvelopeBatch(empty, dir)
+    // second batch with data must append cleanly and still dedup replays
+    val batch = Pipeline.chirpEnvelopeFrameBatch(rawDf(1 to 5))
+    Pipeline.upsertEnvelopeBatch(batch, dir)
+    val n = spark.read.parquet(dir).count()
+    assert(n > 0)
+    Pipeline.upsertEnvelopeBatch(batch, dir) // replay
+    assert(spark.read.parquet(dir).count() == n)
+  }
+
+  test("a sink written WITHOUT idem_key fails labeled, not as silent re-inserts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert4")
+      .resolve("sink").toString
+    // simulate startEnvelopeSink's plain append (no idem_key column)
+    Pipeline.chirpEnvelopeFrameBatch(rawDf(1 to 3))
+      .write.mode("append").partitionBy("data_collector_id").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.upsertEnvelopeBatch(Pipeline.chirpEnvelopeFrameBatch(rawDf(1 to 3)), dir)
+    }
+    assert(e.getMessage.contains("idem_key"), e.getMessage)
+  }
+
   test("distinct packet-less envelopes in the same second both survive") {
     // join/raw routes emit packet=null envelopes; ts is epoch SECONDS,
     // so two different such envelopes from one collector in one second

@@ -100,8 +100,20 @@ object Lorawan {
     sb.toString
   }
 
-  def hexToBytes(s: String): Array[Byte] =
+  /** True iff `s` is non-null, even-length, all hex digits — the
+    * precondition [[hexToBytes]] enforces. UDFs taking user key hex
+    * check this first and return SQL NULL instead of failing a task. */
+  def isHex(s: String): Boolean =
+    s != null && s.length % 2 == 0 && s.forall(c => Character.digit(c, 16) >= 0)
+
+  def hexToBytes(s: String): Array[Byte] = {
+    // strict: the old grouped(2) parse silently read an odd trailing
+    // digit as a lone nibble ("abc" → [0xab, 0x0c]) — for a KEY that is
+    // a silently wrong key and a false-negative MIC check, worse than
+    // any crash
+    require(isHex(s), s"malformed hex string: '$s'")
     s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+  }
 
   /** Big-endian hex string → little-endian wire bytes. */
   def hexToLe(s: String): Array[Byte] = hexToBytes(s).reverse
@@ -110,6 +122,9 @@ object Lorawan {
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
   private def u24le(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
 
   // ----------------------------------------------------------------- parse
 
@@ -286,7 +301,11 @@ object Lorawan {
       case (0x0b, false) => Some(s"""{"servLoRaWANVersion":{"minor":${b(0) & 0x0f}}}""")
       case (0x0c, _)     => Some(s"""{"adrParam":{"limitExp":${(b(0) >> 4) & 0xf},"delayExp":${b(0) & 0xf}}}""")
       case (0x0d, true)  => None
-      case (0x0d, false) => Some(s"""{"timeSinceGPSEpoch":${u24le(p, 0)}}""") // simplified
+      // full wire format: u32le GPS-epoch seconds + 1/256-s fraction
+      // byte — a u24 read decoded any realistic timestamp mod 2^24
+      // (GPS epoch passed 2^24 s in 1980 + ~194 days)
+      case (0x0d, false) => Some(
+        s"""{"timeSinceGPSEpoch":${u32le(p, 0)},"fractionalSecond":${b(4) & 0xff}}""")
       case (0x0e, false) => Some(s"""{"period":${(b(0) >> 3) & 0x7},"maxRetries":${b(0) & 0x7}}""")
       case (0x0f, true)  => Some(s"""{"timeOK":${bool((b(0) & 1) != 0)}}""")
       case (0x0f, false) => Some(s"""{"maxTimeN":${(b(0) >> 4) & 0xf},"maxCountN":${b(0) & 0xf}}""")
@@ -377,7 +396,10 @@ object Lorawan {
       case (0x0b, _) => Array((num("minor") & 0xf).toByte)
       case (0x0c, _) => Array((((num("limitExp") & 0xf) << 4) | (num("delayExp") & 0xf)).toByte)
       case (0x0d, true)  => Array.emptyByteArray
-      case (0x0d, false) => u24(lng("timeSinceGPSEpoch")) ++ Array(0.toByte, 0.toByte)
+      case (0x0d, false) =>
+        val secs = lng("timeSinceGPSEpoch")
+        u24(secs) ++ Array(((secs >> 24) & 0xff).toByte,
+          (num("fractionalSecond") & 0xff).toByte)
       case (0x0e, false) => Array((((num("period") & 0x7) << 3) | (num("maxRetries") & 0x7)).toByte)
       case (0x0f, true)  => Array((bit("timeOK", 0)).toByte)
       case (0x0f, false) => Array((((num("maxTimeN") & 0xf) << 4) | (num("maxCountN") & 0xf)).toByte)

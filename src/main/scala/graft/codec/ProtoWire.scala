@@ -58,7 +58,11 @@ object ProtoWire {
     }
     def lengthDelimited(): Reader = {
       val n = varint()
-      if (n < 0 || pos + n > limit) fail()
+      // `n > limit - pos`, never `pos + n > limit`: a crafted length
+      // near Long.MaxValue overflows the addition, escapes this check,
+      // and surfaces as an uncaught IllegalArgumentException from
+      // copyOfRange instead of the Malformed → null contract
+      if (n < 0 || n > limit - pos) fail()
       val r = new Reader(buf, pos + n.toInt, pos); pos += n.toInt; r
     }
     def bytes(): Array[Byte] = {
@@ -111,67 +115,94 @@ object ProtoWire {
     def isEmpty: Boolean = n == 0
   }
 
-  private def readLoraModulationInfo(r: Reader): String = {
+  // Mutable per-message accumulators, shared across REPEATED occurrences
+  // of the same embedded-message field: the proto spec requires parsers
+  // to MERGE split sub-messages (scalars last-wins, nested messages
+  // recursively merged) — ParseFromString does, so a legal encoding
+  // that ships UplinkTXInfo in two field-2 chunks must not lose the
+  // first chunk's fields.
+  private final class LmiState {
     var bandwidth = 0L; var sf = 0L; var codeRate: String = null
+    var present = false
+    def render: String = {
+      val o = new Obj
+      o.num("bandwidth", bandwidth)
+      o.num("spreadingFactor", sf)
+      o.str("codeRate", codeRate)
+      o.result
+    }
+  }
+
+  private def readLoraModulationInfo(r: Reader, st: LmiState): Unit = {
+    st.present = true
     while (r.hasMore) {
       val tag = r.varint()
       (tag >> 3, (tag & 7).toInt) match {
-        case (1, 0) => bandwidth = r.varint()
-        case (2, 0) => sf = r.varint()
-        case (3, 2) => codeRate = new String(r.bytes(), "UTF-8")
+        case (1, 0) => st.bandwidth = r.varint()
+        case (2, 0) => st.sf = r.varint()
+        case (3, 2) => st.codeRate = new String(r.bytes(), "UTF-8")
         case (_, w) => r.skip(w)
       }
     }
-    val o = new Obj
-    o.num("bandwidth", bandwidth)
-    o.num("spreadingFactor", sf)
-    o.str("codeRate", codeRate)
-    o.result
   }
 
-  private def readTxInfo(r: Reader): String = {
-    var freq = 0L; var lmi: String = null
+  private final class TxState {
+    var freq = 0L; val lmi = new LmiState
+    var present = false
+    def render: String = {
+      val o = new Obj
+      o.num("frequency", freq)
+      o.obj("loRaModulationInfo", if (lmi.present) lmi.render else null)
+      o.result
+    }
+  }
+
+  private def readTxInfo(r: Reader, st: TxState): Unit = {
+    st.present = true
     while (r.hasMore) {
       val tag = r.varint()
       (tag >> 3, (tag & 7).toInt) match {
-        case (1, 0) => freq = r.varint()
-        case (3, 2) => lmi = readLoraModulationInfo(r.lengthDelimited())
+        case (1, 0) => st.freq = r.varint()
+        case (3, 2) => readLoraModulationInfo(r.lengthDelimited(), st.lmi)
         case (_, w) => r.skip(w)
       }
     }
-    val o = new Obj
-    o.num("frequency", freq)
-    o.obj("loRaModulationInfo", lmi)
-    o.result
   }
 
-  private def readRxInfo(r: Reader): String = {
+  private final class RxState {
     var gatewayId: Array[Byte] = null
     var rssi = 0L; var snr = 0.0; var channel = 0L; var rfChain = 0L
     var crc = 0L
+    var present = false
+    def render: String = {
+      val o = new Obj
+      o.b64("gatewayID", gatewayId)
+      o.num("rssi", rssi.toInt)
+      o.dbl("loRaSNR", snr)
+      o.num("channel", channel)
+      o.num("rfChain", rfChain)
+      // known enum numbers render as names, unknown ones as their integer
+      // (MessageToJson's unknown-enum rendering); 0 = proto3 default, omitted
+      if (crc > 0 && crc < CrcNames.length) o.str("crcStatus", CrcNames(crc.toInt))
+      else o.num("crcStatus", crc.toInt)
+      o.result
+    }
+  }
+
+  private def readRxInfo(r: Reader, st: RxState): Unit = {
+    st.present = true
     while (r.hasMore) {
       val tag = r.varint()
       (tag >> 3, (tag & 7).toInt) match {
-        case (1, 2)  => gatewayId = r.bytes()
-        case (5, 0)  => rssi = r.varint()
-        case (6, 1)  => snr = java.lang.Double.longBitsToDouble(r.fixed64())
-        case (7, 0)  => channel = r.varint()
-        case (8, 0)  => rfChain = r.varint()
-        case (17, 0) => crc = r.varint()
+        case (1, 2)  => st.gatewayId = r.bytes()
+        case (5, 0)  => st.rssi = r.varint()
+        case (6, 1)  => st.snr = java.lang.Double.longBitsToDouble(r.fixed64())
+        case (7, 0)  => st.channel = r.varint()
+        case (8, 0)  => st.rfChain = r.varint()
+        case (17, 0) => st.crc = r.varint()
         case (_, w)  => r.skip(w)
       }
     }
-    val o = new Obj
-    o.b64("gatewayID", gatewayId)
-    o.num("rssi", rssi.toInt)
-    o.dbl("loRaSNR", snr)
-    o.num("channel", channel)
-    o.num("rfChain", rfChain)
-    // known enum numbers render as names, unknown ones as their integer
-    // (MessageToJson's unknown-enum rendering); 0 = proto3 default, omitted
-    if (crc > 0 && crc < CrcNames.length) o.str("crcStatus", CrcNames(crc.toInt))
-    else o.num("crcStatus", crc.toInt)
-    o.result
   }
 
   /** Raw UplinkFrame bytes → MessageToJson-equivalent JSON text, or null
@@ -180,20 +211,22 @@ object ProtoWire {
     if (payload == null || payload.isEmpty) return null
     try {
       val r = new Reader(payload)
-      var phy: Array[Byte] = null; var tx: String = null; var rx: String = null
+      var phy: Array[Byte] = null // scalar bytes: last occurrence wins
+      val tx = new TxState
+      val rx = new RxState
       while (r.hasMore) {
         val tag = r.varint()
         (tag >> 3, (tag & 7).toInt) match {
           case (1, 2) => phy = r.bytes()
-          case (2, 2) => tx = readTxInfo(r.lengthDelimited())
-          case (3, 2) => rx = readRxInfo(r.lengthDelimited())
+          case (2, 2) => readTxInfo(r.lengthDelimited(), tx)
+          case (3, 2) => readRxInfo(r.lengthDelimited(), rx)
           case (_, w) => r.skip(w)
         }
       }
       val o = new Obj
       o.b64("phyPayload", phy)
-      o.obj("txInfo", tx)
-      o.obj("rxInfo", rx)
+      o.obj("txInfo", if (tx.present) tx.render else null)
+      o.obj("rxInfo", if (rx.present) rx.render else null)
       // an empty frame is indistinguishable from garbage that happened to
       // skip cleanly — treat as undecodable, like ParseFromString failing
       if (o.isEmpty) null else o.result

@@ -118,12 +118,22 @@ object PhyFunctions {
   }
 
   /** C8/C9: compute a valid MIC / validate a candidate key. Key as
-    * big-endian hex (the reference's AES128Key text form). */
+    * big-endian hex (the reference's AES128Key text form).
+    *
+    * Malformed key hex (null / odd length / non-hex) yields SQL NULL
+    * on every key-hex UDF below, mirroring phyDecodeB64's
+    * bad-input-never-fails-the-task convention — hexToBytes itself is
+    * strict, so without the guard a user-supplied key crashes the
+    * whole query (and the OLD lenient parse was worse: a silently
+    * wrong key and a false-negative MIC). */
   val signPacketUdf = udf { (bytes: Array[Byte], keyHex: String) =>
-    LorawanCrypto.signPacket(bytes, Lorawan.hexToBytes(keyHex))
+    if (!Lorawan.isHex(keyHex)) null
+    else LorawanCrypto.signPacket(bytes, Lorawan.hexToBytes(keyHex))
   }
   val micValid = udf { (bytes: Array[Byte], keyHex: String) =>
-    LorawanCrypto.validateJoinRequestMic(Lorawan.hexToBytes(keyHex), bytes)
+    if (!Lorawan.isHex(keyHex)) null.asInstanceOf[java.lang.Boolean]
+    else java.lang.Boolean.valueOf(
+      LorawanCrypto.validateJoinRequestMic(Lorawan.hexToBytes(keyHex), bytes))
   }
 
   /** C9 candidate-major MIC check: one candidate key against EVERY signed
@@ -135,10 +145,13 @@ object PhyFunctions {
     * of small-message CMAC), versus a per-(key, packet) schedule in the
     * naive pair orientation. */
   val micMatchEvents = udf { (keyHex: String, pkts: Seq[Row]) =>
-    val session = new LorawanCrypto.CmacSession(Lorawan.hexToBytes(keyHex))
-    pkts.collect {
-      case r if session.joinRequestMicValid(r.getAs[Array[Byte]]("bytes")) =>
-        r.getAs[Long]("event_id")
+    if (!Lorawan.isHex(keyHex)) null
+    else {
+      val session = new LorawanCrypto.CmacSession(Lorawan.hexToBytes(keyHex))
+      pkts.collect {
+        case r if session.joinRequestMicValid(r.getAs[Array[Byte]]("bytes")) =>
+          r.getAs[Long]("event_id")
+      }
     }
   }
 
@@ -147,10 +160,13 @@ object PhyFunctions {
     * under one amortized [[LorawanCrypto.CmacSession]], same
     * candidate-major orientation as [[micMatchEvents]]. */
   val jaMicMatchEvents = udf { (keyHex: String, pkts: Seq[Row]) =>
-    val session = new LorawanCrypto.CmacSession(Lorawan.hexToBytes(keyHex))
-    pkts.collect {
-      case r if session.joinAcceptMicValid(r.getAs[Array[Byte]]("bytes")) =>
-        r.getAs[Long]("event_id")
+    if (!Lorawan.isHex(keyHex)) null
+    else {
+      val session = new LorawanCrypto.CmacSession(Lorawan.hexToBytes(keyHex))
+      pkts.collect {
+        case r if session.joinAcceptMicValid(r.getAs[Array[Byte]]("bytes")) =>
+          r.getAs[Long]("event_id")
+      }
     }
   }
 
@@ -159,6 +175,9 @@ object PhyFunctions {
     * AES "encrypt" (= decrypt op, spec quirk). */
   val encodeJoinAccept = udf { (appKeyHex: String, joinNonce: Int,
                                 netIdHex: String, devAddrHex: String) =>
+    if (!Lorawan.isHex(appKeyHex) || !Lorawan.isHex(netIdHex) ||
+      !Lorawan.isHex(devAddrHex)) null
+    else {
     val key = Lorawan.hexToBytes(appKeyHex)
     val plain = Array(0x20.toByte) ++
       Array((joinNonce & 0xff).toByte, ((joinNonce >> 8) & 0xff).toByte,
@@ -170,19 +189,21 @@ object PhyFunctions {
     val mic = LorawanCrypto.joinAcceptMic(key, plain(0), payload)
     System.arraycopy(mic, 0, plain, plain.length - 4, 4)
     LorawanCrypto.encryptJoinAccept(key, plain)
+    }
   }
 
   /** C7: session keys from a JR/JA pair. */
   final case class SessionKeysRow(nwkSKey: String, appSKey: String)
   val sessionKeys = udf { (jr: Array[Byte], ja: Array[Byte], appKeyHex: String) =>
-    LorawanCrypto.sessionKeysFromJoins(jr, ja, appKeyHex)
+    if (!Lorawan.isHex(appKeyHex)) None
+    else LorawanCrypto.sessionKeysFromJoins(jr, ja, appKeyHex)
       .map(k => SessionKeysRow(k.nwkSKey, k.appSKey))
   }
 
   /** FRMPayload decrypt (C1's optional appSKey path, lorawanWrapper.go:546-551). */
   val frmDecrypt = udf { (frm: Array[Byte], devAddr: String, fCnt: Long,
                           uplink: Boolean, keyHex: String) =>
-    if (frm == null) null
+    if (frm == null || !Lorawan.isHex(keyHex) || !Lorawan.isHex(devAddr)) null
     else LorawanCrypto.cryptFrmPayload(Lorawan.hexToBytes(keyHex),
       Lorawan.hexToLe(devAddr), fCnt, uplink, frm)
   }

@@ -42,17 +42,23 @@ private[functions] object SetSimTypeChecks {
   * equality is a byte comparison — cheaper than decoded String equals.
   */
 object SetSimKernels {
-  def commonCount(a: ArrayData, b: ArrayData): Int = {
-    val na = a.numElements()
-    val nb = b.numElements()
-    // build the set over the smaller side, probe with the larger
-    val (small, ns, big, nbg) = if (na <= nb) (a, na, b, nb) else (b, nb, a, na)
+  /** Hits of `probe`'s elements (per OCCURRENCE) against the distinct
+    * set of `setSide` — the exact bag semantics of the UDF twins, whose
+    * direction is FIXED (jaccard sets a / probes b; containment sets b /
+    * probes a). A build-over-the-smaller-side trick was measured and
+    * REMOVED: with duplicate elements it changes the answer
+    * (jaccard(['x','x'],['x']) read 2.0 instead of the twins' 0.5 —
+    * similarity > 1 passes every threshold), and the dedup callers'
+    * shingle sets are near-equal-sized anyway. */
+  def commonCount(probe: ArrayData, setSide: ArrayData): Int = {
+    val ns = setSide.numElements()
+    val np = probe.numElements()
     val set = new java.util.HashSet[UTF8String](ns * 2)
     var i = 0
-    while (i < ns) { set.add(small.getUTF8String(i)); i += 1 }
+    while (i < ns) { set.add(setSide.getUTF8String(i)); i += 1 }
     var common = 0
     i = 0
-    while (i < nbg) { if (set.contains(big.getUTF8String(i))) common += 1; i += 1 }
+    while (i < np) { if (set.contains(probe.getUTF8String(i))) common += 1; i += 1 }
     common
   }
 
@@ -61,7 +67,7 @@ object SetSimKernels {
     val nb = b.numElements()
     if (na == 0 && nb == 0) 0.0
     else {
-      val c = commonCount(a, b)
+      val c = commonCount(b, a) // set over a, probe b — the UDF's direction
       c.toDouble / (na + nb - c)
     }
   }
@@ -69,7 +75,7 @@ object SetSimKernels {
   def containment(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     if (na == 0) 0.0
-    else commonCount(a, b).toDouble / na
+    else commonCount(a, b).toDouble / na // set over b, probe a
   }
 }
 
@@ -100,6 +106,11 @@ object PrefixHashKernel {
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
+      // null ELEMENTS are skipped (containsNull=true passes the type
+      // check, and s.getBaseObject would NPE mid-codegen) — mirrored in
+      // the UDF twin so the prefix-set parity pin holds on such input
+      if (s == null) { i += 1 }
+      else {
       val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
         s.getBaseObject, s.getBaseOffset, s.numBytes, SEED)
       if (size < k) {
@@ -130,6 +141,7 @@ object PrefixHashKernel {
         }
       }
       i += 1
+      }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       if (size == k) hh else java.util.Arrays.copyOf(hh, size))
@@ -151,14 +163,18 @@ object MinHashKernel {
     var j = 0
     while (j < n) {
       val s = arr.getUTF8String(j)
-      val h = java.lang.Math.floorMod(
-        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes, SEED), P)
-      var i = 0
-      while (i < 128) {
-        val x = java.lang.Math.floorMod((2L * i + 1L) * h + (i.toLong * i + 7L), P)
-        if (x < sig(i)) sig(i) = x
-        i += 1
+      // null elements skipped (same convention as PrefixHashKernel);
+      // mirrored in the UDF twin so bit-equality holds on such input
+      if (s != null) {
+        val h = java.lang.Math.floorMod(
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes, SEED), P)
+        var i = 0
+        while (i < 128) {
+          val x = java.lang.Math.floorMod((2L * i + 1L) * h + (i.toLong * i + 7L), P)
+          if (x < sig(i)) sig(i) = x
+          i += 1
+        }
       }
       j += 1
     }

@@ -112,6 +112,10 @@ object TextFunctions {
     var i = 0
     while (i < n) {
       val s = sh(i)
+      // null elements skipped (k still counts them — mirrors
+      // PrefixHashKernel exactly so the prefix-set parity pin holds)
+      if (s == null) { i += 1 }
+      else {
       val h = xxh64(s)
       if (size < k) {
         var c = size
@@ -141,6 +145,7 @@ object TextFunctions {
         }
       }
       i += 1
+      }
     }
     (0 until size).map(j => (hh(j), hs(j)))
   }
@@ -168,13 +173,17 @@ object TextFunctions {
     if (sh == null) null
     else {
     val sig = Array.fill(128)(Long.MaxValue)
+    // null ELEMENTS skipped — mirrors MinHashKernel's convention so the
+    // bit-equality pin holds on arrays with containsNull=true
     sh.foreach { s =>
+      if (s != null) {
       val h = java.lang.Math.floorMod(xxh64(s), P)
       var i = 0
       while (i < 128) {
         val x = java.lang.Math.floorMod((2L * i + 1L) * h + (i.toLong * i + 7L), P)
         if (x < sig(i)) sig(i) = x
         i += 1
+      }
       }
     }
     sig
@@ -222,14 +231,18 @@ object TextFunctions {
     }
   }
 
-  /** Exact Jaccard between two string sets (verification kernel). */
+  /** Exact Jaccard between two string sets (verification kernel).
+    * Null input → null (SQL semantics — Seq parameters are NOT
+    * auto-null-checked by Spark for reference types, and the sibling
+    * guard on shingles/nfc/simhash exists for the same reason). */
   val jaccard = udf { (a: Seq[String], b: Seq[String]) =>
-    if (a.isEmpty && b.isEmpty) 0.0
+    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+    else if (a.isEmpty && b.isEmpty) java.lang.Double.valueOf(0.0)
     else {
       val sa = a.toSet
       var common = 0
       b.foreach(s => if (sa.contains(s)) common += 1)
-      common.toDouble / (a.size + b.size - common)
+      java.lang.Double.valueOf(common.toDouble / (a.size + b.size - common))
     }
   }
 
@@ -246,7 +259,10 @@ object TextFunctions {
     * quotation measure (a small doc fully inside a big one has C ≈ 1
     * but a tiny Jaccard). Same fold as [[jaccard]], different
     * denominator. */
-  val containment = udf { (a: Seq[String], b: Seq[String]) => containmentOf(a, b) }
+  val containment = udf { (a: Seq[String], b: Seq[String]) =>
+    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+    else java.lang.Double.valueOf(containmentOf(a, b))
+  }
 
   // NOTE (measured, do not "fix"): in the dedup verify joins the
   // `project(measure) + filter(measure >= t)` pattern LOOKS like it
@@ -261,11 +277,14 @@ object TextFunctions {
   /** Dot product over float vectors in double, left-to-right — identical
     * fold to the declarative/oracle form, JIT'd. */
   val dotF = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var acc = 0.0
-    var i = 0
-    val n = math.min(a.size, b.size)
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
+    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+    else {
+      var acc = 0.0
+      var i = 0
+      val n = math.min(a.size, b.size)
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      java.lang.Double.valueOf(acc)
+    }
   }
 
   def dot_f(a: Column, b: Column): Column = dotF(a, b)

@@ -169,28 +169,27 @@ object GraftFunctions {
     GraftColumnBridge.column(
       HllDistinct(GraftColumnBridge.expression(c)).toAggregateExpression())
 
-  def ensureRegistered(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProductF(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hll_distinct",
-      exprs => HllDistinct(exprs.head).toAggregateExpression(), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_jaccard", exprs => JaccardSim(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_containment", exprs => ContainmentSim(exprs.head, exprs(1)), "built-in")
+  /** ONE builder table for the native expressions, shared by
+    * [[ensureRegistered]] and [[GraftExtensions]] so the two
+    * registration paths expose the same SQL surface. */
+  private[functions] val nativeBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => DotProductF(exprs.head, exprs(1))),
+    "graft_hll_distinct" -> (exprs => HllDistinct(exprs.head).toAggregateExpression()),
+    "graft_jaccard" -> (exprs => JaccardSim(exprs.head, exprs(1))),
+    "graft_containment" -> (exprs => ContainmentSim(exprs.head, exprs(1))),
     // SQL thresholds arrive as DECIMAL literals (`0.8` has no `d`
     // suffix) — insert the double cast the implicit-cast tier would
     // have added; a redundant double→double cast is optimized away.
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_prefix_hashes",
-      exprs => PrefixHashes(exprs.head,
-        org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), DoubleType)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_srp_sig", exprs => SrpSig(exprs.head), "built-in")
+    "graft_prefix_hashes" -> (exprs => PrefixHashes(exprs.head,
+      org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), DoubleType))),
+    "graft_minhash_sig" -> (exprs => MinHashSig(exprs.head)),
+    "graft_srp_sig" -> (exprs => SrpSig(exprs.head)))
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    nativeBuilders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
     // codec surface in SQL
     spark.udf.register("phy_decode_b64", PhyFunctions.phyDecodeB64)
     spark.udf.register("graft_shingles", TextFunctions.shingles)
@@ -203,13 +202,22 @@ object GraftFunctions {
 }
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` — or
-  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  *
+  * Injects every NATIVE expression `ensureRegistered` exposes (one
+  * shared builder table, so the two registration paths cannot drift).
+  * The Scala-UDF surface (phy_decode_b64, graft_shingles,
+  * graft_simhash, the media parsers) has no SparkSessionExtensions
+  * hook — sessions configured only via spark.sql.extensions get those
+  * lazily from `ensureRegistered`, which every engine entry point
+  * calls. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[DotProductF].getName, "graft_dot"),
-        (exprs: Seq[Expression]) => DotProductF(exprs.head, exprs(1))))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.nativeBuilders.foreach { case (name, builder) =>
+      e.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            getClass.getName, name),
+          builder))
+    }
 }

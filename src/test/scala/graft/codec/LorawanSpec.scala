@@ -137,4 +137,31 @@ class LorawanSpec extends AnyFunSuite {
     assert(hex(hexToBytes("7005c4a5"), 0, 4) == "7005c4a5")
     assert(hexToLe("017fc1c4").sameElements(Array(0xc4, 0xc1, 0x7f, 0x01).map(_.toByte)))
   }
+
+  test("hexToBytes is strict; key-hex UDFs yield NULL on malformed keys") {
+    // the old lenient parse read 'abc' as [0xab, 0x0c] — a silently
+    // WRONG key and a false-negative MIC check
+    intercept[IllegalArgumentException](hexToBytes("abc"))
+    intercept[IllegalArgumentException](hexToBytes("zz"))
+    assert(!isHex(null) && !isHex("abc") && !isHex("zz") && isHex("ab0c") && isHex(""))
+  }
+
+  test("DeviceTimeAns carries full u32 seconds + fraction and round-trips") {
+    // GPS epoch passed 2^24 seconds in 1980+194 days: a u24 read
+    // decoded every realistic timestamp mod 2^24
+    val secs = 0x50000001L
+    val fopts = Array(0x0d.toByte) ++ Array(
+      (secs & 0xff).toByte, ((secs >> 8) & 0xff).toByte,
+      ((secs >> 16) & 0xff).toByte, ((secs >> 24) & 0xff).toByte,
+      0x80.toByte) // fraction = 128/256 s
+    val bytes = Array(0x60.toByte) ++ hexToLe("017fc1c4") ++
+      Array(fopts.length.toByte) ++ Array(0.toByte, 0.toByte) ++ fopts ++
+      hexToBytes("00000000")
+    val p = parse(bytes)
+    assert(p.error.isEmpty, p.error.toString)
+    val payloads = p.mac.toSeq.flatMap(_.fhdr.fOpts).flatMap(_.payload)
+    assert(payloads.exists(_.contains(s""""timeSinceGPSEpoch":$secs""")), payloads)
+    assert(payloads.exists(_.contains(""""fractionalSecond":128""")), payloads)
+    assert(encode(p).sameElements(bytes), "round-trip")
+  }
 }

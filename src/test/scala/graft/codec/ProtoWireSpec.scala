@@ -127,5 +127,25 @@ class ProtoWireSpec extends AnyFunSuite {
     assert(ProtoWire.uplinkFrameToJson(Array.empty[Byte]) == null)
     assert(ProtoWire.uplinkFrameB64ToJson("!!! not base64 !!!") == null)
     assert(ProtoWire.uplinkFrameB64ToJson(null) == null)
+    // crafted length near Long.MaxValue: `pos + n` overflows, so the
+    // bounds check must be subtraction-form or this escapes Malformed
+    // as an uncaught IllegalArgumentException (review-confirmed repro)
+    val overflow = Array(0x0a.toByte) ++ Array.fill(8)(0xff.toByte) :+ 0x7f.toByte
+    assert(ProtoWire.uplinkFrameToJson(overflow) == null)
+  }
+
+  test("a sub-message split across repeated field occurrences is MERGED") {
+    // proto spec: parsers must merge repeated embedded-message fields —
+    // frequency in the first tx_info chunk, loraModulationInfo in the
+    // second; a last-wins decoder drops frequency
+    val lmi = vf(1, 125) ++ vf(2, 9) ++ ld(3, "4/5".getBytes("UTF-8"))
+    val txA = vf(1, 867500000L)
+    val txB = ld(3, lmi)
+    val whole = ld(2, txA ++ txB)
+    val split = ld(2, txA) ++ ld(2, txB)
+    val a = ProtoWire.uplinkFrameToJson(whole)
+    val b = ProtoWire.uplinkFrameToJson(split)
+    assert(a != null && a == b, s"$a vs $b")
+    assert(a.contains("\"frequency\":867500000") && a.contains("spreadingFactor"))
   }
 }

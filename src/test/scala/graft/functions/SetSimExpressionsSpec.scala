@@ -141,4 +141,49 @@ class SetSimExpressionsSpec extends SparkSuite {
       .collect().head
     assert(out.isNullAt(0) && out.isNullAt(1))
   }
+
+  test("duplicate elements: kernel matches the UDF twins' bag semantics exactly") {
+    // the review-found divergence: a build-over-the-smaller-side trick
+    // made graft_jaccard(['x','x'],['x']) read 2.0 (similarity > 1!)
+    // while the UDF twin read 0.5 — direction must be FIXED
+    val df = Seq((Array("x", "x"), Array("x")),
+      (Array("x"), Array("x", "x")),
+      (Array("a", "a", "b"), Array("a", "c", "c")))
+      .toDF("a", "b")
+    val rows = df.select(
+      GraftFunctions.jaccardSim(col("a"), col("b")).as("jk"),
+      graft.functions.TextFunctions.jaccard(col("a"), col("b")).as("ju"),
+      GraftFunctions.containmentSim(col("a"), col("b")).as("ck"),
+      graft.functions.TextFunctions.containment(col("a"), col("b")).as("cu"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"jaccard ${r.toString}")
+      assert(r.getDouble(2) == r.getDouble(3), s"containment ${r.toString}")
+    }
+    // the documented contract is SHINGLE SETS (TextFunctions.shingles
+    // emits distinct arrays); duplicate-carrying input is out-of-set
+    // bag semantics where the measure may exceed 1 — what this pin
+    // guarantees is that both implementations say the SAME thing there
+    assert(rows(0).getDouble(0) == 0.5) // ['x','x'] vs ['x']: set over a
+  }
+
+  test("null ELEMENTS are skipped identically by kernels and UDF twins") {
+    val sh = Array("alpha", null, "beta", null)
+    val noNulls = Array("alpha", "beta")
+    val df = Seq((sh, noNulls)).toDF("withNulls", "clean")
+    val r = df.select(
+      GraftFunctions.minhashSig(col("withNulls")).as("kn"),
+      graft.functions.TextFunctions.minhashSig(col("withNulls")).as("un"),
+      GraftFunctions.minhashSig(col("clean")).as("kc"),
+      GraftFunctions.prefixHashes(col("withNulls"), lit(0.999)).as("pn"),
+      GraftFunctions.prefixHashes(col("clean"), lit(0.999)).as("pc"))
+      .collect().head
+    // kernel == UDF on null-carrying input (bit-equality pin extended)
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    // nulls contribute nothing to the signature
+    assert(r.getSeq[Long](0) == r.getSeq[Long](2))
+    // the prefix SET from null-carrying input is a superset relation:
+    // k counts raw length but only non-null shingles are hashed
+    assert(r.getSeq[Long](4).toSet.subsetOf(r.getSeq[Long](3).toSet))
+  }
 }

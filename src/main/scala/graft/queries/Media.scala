@@ -80,9 +80,13 @@ object Media {
     // chunk boundary and rightly hashes far). The twin construction is
     // pure string surgery, reproduced verbatim in the oracle.
     val p = (length(col("t")) / 2 + 1).cast("int")
+    // twin id = -(id + 1): injective and DISJOINT from real ids at ANY
+    // corpus size (a fixed +1e6 offset collides with real doc_ids once
+    // the corpus passes 1M documents, making ORDER BY (media_a,
+    // media_b) non-total and conflating two distinct blobs)
     val twins = base.filter(col("media_id") % 20 === 0 && octet_length(col("media")) > 0)
       .withColumn("t", decode(col("media"), "UTF-8"))
-      .select((col("media_id") + 1000000L).as("media_id"),
+      .select((-col("media_id") - 1L).as("media_id"),
         encode(concat(
           col("t").substr(lit(1), p - 1),
           char((ascii(col("t").substr(p, lit(1))) + 64) % 95 + 32),
@@ -222,7 +226,7 @@ object Media {
          |m AS (
          |  SELECT media_id, text, L FROM m0
          |  UNION ALL
-         |  SELECT media_id + 1000000,
+         |  SELECT -media_id - 1,
          |    substring(text, 1, CAST(L//2 AS BIGINT))
          |      || chr(((ascii(substring(text, CAST(L//2 + 1 AS BIGINT), 1)) + 64) % 95) + 32)
          |      || substring(text, CAST(L//2 + 2 AS BIGINT)),

@@ -30,11 +30,8 @@ object Packets {
     * jsonUnmarshaler.go). */
   def q20CodecRoundtrip(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
-    val joinEui = lpad(lower(hex(col("user_id") + 1)), 16, "0")
-    val devEui = lpad(lower(hex(col("event_id") + 1)), 16, "0")
-    val devNonce = (col("event_id") % 65536).cast("int")
-    val mic = lpad(lower(hex(col("event_id") % 100000)), 8, "0")
-    val bytes = PhyFunctions.encodeJoinRequest(joinEui, devEui, devNonce, mic)
+    val bytes = synthJoinRequest(
+      mic = lpad(lower(hex(col("event_id") % 100000)), 8, "0"))
     val phy = PhyFunctions.phy_decode(bytes)
     e.select(
         col("event_id"),
@@ -146,10 +143,7 @@ object Packets {
     * error and leave their fields null. */
   def q26DecodeErrors(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
-    val valid = PhyFunctions.encodeJoinRequest(
-      lpad(lower(hex(col("user_id") + 1)), 16, "0"),
-      lpad(lower(hex(col("event_id") + 1)), 16, "0"),
-      (col("event_id") % 65536).cast("int"), lit("00000000"))
+    val valid = synthJoinRequest(lit("00000000"))
     val payload = when(col("event_id") % 3 === 0,
       base64(valid)).otherwise(concat(lit("!garbage!"), col("event_id")))
     val phy = PhyFunctions.phy_decode_b64(payload)
@@ -179,11 +173,7 @@ object Packets {
   def q28KeyBruteforce(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).filter(col("event_id") < 200)
     val keyHex = lpad(lower(hex(col("user_id"))), 32, "0")
-    val jr = PhyFunctions.encodeJoinRequest(
-      lpad(lower(hex(col("user_id") + 1)), 16, "0"),
-      lpad(lower(hex(col("event_id") + 1)), 16, "0"),
-      (col("event_id") % 65536).cast("int"),
-      lit("00000000"))
+    val jr = synthJoinRequest(lit("00000000"))
     // all signed packets packed into ONE broadcast row — the packet side
     // is small by construction (the key space is what grows), and the
     // candidate-major orientation lets one CmacSession amortize the AES
@@ -237,15 +227,22 @@ object Packets {
     hex2((col("user_id") % 256).cast("int")),
     hex2((col("event_id") % 256).cast("int")))
 
+  /** The synthesized-JoinRequest identity triplet (joinEui from
+    * user_id, devEui from event_id, devNonce = event_id mod 2^16)
+    * shared by q20/q26/q28/q29/q48 — ONE definition, the hex2/key3Hex
+    * treatment: five verbatim copies each had an independently
+    * restated oracle to silently drift against. */
+  private def synthJoinRequest(mic: Column): Column =
+    PhyFunctions.encodeJoinRequest(
+      lpad(lower(hex(col("user_id") + 1)), 16, "0"),
+      lpad(lower(hex(col("event_id") + 1)), 16, "0"),
+      (col("event_id") % 65536).cast("int"), mic)
+
   def q48KeyPatterns(s: SparkSession, d: String): DataFrame = {
     val cands = keyPatternCandidates(s)
     val e = events(s, d).filter(col("event_id") < 8)
     val keyHex = key3Hex
-    val jr = PhyFunctions.encodeJoinRequest(
-      lpad(lower(hex(col("user_id") + 1)), 16, "0"),
-      lpad(lower(hex(col("event_id") + 1)), 16, "0"),
-      (col("event_id") % 65536).cast("int"),
-      lit("00000000"))
+    val jr = synthJoinRequest(lit("00000000"))
     // the reference loops keys in the outer loop; here the 196,608-key
     // candidate table is the STREAMED side (partitioned across the
     // cluster) and the handful of packets broadcast AS ONE PACKED ROW —
@@ -302,7 +299,6 @@ object Packets {
     * Rows-only check: AES is not SQL-expressible — crypto correctness is
     * pinned by LorawanCryptoSpec. */
   def q29SessionKeys(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = events(s, d).filter(col("event_id") < 400)
     val appKey = lpad(lower(hex(col("user_id"))), 32, "0")
     val devAddr = lpad(lower(hex(col("user_id") + 7)), 8, "0")
@@ -310,11 +306,7 @@ object Packets {
     val tagged = e.withColumn("kind",
         when(col("event_id") % 2 === 0, "jr").otherwise("ja"))
       .withColumn("jr_bytes", PhyFunctions.signPacketUdf(
-        PhyFunctions.encodeJoinRequest(
-          lpad(lower(hex(col("user_id") + 1)), 16, "0"),
-          lpad(lower(hex(col("event_id") + 1)), 16, "0"),
-          (col("event_id") % 65536).cast("int"), lit("00000000")),
-        appKey))
+        synthJoinRequest(lit("00000000")), appKey))
       .withColumn("ja_bytes", PhyFunctions.encodeJoinAccept(
         appKey, (col("event_id") % 16777216).cast("int"), lit("aabbcc"), devAddr))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))

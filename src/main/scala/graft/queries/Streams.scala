@@ -264,7 +264,13 @@ object Streams {
       .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
       .select(col("user_id"), col("event_type").as("status"),
         col("ts_us").as("valid_from"), col("valid_to"))
-      .orderBy(col("user_id"), col("valid_from"))
+      // status in the sort key: two transitions of one user at the same
+      // ts_us (A→B then B→A, ordered by event_id inside the window)
+      // share a valid_from, and without the tiebreak the ORDER BY is
+      // not total — the suite's determinism rule. Statuses differ by
+      // construction (consecutive window rows with equal types were
+      // filtered), so (user_id, valid_from, status) IS total.
+      .orderBy(col("user_id"), col("valid_from"), col("status"))
   }
 
   /** q86: cohort retention — the user-lifecycle table every product
@@ -287,13 +293,19 @@ object Streams {
     * mean, per event type. The z-test is ALL-INTEGER: with s1 = Σx,
     * s2 = Σx², n the trailing count, z² = (cnt·n − s1)²/(s2·n − s1²),
     * so |z| > 3 ⟺ (cnt·n − s1)² > 9·(s2·n − s1²) — no floating-point
-    * mean or σ ever exists to diverge between engines. One window pass
+    * mean or σ ever exists to diverge between engines. The squared
+    * comparison runs in 128-bit-exact arithmetic on BOTH sides (Spark
+    * decimal(38,0) ≙ DuckDB's HUGEINT window sums): in BIGINT, dev²
+    * overflows once one (type, hour) bucket passes ~1.3e8 events —
+    * a rate the 100 TB corpus this query targets actually reaches;
+    * decimal pushes the bound past 1e17 events/hour. One window pass
     * over (type, hour); the same program runs streaming as a windowed
     * agg + stateful threshold. */
   def q87HourlyAnomaly(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
       .rowsBetween(-24, -1)
-    val dev = col("cnt") * col("n") - col("s1")
+    def big(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val dev = big(col("cnt")) * big(col("n")) - big(col("s1"))
     events(s, d)
       .select(col("event_type"), expr("ts_us div 3600000000").as("hour"))
       .groupBy(col("event_type"), col("hour"))
@@ -303,7 +315,7 @@ object Streams {
       .withColumn("n", count(col("cnt")).over(w))
       .filter(col("n") === 24)
       .withColumn("is_anomaly",
-        dev * dev > lit(9L) * (col("s2") * col("n") - col("s1") * col("s1")))
+        dev * dev > lit(9L) * (big(col("s2")) * big(col("n")) - big(col("s1")) * big(col("s1"))))
       .select(col("event_type"), col("hour"), col("cnt"), col("s1"),
         col("s2"), col("is_anomaly"))
       .orderBy(col("event_type"), col("hour"))
@@ -349,7 +361,8 @@ object Streams {
         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, hour, cnt,
         |  CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
-        |  (cnt * n - s1) * (cnt * n - s1) > 9 * (s2 * n - s1 * s1) AS is_anomaly
+        |  (CAST(cnt AS HUGEINT) * n - s1) * (CAST(cnt AS HUGEINT) * n - s1)
+        |    > 9 * (CAST(s2 AS HUGEINT) * n - CAST(s1 AS HUGEINT) * s1) AS is_anomaly
         |FROM w WHERE n = 24
         |ORDER BY event_type, hour""".stripMargin,
     "q77_scd2" ->
@@ -364,7 +377,7 @@ object Streams {
         |      (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
         |  FROM f)
         |SELECT user_id, status, valid_from, valid_to FROM i
-        |ORDER BY user_id, valid_from""".stripMargin,
+        |ORDER BY user_id, valid_from, status""".stripMargin,
     "q74_asof_custom" ->
       """WITH p AS (SELECT event_id AS p_id, user_id AS p_user,
         |    epoch_us(ts) AS p_ts FROM events WHERE event_type = 'purchase'),

@@ -61,7 +61,10 @@ object BmpCodec {
     // crash on allocation — the never-throws contract needs
     // overflow-proof geometry math
     val stL = ((3L * w + 3L) / 4L) * 4L
-    if (h > 0 && (stL <= 0 || dataOff.toLong + h.toLong * stL > blob.length))
+    // division, not h*stL: the product overflows Long for w AND h both
+    // near 2^31 (h·stL ≈ 1.4e19 > Long.MaxValue), and a wrapped-negative
+    // product would pass this guard into NegativeArraySizeException
+    if (h > 0 && (stL <= 0 || (blob.length - dataOff).toLong / stL < h.toLong))
       return err("truncated_pixels")
     val st = stL.toInt // h > 0 bounds it by blob.length; h == 0 never reads it
     val out = new Array[Int](w * h)

@@ -97,12 +97,21 @@ object Multimodal {
     *
     *   1. grid: the blob's bytes fold into a 32×32 grid by balanced
     *      chunking — cell i (row-major) sums bytes
-    *      [⌊i·L/1024⌋, ⌊(i+1)·L/1024⌋) (the "synthetic byte grid": for a
-    *      real image this step is grayscale-resize-to-32×32; everything
-    *      after is representation-agnostic);
+    *      [⌊i·L/1024⌋, ⌊(i+1)·L/1024⌋), clamped at 2^24 (the "synthetic
+    *      byte grid": for a real image this step is
+    *      grayscale-resize-to-32×32; everything after is
+    *      representation-agnostic);
     *   2. 2D DCT-II via the integer basis [[DctT]] (separable:
     *      coef = T·G·Tᵀ), keeping the 8×8 lowest-frequency block — all
-    *      int64, max |coef| < 2^54, no FP anywhere;
+    *      int64, no FP anywhere. The cell clamp is what makes that
+    *      sound: each pass multiplies by ≤ 32·2^14 = 2^19, so
+    *      |coef| ≤ 2^24·2^38 = 2^62 < Long.MaxValue for ANY blob size,
+    *      where the unclamped sum (≈ L/4 per cell) would silently wrap
+    *      the JVM accumulator — and diverge from the 128-bit DuckDB
+    *      oracle — past ~128 MB. The clamp only engages above ~64 MB
+    *      per blob (cells > 2^24 need > 65k bytes each) and is
+    *      mirrored verbatim in the q57 oracle (LEAST), so cross-engine
+    *      equality holds at every size;
     *   3. the 63 AC coefficients (DC excluded — it is the overall
     *      "brightness" and always dominates) compare against their lower
     *      median: bit k = 1 iff ac(k) > med, k ∈ [0, 63) — so hashes fit
@@ -124,7 +133,7 @@ object Multimodal {
         val end = ((i + 1).toLong * L / 1024).toInt
         var sum = 0L
         while (p < end) { sum += media(p) & 0xffL; p += 1 }
-        g(i) = sum
+        g(i) = math.min(sum, 1L << 24) // overflow headroom, see scaladoc
         i += 1
       }
       // 2a. row pass: r(x,v) = Σ_y g(x,y)·T(v,y)
@@ -234,7 +243,11 @@ object Multimodal {
   val bmpResize = udf { (blob: Array[Byte], outW: Int, outH: Int) =>
     val d = BmpCodec.decode(blob)
     if (d.error != null) ResizedImage(0, 0, null, d.error)
-    else if (outW <= 0 || outH <= 0 || d.width <= 0 || d.height <= 0)
+    // outW·outH compared in Long: 46341×46341 wraps Int negative and
+    // would throw NegativeArraySizeException from the UDF instead of
+    // producing the contract's error row
+    else if (outW <= 0 || outH <= 0 || d.width <= 0 || d.height <= 0 ||
+        outW.toLong * outH > Int.MaxValue)
       ResizedImage(0, 0, null, "bad_resize_target")
     else {
       val out = new Array[Int](outW * outH)
@@ -310,24 +323,38 @@ object Multimodal {
     * parser's error string — decode failure is row data, not an
     * exception (PhyParser.py:10-12). */
   def audioFramesWav(media: DataFrame, frameLen: Int): DataFrame = {
+    // ONE decode per blob: the former good/bad filter-union shape planned
+    // two scans over the input, running the container parser (and any
+    // fixture encode upstream) twice per row. Here each row builds its
+    // frame array in a single projection — error rows as a one-element
+    // [-1, 0, 0, error] array, good rows one struct per window — and a
+    // single explode routes both. (CollapseProject keeps `dec` its own
+    // projection: a ScalaUDF alias referenced more than once is not
+    // "cheap", so the parser still runs once per row, not per reference.)
     val decoded = media.withColumn("dec", wavDecode(col("media")))
-    val good = decoded.filter(col("dec.error").isNull)
-      .withColumn("nwin",
-        ceil(size(col("dec.samples")) / lit(frameLen.toDouble)).cast("int"))
+    val nwin =
+      ceil(size(col("dec.samples")) / lit(frameLen.toDouble)).cast("int")
+    val seg = (w: Column) =>
+      slice(col("dec.samples"), w * frameLen + 1, lit(frameLen))
+    val goodFrames = transform(
       // zero-sample clips emit zero frames (sequence(0,-1) would descend)
-      .filter(col("nwin") > 0)
-      .withColumn("win", explode(sequence(lit(0), col("nwin") - 1)))
-      .withColumn("seg",
-        slice(col("dec.samples"), col("win") * frameLen + 1, lit(frameLen)))
-      .select(col("media_id"), col("win").cast("long").as("win"),
-        size(col("seg")).cast("long").as("n_samples"),
-        aggregate(col("seg"), lit(0L),
+      when(nwin > 0, sequence(lit(0), nwin - 1))
+        .otherwise(array().cast("array<int>")),
+      w => struct(
+        w.cast("long").as("win"),
+        size(seg(w)).cast("long").as("n_samples"),
+        aggregate(seg(w), lit(0L),
           (acc, x) => acc + x.cast("long") * x.cast("long")).as("energy"),
-        lit(null).cast("string").as("error"))
-    val bad = decoded.filter(col("dec.error").isNotNull)
-      .select(col("media_id"), lit(-1L).as("win"), lit(0L).as("n_samples"),
-        lit(0L).as("energy"), col("dec.error").as("error"))
-    good.unionByName(bad)
+        lit(null).cast("string").as("error")))
+    val frames = when(col("dec.error").isNotNull,
+        array(struct(lit(-1L).as("win"), lit(0L).as("n_samples"),
+          lit(0L).as("energy"), col("dec.error").as("error"))))
+      .otherwise(goodFrames)
+    decoded
+      .select(col("media_id"), explode(frames).as("f"))
+      .select(col("media_id"), col("f.win").as("win"),
+        col("f.n_samples").as("n_samples"), col("f.energy").as("energy"),
+        col("f.error").as("error"))
   }
 
   /** DETERMINISTIC STUB audio framing: the blob's bytes stand in for PCM

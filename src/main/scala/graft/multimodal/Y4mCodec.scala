@@ -57,7 +57,13 @@ object Y4mCodec {
         case _ => () // F (rate), I (interlace), A (aspect), X (extension)
       }
     }
-    if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0 || !chroma.startsWith("420"))
+    // exact 8-bit 4:2:0 names only: a startsWith("420") prefix test would
+    // also admit C420p10/C420p12, whose 2-byte samples make the 8-bit
+    // frame geometry below wrong (mid-plane bad_frame_marker on a valid
+    // file, or silently interleaved low/high bytes in the luma sums)
+    val chroma420 = chroma == "420" || chroma == "420jpeg" ||
+      chroma == "420mpeg2" || chroma == "420paldv"
+    if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0 || !chroma420)
       return err("unsupported_y4m")
     // Long geometry: W65536 H65536 wraps w*h to 0 and frameLen negative,
     // which would pass the truncation check and walk `off` backwards

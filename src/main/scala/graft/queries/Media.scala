@@ -236,8 +236,8 @@ object Media {
          |    [CAST(ascii(c) AS BIGINT) for c in string_split_regex(text, '')] AS bs
          |  FROM m),
          |g AS (SELECT media_id,
-         |    [COALESCE(list_sum(bs[CAST((i*L)//1024 + 1 AS BIGINT)
-         |        : CAST(((i+1)*L)//1024 AS BIGINT)]), 0)
+         |    [LEAST(COALESCE(list_sum(bs[CAST((i*L)//1024 + 1 AS BIGINT)
+         |        : CAST(((i+1)*L)//1024 AS BIGINT)]), 0), 16777216)
          |     for i in range(0, 1024)] AS gr
          |  FROM bl),
          |tt AS (SELECT ${Multimodal.DctT.mkString("[", ", ", "]")} AS T),

@@ -14,7 +14,8 @@ object Events {
   /** K3 error route: split an envelope frame into (clean, errors). A row
     * is an error when its packet carries a parse error — the reference's
     * FAILED_PARSING path (PacketPersistence.py:63-70). The error frame has
-    * the event shape {data_collector_id, type, message}. */
+    * the event shape {data_collector_id, type, message, ts} — ts kept so
+    * the dead-letter log stays time-addressable for replay. */
   def splitErrors(envelopes: DataFrame): (DataFrame, DataFrame) = {
     val isError = col("packet").isNotNull && col("packet")("error").isNotNull
     val clean = envelopes.filter(!isError)
@@ -26,19 +27,21 @@ object Events {
     (clean, errors)
   }
 
-  /** K2 status events as a frame (from Orchestrator.statusDeltas output). */
+  /** K2 status events as a frame (from Orchestrator.statusDeltas
+    * output): {data_collector_id, status, verified}. */
   def statusFrame(events: Seq[graft.control.Orchestrator.StatusEvent],
                   spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
-    events.toDF("collectorId", "status", "verified")
-      .select(col("collectorId").as("data_collector_id"), col("status"),
-        col("verified"))
+    events.toDF("data_collector_id", "status", "verified")
   }
 
   /** K2: status events from the F5 gate output (VerifOut frame) —
     * VERIFIED on the threshold flip, FAILED_VERIFY on the in-plan 600 s
-    * timer expiry (BaseCollector.py:43-53's event, same shape as
-    * statusFrame). */
+    * timer expiry (BaseCollector.py:43-53's event). Shape is
+    * {data_collector_id, type} — the type-tagged event-bus form (like
+    * [[splitErrors]]' error route, sans message/ts), NOT
+    * [[statusFrame]]'s columnar (status, verified) delta form; a
+    * consumer unioning the two K2 channels maps one into the other. */
   def verifStatusFrame(outs: DataFrame): DataFrame =
     outs.filter(col("statusChange").isNotNull)
       .select(

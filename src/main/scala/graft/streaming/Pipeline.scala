@@ -364,7 +364,8 @@ object Pipeline {
   /** K1/K4 streaming sink: foreachBatch append to a parquet envelope log,
     * partitioned by collector (the dev stand-in for the RabbitMQ durable
     * queue; at-least-once via checkpoint + replayable source — the
-    * idempotent consumer key is (data_collector_id, ts, packet.mic),
+    * idempotent consumer key is [[Events.idempotencyKey]] (v2: collector,
+    * ts, mic, data, messages — see its KEY VERSION BOUNDARY note),
     * SURVEY §2.2 K1). */
   def startEnvelopeSink(envs: DataFrame, outDir: String, checkpoint: String,
                         trigger: Trigger = Trigger.ProcessingTime("1 second")) =

@@ -42,8 +42,11 @@ object StreamJoins {
       s"""click_user = purchase_user AND
          |click_ts >= purchase_ts - interval $lookback AND
          |click_ts <= purchase_ts""".stripMargin)
+    // both modes join purchase-side-left so the output column order is
+    // identical whichever mode a caller picks (a positional consumer —
+    // toDF rename, parquet append — must not re-order when the mode flips)
     joinType match {
-      case "inner"     => c.join(p, cond)
+      case "inner"     => p.join(c, cond)
       case "leftOuter" => p.join(c, cond, "leftOuter")
       case other => throw new IllegalArgumentException(
         s"unsupported joinType $other (inner | leftOuter)")

@@ -69,5 +69,10 @@ class BmpCodecSpec extends AnyFunSuite {
     // height Int.MinValue survives math.abs negative
     val minH = good.clone(); put32(minH, 22, Int.MinValue)
     assert(decode(minH).error == "unsupported_bmp")
+    // w AND h both huge: h·stride ≈ 1.4e19 overflows even LONG math, so a
+    // product-form bounds check wraps negative and passes — the guard
+    // must compare by division
+    val wh = good.clone(); put32(wh, 18, Int.MaxValue); put32(wh, 22, 2000000000)
+    assert(decode(wh).error == "truncated_pixels")
   }
 }

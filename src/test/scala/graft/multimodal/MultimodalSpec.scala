@@ -101,4 +101,68 @@ class MultimodalSpec extends SparkSuite {
     assert(rows(0).getString(1) == "short_header") // 4 bytes < the 54-byte header
     assert(rows(1).getString(1) == "bad_resize_target")
   }
+
+  test("bmpResize: a target whose pixel count overflows Int is an error row") {
+    // 46341² = 2147488281 wraps Int negative: without the Long guard the
+    // UDF would throw NegativeArraySizeException instead of erroring
+    val blob = BmpCodec.encode(Array(1, 2, 3, 4), 2)
+    val r = Seq((1L, blob)).toDF("media_id", "media")
+      .select(Multimodal.bmpResize(col("media"), lit(46341), lit(46341)).as("r"))
+      .select("r.error").head
+    assert(r.getString(0) == "bad_resize_target")
+  }
+
+  test("audioFramesWav: good, torn and zero-sample clips in ONE pass") {
+    // 6 samples at frameLen 4 → wins [abcd][ef]-shaped; a torn header →
+    // one win=-1 error row; a valid zero-sample clip → zero rows
+    val good = WavCodec.encode(Array(3, 4, 5, 6, 7, 8))
+    val torn = good.take(10)
+    val empty = WavCodec.encode(Array.empty[Int])
+    val df = Seq((1L, good), (2L, torn), (3L, empty)).toDF("media_id", "media")
+    val out = Multimodal.audioFramesWav(df, 4)
+      .orderBy("media_id", "win").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((1L, 0L, 4L), (1L, 1L, 2L), (2L, -1L, 0L)))
+    assert(out(0).getLong(3) == 9 + 16 + 25 + 36 && out(1).getLong(3) == 49 + 64)
+    assert(out(0).isNullAt(4) && out(2).getString(4) == "short_header")
+  }
+
+  test("phash: the 2^24 cell clamp keeps huge blobs exact (vs BigInt reference)") {
+    // ~68 MB pushes cell sums past 2^24, where unclamped int64 DCT
+    // accumulation would wrap silently (and diverge from DuckDB's
+    // 128-bit sums); the clamp is the contract — pin it against an
+    // overflow-free BigInt reference of the SAME recipe
+    // cells are ~69632 bytes here; alternating 64 KiB blocks of 0xff
+    // (sum ≈ 17.7M > 2^24 → clamps) and varied bytes (≈ 8.9M → doesn't)
+    // give a non-degenerate grid that engages the clamp on some cells
+    val L = 68 * 1024 * 1024
+    val blob = new Array[Byte](L)
+    var i = 0
+    while (i < L) {
+      blob(i) =
+        if (((i >> 16) & 1) == 0) 0xff.toByte
+        else ((i * 31 + 7) & 0xff).toByte
+      i += 1
+    }
+    val g = Array.tabulate(1024) { c =>
+      var p = (c.toLong * L / 1024).toInt
+      val end = ((c + 1).toLong * L / 1024).toInt
+      var s = 0L
+      while (p < end) { s += blob(p) & 0xffL; p += 1 }
+      math.min(s, 1L << 24)
+    }
+    assert(g.exists(_ == (1L << 24)), "fixture must actually engage the clamp")
+    val T = Multimodal.DctT
+    val r = Array.tabulate(32, 8) { (x, v) =>
+      (0 until 32).map(y => BigInt(g(x * 32 + y)) * T(v * 32 + y)).sum
+    }
+    val coef = Array.tabulate(64) { j =>
+      (0 until 32).map(x => BigInt(T((j / 8) * 32 + x)) * r(x)(j % 8)).sum
+    }
+    val ac = coef.drop(1)
+    val med = ac.sorted.apply(31)
+    val expected = ac.zipWithIndex
+      .collect { case (a, k) if a > med => 1L << k }.sum
+    assert(Multimodal.phashBytes(blob) == expected)
+  }
 }

@@ -58,6 +58,11 @@ class Y4mCodecSpec extends AnyFunSuite {
     assert(decode(Array[Byte](1, 2, 3)).error == "short_header")
     assert(decode("MPEG4YUV2 W4 H2\nrest".getBytes).error == "not_y4m")
     assert(decode("YUV4MPEG2 W5 H2 C420\n".getBytes).error == "unsupported_y4m")
+    // 10/12-bit 4:2:0 variants carry 2-byte samples — a prefix match on
+    // "420" would walk their frames with 8-bit geometry (half the real
+    // frame size); they must be rejected, not half-parsed
+    assert(decode("YUV4MPEG2 W8 H4 C420p10\nFRAME\n".getBytes).error
+      == "unsupported_y4m")
     assert(decode("YUV4MPEG2 W4 H2 C444\n".getBytes).error == "unsupported_y4m")
     assert(decode("YUV4MPEG2 H2 C420\n".getBytes).error == "unsupported_y4m")
     // frame marker corrupted

@@ -155,13 +155,19 @@ object Tables {
     *    fail labeled rather than drift.
     * One aggregate over the single ts column — validate-time cost,
     * not query-time. */
-  private def eventsTsValueProblems(s: SparkSession, d: String): Seq[String] =
-    try {
-      val df = table(s, d, "events")
+  private def eventsTsValueProblems(s: SparkSession, d: String): Seq[String] = {
+    // footer read only: if THIS fails, the schema loop above already
+    // reported the unreadable table — swallowing here is correct
+    val dfOpt =
+      try Some(table(s, d, "events"))
+      catch { case _: Throwable => None }
+    dfOpt.toSeq.flatMap { df =>
       df.schema.fields.find(_.name == "ts").map(_.dataType) match {
-        case Some(LongType) =>
+        case Some(LongType) => try {
           val r = df.agg(max(col("ts")).as("mx"), min(col("ts")).as("mn"),
             max(abs(col("ts") % 1000)).as("res")).head
+          if (r.isNullAt(0)) Nil // zero rows: no values to misread
+          else {
           val mx = r.getLong(0)
           val mn = r.getLong(1)
           val res = r.getLong(2)
@@ -185,11 +191,20 @@ object Tables {
                 "oracles; extend the contract before running")
             else Nil
           magnitude ++ residue
+          }
+        } catch {
+          // the footer was readable but the VALUES are not (data-page
+          // corruption, etc.) — that was never "reported above"; a
+          // silent Nil here would disable the tripwire exactly when the
+          // table is broken
+          case e: Throwable =>
+            Seq("events.ts value guard could not read values (footer was " +
+              s"readable): ${e.getClass.getName}: ${e.getMessage}")
+        }
         case _ => Nil // timestamp encodings are micros-physical already
       }
-    } catch {
-      case _: Throwable => Nil // unreadable table already reported above
     }
+  }
 
   private def fail(msg: String): Nothing =
     throw new IllegalStateException(s"testdata schema changed: $msg")

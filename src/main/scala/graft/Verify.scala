@@ -18,15 +18,31 @@ object Verify {
     // driver regenerated testdata under types the queries don't expect
     Tables.validate(spark, sfDir)
     new java.io.File(outDir).mkdirs()
+    // outDir is reused across invocations: a query that fails BEFORE its
+    // write reaches the overwrite-delete (analysis/planning errors) must
+    // not leave the previous run's parquet behind — the driver would
+    // hash-compare the stale artifact as this run's result. Delete each
+    // target up front so a failed query yields a MISSING output (a
+    // labeled per-query failure downstream), never a stale one.
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        val st = Files.walk(p)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+        finally st.close()
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
       // isolation: drop cached relations the previous query registered
       // (intra-query persists) so 102 queries don't accumulate cached
       // blocks and never cross-feed each other's caches
       spark.sharedState.cacheManager.clearCache()
+      rmTree(Paths.get(outDir, name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // class name too: an NPE's getMessage is null — "failed: null"
+        // diagnoses nothing
+        System.err.println(s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

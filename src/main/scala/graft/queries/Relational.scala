@@ -32,7 +32,12 @@ object Relational {
     lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        // quantity routes through DECIMAL like the money columns: it is
+        // integer-valued today (so this is hash-neutral), but a raw
+        // double sum would turn shuffle-order-dependent the moment a
+        // regeneration ships fractional quantities — the file's own
+        // determinism rule, applied to ALL double sums (also q04/q07)
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
         sum(col("l_extendedprice").cast(dec) *
           (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
@@ -41,7 +46,7 @@ object Relational {
           (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")) *
           (lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(4,2)")))
           .cast("double").as("sum_charge"),
-        (sum(col("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(col("l_extendedprice").cast(dec)).cast("double") / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -85,7 +90,7 @@ object Relational {
       .groupBy(col("p_brand"))
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
         min(col("p_retailprice")).as("min_price"),
         max(col("p_retailprice")).as("max_price"))
       .orderBy(col("p_brand"))
@@ -123,7 +128,8 @@ object Relational {
   def q07Rollup(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("double").as("sum_qty"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -431,11 +437,11 @@ object Relational {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-        |  CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -454,7 +460,7 @@ object Relational {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q04_brand_stats" ->
       """SELECT p_brand, COUNT(*) AS n_lines,
-        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -477,7 +483,7 @@ object Relational {
     "q07_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
-        |  COUNT(*) AS n, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
     "q08_keyset_page" ->

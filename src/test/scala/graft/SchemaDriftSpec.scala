@@ -127,6 +127,16 @@ class SchemaDriftSpec extends SparkSuite {
     assert(e.getMessage.contains("not nanos-since-epoch"), e.getMessage)
   }
 
+  test("validate passes a ZERO-ROW int64-ts events table (no values to misread)") {
+    // max/min over an empty table are NULL — the value guard must treat
+    // that as "nothing to check", not throw NPE into a blanket catch
+    // that silently disables the tripwire
+    val dir = fixtureWith(df =>
+      df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+        .filter(lit(false)))
+    Tables.validate(spark, dir)
+  }
+
   test("validate flags sub-microsecond precision in an int64 nanos ts") {
     // ties under the canonical micros contract would order differently
     // than full-precision oracles — fail labeled instead of drifting

@@ -33,9 +33,12 @@ object Normalize {
     lit(null).cast(f.dataType).as(name)
   }
 
-  /** Splice the flat phy_decode struct into packet columns. */
-  private def phyCols(phy: Column): Seq[Column] = Seq(
-    phy("m_type").as("m_type"), phy("major").as("major"), phy("mic").as("mic"),
+  /** Splice the flat phy_decode struct into packet columns. `mType`
+    * overrides the first column (the P7 generic-MQTT JoinAccept topic
+    * rule) so dialects never re-inline this list. */
+  private def phyCols(phy: Column, mType: Option[Column] = None): Seq[Column] = Seq(
+    mType.getOrElse(phy("m_type")).as("m_type"),
+    phy("major").as("major"), phy("mic").as("mic"),
     phy("join_eui").as("join_eui"),
     phy("dev_nonce").as("dev_nonce"),
     phy("dev_addr").as("dev_addr"), phy("adr").as("adr"), phy("ack").as("ack"),
@@ -178,18 +181,11 @@ object Normalize {
         m("lsnr").as("lsnr"),
         m("rssi").as("rssi"),
         m("size").as("size"),
-        m("data").as("data"),
+        m("data").as("data")) ++
         // P7: '/joined' topic forces JoinAccept
-        when(col("topic").contains("/joined"), "JoinAccept")
-          .otherwise(phy("m_type")).as("m_type"),
-        phy("major").as("major"), phy("mic").as("mic"),
-        phy("join_eui").as("join_eui"),
-        phy("dev_nonce").as("dev_nonce"),
-        phy("dev_addr").as("dev_addr"), phy("adr").as("adr"), phy("ack").as("ack"),
-        phy("adr_ack_req").as("adr_ack_req"), phy("f_pending").as("f_pending"),
-        phy("class_b").as("class_b"), phy("f_count").as("f_count"),
-        phy("f_opts").as("f_opts"), phy("f_port").as("f_port"),
-        phy("error").as("error"),
+        phyCols(phy, mType = Some(
+          when(col("topic").contains("/joined"), "JoinAccept")
+            .otherwise(phy("m_type")))) ++ Seq(
         coalesce(devEuiFromTopic(col("topic")), phy("dev_eui")).as("dev_eui"),
         nullCol("latitude"), nullCol("longitude"), nullCol("altitude"),
         nullCol("app_name"), nullCol("dev_name"),
@@ -232,6 +228,12 @@ object Normalize {
     val base = df
       .filter(length(col("message")) > 1) // F0a keepalive filter
       .withColumn("message_unesc", regexp_replace(col("message"), "\\\\\"", "\""))
+      // the server's disconnect control frame is transport-layer only
+      // (TTNCollector.py:169-174 reconnects and never persists it) — the
+      // reference's containment test, run on the UNESCAPED text so the
+      // SockJS-escaped form matches too, else the frame falls through
+      // ttnV2Kind as a phantom all-null route=raw packet row
+      .filter(!col("message_unesc").contains("""[200,"disconnected"]"""))
       .withColumn("kind", ttnV2Kind(col("message_unesc")))
       .withColumn("payload_json", stripOffsets(col("message_unesc"), col("kind")))
     val m = from_json(col("payload_json"), PacketSchema.ttnV2)
@@ -275,7 +277,12 @@ object Normalize {
     val d = m("data")
     val phy = PhyFunctions.phy_decode_b64(d("raw_payload"))
     val name = m("name")
-    df.filter(name =!= "events.stream.start") // F0d
+    // F0d — null-safe: a malformed/name-less record has name = NULL, and
+    // a bare =!= would evaluate NULL and silently DROP it; the reference
+    // routes parse failures to save_parsing_error (TTNv3Collector.py:
+    // 338-341) and processes name-less records (:211-219), so these rows
+    // must fall through to the route expression's raw branch, not vanish
+    df.filter(name.isNull || name =!= "events.stream.start")
       .select(Seq(
         col("arrival_ts").as("date"),
         lit(null).cast("string").as("topic"),

@@ -111,7 +111,11 @@ object PacketSchema {
       StructField("channel", IntegerType), StructField("rfChain", IntegerType),
       StructField("crcStatus", StringType), // enum CRC_OK|BAD_CRC|NO_CRC
       StructField("rssi", IntegerType), StructField("loRaSNR", DoubleType),
-      StructField("size", IntegerType), StructField("timestamp", LongType)))),
+      // NO timestamp here: the proto rxInfo the reference reads has none
+      // (FIXTURES §2c) and every proto-dialect consumer nulls tmst — a
+      // declared-but-unread field would invite wiring it into tmst and
+      // diverging from the reference
+      StructField("size", IntegerType)))),
     StructField("txInfo", StructType(Seq(
       StructField("frequency", LongType),
       StructField("loRaModulationInfo", StructType(Seq(

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * hot key, and shuffle-hash joins against a small-but-not-broadcastable
   * side. Both utilities are semantics-preserving (proved in SkewSpec).
   *
-  * Salts are derived from ROW CONTENT (xxhash64 over every column),
+  * Salts are derived from ROW CONTENT (xxhash64 over every hashable —
+  * i.e. map-free — column),
   * never from position (`monotonically_increasing_id`, `rand`,
   * `spark_partition_id`): positional salts change when a lost map task
   * recomputes a differently-fetch-ordered partition, so a stage retry
@@ -26,6 +27,27 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The columns a content salt may hash: Spark's hash expressions
+    * reject MapType anywhere in the type (map iteration order is
+    * undefined, so a map hash would not even be retry-stable) — a frame
+    * carrying parsed props/tags maps must salt from its other columns
+    * instead of throwing AnalysisException. */
+  private def saltSource(df: DataFrame): Seq[Column] = {
+    import org.apache.spark.sql.types._
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case ArrayType(e, _) => hashable(e)
+      case StructType(fs) => fs.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val cols = df.schema.fields.collect {
+      case f if hashable(f.dataType) => col(f.name)
+    }.toSeq
+    require(cols.nonEmpty,
+      "no hashable (map-free) columns to derive a retry-stable salt from")
+    cols
+  }
+
   /** Salted two-phase aggregation: count/sum-style aggregates over a
     * skewed key. Phase 1 aggregates on (key, salt) — spreading one hot
     * key over `salts` reducers — phase 2 merges the partials.
@@ -36,7 +58,7 @@ object Skew {
                      salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
     df.withColumn("__salt",
-        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+        pmod(xxhash64(saltSource(df): _*), lit(salts)))
       .groupBy(key.as("key"), col("__salt"))
       .agg(count(lit(1)).as("__n"), sum(valueCol).as("__s"))
       .groupBy(col("key"))
@@ -54,7 +76,7 @@ object Skew {
     // EMPTY join result instead of an error
     require(salts > 0, s"salts must be positive, got $salts")
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      pmod(xxhash64(saltSource(big): _*), lit(salts)))
     val replicatedSmall = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
       .withColumn("__salt", col("__salt").cast("long"))

@@ -137,6 +137,9 @@ class NormalizeSpec extends SparkSuite {
     val statusFrame = "a[\"gateway status " + statusJson.replace("\"", "\\\"") + "\"]"
     val out = Normalize.ttnV2(rawDf(Seq(
       (null, "h"),                    // F0a keepalive: dropped
+      // transport-layer reconnect frame (TTNCollector.py:169): dropped,
+      // never a phantom raw packet row
+      (null, """a["[200,\"disconnected\"]"]"""),
       (null, uplinkFrame),
       (null, statusFrame))))
       .orderBy(col("route"))
@@ -187,10 +190,17 @@ class NormalizeSpec extends SparkSuite {
     val status = rec("gs.status.receive",
       """{"antenna_locations":[{"latitude":52.1,"longitude":4.4,"altitude":7.0}]}""")
     val start = rec("events.stream.start", "{}")
+    // malformed SSE line: name is NULL — the reference routes it to
+    // save_parsing_error (TTNv3Collector.py:338-341), so it must SURVIVE
+    // the stream-start filter and land on route=raw, not vanish
+    val garbled = "this is not json"
     val out = Normalize.ttnV3(rawDf(Seq(
-      (null, up), (null, down), (null, status), (null, start))))
+      (null, up), (null, down), (null, status), (null, start),
+      (null, garbled))))
       .collect()
-    assert(out.length == 3) // stream.start dropped
+    assert(out.length == 4) // stream.start dropped; the garbled row kept
+    val rawRow = out.find(_.getAs[String]("route") == "raw").get
+    assert(rawRow.getAs[String]("raw_message") == garbled)
     val upRow = out.find(_.getAs[String]("codr") == "4/5").get
     assert(upRow.getAs[Double]("freq") == 868.5)
     assert(upRow.getAs[Long]("tmst") == 1717237230000L)

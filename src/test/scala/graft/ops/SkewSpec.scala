@@ -36,6 +36,20 @@ class SkewSpec extends SparkSuite {
       salted.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("salting a frame with a MAP column works (salt skips unhashable types)") {
+    // xxhash64 rejects MapType — the salt must derive from the hashable
+    // columns instead of throwing AnalysisException at the first parsed
+    // props/tags map in the frame
+    import spark.implicits._
+    val df = Seq(("a", 1L, Map("k" -> "v")), ("a", 2L, Map("k" -> "w")),
+        ("b", 3L, Map.empty[String, String]))
+      .toDF("key", "value", "props")
+    val out = Skew.saltedCountSum(df, col("key"), col("value"), salts = 4)
+      .orderBy("key").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq(("a", 2L, 3L), ("b", 1L, 3L)))
+  }
+
   test("approx_count_distinct (HLL) within declared error of exact") {
     val li = graft.Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_partkey"))).head.getLong(0)

@@ -97,23 +97,31 @@ object Packets {
 
   /** q24: F4 location take-once analog — an 'error' event holds a value;
     * the NEXT non-error event consumes it, and it is consumed at most once
-    * (TTNCollector.py:202-209,241-247: read-and-clear). */
+    * (TTNCollector.py:202-209,241-247: read-and-clear). "Consumed at most
+    * once" is decided on the SEQUENCE POSITION (row_number over the
+    * (ts_us, event_id) order), not the raw timestamp: when a consumer and
+    * the error share one ts_us, a ts-only comparison reads the held value
+    * as already consumed by the EARLIER consumer and silently drops it —
+    * diverging from the read-and-clear state machine this query restates
+    * (StateOps.locationStep processes rows one at a time and has no such
+    * tie). Same-ts_us ties are real in this data (see q77). */
   def q24LocationTakeOnce(s: SparkSession, d: String): DataFrame = {
     val wAll = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val wPrev = wAll.rowsBetween(Window.unboundedPreceding, -1)
     val wCur = wAll.rowsBetween(Window.unboundedPreceding, 0)
     events(s, d)
+      .withColumn("rn", row_number().over(wAll))
       .withColumn("held_val",
         last(when(col("event_type") === "error", col("value")), ignoreNulls = true).over(wCur))
-      .withColumn("held_ts",
-        last(when(col("event_type") === "error", col("ts_us")), ignoreNulls = true).over(wCur))
-      .withColumn("prev_consumer_ts",
-        last(when(col("event_type") =!= "error", col("ts_us")), ignoreNulls = true).over(wPrev))
+      .withColumn("held_rn",
+        last(when(col("event_type") === "error", col("rn")), ignoreNulls = true).over(wCur))
+      .withColumn("prev_consumer_rn",
+        last(when(col("event_type") =!= "error", col("rn")), ignoreNulls = true).over(wPrev))
       .filter(col("event_type") =!= "error")
       .select(
         col("event_id"), col("user_id"),
-        when(col("held_ts").isNotNull &&
-          (col("prev_consumer_ts").isNull || col("held_ts") > col("prev_consumer_ts")),
+        when(col("held_rn").isNotNull &&
+          (col("prev_consumer_rn").isNull || col("held_rn") > col("prev_consumer_rn")),
           col("held_val")).as("location"))
       .orderBy(col("event_id"))
   }
@@ -189,7 +197,11 @@ object Packets {
       .select(col("cand_key"),
         explode(PhyFunctions.micMatchEvents(col("cand_key"), col("pkts"))).as("event_id"))
       .select(col("event_id"), col("cand_key").as("found_key"))
-      .orderBy(col("event_id"))
+      // found_key in the sort key, like q48/q89: the MIC is 4 bytes, so at
+      // a large candidate set a coincidental second match per event is
+      // expected (~1e7 keys × 200 packets ≈ 0.5 collisions) — event_id
+      // alone is then not a total order
+      .orderBy(col("event_id"), col("found_key"))
   }
 
   /** q48: the C9 structured key-pattern generators
@@ -302,13 +314,16 @@ object Packets {
     val e = events(s, d).filter(col("event_id") < 400)
     val appKey = lpad(lower(hex(col("user_id"))), 32, "0")
     val devAddr = lpad(lower(hex(col("user_id") + 7)), 8, "0")
-    // alternate rows act as JR / JA "packets" of the same device
+    // alternate rows act as JR / JA "packets" of the same device; each
+    // crypto UDF runs only on the kind that reads it (jr_bytes is read on
+    // 'jr' rows, ja_bytes only through lead() where next_kind = 'ja') —
+    // unconditional, every row paid BOTH an AES key schedule + pass
     val tagged = e.withColumn("kind",
         when(col("event_id") % 2 === 0, "jr").otherwise("ja"))
-      .withColumn("jr_bytes", PhyFunctions.signPacketUdf(
-        synthJoinRequest(lit("00000000")), appKey))
-      .withColumn("ja_bytes", PhyFunctions.encodeJoinAccept(
-        appKey, (col("event_id") % 16777216).cast("int"), lit("aabbcc"), devAddr))
+      .withColumn("jr_bytes", when(col("kind") === "jr", PhyFunctions.signPacketUdf(
+        synthJoinRequest(lit("00000000")), appKey)))
+      .withColumn("ja_bytes", when(col("kind") === "ja", PhyFunctions.encodeJoinAccept(
+        appKey, (col("event_id") % 16777216).cast("int"), lit("aabbcc"), devAddr)))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val paired = tagged
       .withColumn("next_kind", lead(col("kind"), 1).over(w))
@@ -404,7 +419,7 @@ object Packets {
         |FROM events ORDER BY event_id""".stripMargin,
     "q28_key_bruteforce" ->
       """SELECT event_id, lpad(lower(hex(user_id)), 32, '0') AS found_key
-        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+        |FROM events WHERE event_id < 200 ORDER BY event_id, found_key""".stripMargin,
     "q48_key_patterns" ->
       """SELECT event_id,
         |  repeat('0', 28) || lpad(lower(hex(user_id % 256)), 2, '0')
@@ -587,21 +602,26 @@ object Packets {
         |  CASE WHEN next_type = 'click' THEN next_id END AS paired_with
         |FROM x WHERE event_type = 'view' ORDER BY event_id""".stripMargin,
     "q24_location_take_once" ->
-      """WITH x AS (
-        |  SELECT event_id, user_id, event_type, ts,
+      """WITH s AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |x AS (
+        |  SELECT event_id, user_id, event_type,
         |    last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS held_val,
-        |    last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS held_ts,
-        |    last_value(CASE WHEN event_type <> 'error' THEN ts END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_consumer_ts
-        |  FROM events)
+        |      OVER wc AS held_val,
+        |    last_value(CASE WHEN event_type = 'error' THEN rn END IGNORE NULLS)
+        |      OVER wc AS held_rn,
+        |    last_value(CASE WHEN event_type <> 'error' THEN rn END IGNORE NULLS)
+        |      OVER wp AS prev_consumer_rn
+        |  FROM s
+        |  WINDOW wc AS (PARTITION BY user_id ORDER BY rn
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wp AS (PARTITION BY user_id ORDER BY rn
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
         |SELECT event_id, user_id,
-        |  CASE WHEN held_ts IS NOT NULL AND
-        |            (prev_consumer_ts IS NULL OR held_ts > prev_consumer_ts)
+        |  CASE WHEN held_rn IS NOT NULL AND
+        |            (prev_consumer_rn IS NULL OR held_rn > prev_consumer_rn)
         |       THEN held_val END AS location
         |FROM x WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
     "q25_verification_gate" ->

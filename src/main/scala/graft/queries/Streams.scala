@@ -58,17 +58,25 @@ object Streams {
         explode(split(col("gateway_csv"), ",")).as("gateway"))
       .orderBy(col("s_suppkey"), col("gateway"))
 
+  /** The per-user event sequence order every changelog-shaped query keys
+    * on (ts_us with event_id as the within-ts tiebreak). */
+  private val seqW = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+
+  /** Transition detection shared by q16 (changelog) and q77 (SCD2): keep
+    * only rows whose event_type differs from the previous row's in seqW
+    * order. ONE definition so an ordering/tiebreak change cannot silently
+    * diverge between the changelog query and the interval builder. */
+  private def transitions(ev: DataFrame): DataFrame =
+    ev.withColumn("prev_type", lag(col("event_type"), 1).over(seqW))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+
   /** q16: F7 status-change detection — emit only transitions (the
     * orchestrator's 5 s delta poll as a changelog query,
     * Orchestrator.py:88-135). */
-  def q16StatusChanges(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    events(s, d)
-      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+  def q16StatusChanges(s: SparkSession, d: String): DataFrame =
+    transitions(events(s, d))
       .select(col("user_id"), col("event_id"), col("event_type"))
       .orderBy(col("user_id"), col("event_id"))
-  }
 
   /** q17: F6 last_seen tracking — per-key max arrival time
     * (LoraServerIOCollector.py:400,448 etc., as the groupBy/max shape). */
@@ -256,22 +264,22 @@ object Streams {
     * then one lead() over the surviving rows — same single (user, ts)
     * shuffle as the changelog query; the inverse direction of q74's
     * as-of lookup (SCD2 builds the intervals, as-of probes them). */
-  def q77Scd2(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    events(s, d)
-      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-      .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+  def q77Scd2(s: SparkSession, d: String): DataFrame =
+    transitions(events(s, d))
+      .withColumn("valid_to", lead(col("ts_us"), 1).over(seqW))
       .select(col("user_id"), col("event_type").as("status"),
         col("ts_us").as("valid_from"), col("valid_to"))
-      // status in the sort key: two transitions of one user at the same
-      // ts_us (A→B then B→A, ordered by event_id inside the window)
-      // share a valid_from, and without the tiebreak the ORDER BY is
-      // not total — the suite's determinism rule. Statuses differ by
-      // construction (consecutive window rows with equal types were
-      // filtered), so (user_id, valid_from, status) IS total.
-      .orderBy(col("user_id"), col("valid_from"), col("status"))
-  }
+      // status AND valid_to in the sort key: transitions of one user at
+      // the same ts_us share a valid_from, and with ≥3 of them the status
+      // repeats too (A→B→A all at ts T emits two (T, A) episodes with
+      // DIFFERENT valid_to), so (user_id, valid_from, status) alone is
+      // not total — the suite's determinism rule. With valid_to appended
+      // any remaining tie is a full-row duplicate, which no row order can
+      // distinguish. valid_to is null for open episodes: nulls-first
+      // explicitly, matching the oracle's NULLS FIRST (DuckDB defaults
+      // NULLS LAST where Spark asc defaults nulls-first).
+      .orderBy(col("user_id"), col("valid_from"), col("status"),
+        col("valid_to").asc_nulls_first)
 
   /** q86: cohort retention — the user-lifecycle table every product
     * analytics stack computes: users grouped by first-active week
@@ -293,14 +301,19 @@ object Streams {
     * mean, per event type. The z-test is ALL-INTEGER: with s1 = Σx,
     * s2 = Σx², n the trailing count, z² = (cnt·n − s1)²/(s2·n − s1²),
     * so |z| > 3 ⟺ (cnt·n − s1)² > 9·(s2·n − s1²) — no floating-point
-    * mean or σ ever exists to diverge between engines. The squared
-    * comparison runs in 128-bit-exact arithmetic on BOTH sides (Spark
-    * decimal(38,0) ≙ DuckDB's HUGEINT window sums): in BIGINT, dev²
-    * overflows once one (type, hour) bucket passes ~1.3e8 events —
-    * a rate the 100 TB corpus this query targets actually reaches;
-    * decimal pushes the bound past 1e17 events/hour. One window pass
-    * over (type, hour); the same program runs streaming as a windowed
-    * agg + stateful threshold. */
+    * mean or σ ever exists to diverge between engines. EVERY term,
+    * including the s2 = Σx² accumulation itself, runs in 128-bit-exact
+    * arithmetic on BOTH sides (Spark decimal(38,0) ≙ DuckDB HUGEINT):
+    * in BIGINT, dev² overflows once one (type, hour) bucket passes
+    * ~1.3e8 events — a rate the 100 TB corpus this query targets
+    * actually reaches — and a BIGINT Σx² overflows at ~6.2e8/hour;
+    * decimal pushes both bounds past 1e17 events/hour. s2 exceeds int64
+    * range well before the z-test does, so (q67's precedent: harness
+    * decimal normalizers are lossy) it crosses the gate as two
+    * int64-safe 2^62-limb columns s2_hi/s2_lo, losslessly
+    * reconstructible as s2 = s2_hi·2^62 + s2_lo. One window pass over
+    * (type, hour); the same program runs streaming as a windowed agg +
+    * stateful threshold. */
   def q87HourlyAnomaly(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
       .rowsBetween(-24, -1)
@@ -311,13 +324,15 @@ object Streams {
       .groupBy(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("s1", sum(col("cnt")).over(w))
-      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("s2", sum(big(col("cnt")) * big(col("cnt"))).over(w))
       .withColumn("n", count(col("cnt")).over(w))
       .filter(col("n") === 24)
       .withColumn("is_anomaly",
-        dev * dev > lit(9L) * (big(col("s2")) * big(col("n")) - big(col("s1")) * big(col("s1"))))
+        dev * dev > lit(9L) * (col("s2") * big(col("n")) - big(col("s1")) * big(col("s1"))))
       .select(col("event_type"), col("hour"), col("cnt"), col("s1"),
-        col("s2"), col("is_anomaly"))
+        expr("CAST(s2 DIV 4611686018427387904 AS BIGINT)").as("s2_hi"),
+        expr("CAST(s2 % 4611686018427387904 AS BIGINT)").as("s2_lo"),
+        col("is_anomaly"))
       .orderBy(col("event_type"), col("hour"))
   }
 
@@ -354,15 +369,17 @@ object Streams {
         |  FROM events GROUP BY 1, 2),
         |w AS (SELECT event_type, hour, cnt,
         |    SUM(cnt) OVER tw AS s1,
-        |    SUM(cnt * cnt) OVER tw AS s2,
+        |    SUM(CAST(cnt AS HUGEINT) * cnt) OVER tw AS s2,
         |    COUNT(cnt) OVER tw AS n
         |  FROM h
         |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour
         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, hour, cnt,
-        |  CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+        |  CAST(s1 AS BIGINT) AS s1,
+        |  CAST(s2 // 4611686018427387904 AS BIGINT) AS s2_hi,
+        |  CAST(s2 % 4611686018427387904 AS BIGINT) AS s2_lo,
         |  (CAST(cnt AS HUGEINT) * n - s1) * (CAST(cnt AS HUGEINT) * n - s1)
-        |    > 9 * (CAST(s2 AS HUGEINT) * n - CAST(s1 AS HUGEINT) * s1) AS is_anomaly
+        |    > 9 * (s2 * n - CAST(s1 AS HUGEINT) * s1) AS is_anomaly
         |FROM w WHERE n = 24
         |ORDER BY event_type, hour""".stripMargin,
     "q77_scd2" ->
@@ -377,7 +394,7 @@ object Streams {
         |      (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
         |  FROM f)
         |SELECT user_id, status, valid_from, valid_to FROM i
-        |ORDER BY user_id, valid_from, status""".stripMargin,
+        |ORDER BY user_id, valid_from, status, valid_to NULLS FIRST""".stripMargin,
     "q74_asof_custom" ->
       """WITH p AS (SELECT event_id AS p_id, user_id AS p_user,
         |    epoch_us(ts) AS p_ts FROM events WHERE event_type = 'purchase'),

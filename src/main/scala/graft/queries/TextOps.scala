@@ -63,19 +63,45 @@ object TextOps {
     * a multi-GB broadcast precisely where AQE's byte threshold was
     * protecting the executors. Past the byte cap the shuffle join is the
     * right plan, correctly byte-sized by AQE at that scale. */
+  private val verifySideMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]
+
   private def verifySide(s: SparkSession, d: String): DataFrame => DataFrame = {
-    val stats = documents(s, d)
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("n_chars")), lit(0L)).as("b"))
-      .head()
-    // ~3 bytes of shingle per text byte + 48 B/row of array/id overhead
-    val estBytes = stats.getLong(0) * 48L + stats.getLong(1) * 3L
-    if (estBytes <= VerifyBroadcastBytes) broadcast(_) else identity
+    // memoized per (session, sfDir), the trainStepsMemo treatment: this
+    // decision runs at PLAN-CONSTRUCTION time and q33 alone is rebuilt
+    // by q42/q58/q62/q63/q72/q82 (plus q34/q76/q88) — unmemoized, one
+    // verify pass paid the corpus-wide stats aggregate ~9 times for one
+    // boolean that cannot change within a session
+    verifySideMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    val fits = verifySideMemo.computeIfAbsent((s, d), _ => {
+      val stats = documents(s, d)
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("n_chars")), lit(0L)).as("b"))
+        .head()
+      // ~3 bytes of shingle per text byte + 48 B/row of array/id overhead
+      val estBytes = stats.getLong(0) * 48L + stats.getLong(1) * 3L
+      estBytes <= VerifyBroadcastBytes
+    })
+    if (fits) broadcast(_) else identity
   }
 
   /** 64 MB: deliberately above the 10 MB advisory (the verify build side
     * must not flip to sort-merge at test SF) yet a bounded per-executor
     * memory cost at any corpus size. */
   private val VerifyBroadcastBytes = 64L << 20
+
+  /** The reproducible engine-independent doc_id hashes every sampling /
+    * splitting / ordering query keys on — ONE definition each (with the
+    * oracles restating the same literals) so a constant tweak applied to
+    * one query cannot silently desync q43/q58/q82's 80/10/10 split or
+    * q44/q53/q97/q102's hash order from its siblings. Pre-reduced mod
+    * BEFORE the multiply: raw doc_id · 2654435761 overflows BIGINT
+    * (ANSI: throws) for doc_id ≳ 3.47e9 — inside a 100 TB corpus. */
+  private[graft] val splitBucket: org.apache.spark.sql.Column =
+    (col("doc_id") % 100) * 2654435761L % 100
+  private[graft] val splitOf: org.apache.spark.sql.Column =
+    when(splitBucket < 80, "train").when(splitBucket < 90, "val").otherwise("test")
+  private[graft] val docOrdKey: org.apache.spark.sql.Column =
+    (col("doc_id") % 1000003L) * 2654435761L % 1000003L
 
   private val duckShingles: String =
     """list_distinct([array_to_string(w[i:i+2], ' ')
@@ -109,9 +135,13 @@ object TextOps {
     documents(s, d).select(
         col("doc_id"),
         nTokens.as("n_tokens"),
-        // BPE-ish subword count: alpha runs, digit runs, single symbols
+        // BPE-ish subword count: alpha runs, digit runs, single symbols.
+        // The whitespace class is spelled out, never \s: Java's \s
+        // includes vertical tab U+000B, RE2's (DuckDB) does not — a
+        // corpus carrying a VT would count it as a subtoken in one
+        // engine only
         size(regexp_extract_all(col("text"),
-          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))).cast("long")
           .as("n_subtokens"),
         length(col("text")).cast("long").as("n_chars_computed"),
         nStop.as("n_stopwords"),
@@ -598,31 +628,41 @@ object TextOps {
 
   /** q84: fuzzy join / entity resolution — match dirty strings to their
     * canonical records at edit distance ≤ 1 WITHOUT a quadratic
-    * levenshtein scan: deletion-neighborhood blocking (FastSS): two
-    * strings whose lengths differ by one are at edit distance 1 iff the
-    * shorter equals one of the longer's single-char-deletion variants,
-    * so the longer side explodes into its |s|+1 variants and the match
-    * is an EQUI-join on the variant — shuffle-bounded, no cross
-    * product. Dirty copies are synthesized by dropping the char at
-    * position c_custkey mod len, deterministically in both engines; the
-    * oracle states the same matches with a direct levenshtein(d, c) ≤ 1
-    * join, so the blocking's exactness (for this length-delta class) is
-    * itself what the hash-compare proves. Ambiguity surfaces as
-    * n_candidates > 1 with a deterministic min-id pick. */
+    * levenshtein scan: deletion-neighborhood blocking (FastSS, Bocek et
+    * al.): BOTH sides explode into {s} ∪ its |s| single-char-deletion
+    * variants and candidates are an EQUI-join on the variant — any
+    * lev ≤ 1 pair shares a key (equality: s itself; insert/delete: the
+    * shorter string is a variant of the longer; substitution at i:
+    * deleting i from both yields the same string) — then an exact
+    * levenshtein ≤ 1 verify discards the blocking's false positives
+    * (e.g. transpositions, which share variants at lev 2). Earlier
+    * revisions exploded only the canon side, which silently assumed
+    * every match is one insertion — true for the current fixed-length
+    * names, wrong the moment a regeneration ships variable-length ones;
+    * the two-sided dictionary + verify is exact for ANY lengths, which
+    * the unrestricted lev ≤ 1 oracle now genuinely proves.
+    * Shuffle-bounded, no cross product. Dirty copies are synthesized by
+    * dropping the char at position c_custkey mod len, deterministically
+    * in both engines. Ambiguity surfaces as n_candidates > 1 with a
+    * deterministic min-id pick. */
   def q84FuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    def delKeys(nameCol: String) = explode(expr(
+      s"""array_append(
+         |  transform(sequence(1, length($nameCol)),
+         |    i -> concat(substring($nameCol, 1, i - 1),
+         |                substring($nameCol, i + 1))),
+         |  $nameCol)""".stripMargin)).as("k")
     val dirty = customer(s, d).select(
-      col("c_custkey").as("dirty_id"),
-      concat(
-        expr("substring(c_name, 1, cast(c_custkey % length(c_name) as int))"),
-        expr("substring(c_name, cast(c_custkey % length(c_name) as int) + 2)"))
-        .as("dirty_name"))
-    val variants = customer(s, d).select(col("c_custkey").as("canon_id"),
-        col("c_name").as("canon_name"),
-        explode(expr(
-          """transform(sequence(1, length(c_name)),
-            |  i -> concat(substring(c_name, 1, i - 1),
-            |              substring(c_name, i + 1)))""".stripMargin)).as("variant"))
-    dirty.join(variants, col("dirty_name") === col("variant"))
+        col("c_custkey").as("dirty_id"),
+        concat(
+          expr("substring(c_name, 1, cast(c_custkey % length(c_name) as int))"),
+          expr("substring(c_name, cast(c_custkey % length(c_name) as int) + 2)"))
+          .as("dirty_name"))
+      .select(col("dirty_id"), col("dirty_name"), delKeys("dirty_name"))
+    val canon = customer(s, d).select(col("c_custkey").as("canon_id"),
+        col("c_name").as("canon_name"), delKeys("c_name"))
+    dirty.join(canon, "k")
+      .filter(levenshtein(col("dirty_name"), col("canon_name")) <= 1)
       .select(col("dirty_id"), col("canon_id")).distinct()
       .groupBy(col("dirty_id"))
       .agg(min(col("canon_id")).as("matched_canon_id"),
@@ -658,9 +698,7 @@ object TextOps {
     * the cached q33 pair list with the deterministic split — at scale
     * it is one broadcast of the tiny pair list. */
   def q82SplitLeakage(s: SparkSession, d: String): DataFrame = {
-    val splitCol = when((col("doc_id") % 100) * 2654435761L % 100 < 80, "train")
-      .when((col("doc_id") % 100) * 2654435761L % 100 < 90, "val").otherwise("test")
-    val sp = documents(s, d).select(col("doc_id"), splitCol.as("split"))
+    val sp = documents(s, d).select(col("doc_id"), splitOf.as("split"))
     q33NgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
       .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
       .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
@@ -686,11 +724,12 @@ object TextOps {
       .withColumn("raw", raw)
       .withColumn("n_sym", regexp_count(col("raw"), lit("[{}();=]")).cast("long"))
       // empty raw (empty doc off the %13 tail) would hit ANSI's
-      // DIVIDE_BY_ZERO — guard mirrored in the oracle
+      // DIVIDE_BY_ZERO — guard mirrored in the oracle; tests `=== 0`
+      // (not `> 0`) so a NULL text propagates NULL in both engines,
+      // the q30 three-valued convention
       .withColumn("sym_frac",
-        when(length(col("raw")) > 0,
-          col("n_sym").cast("double") / length(col("raw")))
-          .otherwise(lit(0.0)))
+        when(length(col("raw")) === 0, lit(0.0))
+          .otherwise(col("n_sym").cast("double") / length(col("raw"))))
       .select(col("doc_id"), col("n_sym"), col("sym_frac"),
         (col("sym_frac") > 0.005).as("is_code"))
       .orderBy(col("doc_id"))
@@ -869,10 +908,7 @@ object TextOps {
     * re-runs. 80/10/10. */
   def q43TrainSplit(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("bucket", (col("doc_id") % 100) * 2654435761L % 100)
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val").otherwise("test"))
+      .withColumn("split", splitOf)
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .orderBy(col("lang"), col("split"))
@@ -886,12 +922,18 @@ object TextOps {
     * Per-row map work, no shuffle beyond the final per-source rollup —
     * the partial aggregate is map-side combinable, scale-trivial. */
   def q66StratifiedSample(s: SparkSession, d: String): DataFrame = {
-    val srcNum = regexp_extract(col("source"), "([0-9]+)", 1).cast("long")
+    // try_cast + coalesce, mirrored in the oracle: regexp_extract yields
+    // '' for a digit-less source name and the plain ANSI cast throws —
+    // "sources carry digits" is a generator detail, not a contract
+    // (Tables.validate checks no such invariant); a digit-less source
+    // deterministically lands in the rate-10 stratum in both engines
+    val srcNum = coalesce(
+      expr("try_cast(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)"), lit(0L))
     val ratePct = element_at(
       array(lit(10), lit(25), lit(50), lit(75)), (srcNum % 4 + 1).cast("int"))
     documents(s, d)
       .withColumn("rate_pct", ratePct)
-      .withColumn("bucket", (col("doc_id") % 100) * 2654435761L % 100)
+      .withColumn("bucket", splitBucket)
       .groupBy(col("source"), col("rate_pct"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("bucket") < col("rate_pct"), 1L).otherwise(0L)).as("n_kept"))
@@ -904,7 +946,7 @@ object TextOps {
   def q44SourceCap(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"))
-      .orderBy(((col("doc_id") % 1000003L) * 2654435761L % 1000003L).asc, col("doc_id"))
+      .orderBy(docOrdKey.asc, col("doc_id"))
     documents(s, d)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
@@ -960,7 +1002,12 @@ object TextOps {
     import graft.functions.TextFunctions.ngramsDistinct
     val g = documents(s, d).select(col("doc_id"),
       explode(ngramsDistinct(col("text"), lit(4))).as("gram"))
+    // persist the bench gram set (the q51 pattern; bounded by eval-suite
+    // size): it is read THREE times — the count that sizes the bloom,
+    // the bloomFilter aggregation, and the verify join — and unpersisted
+    // each was a full corpus-side explode+distinct
     val bench = g.filter(col("doc_id") % 41 === 0).select(col("gram")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom =
       bench.stat.bloomFilter("gram", math.max(bench.count(), 64L), 0.01)
     val bloomB = s.sparkContext.broadcast(bloom)
@@ -1012,7 +1059,11 @@ object TextOps {
     * p_s = min(1, 0.6·N/(S·n_s)), applied per doc with the reproducible
     * multiplicative hash. The keep test is EXACT integer arithmetic
     * (h·S·n_s·5 < 1000003·N·3 ⇔ h/1000003 < 0.6·N/(S·n_s)) — no floating
-    * point anywhere, so the sample is engine-independent.
+    * point anywhere, so the sample is engine-independent. The products
+    * run in decimal(38,0) ≙ HUGEINT (the q87 treatment): h < 2^20 but
+    * S·n_s grows with the corpus, and the BIGINT product overflows
+    * (ANSI: throws) once S·n_s passes ~1.8e12 — inside the 100 TB shape
+    * this docstring advertises; 128-bit holds to S·n_s ~ 2e31.
     *
     * 100 TB shape: the source histogram is tiny (thousands of sources) →
     * broadcast both it and the global totals; the corpus pass is then
@@ -1022,9 +1073,10 @@ object TextOps {
     val srcN = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
     val tot = docs.agg(count(lit(1)).as("n_total"),
       count_distinct(col("source")).as("n_sources"))
-    val h = (col("doc_id") % 1000003L) * 2654435761L % 1000003L
-    val kept = h * col("n_sources") * col("n_src") * 5L <
-      lit(1000003L) * col("n_total") * 3L
+    def big(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val h = docOrdKey
+    val kept = big(h) * big(col("n_sources")) * big(col("n_src")) * lit(5L) <
+      big(lit(1000003L)) * big(col("n_total")) * lit(3L)
     docs.join(broadcast(srcN), Seq("source")).crossJoin(broadcast(tot))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1105,10 +1157,7 @@ object TextOps {
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       .filter(col("doc_id") % 41 =!= 0) // the benchmark slice never ships
       .filter(col("lang") === "en")
-      .withColumn("bucket", (col("doc_id") % 100) * 2654435761L % 100)
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val").otherwise("test"))
+      .withColumn("split", splitOf)
       .select(col("doc_id"), col("source"), col("split"))
       .orderBy(col("doc_id"))
   }
@@ -1379,7 +1428,7 @@ object TextOps {
   def q97TokenBudget(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val budget = 1000L
-    val ordKey = (col("doc_id") % 1000003L) * 2654435761L % 1000003L
+    val ordKey = docOrdKey
     val w = Window.partitionBy(col("source"))
       .orderBy(ordKey, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1903,7 +1952,7 @@ object TextOps {
     // 100 TB corpus this query advertises. Same treatment at every
     // doc_id·2654435761 site in this file, mirrored in the oracles.
     val w = Window.partitionBy(col("source"))
-      .orderBy((col("doc_id") % 1000003L) * 2654435761L % 1000003L, col("doc_id"))
+      .orderBy(docOrdKey, col("doc_id"))
     docs.join(broadcast(targets), Seq("source"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("kept", col("rank") <= col("target"))
@@ -2294,7 +2343,7 @@ object TextOps {
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "q66_stratified_sample" ->
       """WITH x AS (SELECT source, doc_id,
-        |    CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4
+        |    CASE COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT), 0) % 4
         |      WHEN 0 THEN 10 WHEN 1 THEN 25 WHEN 2 THEN 50 ELSE 75 END AS rate_pct,
         |    ((doc_id % 100) * 2654435761) % 100 AS bucket
         |  FROM documents)
@@ -2311,7 +2360,7 @@ object TextOps {
     "q30_text_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_subtokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_subtokens,
         |  CAST(length(text) AS BIGINT) AS n_chars_computed,
         |  CAST(len(list_filter(string_split(text, ' '),
         |    t -> t IN ('the','a','of','is','and','to'))) AS BIGINT) AS n_stopwords,
@@ -2409,8 +2458,10 @@ object TextOps {
         |t AS (SELECT count(*) AS n_total, count(DISTINCT source) AS n_sources
         |      FROM documents)
         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(CASE WHEN (((d.doc_id % 1000003) * 2654435761) % 1000003)
-        |      * t.n_sources * s.n_src * 5 < 1000003 * t.n_total * 3
+        |  CAST(SUM(CASE WHEN CAST((((d.doc_id % 1000003) * 2654435761) % 1000003)
+        |        AS HUGEINT)
+        |      * t.n_sources * s.n_src * 5
+        |      < CAST(1000003 AS HUGEINT) * t.n_total * 3
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents d JOIN s USING (source) CROSS JOIN t
         |GROUP BY d.source ORDER BY d.source""".stripMargin,

@@ -28,9 +28,19 @@ object Bench {
     // driver regenerated testdata under types the queries don't expect
     Tables.validate(spark, sfDir)
 
+    // Warmup failures must not kill the run's evidence: the same fault
+    // inside the timed loop is contained as a per-query `errors` entry,
+    // so a broken kernel costs its warmup (its JIT bills to whichever
+    // query hits it first) rather than the whole JSON artifact + self-
+    // record — which is exactly what the harvester needs to SEE the
+    // failure.
+    def warm(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
+
     // warmup: exercise scan + agg + codegen paths once, uncounted
-    SparkEntry.queries.get("q01_pricing_summary")
-      .foreach(fn => fn(spark, sfDir).count())
+    warm(SparkEntry.queries.get("q01_pricing_summary")
+      .foreach(fn => fn(spark, sfDir).count()))
     // ... and the JIT'd UDF kernels (shingle/minhash/jaccard/prefix,
     // CMAC/codec), uncounted: on a long-lived cluster these are
     // compiled once per executor JVM within the first seconds of real
@@ -39,7 +49,7 @@ object Bench {
     // session start-up, same as the scan warmup above. 20k rows, not
     // one: C2 only compiles a kernel after thousands of invocations,
     // so a single call would leave the queries running interpreted.
-    locally {
+    warm {
       import org.apache.spark.sql.functions._
       import graft.functions.{TextFunctions => T, PhyFunctions => P}
       val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -69,7 +79,7 @@ object Bench {
     // per JVM, within the first seconds of cluster load — measured
     // ~1.5-2 s of first-query cost at local bench scale that a
     // long-lived cluster never re-pays per query.
-    locally {
+    warm {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
       val vec = array((0 until 8).map(i => (col("id") * (i + 1)).cast("float")): _*)
@@ -190,7 +200,10 @@ object Bench {
     // quiet host, collapses when a co-resident process competes.
     val ownSharePct =
       if (busyJiff > 0) 100.0 * (own1 - own0) / busyJiff else 0.0
-    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":${num("%.1f", stealPct)},"own_cpu_share_pct":${num("%.1f", ownSharePct)},"load1_start":${num("%.1f", load1Start)},"load1_end":${num("%.1f", load1End)},"sf":"$sfDir"}"""
+    // sfDir is env-supplied: escape it, or a path carrying a quote or
+    // backslash corrupts the one-line artifact AND the self-record
+    val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":${num("%.1f", stealPct)},"own_cpu_share_pct":${num("%.1f", ownSharePct)},"load1_start":${num("%.1f", load1Start)},"load1_end":${num("%.1f", load1End)},"sf":"$sfJson"}"""
     println(line)
     // Self-record: the one-line artifact also lands on disk, so a
     // console harvester that truncates the stdout capture (the r6 bench

@@ -33,9 +33,15 @@ object Verify {
       }
     SparkEntry.queries.foreach { case (name, fn) =>
       // isolation: drop cached relations the previous query registered
-      // (intra-query persists) so 102 queries don't accumulate cached
-      // blocks and never cross-feed each other's caches
+      // (intra-query persists) so 100+ queries don't accumulate cached
+      // blocks and never cross-feed each other's caches. The q104/q105
+      // train memo holds localCheckpointed RDDs the CacheManager cannot
+      // see — clear it too (the ScaleSweep/StageClock treatment), so
+      // each query's correctness dump computes in genuine isolation and
+      // the checkpoint blocks don't stay resident for the rest of the
+      // run
       spark.sharedState.cacheManager.clearCache()
+      graft.queries.TextOps.clearTrainMemo()
       rmTree(Paths.get(outDir, name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

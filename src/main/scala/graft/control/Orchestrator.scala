@@ -24,10 +24,15 @@ object Orchestrator {
       verified: Boolean)
 
   /** F9 fan-out: one TTN v2 config becomes one collector per gateway in
-    * the CSV (Orchestrator.py:279-291). Pure. */
+    * the CSV (Orchestrator.py:279-291). Pure. split limit -1: Java's
+    * default split DROPS trailing empty entries ("gw1," → 1 collector,
+    * "," → ZERO — the collector silently vanishes), where the
+    * reference's Python str.split and fanOutDf's Spark split both keep
+    * them — the typed event path and the bulk-bootstrap path must agree
+    * on which collectors exist. */
   def fanOut(c: CollectorConfig): Seq[CollectorConfig] =
     if (c.ctype == "ttn" && c.gatewayIdCsv != null && c.gatewayIdCsv.nonEmpty)
-      c.gatewayIdCsv.split(",").toSeq.map(g =>
+      c.gatewayIdCsv.split(",", -1).toSeq.map(g =>
         c.copy(gatewayIdCsv = g, gatewayName = g))
     else Seq(c)
 
@@ -163,8 +168,20 @@ object Orchestrator {
 
     def handle(ev: Event): Unit = synchronized {
       val plan = lifecycle(running.view.mapValues(_._1).toMap, ev)
-      plan.stop.foreach { id =>
-        running.get(id).foreach(_._2.foreach(_.stop()))
+      val restarted = plan.start.map(_.id).toSet
+      // Pure stops only (Deleted, disabled): an id also in plan.start is
+      // an Updated REPLACEMENT — its old generation must survive until
+      // the new one has built (the class contract above), so its stop is
+      // deferred to the pre-swap point below. Stopping it here, before
+      // build(), is exactly the no-rollback failure the contract
+      // forbids: a build() throw would leave the collector dark with
+      // nothing registered. Each stop is guarded so one dying query
+      // (stop() rethrows a terminal StreamingQueryException) cannot
+      // abort the rest of the plan; the id deregisters either way — the
+      // lifecycle decided it must not run.
+      plan.stop.filterNot(restarted).foreach { id =>
+        running.get(id).foreach(_._2.foreach(q =>
+          try q.stop() catch { case _: Exception => () }))
         running -= id
       }
       plan.start.groupBy(_.id).foreach { case (id, configs) =>
@@ -184,18 +201,24 @@ object Orchestrator {
           throw e
         }
         val builtQueries = built.result()
-        // The control bus is at-least-once: a duplicate Created for an
-        // id that is already running must not overwrite the map entry
-        // and orphan live queries (they would keep consuming and
-        // double-writing, unreachable by stopAll) — stop the old
-        // generation before the swap.
-        running.get(id).foreach(_._2.foreach(_.stop()))
+        // Stop whatever this id previously ran — the deferred Updated
+        // stop, or the old generation of a duplicate Created (the
+        // control bus is at-least-once; overwriting the map entry
+        // without stopping would orphan live queries: still consuming,
+        // double-writing, unreachable by stopAll). Guarded: a throwing
+        // stop() must not abort BEFORE the swap, or it is the freshly
+        // built generation that ends up orphaned instead.
+        running.get(id).foreach(_._2.foreach(q =>
+          try q.stop() catch { case _: Exception => () }))
         running += id -> (configs.head, builtQueries)
       }
     }
 
     def stopAll(): Unit = synchronized {
-      running.values.foreach(_._2.foreach(_.stop()))
+      // guarded like every other stop path: one dying query must not
+      // prevent the rest of the fleet from stopping
+      running.values.foreach(_._2.foreach(q =>
+        try q.stop() catch { case _: Exception => () }))
       running = Map.empty
     }
   }

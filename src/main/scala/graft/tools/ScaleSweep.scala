@@ -87,10 +87,18 @@ object ScaleSweep {
     val rows = ArrayBuffer.empty[String]
     // incremental publish: a failure in query N of a long sweep must
     // not lose the N-1 rows already measured — rewrite the (small)
-    // artifact after every row
-    def publish(): Unit =
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+    // artifact after every row. Write-then-rename (the Bench self-record
+    // recipe): an in-place write killed mid-flush would corrupt the very
+    // rows the per-row rewrite exists to preserve.
+    def publish(): Unit = {
+      val out = java.nio.file.Paths.get(outPath)
+      val tmp = out.resolveSibling(out.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp,
         rows.mkString("[\n", ",\n", "\n]\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, out,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     // JVM/JIT warm-up outside measurement so the smallest SF (first in
     // the arg order) isn't charged the compile cost of every kernel.
     queries.foreach { q =>

@@ -73,17 +73,25 @@ object StageClock {
       println(f"== $name rep$r wall=$wall%.2f s rows=$cnt")
       org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
       val sorted = stages.synchronized(stages.sortBy(_.submitted))
-      var covered = 0L
-      var prevEnd = 0L
+      // Stages are NOT always sequential: AQE submits independent
+      // shuffle stages concurrently, so gapBefore clamps at 0 (a raw
+      // difference goes negative under overlap) and the union sum
+      // de-overlaps intervals — a raw per-stage wall sum double-counts
+      // concurrent time and misattributes exactly the scheduling gaps
+      // this tool exists to expose.
+      var rawSum = 0L
+      var union = 0L
+      var unionEnd = 0L
       sorted.foreach { s =>
-        if (prevEnd == 0L) prevEnd = s.submitted
-        val gap = s.submitted - prevEnd
-        prevEnd = math.max(prevEnd, s.completed)
+        if (unionEnd == 0L) unionEnd = s.submitted
+        val gap = math.max(0L, s.submitted - unionEnd)
+        union += math.max(0L, s.completed - math.max(s.submitted, unionEnd))
+        unionEnd = math.max(unionEnd, s.completed)
         println(f"  stage ${s.id}%4d wall=${(s.completed - s.submitted) / 1e3}%6.2f gapBefore=${gap / 1e3}%6.2f taskSum=${s.taskMs / 1e3}%7.2f gc=${s.gcMs / 1e3}%5.2f tasks=${s.tasks}%3d  ${s.name}")
-        covered += s.completed - s.submitted
+        rawSum += s.completed - s.submitted
       }
       val span = if (sorted.nonEmpty) (sorted.map(_.completed).max - sorted.map(_.submitted).min) / 1e3 else 0.0
-      println(f"  stageWallSum=${covered / 1e3}%.2f s, stageSpan=$span%.2f s, outsideStages=${wall - span}%.2f s")
+      println(f"  stageWallSum=${rawSum / 1e3}%.2f s (union=${union / 1e3}%.2f s), stageSpan=$span%.2f s, outsideStages=${wall - span}%.2f s")
     }
     spark.stop()
   }

@@ -15,6 +15,10 @@ class OrchestratorSpec extends graft.SparkSuite {
     val out = fanOut(cfg(1, "ttn", "eui-a,eui-b,eui-c"))
     assert(out.map(_.gatewayIdCsv) == Seq("eui-a", "eui-b", "eui-c"))
     assert(fanOut(cfg(2, "chirpstack", "x,y")).size == 1) // only ttn fans out
+    // trailing empties survive, matching Python str.split and fanOutDf —
+    // Java's default split would make the "," collector silently vanish
+    assert(fanOut(cfg(3, "ttn", "eui-a,")).map(_.gatewayIdCsv) == Seq("eui-a", ""))
+    assert(fanOut(cfg(4, "ttn", ",")).map(_.gatewayIdCsv) == Seq("", ""))
   }
 
   test("F9 fanOutDf agrees with the typed fanOut on a mixed config set") {
@@ -24,12 +28,14 @@ class OrchestratorSpec extends graft.SparkSuite {
       cfg(1, "ttn", "eui-a,eui-b,eui-c"),
       cfg(2, "chirpstack", "x,y"), // leftover CSV must NOT fan out
       cfg(3, "ttn", ""),           // empty CSV: pass through, not one '' gateway
-      cfg(4, "ttn", null))
+      cfg(4, "ttn", null),
+      cfg(5, "ttn", "eui-a,"))     // trailing empty: BOTH paths keep it
     val df = Seq(
       (1L, "ttn", "eui-a,eui-b,eui-c", "gw"),
       (2L, "chirpstack", "x,y", "gw"),
       (3L, "ttn", "", "gw"),
-      (4L, "ttn", null.asInstanceOf[String], "gw"))
+      (4L, "ttn", null.asInstanceOf[String], "gw"),
+      (5L, "ttn", "eui-a,", "gw"))
       .toDF("id", "ctype", "gateway_id_csv", "gateway_name")
     val got = fanOutDf(df)
       .select(col("id"), col("gateway_id"), col("gateway_id_csv"),
@@ -148,6 +154,54 @@ class OrchestratorSpec extends graft.SparkSuite {
     // the manager is still consistent: a later Deleted stops generation 1
     mgr.handle(Deleted(1))
     assert(mgr.runningIds.isEmpty && built.take(2).forall(_.stopped))
+  }
+
+  test("QueryManager: Updated build failure rolls back — old generation keeps running") {
+    // Updated puts the id in BOTH plan.stop and plan.start; the stop is
+    // the replacement's, so it must be deferred until the new generation
+    // has built — stopping first would leave the collector dark with
+    // nothing registered when build() throws
+    val built = scala.collection.mutable.ArrayBuffer.empty[StubQuery]
+    var fail = false
+    val mgr = new QueryManager(_ => {
+      if (fail) throw new RuntimeException("source unreachable")
+      val q = new StubQuery; built += q; q
+    })
+    mgr.handle(Created(1, cfg(1, "ttn", "a,b")))
+    assert(mgr.runningIds == Set(1L) && built.size == 2)
+    fail = true
+    intercept[RuntimeException] { mgr.handle(Updated(1, cfg(1, "ttn", "a,b"))) }
+    assert(mgr.runningIds == Set(1L), "collector deregistered by a failed update")
+    assert(built.forall(!_.stopped), "old generation stopped before the replacement built")
+    // and the successful retry swaps generations cleanly
+    fail = false
+    mgr.handle(Updated(1, cfg(1, "ttn", "a,b")))
+    assert(mgr.runningIds == Set(1L) && built.size == 4)
+    assert(built.take(2).forall(_.stopped) && built.drop(2).forall(!_.stopped))
+  }
+
+  test("QueryManager: a throwing stop() neither orphans the new generation nor aborts the plan") {
+    val built = scala.collection.mutable.ArrayBuffer.empty[StubQuery]
+    val mgr = new QueryManager(_ => {
+      // stop() rethrowing is real: a terminal StreamingQueryException
+      // from a dying source surfaces through stop()
+      val q = new StubQuery {
+        override def stop(): Unit = { stopped = true; throw new RuntimeException("dying") }
+      }
+      built += q; q
+    })
+    mgr.handle(Created(1, cfg(1)))
+    mgr.handle(Created(2, cfg(2)))
+    // duplicate Created: the old generation's stop() throws mid-swap —
+    // the fresh queries must still be registered (reachable by stopAll)
+    mgr.handle(Created(1, cfg(1)))
+    assert(mgr.runningIds == Set(1L, 2L) && built.size == 3)
+    assert(built(0).stopped && !built(2).stopped)
+    // Deleted for a dying query still deregisters and the plan survives
+    mgr.handle(Deleted(1))
+    assert(mgr.runningIds == Set(2L))
+    mgr.stopAll()
+    assert(mgr.runningIds.isEmpty)
   }
 
   test("F5 600 s verification timeout (BaseCollector.py:43-53)") {

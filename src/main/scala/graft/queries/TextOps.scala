@@ -1240,16 +1240,23 @@ object TextOps {
     lmFold(p).orderBy(col("doc_id"))
   }
 
+  /** The bigram transform over a split-words column `w`, shared by
+    * [[lmBigrams]] (q93/q103) AND CorpusStream.lmModel's trainer — ONE
+    * edit point so a tokenization/boundary fix cannot reach the queries
+    * and their oracles but miss the streaming model, silently breaking
+    * lmScore's bit-for-bit equality with q93 on a replay. */
+  private[graft] val lmBigramExpr: String =
+    """transform(
+      |  CASE WHEN size(w) >= 2 THEN sequence(0, size(w) - 2)
+      |       ELSE array() END,
+      |  i -> struct(i AS pos, w[i] AS w1, w[i+1] AS w2))""".stripMargin
+
   /** The (pos, w1, w2) bigram explode shared by q93/q103 — one edit
     * point so the two queries (and their mirrored oracles) can never
     * desynchronize on the extraction. */
   private def lmBigrams(w: DataFrame): DataFrame =
     w.select(col("doc_id"),
-        explode(expr(
-          """transform(
-            |  CASE WHEN size(w) >= 2 THEN sequence(0, size(w) - 2)
-            |       ELSE array() END,
-            |  i -> struct(i AS pos, w[i] AS w1, w[i+1] AS w2))""".stripMargin))
+        explode(expr(lmBigramExpr))
           .as("b"))
       .select(col("doc_id"), col("b.pos").as("pos"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))

@@ -38,8 +38,10 @@ object CorpusStream {
     * band keys; `dropDuplicatesWithinWatermark` keeps only the FIRST
     * claimant of each band bucket; a document that lost ANY of its
     * bands collided with an earlier document and is flagged as a
-    * probable near-dup (n_lost > 0). Emits one row per doc with
-    * (n_bands, n_kept, near_dup).
+    * probable near-dup. Emits one row per doc with
+    * (doc_id, n_bands_kept, near_dup), where n_bands_kept counts the
+    * band buckets this doc claimed FIRST (the always-surviving marker
+    * row is already subtracted) and near_dup = n_bands_kept < 32.
     *
     * State = one entry per (band, bucket-hash) inside the watermark
     * horizon — bounded by horizon × rate × 32, not corpus size, and
@@ -290,11 +292,11 @@ object CorpusStream {
     // re-run the corpus-scale bigram explode+aggregate — the model
     // build's dominant cost at any real corpus size
     val counts = w
-      .select(explode(expr(
-        """transform(
-          |  CASE WHEN size(w) >= 2 THEN sequence(0, size(w) - 2)
-          |       ELSE array() END,
-          |  i -> struct(w[i] AS w1, w[i+1] AS w2))""".stripMargin)).as("b"))
+      // the SAME extraction expression q93/q103 score with
+      // (TextOps.lmBigramExpr, the single edit point) — an inline copy
+      // here could silently train the model on differently-extracted
+      // bigrams than the scorer reads; pos is unused and pruned
+      .select(explode(expr(graft.queries.TextOps.lmBigramExpr)).as("b"))
       .groupBy(col("b.w1"), col("b.w2")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

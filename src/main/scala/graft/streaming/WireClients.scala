@@ -72,7 +72,18 @@ object WireClients {
     @transient private var channel: AmqpChannel = _
     override def open(partitionId: Long, epochId: Long): Boolean = {
       channel = connector.open()
-      channel.declareQueue(queueName, durable = true)
+      // Spark never calls close() on a ForeachWriter whose open() threw
+      // (the writer is constructed outside the task's abort/close
+      // scope), so a declareQueue failure must close the channel it
+      // just opened — against a flapping broker, every task retry
+      // otherwise leaks one connection until the broker's limit rejects
+      // even the recovered sink
+      try channel.declareQueue(queueName, durable = true)
+      catch { case t: Throwable =>
+        try channel.close() catch { case _: Exception => () }
+        channel = null
+        throw t
+      }
       true
     }
     override def process(row: Row): Unit =

@@ -114,6 +114,27 @@ class WireClientsSpec extends SparkSuite {
       Set("ts", "data_collector_id", "packet", "messages")).size == 4)
   }
 
+  test("AMQP sink: a failing declareQueue closes the channel it opened") {
+    // Spark never calls close() on a ForeachWriter whose open() threw,
+    // so against a flapping broker every task retry would leak one
+    // connection unless open() cleans up after itself
+    FakeWire.reset()
+    val flaky = new WireClients.AmqpConnector {
+      override def open(): WireClients.AmqpChannel = new WireClients.AmqpChannel {
+        FakeWire.openChannels.incrementAndGet()
+        override def declareQueue(queue: String, durable: Boolean): Unit =
+          throw new java.io.IOException("broker flapping")
+        override def publish(exchange: String, routingKey: String,
+                             body: Array[Byte], deliveryMode: Int): Unit = ()
+        override def close(): Unit = FakeWire.openChannels.decrementAndGet()
+      }
+    }
+    val w = new WireClients.AmqpEnvelopeWriter(flaky, "q", "rk")
+    intercept[java.io.IOException] { w.open(0L, 0L) }
+    assert(FakeWire.openChannels.get() == 0, "channel leaked by failed open()")
+    w.close(null) // close after failed open: no-op, not an NPE
+  }
+
   test("JDBC sink: replayed delivery inserts zero rows (idempotency key)") {
     FakeWire.reset()
     val (batch, stream) = envelopeSource(10)

@@ -99,7 +99,12 @@ object Normalize {
         m("rxInfo")("size").as("size"),
         m("phyPayload").as("data")) ++
         phyCols(phy) ++ Seq(
-        nullCol("dev_eui"), // stateful F1 fills this
+        // JoinRequests carry the PHY-parsed dev_eui (PhyParser.py:24 —
+        // the only m_type that sets it): they have no dev_addr, so the
+        // F1 map path (:380-387) is skipped and the reference saves the
+        // packet as-is (:478-491) with that dev_eui intact. Data frames
+        // parse dev_eui null here and stateful F1 fills it.
+        phy("dev_eui").as("dev_eui"),
         nullCol("latitude"), nullCol("longitude"), nullCol("altitude"),
         nullCol("app_name"), nullCol("dev_name"),
         lit("radio").as("route"),
@@ -135,7 +140,7 @@ object Normalize {
         m("rxInfo")("size").as("size"),
         m("phyPayload").as("data")) ++
         phyCols(phy) ++ Seq(
-        nullCol("dev_eui"),
+        phy("dev_eui").as("dev_eui"), // JoinRequest-only, as the JSON dialect
         nullCol("latitude"), nullCol("longitude"), nullCol("altitude"),
         nullCol("app_name"), nullCol("dev_name"),
         lit("radio").as("route"),
@@ -146,11 +151,20 @@ object Normalize {
 
   /** P5 datr parse: 'SF7BW125' → {"spread_factor":"7","bandwidth":"125"}
     * (GenericMqttCollector.py:197-205 — values are STRINGS there, unlike
-    * ChirpStack's ints; preserved). */
+    * ChirpStack's ints; preserved). A datr that does not match SF..BW..
+    * yields "{}" exactly as parse_datr's empty dict does — regexp_extract
+    * would stringify its no-match '' captures into
+    * {"spread_factor":"","bandwidth":""}, a value the reference never
+    * writes. datr NULL stays null here: the reference actually CRASHES on
+    * it (re.search(pat, None) raises TypeError → the message lands in
+    * save_parsing_error and rides into the next envelope) — keeping the
+    * packet with a null datr is a deliberate, documented divergence
+    * (robustness over crash-fidelity). */
   def datrParse(datr: Column): Column =
-    when(datr.isNotNull, to_json(struct(
+    when(datr.rlike("SF(.*)BW(.*)"), to_json(struct(
       regexp_extract(datr, "SF(.*)BW(.*)", 1).as("spread_factor"),
       regexp_extract(datr, "SF(.*)BW(.*)", 2).as("bandwidth"))))
+      .when(datr.isNotNull, lit("{}"))
 
   /** P6 dev_eui from topic: 'lora/(.*)/' capture, strip '-'
     * (GenericMqttCollector.py:188-195). */
@@ -160,11 +174,23 @@ object Normalize {
   }
 
   /** Generic packet-forwarder MQTT normalization (P2, P4-P7, P15;
-    * GenericMqttCollector.py:119-176). */
+    * GenericMqttCollector.py:119-176).
+    *
+    * F0b missing-data filter nuances, against the reference:
+    *  - EMPTY payload (len == 0) is NOT filtered there — the JSON block
+    *    is skipped and a metadata-only packet (topic/date/dev_eui/ids,
+    *    all radio fields absent) is saved WITH the message (:119,153-166),
+    *    so empty-payload rows pass through here as metadata-only rows;
+    *  - JSON without a 'data' key early-returns WITHOUT saving (:122-125)
+    *    and without resetting the buffer, so the logged message rides
+    *    into the NEXT envelope. This projection drops the row (the F0b
+    *    adjudication, SURVEY §2.4) — the buffered-message nuance is an
+    *    envelope-assembler concern this per-row path cannot express,
+    *    documented here so a future assembler knows to prepend it. */
   def genericMqtt(df: DataFrame): DataFrame = {
     val m = from_json(col("message"), PacketSchema.genericMqtt)
     val phy = PhyFunctions.phy_decode_b64(m("data")) // P2 pad inside UDF
-    df.filter(m("data").isNotNull) // F0b missing-data filter
+    df.filter(length(col("message")) === 0 || m("data").isNotNull)
       .select(Seq(
         col("arrival_ts").as("date"),
         col("topic"),
@@ -186,7 +212,11 @@ object Normalize {
         phyCols(phy, mType = Some(
           when(col("topic").contains("/joined"), "JoinAccept")
             .otherwise(phy("m_type")))) ++ Seq(
-        coalesce(devEuiFromTopic(col("topic")), phy("dev_eui")).as("dev_eui"),
+        // UNCONDITIONAL topic-derived dev_eui (GenericMqttCollector.py:
+        // 160 overwrites whatever the phy parse produced — None on a
+        // non-matching topic, never the join-frame dev_eui; SURVEY §2 P6
+        // states the same contract)
+        devEuiFromTopic(col("topic")).as("dev_eui"),
         nullCol("latitude"), nullCol("longitude"), nullCol("altitude"),
         nullCol("app_name"), nullCol("dev_name"),
         // uplink extras (GenericMqttCollector.py:149-151): carried in the
@@ -228,12 +258,15 @@ object Normalize {
     val base = df
       .filter(length(col("message")) > 1) // F0a keepalive filter
       .withColumn("message_unesc", regexp_replace(col("message"), "\\\\\"", "\""))
-      // the server's disconnect control frame is transport-layer only
-      // (TTNCollector.py:169-174 reconnects and never persists it) — the
-      // reference's containment test, run on the UNESCAPED text so the
-      // SockJS-escaped form matches too, else the frame falls through
-      // ttnV2Kind as a phantom all-null route=raw packet row
-      .filter(!col("message_unesc").contains("""[200,"disconnected"]"""))
+      // The server's [200,"disconnected"] control frame triggers a
+      // reconnect (TTNCollector.py:169-174) — but execution FALLS
+      // THROUGH (no early return): the frame is appended to
+      // packet_writter_message (:214-221) and save() persists a
+      // packet-less envelope carrying it. So it is NOT filtered here; it
+      // routes through ttnV2Kind as kind=raw → a message-only row, the
+      // same representation every other non-parse frame gets. (A
+      // round-8 interim revision dropped it as transport-layer-only —
+      // that misread the reference.)
       .withColumn("kind", ttnV2Kind(col("message_unesc")))
       .withColumn("payload_json", stripOffsets(col("message_unesc"), col("kind")))
     val m = from_json(col("payload_json"), PacketSchema.ttnV2)
@@ -301,13 +334,20 @@ object Normalize {
         nullCol("size"),
         d("raw_payload").as("data")) ++
         phyCols(phy) ++ Seq(
-        nullCol("dev_eui"),
+        // the PHY-parsed dev_eui is KEPT: TTNv3Collector.py:322-324 only
+        // normalizes a MISSING dev_eui to None, it never clears a present
+        // one — and v3 has no F1 device-map stage to fill it later, so
+        // nulling it here lost the JoinRequest device EUI for good
+        phy("dev_eui").as("dev_eui"),
         d("antenna_locations")(0)("latitude").as("latitude"),
         d("antenna_locations")(0)("longitude").as("longitude"),
         d("antenna_locations")(0)("altitude").as("altitude"),
         nullCol("app_name"), nullCol("dev_name"),
+        // location requires a NON-EMPTY antenna_locations: the reference
+        // gates on truthiness (TTNv3Collector.py:229 — an empty list is
+        // falsy and the frame is an ordinary raw message)
         when(name === "gs.status.receive" &&
-          d("antenna_locations").isNotNull, "location")
+          size(d("antenna_locations")) > 0, "location")
           .when(name.isin("gs.up.receive", "gs.down.send"), "radio")
           .otherwise("raw").as("route"),
         col("seq"), col("message").as("raw_message"),

@@ -215,24 +215,34 @@ object StateOps {
 
   // ------------------------------------------------------------- F4 state
 
-  final case class LocState(lat: Double, lon: Double, alt: Double)
+  /** Fields are individually optional: the reference assigns the three
+    * keys from `.get()` calls that may each yield None
+    * (TTNv3Collector.py:232-238, TTNCollector.py:205-209). */
+  final case class LocState(lat: Option[Double], lon: Option[Double],
+                            alt: Option[Double])
 
   /** F4 location take-once step: location rows set the held value; the
     * next radio row consumes and CLEARS it (TTNCollector.py:241-247 —
-    * take-once, not sticky). Non-radio rows pass through as raw-log
-    * envelopes, mirroring the TTN collectors' save-everything behavior. */
+    * take-once, not sticky). A location row REPLACES the pending value
+    * wholesale, partial fields included: the reference overwrites the
+    * dict with possibly-None coordinates and still take-once-applies
+    * them (TTNv3Collector.py:232-238 then :299-306 — `len(location) > 0`
+    * is true the moment any key is assigned) — requiring all three here
+    * silently kept STALE coordinates from an earlier status frame and
+    * enriched subsequent packets with them. Non-radio rows pass through
+    * as raw-log envelopes, mirroring the TTN collectors' save-everything
+    * behavior. */
   def locationStep(st: Option[LocState], r: Rec): (Option[LocState], Seq[Envelope]) = {
     val msg = Msg(r.topic, r.message, r.collectorId)
     r.route match {
       case "location" =>
-        val next = for (la <- r.latitude; lo <- r.longitude; al <- r.altitude)
-          yield LocState(la, lo, al)
-        (next.orElse(st), Seq(Envelope(r.arrivalTs, r.collectorId, None, Seq(msg))))
+        (Some(LocState(r.latitude, r.longitude, r.altitude)),
+          Seq(Envelope(r.arrivalTs, r.collectorId, None, Seq(msg))))
       case "radio" =>
         st match {
           case Some(l) =>
-            val enriched = r.copy(latitude = Some(l.lat), longitude = Some(l.lon),
-              altitude = Some(l.alt))
+            val enriched = r.copy(latitude = l.lat, longitude = l.lon,
+              altitude = l.alt)
             (None, Seq(Envelope(r.arrivalTs, r.collectorId, Some(enriched), Seq(msg))))
           case None =>
             (None, Seq(Envelope(r.arrivalTs, r.collectorId, Some(r), Seq(msg))))

@@ -134,11 +134,33 @@ object Pipeline {
     val mj = col("mj"); val mp = col("mp"); val ma = col("ma")
     val pay = col("pay"); val phy = col("phy")
     val oversized = col("route0") === "radio" && pay.isNotNull && length(pay) > 300
-    val route = when(oversized, "drop").otherwise(col("route0"))
+    // Decode failure on a radio topic re-routes to raw — the reference's
+    // except path flushes prev_packet, persists the garbled message as a
+    // packet-less envelope, and records a parsing error
+    // (LoraServerIOCollector.py:243-280); leaving route=radio fabricated
+    // a metadata-only PACKET envelope (date/topic/ids around all-null
+    // radio fields) the reference never writes. chirpStep's raw branch
+    // is exactly flush-then-message-envelope. The validity probe is
+    // get_json_object(_, '$') — null iff the text is not JSON, the
+    // columnar json.loads test (from_json CANNOT express it: PERMISSIVE
+    // mode renders malformed input as a struct of nulls, indistinguishable
+    // from a valid metadata-only message). msg_n is the proto-decoded
+    // JSON for proto rows, so a successful F0h proto leg passes. (On /up
+    // topics the reference additionally swallows the message itself
+    // after the failed protobuf retry — there we still persist it as the
+    // raw-log row: strictly more information, same flush semantics.)
+    val decodeFailed = col("route0") === "radio" &&
+      get_json_object(col("msg_n"), "$").isNull
+    val route = when(oversized, "drop")
+      .when(decodeFailed, "raw")
+      .otherwise(col("route0"))
     val x = coalesce(mj("txInfo"), mj("rxInfo")) // json-dialect x_info quirk
     val lmi = mp("txInfo")("loRaModulationInfo")
     def pj(j: Column, p: Column) = when(isProto, p).otherwise(j)
-    // packet.dev_eui stays null here — the F1 device map fills it later
+    // packet.dev_eui carries the PHY-parsed value (JoinRequest frames
+    // only, PhyParser.py:24) — JoinRequests have no dev_addr so F1 never
+    // touches them and the reference saves that dev_eui as-is (:478-491);
+    // data frames parse null here and the F1 device map fills them later
     val phyFields = Seq("m_type", "major", "mic", "join_eui",
       "dev_nonce", "dev_addr", "adr", "ack", "adr_ack_req", "f_pending",
       "class_b", "f_count", "f_opts", "f_port", "error")
@@ -172,8 +194,9 @@ object Pipeline {
       case "rssi" => pj(mj("rxInfo")("rssi"), mp("rxInfo")("rssi")).as("rssi")
       case "size" => pj(mj("rxInfo")("size"), mp("rxInfo")("size")).as("size")
       case "data" => pay.as("data")
+      case "dev_eui" => phy("dev_eui").as("dev_eui")
       case f if phyFields.contains(f) => phy(f).as(f)
-      case other => nul(other).as(other) // dev_eui, lat/lon/alt, app/dev_name
+      case other => nul(other).as(other) // lat/lon/alt, app/dev_name
     }
     val appLoc = ma("rxInfo")(0)("location")
     b.select(
@@ -215,7 +238,14 @@ object Pipeline {
         when(col("topic").rlike("^gateway/.*up$") &&
             !ltrim(col("message")).startsWith("{"),
           graft.functions.PhyFunctions.proto_uplink_json(col("message"))))
-    val radioTxt = radio.filter(col("proto_json").isNull)
+    // decode-failure leg, branch form: a radio message that is neither
+    // JSON (get_json_object(_, '$') null ⇔ json.loads fails) nor a
+    // decodable protobuf frame becomes a raw-route message-only row —
+    // the reference's except path (LoraServerIOCollector.py:243-280)
+    val radioUndecodable = radio.filter(col("proto_json").isNull &&
+      get_json_object(col("message"), "$").isNull)
+    val radioTxt = radio.filter(col("proto_json").isNull &&
+        get_json_object(col("message"), "$").isNotNull)
       .withColumn("dialect",
         when(get_json_object(col("message"), "$.rxInfo.gatewayID").isNotNull ||
           get_json_object(col("message"), "$.txInfo.loRaModulationInfo").isNotNull, "proto")
@@ -262,6 +292,7 @@ object Pipeline {
       col("arrival_ts").cast("long").as("arrivalTs"))
 
     val raws = emptyRec(routed.filter(col("route") === "raw"), "raw")
+      .unionByName(emptyRec(radioUndecodable.drop("route", "proto_json"), "raw"))
 
     radioJson.unionByName(radioProto).unionByName(joins).unionByName(apps)
       .unionByName(raws).as[Rec]

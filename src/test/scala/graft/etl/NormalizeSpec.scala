@@ -81,7 +81,9 @@ class NormalizeSpec extends SparkSuite {
     assert(out.getAs[String]("datr") == """{"spread_factor":10,"bandwidth":125}""")
     assert(out.getAs[String]("m_type") == "JoinRequest")
     assert(out.getAs[String]("join_eui") == "55d239ac716f234d")
-    assert(out.getAs[String]("dev_eui") == null) // F1 fills later from map
+    // JoinRequests keep the PHY dev_eui (PhyParser.py:24; no dev_addr, so
+    // F1 never touches them) — data frames parse null and F1 fills later
+    assert(out.getAs[String]("dev_eui") == "b827eb891cf50003")
     assert(out.getAs[Int]("dev_nonce") == 51639)
   }
 
@@ -120,6 +122,24 @@ class NormalizeSpec extends SparkSuite {
     assert(out.getAs[Int]("port") == 12)
     // F0b: no 'data' key → dropped
     assert(Normalize.genericMqtt(rawDf(Seq(("t", """{"chan":1}""")))).count() == 0)
+    // ... but an EMPTY payload is NOT F0b: the reference skips the JSON
+    // block and saves a metadata-only packet (GenericMqttCollector.py:119)
+    val empty = Normalize.genericMqtt(
+      rawDf(Seq(("lora/ab-cd/up", "")))).collect()
+    assert(empty.length == 1)
+    assert(empty.head.getAs[String]("dev_eui") == "abcd")
+    assert(empty.head.getAs[String]("m_type") == null)
+    assert(empty.head.getAs[String]("data") == null)
+    // P6 is UNCONDITIONAL: a non-matching topic stores null, never the
+    // phy-parsed join dev_eui (GenericMqttCollector.py:160 overwrites)
+    val offTopic = Normalize.genericMqtt(
+      rawDf(Seq(("devices/x/up", s"""{"data":"$unpadded"}""")))).collect().head
+    assert(offTopic.getAs[String]("m_type") == "JoinRequest")
+    assert(offTopic.getAs[String]("dev_eui") == null)
+    // P5: a non-SF..BW.. datr stringifies parse_datr's empty dict
+    val fsk = Normalize.genericMqtt(
+      rawDf(Seq(("lora/ab/up", s"""{"data":"$unpadded","datr":"50000"}""")))).collect().head
+    assert(fsk.getAs[String]("datr") == "{}")
     // P7: '/joined' topic forces JoinAccept
     val joined = Normalize.genericMqtt(
       rawDf(Seq(("lora/ab/joined", s"""{"data":"$unpadded"}""")))).collect().head
@@ -137,15 +157,19 @@ class NormalizeSpec extends SparkSuite {
     val statusFrame = "a[\"gateway status " + statusJson.replace("\"", "\\\"") + "\"]"
     val out = Normalize.ttnV2(rawDf(Seq(
       (null, "h"),                    // F0a keepalive: dropped
-      // transport-layer reconnect frame (TTNCollector.py:169): dropped,
-      // never a phantom raw packet row
+      // the server's reconnect frame is PERSISTED: TTNCollector.py:169
+      // reconnects but falls through (no return) to the message append +
+      // save, so the frame survives as a message-only route=raw row
       (null, """a["[200,\"disconnected\"]"]"""),
       (null, uplinkFrame),
       (null, statusFrame))))
       .orderBy(col("route"))
       .collect()
-    assert(out.length == 2)
-    val location = out(0); val up = out(1)
+    assert(out.length == 3)
+    val location = out(0); val up = out(1); val raw = out(2)
+    assert(raw.getAs[String]("route") == "raw")
+    assert(raw.getAs[String]("raw_message").contains("disconnected"))
+    assert(raw.getAs[String]("m_type") == null) // message-only, no packet fields
     assert(up.getAs[String]("route") == "radio")
     assert(up.getAs[String]("gateway") == "aabbccddeeff0011") // eui- stripped
     assert(up.getAs[Long]("tmst") == 1717237230500L)          // epoch millis
@@ -210,6 +234,9 @@ class NormalizeSpec extends SparkSuite {
     val downRow = out.find(r => r.getAs[String]("m_type") == "JoinRequest").get
     assert(downRow.getAs[Double]("freq") == 869.525)
     assert(downRow.getAs[String]("codr") == null)
+    // phy dev_eui kept: TTNv3Collector.py:322-324 only normalizes a
+    // MISSING dev_eui to None, never clears a present one
+    assert(downRow.getAs[String]("dev_eui") == "b827eb891cf50003")
     val statusRow = out.find(_.getAs[String]("route") == "location").get
     assert(statusRow.getAs[Double]("latitude") == 52.1)
   }
@@ -310,13 +337,39 @@ class NormalizeSpec extends SparkSuite {
     assert(fromProto.message == protoMsg)
   }
 
-  test("undecodable non-JSON up message stays on the radio route with null fields") {
+  test("undecodable radio message re-routes to raw: no fabricated packet envelope") {
     implicit val s = spark
+    // neither JSON nor protobuf parses → the reference's except path
+    // persists a PACKET-LESS envelope (+ parsing error), never a
+    // metadata-only packet (LoraServerIOCollector.py:243-280)
     val recs = graft.streaming.Pipeline
-      .toChirpRecs(rawDf(Seq(("gateway/aabb/up", "certainly not a frame !!"))))
+      .toChirpRecs(rawDf(Seq(
+        ("gateway/aabb/up", "certainly not a frame !!"),
+        ("gateway/aabb/rx", "also not json"))))
       .collect()
-    assert(recs.head.route == "radio")
-    assert(recs.head.packet.get.gateway.isEmpty)
-    assert(recs.head.packet.get.m_type.isEmpty)
+    assert(recs.length == 2)
+    assert(recs.forall(_.route == "raw"))
+    assert(recs.forall(_.packet.isEmpty))
+    // a VALID but payload-less JSON radio message still yields the
+    // metadata-only packet (reference guards only inside `if
+    // 'phyPayload' in mqtt_messsage`)
+    val meta = graft.streaming.Pipeline
+      .toChirpRecs(rawDf(Seq(("gateway/aabb/rx", """{"rxInfo":{"rssi":-50}}"""))))
+      .collect()
+    assert(meta.head.route == "radio" && meta.head.packet.nonEmpty)
+  }
+
+  test("ChirpStack JoinRequest radio rows keep the PHY dev_eui (PhyParser.py:24)") {
+    val msg = s"""{"phyPayload":"$jrB64","rxInfo":{"rssi":-50,"mac":"aa"}}"""
+    val row = Normalize.chirpstackJsonRadio(rawDf(Seq(("gateway/aa/rx", msg))))
+      .collect().head
+    assert(row.getAs[String]("m_type") == "JoinRequest")
+    assert(row.getAs[String]("dev_eui") == "b827eb891cf50003")
+    // and the fused streaming path lands the same value in the packet
+    implicit val s = spark
+    val rec = graft.streaming.Pipeline
+      .toChirpRecs(rawDf(Seq(("gateway/aa/rx", msg))))
+      .collect().head
+    assert(rec.packet.get.dev_eui.contains("b827eb891cf50003"))
   }
 }

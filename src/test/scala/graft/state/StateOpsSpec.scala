@@ -107,6 +107,25 @@ class StateOpsSpec extends SparkSuite {
     assert(st3.isEmpty)
   }
 
+  test("F4 partial location REPLACES the pending one, take-once included") {
+    // the reference assigns the three coordinates from .get()s that may
+    // each be None and still applies+clears them wholesale
+    // (TTNv3Collector.py:232-238, :299-306) — a lat-only status frame
+    // must not fall through to an older complete location
+    val full = rec(1, "location", lat = 9.0)
+    val partial = rec(2, "location").copy(latitude = Some(-34.6))
+    val r = rec(3, "radio"); val r2 = rec(4, "radio")
+    val (st1, _) = locationStep(None, full)
+    val (st2, _) = locationStep(st1, partial)
+    assert(st2.contains(LocState(Some(-34.6), None, None)))
+    val (st3, o3) = locationStep(st2, r)
+    assert(o3.head.packet.get.latitude.contains(-34.6))
+    assert(o3.head.packet.get.longitude.isEmpty) // stale 9.0 NOT retained
+    assert(st3.isEmpty)                          // consumed once
+    val (_, o4) = locationStep(st3, r2)
+    assert(o4.head.packet.get.latitude.isEmpty)
+  }
+
   test("F5 verification gate: threshold flip at total≥5 ∧ ratio>0.8") {
     var st = VerifState.empty
     val results = (1 to 6).map { i =>
@@ -263,9 +282,11 @@ class StateOpsSpec extends SparkSuite {
     // semantics — state ops ignore drop rows)
     assert(fused.filter(_.route == "drop").map(_.seq) == Seq(2L, 3L))
     assert(fused.filterNot(_.route == "drop") == union)
-    // routes land where expected
+    // routes land where expected — index 5 (non-JSON text on a radio
+    // topic) re-routes to raw: the reference's decode-failure path
+    // persists a packet-less envelope, never a fabricated metadata packet
     assert(fused.map(_.route) ==
-      Seq("radio", "radio", "drop", "drop", "radio", "radio", "app", "join",
+      Seq("radio", "radio", "drop", "drop", "radio", "raw", "app", "join",
         "raw", "radio"))
     // the F0h raw frame actually PARSED on both paths (not a metadata-
     // only fallthrough): the envelope keeps the original base64 text,

@@ -35,6 +35,8 @@ object ScaleSweep {
       "q32_dedup_exact", "q33_ngram_jaccard", "q34_minhash_lsh",
       "q35_simhash", "q37_cosine_neardup", "q62_dup_clusters",
       "q88_containment_join", "q99_substring_dedup",
+      // r8 late: two-sided FastSS — keys grow with Σ|name|, linear
+      "q84_fuzzy_join",
       // ANN / embedding family
       "q36_cosine_topk", "q39_ann_ivf", "q49_ann_lsh", "q61_semantic_dedup",
       // decontamination (broadcast-side designs)

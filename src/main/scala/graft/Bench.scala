@@ -34,8 +34,11 @@ object Bench {
     // query hits it first) rather than the whole JSON artifact + self-
     // record — which is exactly what the harvester needs to SEE the
     // failure.
+    // NonFatal only: a VM-fatal warmup error (OOM, StackOverflow) means
+    // the timed loop would run in a corrupted JVM and publish a
+    // plausible-looking-but-invalid artifact — let those kill the run.
     def warm(body: => Unit): Unit =
-      try body catch { case e: Throwable =>
+      try body catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
 
     // warmup: exercise scan + agg + codegen paths once, uncounted

@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *   deterministic — the reference stamps datetime.now() at process time,
   *   P15).
   * Output: the full packet schema of [[PacketSchema.packet]] plus
-  * `route` ∈ {radio, app, join, raw, location} for downstream state ops.
+  * `route` ∈ {radio, app, join, raw, perr, location} for downstream state
+  * ops ("perr" = struct-crash radio rows the reference turns into a
+  * parsing error with no packet — fused path only; the per-dialect
+  * normalizers here simply drop them).
   */
 object Normalize {
 
@@ -62,6 +65,70 @@ object Normalize {
     when(c === "CRC_OK", 1).when(c === "BAD_CRC", -1).when(c === "NO_CRC", 0)
       .otherwise(lit(null).cast("int"))
 
+  /** The reference's second-try crash surface on a radio topic, JSON
+    * dialect: a message that json.loads fine but whose STRUCTURE makes the
+    * packet-assembly block raise into the outer `except`
+    * (LoraServerIOCollector.py:496-500) — the reference then records ONLY
+    * a parsing error: no packet, no message persisted, and no prev_packet
+    * flush (the raise lands before :370-376). Crash classes probed:
+    *  - root not a JSON object → TypeError at `'phyPayload' in` (:311)
+    *    or NameError/AttributeError at `x_info` (:341,353);
+    *  - neither rxInfo nor txInfo key → NameError `x_info` (:353);
+    *  - a PRESENT rxInfo/txInfo that is not an object (incl. JSON null)
+    *    → AttributeError on `x_info.get` (:341-348,353);
+    *  - the winning x_info (txInfo if present else rxInfo, :350-351)
+    *    without an object-valued dataRate → AttributeError
+    *    `data_rate.get('modulation')` (:357-358).
+    * Implementation is probe-cheap: every class is decided from the
+    * ALREADY-PARSED `from_json` struct `m` (a crashing shape parses its
+    * rxInfo/txInfo/dataRate slot to null), so a well-formed message pays
+    * ZERO extra JSON parses. The only re-parse — `json_object_keys(msg)`,
+    * which models Python `'k' in dict` exactly (a JSON-null value still
+    * lists its key) — sits behind a struct-null guard and therefore runs
+    * only for rows whose rxInfo/txInfo slot failed, to split key-absent
+    * (no crash by itself) from key-present-with-bad-value (crash).
+    * Accepted residuals (documented, not probed — Catalyst's PERMISSIVE
+    * coercion erases value typing): a string-typed `frequency` (TypeError
+    * at :354) and mistyped scalar leaves inside an otherwise-object
+    * x_info, which Python would copy through uncrashed but PERMISSIVE
+    * partial-result parsing may null out. */
+  private[graft] def chirpstackJsonStructCrash(msg: Column, m: Column): Column = {
+    val rx = m("rxInfo"); val tx = m("txInfo")
+    def keyPresent(k: String) = array_contains(json_object_keys(msg), k)
+    // both slots null → crash whatever the keys say: absent keys are the
+    // NameError (:353), present-with-bad-value the AttributeError (:341)
+    (rx.isNull && tx.isNull) ||
+      (rx.isNull && keyPresent("rxInfo")) ||
+      (tx.isNull && keyPresent("txInfo")) ||
+      // winning x_info (txInfo if present else rxInfo, :350-351): a
+      // non-null tx slot ⇔ txInfo key present and object-valued here,
+      // so struct coalesce == the reference's assignment order
+      coalesce(tx, rx)("dataRate").isNull
+  }
+
+  /** Same crash surface, protobuf dialect (the `is_protobuf_message`
+    * branch, LoraServerIOCollector.py:321-338):
+    *  - rxInfo present without gatewayID → TypeError at
+    *    `base64.b64decode(None)` (:324); a non-object rxInfo also lands
+    *    here (the path probe extracts nothing);
+    *  - txInfo present without an object loRaModulationInfo (e.g. an FSK
+    *    uplink frame) → AttributeError at `lora_modulation_info.get`
+    *    (:335-338).
+    * The root is always an object on this path (MessageToJson output, or
+    * text that already passed the nested proto-shape discriminator); a
+    * message with NEITHER side present does not crash — the proto branch
+    * never touches `x_info` outside the two `in` guards. Same probe-cheap
+    * structure as the JSON dialect: struct slots decide, key presence is
+    * consulted only when a slot is null. */
+  private[graft] def chirpstackProtoStructCrash(msg: Column, m: Column): Column = {
+    val rx = m("rxInfo"); val tx = m("txInfo")
+    def keyPresent(k: String) = array_contains(json_object_keys(msg), k)
+    (rx.isNull && keyPresent("rxInfo")) ||
+      (rx.isNotNull && rx("gatewayID").isNull) ||
+      (tx.isNull && keyPresent("txInfo")) ||
+      (tx.isNotNull && tx("loRaModulationInfo").isNull)
+  }
+
   /** ChirpStack gateway radio path, JSON dialect (P8 + P3 + P15;
     * LoraServerIOCollector.py:339-366). F0h encoding sniff: rows whose
     * message fails JSON decode fall through with null parsed fields — feed
@@ -76,9 +143,13 @@ object Normalize {
     val phy = PhyFunctions.phy_decode_b64(m("phyPayload"))
     val x = coalesce(m("txInfo"), m("rxInfo")) // tmst/freq/gateway source
     // F0c size guard: only OVERSIZED payloads drop; a payload-less message
-    // still yields a metadata-only radio packet (LoraServerIOCollector
-    // .py:311-315 guards inside `if 'phyPayload' in mqtt_messsage`).
-    df.filter(m("phyPayload").isNull || length(m("phyPayload")) <= 300)
+    // can still yield a radio packet (LoraServerIOCollector.py:311-315
+    // guards inside `if 'phyPayload' in mqtt_messsage`) — but only when
+    // the x_info/dataRate structure survives the reference's assembly
+    // block; a struct-crash row (chirpstackJsonStructCrash) produces a
+    // parsing error and NO packet (:496-500), so it drops here too.
+    df.filter((m("phyPayload").isNull || length(m("phyPayload")) <= 300) &&
+        !chirpstackJsonStructCrash(col("message"), m))
       .select(Seq(
         col("arrival_ts").as("date"),
         col("topic"),
@@ -118,8 +189,11 @@ object Normalize {
     val m = from_json(col("message"), chirpstackProto)
     val phy = PhyFunctions.phy_decode_b64(m("phyPayload"))
     val lmi = m("txInfo")("loRaModulationInfo")
-    // F0c: same null-safe size guard as the JSON dialect (only oversized drops)
-    df.filter(m("phyPayload").isNull || length(m("phyPayload")) <= 300)
+    // F0c: same null-safe size guard as the JSON dialect, plus the proto
+    // struct-crash guard (chirpstackProtoStructCrash — parsing error,
+    // no packet, LoraServerIOCollector.py:324,335-338,496-500)
+    df.filter((m("phyPayload").isNull || length(m("phyPayload")) <= 300) &&
+        !chirpstackProtoStructCrash(col("message"), m))
       .select(Seq(
         col("arrival_ts").as("date"),
         col("topic"),

@@ -104,6 +104,7 @@ object ChirpFoldInternal {
   private val ROUTE_RADIO = UTF8String.fromString("radio")
   private val ROUTE_APP = UTF8String.fromString("app")
   private val ROUTE_DROP = UTF8String.fromString("drop")
+  private val ROUTE_PERR = UTF8String.fromString("perr")
 
   // boxing accessors for the opaque packet-struct copy
   private val pktAccessors: Array[(InternalRow, Int) => Any] =
@@ -208,6 +209,9 @@ object ChirpFoldInternal {
     private def step(row: InternalRow): Unit = {
       val route = row.getUTF8String(ROUTE)
       if (route == ROUTE_DROP) return // F0c oversized: inert (:313-315)
+      // struct-crash radio row: save_parsing_error only — no envelope,
+      // no prev flush (:496-500; same contract as StateOps.chirpStep)
+      if (route == ROUTE_PERR) return
       val ts = row.getLong(ARRIVAL_TS)
       val msg = msgStruct(row)
 

@@ -123,6 +123,15 @@ object StateOps {
         // state (LoraServerIOCollector.py:313-315) — the row is inert
         (st, Nil)
 
+      case "perr" =>
+        // struct-crash radio message (valid JSON, reference's assembly
+        // block raises into the outer except, LoraServerIOCollector
+        // .py:496-500): only save_parsing_error runs — no envelope, no
+        // message persisted, and NO prev flush (the raise lands before
+        // :370-376), so state is untouched. NOT the "raw" path (:243-280,
+        // json.loads failure), which flushes and persists the message.
+        (st, Nil)
+
       case "join" =>
         // F1 upsert (dev_eui only) + F3 raw-log envelope (:287-304).
         // The reference appends the join msg to packet_writter_message —

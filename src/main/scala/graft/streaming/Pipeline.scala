@@ -151,8 +151,24 @@ object Pipeline {
     // raw-log row: strictly more information, same flush semantics.)
     val decodeFailed = col("route0") === "radio" &&
       get_json_object(col("msg_n"), "$").isNull
+    // A radio message that DOES decode as JSON but whose structure would
+    // crash the reference's packet-assembly block (non-object root,
+    // neither rxInfo nor txInfo, non-object x_info, missing dataRate /
+    // gatewayID / loRaModulationInfo — see Normalize.chirpstackJson/
+    // ProtoStructCrash) hits the OUTER except (LoraServerIOCollector
+    // .py:496-500): the reference records only a parsing error — no
+    // packet, no message envelope, and no prev_packet flush (the raise
+    // lands before :370-376). That is route="perr": inert in chirpStep,
+    // unlike "raw" (json.loads failure, :243-280) which flushes and
+    // persists a packet-less message envelope. Oversized wins first —
+    // the :314 length check returns before the x_info blocks run.
+    val structCrash = col("route0") === "radio" &&
+      when(col("is_proto"),
+        Normalize.chirpstackProtoStructCrash(col("msg_n"), col("mp")))
+        .otherwise(Normalize.chirpstackJsonStructCrash(col("msg_n"), col("mj")))
     val route = when(oversized, "drop")
       .when(decodeFailed, "raw")
+      .when(structCrash, "perr")
       .otherwise(col("route0"))
     val x = coalesce(mj("txInfo"), mj("rxInfo")) // json-dialect x_info quirk
     val lmi = mp("txInfo")("loRaModulationInfo")

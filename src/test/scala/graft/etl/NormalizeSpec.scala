@@ -350,17 +350,62 @@ class NormalizeSpec extends SparkSuite {
     assert(recs.length == 2)
     assert(recs.forall(_.route == "raw"))
     assert(recs.forall(_.packet.isEmpty))
-    // a VALID but payload-less JSON radio message still yields the
-    // metadata-only packet (reference guards only inside `if
-    // 'phyPayload' in mqtt_messsage`)
+    // a VALID-JSON radio message whose structure would crash the
+    // reference's assembly block yields NO packet — the raise lands in
+    // the outer except and only save_parsing_error runs
+    // (LoraServerIOCollector.py:496-500). `{"rxInfo":{"rssi":-50}}`
+    // crashes at `data_rate.get('modulation')` (:357-358, rxInfo has no
+    // dataRate); route="perr" (inert in chirpStep), NOT a metadata-only
+    // radio packet and NOT the flush-and-persist "raw" path.
     val meta = graft.streaming.Pipeline
       .toChirpRecs(rawDf(Seq(("gateway/aabb/rx", """{"rxInfo":{"rssi":-50}}"""))))
       .collect()
-    assert(meta.head.route == "radio" && meta.head.packet.nonEmpty)
+    assert(meta.head.route == "perr" && meta.head.packet.isEmpty)
+    // a payload-less message with an intact rxInfo.dataRate DOES yield
+    // the metadata-only packet (:311 guards only the phyPayload block)
+    val ok = graft.streaming.Pipeline
+      .toChirpRecs(rawDf(Seq(("gateway/aabb/rx",
+        """{"rxInfo":{"rssi":-50,"mac":"aa","dataRate":{"modulation":"LORA","spreadFactor":7,"bandwidth":125}}}"""))))
+      .collect()
+    assert(ok.head.route == "radio" && ok.head.packet.nonEmpty)
+  }
+
+  test("struct-crash radio classes route to perr (outer except, :496-500)") {
+    implicit val s = spark
+    val crash = Seq(
+      "123",                               // TypeError at `'phyPayload' in` (:311)
+      "[1,2]",                             // NameError at x_info (:353)
+      """{"foo":1}""",                     // neither rxInfo nor txInfo → NameError (:353)
+      """{"rxInfo":null,"txInfo":{"dataRate":{"spreadFactor":7}}}""", // rxInfo None → AttributeError (:341)
+      """{"rxInfo":5}""",                  // rxInfo not a dict → AttributeError (:341)
+      """{"rxInfo":{"dataRate":{"spreadFactor":7}},"txInfo":{"timestamp":9}}""", // txInfo wins (:350-351) and has no dataRate → crash (:357)
+      """{"rxInfo":{"dataRate":7}}""")     // dataRate not a dict → AttributeError (:358)
+      .map(m => ("gateway/gw/rx", m))
+    val recs = graft.streaming.Pipeline.toChirpRecs(rawDf(crash)).collect()
+    assert(recs.forall(r => r.route == "perr" && r.packet.isEmpty),
+      recs.map(r => s"${r.message} -> ${r.route}").mkString("; "))
+    // proto dialect: rxInfo without gatewayID → b64decode(None) TypeError
+    // (:324); txInfo without loRaModulationInfo (FSK frame) →
+    // AttributeError (:335-338)
+    val protoCrash = Seq(
+      """{"rxInfo":{"rssi":-50},"txInfo":{"loRaModulationInfo":{"spreadingFactor":7}}}""",
+      """{"rxInfo":{"gatewayID":"qrvM3e7/ABE="},"txInfo":{"frequency":868100000}}""")
+      .map(m => ("gateway/gw/up", m))
+    val protoRecs = graft.streaming.Pipeline.toChirpRecs(rawDf(protoCrash)).collect()
+    assert(protoRecs.forall(r => r.route == "perr" && r.packet.isEmpty),
+      protoRecs.map(r => s"${r.message} -> ${r.route}").mkString("; "))
+    // the state machine treats perr as inert: no envelope, no prev flush
+    val envs = graft.streaming.Pipeline.chirpEnvelopes(
+      graft.streaming.Pipeline.toChirpRecs(rawDf(crash ++ protoCrash))).collect()
+    assert(envs.isEmpty)
   }
 
   test("ChirpStack JoinRequest radio rows keep the PHY dev_eui (PhyParser.py:24)") {
-    val msg = s"""{"phyPayload":"$jrB64","rxInfo":{"rssi":-50,"mac":"aa"}}"""
+    // rxInfo needs an object dataRate: without one the reference crashes
+    // at data_rate.get (:357) and saves NO packet (the perr route)
+    val msg = s"""{"phyPayload":"$jrB64","rxInfo":{"rssi":-50,"mac":"aa",
+      |"dataRate":{"modulation":"LORA","spreadFactor":7,"bandwidth":125}}}"""
+      .stripMargin.replace("\n", "")
     val row = Normalize.chirpstackJsonRadio(rawDf(Seq(("gateway/aa/rx", msg))))
       .collect().head
     assert(row.getAs[String]("m_type") == "JoinRequest")

@@ -268,6 +268,8 @@ class StateOpsSpec extends SparkSuite {
         """{"devEUI":"eui9","applicationName":"app9","deviceName":"dev9","fCnt":7,"rxInfo":[{"name":"gw","location":{"latitude":9.0,"longitude":2.0,"altitude":3.0}}]}""",
       "application/1/device/j1/join" -> """{"devAddr":"11223344","devEUI":"feed01"}""",
       "some/other/topic" -> "not-json-raw",
+      "gateway/gw1/rx" -> """{"rxInfo":{"rssi":-50}}""",           // struct crash → perr (:357)
+      "gateway/gw2/up" -> """{"rxInfo":{"rssi":-1},"txInfo":{"loRaModulationInfo":{"spreadingFactor":7}}}""", // proto dialect, no gatewayID → perr (:324)
       "gateway/gw3/up" -> rawProtoFrame)                           // F0h raw protobuf
     val raw = cases.zipWithIndex
       .map { case ((t, m), i) => (t, m, (i % 2).toLong, i.toLong) }
@@ -277,17 +279,20 @@ class StateOpsSpec extends SparkSuite {
 
     val fused = Pipeline.toChirpRecs(raw).collect().toSeq.sortBy(_.seq)
     val union = Pipeline.toChirpRecsUnion(raw).collect().toSeq.sortBy(_.seq)
-    // the union form FILTERS oversized payloads inside the per-dialect
-    // normalizers; the fused form routes them to "drop" (same downstream
-    // semantics — state ops ignore drop rows)
+    // the union form FILTERS oversized payloads AND struct-crash rows
+    // inside the per-dialect normalizers; the fused form routes them to
+    // "drop" / "perr" (same downstream semantics — state ops ignore both)
     assert(fused.filter(_.route == "drop").map(_.seq) == Seq(2L, 3L))
-    assert(fused.filterNot(_.route == "drop") == union)
+    assert(fused.filter(_.route == "perr").map(_.seq) == Seq(9L, 10L))
+    assert(fused.filterNot(r => r.route == "drop" || r.route == "perr") == union)
     // routes land where expected — index 5 (non-JSON text on a radio
     // topic) re-routes to raw: the reference's decode-failure path
-    // persists a packet-less envelope, never a fabricated metadata packet
+    // persists a packet-less envelope, never a fabricated metadata
+    // packet; indexes 9-10 (valid JSON that crashes the reference's
+    // assembly block) re-route to perr: parsing error only, no envelope
     assert(fused.map(_.route) ==
       Seq("radio", "radio", "drop", "drop", "radio", "raw", "app", "join",
-        "raw", "radio"))
+        "raw", "perr", "perr", "radio"))
     // the F0h raw frame actually PARSED on both paths (not a metadata-
     // only fallthrough): the envelope keeps the original base64 text,
     // the packet carries the decoded proto fields

@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   *   deterministic — the reference stamps datetime.now() at process time,
   *   P15).
   * Output: the full packet schema of [[PacketSchema.packet]] plus
-  * `route` ∈ {radio, app, join, raw, perr, location} for downstream state
-  * ops ("perr" = struct-crash radio rows the reference turns into a
-  * parsing error with no packet — fused path only; the per-dialect
-  * normalizers here simply drop them).
+  * `route` ∈ {radio, app, join, raw, perr, perr_buf, location} for
+  * downstream state ops. "perr" = a crash the reference hits BEFORE its
+  * message append (parsing error only, nothing persisted — inert
+  * downstream); "perr_buf" = a crash AFTER the append (TTN paths): the
+  * parsing error is recorded and the buffered message rides into the
+  * next envelope (StateOps.locationStep). For ChirpStack the per-dialect
+  * normalizers drop crash rows; the fused path tags them "perr".
   */
 object Normalize {
 
@@ -350,8 +353,10 @@ object Normalize {
       lit(null).cast("string").as("topic"), // TTN messages carry no topic
       col("data_collector_id"), col("organization_id"),
       regexp_replace(col("gw"), "^eui-", "").as("gateway"),
-      // P12: ISO timestamp → epoch millis
-      unix_millis(to_timestamp(m("timestamp"))).as("tmst"),
+      // P12: ISO timestamp → epoch millis. try_to_timestamp: a malformed
+      // timestamp is a CRASH row (route perr_buf below), and the value
+      // expression must not ANSI-throw while computing the other columns
+      unix_millis(try_to_timestamp(m("timestamp"))).as("tmst"),
       nullCol("chan"), nullCol("rfch"),
       m("frequency").as("freq"),
       nullCol("stat"), nullCol("modu"), nullCol("datr"),
@@ -366,8 +371,30 @@ object Normalize {
       m("status")("location")("longitude").as("longitude"),
       m("status")("location")("altitude").as("altitude"),
       nullCol("app_name"), nullCol("dev_name"),
-      when(col("kind") === "status", "location")
+      // Route fidelity (TTNCollector.py:201-274):
+      //  - status frames whose payload does NOT yield a location OBJECT
+      //    crash INSIDE the inner try (:206-211 — json.loads failure or
+      //    .get('status').get('location') AttributeError, caught before
+      //    any assignment), leaving ws.location untouched; the frame then
+      //    falls through to append+save → a message-only envelope, i.e.
+      //    route=raw here, NOT a location row that would wholesale-
+      //    replace pending coordinates with nulls;
+      //  - a parse-kind frame (has_to_parse) whose payload json.loads
+      //    fails / is not a dict (payload slot null), whose 'payload' is
+      //    missing (setPHYPayload(None) → bytes(None) TypeError,
+      //    LorawanWrapper.py:19), or whose 'timestamp' is missing or
+      //    unparseable (dateutil.parser.parse(None) TypeError, :233)
+      //    raises into the OUTER except (:272-274) AFTER the message
+      //    append (:214-221): save_parsing_error only, no packet, and the
+      //    buffered message rides into the NEXT envelope — route=perr_buf
+      //    (StateOps.locationStep buffers it). Residual (documented):
+      //    timestamp formats dateutil accepts but try_to_timestamp
+      //    rejects, and vice versa.
+      when(col("kind") === "status" && m("status")("location").isNotNull, "location")
+        .when(col("kind") === "status", "raw")
         .when(col("kind") === "raw", "raw")
+        .when(m("payload").isNull ||
+          try_to_timestamp(m("timestamp")).isNull, "perr_buf")
         .otherwise("radio").as("route"),
       col("seq"),
       // P16: TTN v2 truncates the logged origin message to 4096 chars in
@@ -384,6 +411,10 @@ object Normalize {
     val d = m("data")
     val phy = PhyFunctions.phy_decode_b64(d("raw_payload"))
     val name = m("name")
+    // int(settings.get('frequency'))-faithful: Python int() accepts only
+    // an integral string — "868500000.0" or "abc" raise (→ crash row),
+    // and the guarded cast keeps the value expression ANSI-safe
+    val freqOkUp = d("settings")("frequency").rlike("^[+-]?[0-9]+$")
     // F0d — null-safe: a malformed/name-less record has name = NULL, and
     // a bare =!= would evaluate NULL and silently DROP it; the reference
     // routes parse failures to save_parsing_error (TTNv3Collector.py:
@@ -394,17 +425,24 @@ object Normalize {
         col("arrival_ts").as("date"),
         lit(null).cast("string").as("topic"),
         col("data_collector_id"), col("organization_id"),
-        m("identifiers")(0)("gateway_ids")("eui").as("gateway"),
+        // get(…, 0), not (0): ANSI mode throws on [0] of an EMPTY array,
+        // which would kill the query on a frame the reference merely
+        // crashes-and-logs (empty identifiers is even crash-FREE there —
+        // [] is falsy at :310); same for rx_metadata/antenna_locations
+        get(m("identifiers"), lit(0))("gateway_ids")("eui").as("gateway"),
         // P13: event time → epoch millis (reference stores float seconds;
-        // we keep integral millis — same instant, wider precision)
-        unix_millis(to_timestamp(m("time"))).as("tmst"),
+        // we keep integral millis — same instant, wider precision).
+        // try_to_timestamp: a malformed time is a crash row (perr_buf
+        // below) and the value expression must not ANSI-throw
+        unix_millis(try_to_timestamp(m("time"))).as("tmst"),
         nullCol("chan"), nullCol("rfch"),
-        when(name === "gs.up.receive", d("settings")("frequency").cast("long") / 1e6)
+        when(name === "gs.up.receive",
+          when(freqOkUp, d("settings")("frequency").cast("long") / 1e6))
           .otherwise(d("request")("rx1_frequency") / 1e6).as("freq"),
         nullCol("stat"), nullCol("modu"), nullCol("datr"),
         when(name === "gs.up.receive", d("settings")("coding_rate")).as("codr"),
-        d("rx_metadata")(0)("snr").as("lsnr"),
-        d("rx_metadata")(0)("rssi").as("rssi"),
+        get(d("rx_metadata"), lit(0))("snr").as("lsnr"),
+        get(d("rx_metadata"), lit(0))("rssi").as("rssi"),
         nullCol("size"),
         d("raw_payload").as("data")) ++
         phyCols(phy) ++ Seq(
@@ -413,16 +451,50 @@ object Normalize {
         // one — and v3 has no F1 device-map stage to fill it later, so
         // nulling it here lost the JoinRequest device EUI for good
         phy("dev_eui").as("dev_eui"),
-        d("antenna_locations")(0)("latitude").as("latitude"),
-        d("antenna_locations")(0)("longitude").as("longitude"),
-        d("antenna_locations")(0)("altitude").as("altitude"),
+        get(d("antenna_locations"), lit(0))("latitude").as("latitude"),
+        get(d("antenna_locations"), lit(0))("longitude").as("longitude"),
+        get(d("antenna_locations"), lit(0))("altitude").as("altitude"),
         nullCol("app_name"), nullCol("dev_name"),
-        // location requires a NON-EMPTY antenna_locations: the reference
-        // gates on truthiness (TTNv3Collector.py:229 — an empty list is
-        // falsy and the frame is an ordinary raw message)
-        when(name === "gs.status.receive" &&
-          size(d("antenna_locations")) > 0, "location")
-          .when(name.isin("gs.up.receive", "gs.down.send"), "radio")
+        // Route fidelity (TTNv3Collector.py:205-341):
+        //  - an unparseable SSE record (json.loads failure, missing or
+        //    non-object 'result') raises at :210 BEFORE the message
+        //    append (:242-249): save_parsing_error only — route=perr
+        //    (inert downstream; nothing persisted, nothing buffered);
+        //  - gs.status.receive with no 'data' object raises at :229
+        //    (None.get AttributeError), also pre-append → perr;
+        //  - location requires a NON-EMPTY antenna_locations: the
+        //    reference gates on truthiness (:229 — an empty list is
+        //    falsy and the frame is an ordinary raw message);
+        //  - a parse-kind frame (gs.up.receive / gs.down.send) that
+        //    raises INSIDE the has_to_parse block (:253-331) does so
+        //    AFTER the append (:243-249): save_parsing_error only, and
+        //    the buffered message rides into the NEXT envelope —
+        //    route=perr_buf.
+        //    Crash classes: 'data' missing/non-object (:255 None.get),
+        //    raw_payload missing (setPHYPayload(None) → bytes(None)
+        //    TypeError, LorawanWrapper.py:19), a non-empty 'time' that
+        //    does not parse (:270 dateutil), settings present
+        //    without an int()-able frequency (:277), request present
+        //    without rx1_frequency (:287 int(None)), and a non-empty
+        //    identifiers whose [0]['gateway_ids']['eui'] path is absent
+        //    (:312 KeyError). Residuals (documented): non-dict
+        //    elements inside rx_metadata/identifiers that PERMISSIVE
+        //    parsing nulls the same as absence.
+        when(m.isNull, "perr")
+          .when(name === "gs.status.receive" && d.isNull, "perr")
+          .when(name === "gs.status.receive" &&
+            size(d("antenna_locations")) > 0, "location")
+          .when(name.isin("gs.up.receive", "gs.down.send"),
+            when(d.isNull || d("raw_payload").isNull ||
+              (m("time").isNotNull && length(m("time")) > 0 &&
+                try_to_timestamp(m("time")).isNull) ||
+              (name === "gs.up.receive" && d("settings").isNotNull &&
+                (d("settings")("frequency").isNull || !freqOkUp)) ||
+              (name === "gs.down.send" && d("request").isNotNull &&
+                d("request")("rx1_frequency").isNull) ||
+              (size(m("identifiers")) > 0 &&
+                get(m("identifiers"), lit(0))("gateway_ids")("eui").isNull), "perr_buf")
+              .otherwise("radio"))
           .otherwise("raw").as("route"),
         col("seq"), col("message").as("raw_message"),
         col("gw_name")): _*)

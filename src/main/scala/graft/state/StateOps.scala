@@ -226,9 +226,15 @@ object StateOps {
 
   /** Fields are individually optional: the reference assigns the three
     * keys from `.get()` calls that may each yield None
-    * (TTNv3Collector.py:232-238, TTNCollector.py:205-209). */
+    * (TTNv3Collector.py:232-238, TTNCollector.py:205-209). `pending`
+    * models the reference's packet_writter_message['messages'] buffer
+    * surviving a post-append crash: a parse-kind frame that raises after
+    * the append (route=perr_buf) leaves its message in the buffer, and
+    * the NEXT saved envelope carries it (TTNCollector.py:214-221 append,
+    * :272-274 outer except without reset; same shape in
+    * TTNv3Collector.py:243-249, :338-341). */
   final case class LocState(lat: Option[Double], lon: Option[Double],
-                            alt: Option[Double])
+                            alt: Option[Double], pending: Seq[Msg] = Nil)
 
   /** F4 location take-once step: location rows set the held value; the
     * next radio row consumes and CLEARS it (TTNCollector.py:241-247 —
@@ -243,21 +249,35 @@ object StateOps {
     * behavior. */
   def locationStep(st: Option[LocState], r: Rec): (Option[LocState], Seq[Envelope]) = {
     val msg = Msg(r.topic, r.message, r.collectorId)
+    val pend = st.map(_.pending).getOrElse(Nil)
     r.route match {
+      case "perr" =>
+        // PRE-append crash (TTNv3 json.loads / ['result'] / status-data,
+        // TTNv3Collector.py:210,229 → :338-341): save_parsing_error
+        // only — nothing persisted, nothing buffered, state untouched
+        (st, Nil)
+      case "perr_buf" =>
+        // POST-append crash: the reference appended the message, then the
+        // parse block raised before save(), so the buffer is NOT reset
+        // and the message rides into the NEXT saved envelope. Any pending
+        // location value is preserved (the crash never touches it).
+        (Some(st.getOrElse(LocState(None, None, None))
+          .copy(pending = pend :+ msg)), Nil)
       case "location" =>
         (Some(LocState(r.latitude, r.longitude, r.altitude)),
-          Seq(Envelope(r.arrivalTs, r.collectorId, None, Seq(msg))))
+          Seq(Envelope(r.arrivalTs, r.collectorId, None, pend :+ msg)))
       case "radio" =>
         st match {
           case Some(l) =>
             val enriched = r.copy(latitude = l.lat, longitude = l.lon,
               altitude = l.alt)
-            (None, Seq(Envelope(r.arrivalTs, r.collectorId, Some(enriched), Seq(msg))))
+            (None, Seq(Envelope(r.arrivalTs, r.collectorId, Some(enriched), pend :+ msg)))
           case None =>
-            (None, Seq(Envelope(r.arrivalTs, r.collectorId, Some(r), Seq(msg))))
+            (None, Seq(Envelope(r.arrivalTs, r.collectorId, Some(r), pend :+ msg)))
         }
       case _ =>
-        (st, Seq(Envelope(r.arrivalTs, r.collectorId, None, Seq(msg))))
+        (st.map(_.copy(pending = Nil)),
+          Seq(Envelope(r.arrivalTs, r.collectorId, None, pend :+ msg)))
     }
   }
 

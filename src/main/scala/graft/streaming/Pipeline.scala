@@ -214,7 +214,14 @@ object Pipeline {
       case f if phyFields.contains(f) => phy(f).as(f)
       case other => nul(other).as(other) // lat/lon/alt, app/dev_name
     }
-    val appLoc = ma("rxInfo")(0)("location")
+    // get(…, 0), not (0): ANSI throws on [0] of an EMPTY array, killing
+    // the whole query on one malformed message. The reference instead
+    // raises per-message (rxInfo[0] IndexError on a pair-hit,
+    // LoraServerIOCollector.py:419-421), losing the consumed prev_packet
+    // to save_parsing_error; enriching with nulls here instead is a
+    // documented robustness-over-crash-fidelity divergence (same
+    // adjudication as genericMqtt's datr-crash note in Normalize).
+    val appLoc = get(ma("rxInfo"), lit(0))("location")
     b.select(
       col("seq"),
       col("data_collector_id").as("collectorId"),
@@ -233,7 +240,7 @@ object Pipeline {
       when(route === "app", appLoc("latitude")).cast("double").as("latitude"),
       when(route === "app", appLoc("longitude")).cast("double").as("longitude"),
       when(route === "app", appLoc("altitude")).cast("double").as("altitude"),
-      when(route === "app", ma("rxInfo")(0)("name")).as("gwName"),
+      when(route === "app", get(ma("rxInfo"), lit(0))("name")).as("gwName"),
       when(route === "radio", struct(pktCols: _*))
         .otherwise(lit(null).cast(PacketSchema.packet)).as("packet"),
       col("arrival_ts").cast("long").as("arrivalTs")).as[Rec]
@@ -300,10 +307,10 @@ object Pipeline {
       appM("devEUI").as("devEui"),
       appM("applicationName").as("appName"),
       appM("deviceName").as("devName"),
-      appM("rxInfo")(0)("location")("latitude").as("latitude"),
-      appM("rxInfo")(0)("location")("longitude").as("longitude"),
-      appM("rxInfo")(0)("location")("altitude").as("altitude"),
-      appM("rxInfo")(0)("name").as("gwName"),
+      get(appM("rxInfo"), lit(0))("location")("latitude").as("latitude"),
+      get(appM("rxInfo"), lit(0))("location")("longitude").as("longitude"),
+      get(appM("rxInfo"), lit(0))("location")("altitude").as("altitude"),
+      get(appM("rxInfo"), lit(0))("name").as("gwName"),
       lit(null).cast(PacketSchema.packet).as("packet"),
       col("arrival_ts").cast("long").as("arrivalTs"))
 

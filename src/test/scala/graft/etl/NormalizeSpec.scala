@@ -214,17 +214,25 @@ class NormalizeSpec extends SparkSuite {
     val status = rec("gs.status.receive",
       """{"antenna_locations":[{"latitude":52.1,"longitude":4.4,"altitude":7.0}]}""")
     val start = rec("events.stream.start", "{}")
-    // malformed SSE line: name is NULL — the reference routes it to
-    // save_parsing_error (TTNv3Collector.py:338-341), so it must SURVIVE
-    // the stream-start filter and land on route=raw, not vanish
+    // malformed SSE line: json.loads raises at TTNv3Collector.py:210
+    // BEFORE the message append — the reference records ONLY a parsing
+    // error (:338-341), persisting nothing. The row must SURVIVE the
+    // stream-start filter (name is NULL) and land on route=perr (kept as
+    // a Rec for accounting, inert in locationStep: no envelope, nothing
+    // buffered) — neither a raw message-envelope nor a vanished row.
     val garbled = "this is not json"
+    // name-less but VALID record: processed normally (append + save, a
+    // message-only envelope) → route=raw
+    val nameless = """{"result":{"data":{}}}"""
     val out = Normalize.ttnV3(rawDf(Seq(
       (null, up), (null, down), (null, status), (null, start),
-      (null, garbled))))
+      (null, garbled), (null, nameless))))
       .collect()
-    assert(out.length == 4) // stream.start dropped; the garbled row kept
+    assert(out.length == 5) // stream.start dropped; garbled+nameless kept
+    val perrRow = out.find(_.getAs[String]("route") == "perr").get
+    assert(perrRow.getAs[String]("raw_message") == garbled)
     val rawRow = out.find(_.getAs[String]("route") == "raw").get
-    assert(rawRow.getAs[String]("raw_message") == garbled)
+    assert(rawRow.getAs[String]("raw_message") == nameless)
     val upRow = out.find(_.getAs[String]("codr") == "4/5").get
     assert(upRow.getAs[Double]("freq") == 868.5)
     assert(upRow.getAs[Long]("tmst") == 1717237230000L)
@@ -239,6 +247,90 @@ class NormalizeSpec extends SparkSuite {
     assert(downRow.getAs[String]("dev_eui") == "b827eb891cf50003")
     val statusRow = out.find(_.getAs[String]("route") == "location").get
     assert(statusRow.getAs[Double]("latitude") == 52.1)
+  }
+
+  test("TTN v2 struct-crash frames: perr_buf routing + ride-into-next-envelope") {
+    implicit val s = spark
+    def frame(payloadJson: String) =
+      "a[\"gateway uplink " + payloadJson.replace("\"", "\\\"") + "\"]"
+    val goodJson =
+      s"""{"payload":"$upB64","timestamp":"2024-06-01T10:20:30Z","snr":1.0}"""
+    val noTs = frame(s"""{"payload":"$upB64","snr":1.0}""")
+    val badTs = frame(s"""{"payload":"$upB64","timestamp":"not a date"}""")
+    val noPayload = frame("""{"timestamp":"2024-06-01T10:20:30Z"}""")
+    val notDict = frame("""[1,2]""")
+    val out = Normalize.ttnV2(rawDf(Seq(
+      (null, noTs), (null, badTs), (null, noPayload), (null, notDict))))
+      .collect()
+    // all four raise inside the reference's outer try AFTER the message
+    // append (parse(None)/ParserError at TTNCollector.py:233,
+    // setPHYPayload(None) → bytes(None), .get on a list) — parsing error
+    // only, the buffered message rides into the next envelope
+    assert(out.forall(_.getAs[String]("route") == "perr_buf"),
+      out.map(r => r.getAs[String]("route")).mkString(","))
+    // a status frame whose payload has no location OBJECT crashes INSIDE
+    // the inner try (:206-211) before any assignment: ws.location is
+    // untouched and the frame falls through to append+save → raw, NOT a
+    // location row that would null out pending coordinates
+    val badStatus = "a[\"gateway status " +
+      """{"status":"location text but no object"}""".replace("\"", "\\\"") + "\"]"
+    val st = Normalize.ttnV2(rawDf(Seq((null, badStatus)))).collect().head
+    assert(st.getAs[String]("route") == "raw")
+
+    // e2e: [location, crash, good-radio] → the crash preserves the held
+    // location AND its message rides: ONE radio envelope with BOTH
+    // messages, enriched with the location set before the crash
+    val statusFrame = "a[\"gateway status " +
+      """{"status":{"location":{"latitude":-34.6,"longitude":-58.4,"altitude":25.0}}}"""
+        .replace("\"", "\\\"") + "\"]"
+    val good = frame(goodJson)
+    val envs = graft.streaming.Pipeline.ttnEnvelopes(
+      graft.streaming.Pipeline.toTtnRecs(
+        rawDf(Seq((null, statusFrame), (null, noTs), (null, good))), v3 = false))
+      .collect().sortBy(_.ts)
+    assert(envs.length == 2) // status envelope + ONE radio envelope
+    val radioEnv = envs.find(_.packet.nonEmpty).get
+    assert(radioEnv.messages.map(_.message) == Seq(noTs, good))
+    assert(radioEnv.packet.get.latitude.contains(-34.6)) // location survived the crash
+  }
+
+  test("TTN v3 struct-crash classes: perr_buf / perr split at the append point") {
+    def rec(name: String, data: String, time: String = "2024-06-01T10:20:30Z",
+            ids: String = """[{"gateway_ids":{"gateway_id":"g1","eui":"AA"}}]""") =
+      s"""{"result":{"name":"$name","time":"$time","identifiers":$ids,"data":$data}}"""
+    val buf = Seq(
+      // settings present without an int()-able frequency (:277)
+      rec("gs.up.receive", s"""{"raw_payload":"$upB64","settings":{"coding_rate":"4/5"}}"""),
+      rec("gs.up.receive", s"""{"raw_payload":"$upB64","settings":{"frequency":"868.5e6"}}"""),
+      // request present without rx1_frequency (:287 int(None))
+      rec("gs.down.send", s"""{"raw_payload":"$jrB64","request":{"rx2_frequency":1}}"""),
+      // raw_payload missing → setPHYPayload(None) → bytes(None)
+      rec("gs.up.receive", """{"settings":{"frequency":"868500000"}}"""),
+      // non-empty identifiers without the [0].gateway_ids.eui path (:312)
+      rec("gs.up.receive", s"""{"raw_payload":"$upB64"}""",
+        ids = """[{"gateway_ids":{"gateway_id":"g1"}}]"""),
+      // unparseable non-empty time (:270)
+      rec("gs.up.receive", s"""{"raw_payload":"$upB64"}""", time = "nope"))
+    val bufOut = Normalize.ttnV3(rawDf(buf.map((null: String, _)))).collect()
+    assert(bufOut.forall(_.getAs[String]("route") == "perr_buf"),
+      bufOut.map(_.getAs[String]("route")).mkString(","))
+    // pre-append crashes → perr: status without a data object (:229)
+    val perr = Seq(
+      """{"result":{"name":"gs.status.receive"}}""",
+      """{"result":{"name":"gs.status.receive","data":5}}""",
+      """{"result":5}""",
+      """{"no_result":1}""")
+    val perrOut = Normalize.ttnV3(rawDf(perr.map((null: String, _)))).collect()
+    assert(perrOut.forall(_.getAs[String]("route") == "perr"),
+      perrOut.map(_.getAs[String]("route")).mkString(","))
+    // non-crashing near-misses stay radio: empty identifiers ([] is
+    // falsy, :310), missing time (tmst None, :268), absent settings
+    val ok = Seq(
+      rec("gs.up.receive", s"""{"raw_payload":"$upB64"}""", ids = "[]"),
+      s"""{"result":{"name":"gs.up.receive","data":{"raw_payload":"$upB64"}}}""")
+    val okOut = Normalize.ttnV3(rawDf(ok.map((null: String, _)))).collect()
+    assert(okOut.forall(_.getAs[String]("route") == "radio"),
+      okOut.map(_.getAs[String]("route")).mkString(","))
   }
 
   test("all four dialect outputs union into one packet stream (SURVEY §2.9)") {

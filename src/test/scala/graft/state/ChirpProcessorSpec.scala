@@ -94,12 +94,19 @@ class ChirpProcessorSpec extends SparkSuite {
       val rnd = new scala.util.Random(11)
       val recs: Seq[Rec] = (1 to 80).map { i =>
         val cid = (i % 2).toLong
-        rnd.nextInt(4) match {
+        rnd.nextInt(6) match {
           case 0 => Rec(i, cid, "location", None, s"loc$i", None, None, None,
             None, None, Some(i * 1.0), Some(2.0), Some(3.0), None, None, 1000 + i)
           case 1 | 2 => Rec(i, cid, "radio", None, s"up$i", Some("aa"), Some(1L),
             None, None, None, None, None, None, None, None, 1000 + i)
-          case _ => Rec(i, cid, "raw", None, s"raw$i", None, None, None,
+          case 3 => Rec(i, cid, "raw", None, s"raw$i", None, None, None,
+            None, None, None, None, None, None, None, 1000 + i)
+          // struct-crash routes: perr inert, perr_buf buffers the message
+          // into the next envelope — the pending buffer must survive the
+          // RocksDB round-trip identically on both hosts
+          case 4 => Rec(i, cid, "perr_buf", None, s"crash$i", None, None, None,
+            None, None, None, None, None, None, None, 1000 + i)
+          case _ => Rec(i, cid, "perr", None, s"bad$i", None, None, None,
             None, None, None, None, None, None, None, 1000 + i)
         }
       }

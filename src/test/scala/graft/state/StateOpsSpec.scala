@@ -126,6 +126,37 @@ class StateOpsSpec extends SparkSuite {
     assert(o4.head.packet.get.latitude.isEmpty)
   }
 
+  test("F4 perr is inert; perr_buf rides into the next envelope of any kind") {
+    // post-append crash: the buffered messages accumulate and the NEXT
+    // saved envelope (radio/location/raw alike) carries them; a pending
+    // location value survives the crash untouched
+    val l = rec(1, "location", lat = 9.0, msg = "loc")
+    val c1 = rec(2, "perr_buf", msg = "crash1")
+    val c2 = rec(3, "perr_buf", msg = "crash2")
+    val p = rec(4, "perr", msg = "bad")
+    val r = rec(5, "radio", msg = "up")
+    val (st1, o1) = locationStep(None, l)
+    assert(o1.head.messages.map(_.message) == Seq(l.message))
+    val (st2, o2) = locationStep(st1, c1)
+    val (st3, o3) = locationStep(st2, c2)
+    assert(o2.isEmpty && o3.isEmpty)
+    val (st4, o4) = locationStep(st3, p)
+    assert(o4.isEmpty)
+    assert(st4 == st3) // pre-append crash: state fully untouched
+    val (st5, o5) = locationStep(st4, r)
+    assert(o5.head.messages.map(_.message) ==
+      Seq(c1.message, c2.message, r.message)) // ride-along, in order
+    assert(o5.head.packet.get.latitude.contains(9.0)) // location survived
+    assert(st5.isEmpty)
+    // a raw row also flushes the buffer but PRESERVES a pending location
+    val (st6, _) = locationStep(None, l)
+    val (st7, _) = locationStep(st6, c1)
+    val raw6 = rec(6, "raw", msg = "other")
+    val (st8, o8) = locationStep(st7, raw6)
+    assert(o8.head.messages.map(_.message) == Seq(c1.message, raw6.message))
+    assert(st8.map(s => (s.lat, s.pending)) == Some((Some(9.0), Nil)))
+  }
+
   test("F5 verification gate: threshold flip at total≥5 ∧ ratio>0.8") {
     var st = VerifState.empty
     val results = (1 to 6).map { i =>

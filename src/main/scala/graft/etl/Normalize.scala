@@ -232,11 +232,11 @@ object Normalize {
     * yields "{}" exactly as parse_datr's empty dict does — regexp_extract
     * would stringify its no-match '' captures into
     * {"spread_factor":"","bandwidth":""}, a value the reference never
-    * writes. datr NULL stays null here: the reference actually CRASHES on
-    * it (re.search(pat, None) raises TypeError → the message lands in
-    * save_parsing_error and rides into the next envelope) — keeping the
-    * packet with a null datr is a deliberate, documented divergence
-    * (robustness over crash-fidelity). */
+    * writes. datr NULL stays null in the VALUE (the reference CRASHES on
+    * it — re.search(pat, None) TypeError — so such rows route to
+    * perr_buf in [[genericMqtt]] and the value is never read; earlier
+    * rounds kept the packet as a documented divergence, now modeled
+    * faithfully). */
   def datrParse(datr: Column): Column =
     when(datr.rlike("SF(.*)BW(.*)"), to_json(struct(
       regexp_extract(datr, "SF(.*)BW(.*)", 1).as("spread_factor"),
@@ -251,24 +251,29 @@ object Normalize {
   }
 
   /** Generic packet-forwarder MQTT normalization (P2, P4-P7, P15;
-    * GenericMqttCollector.py:119-176).
+    * GenericMqttCollector.py:105-177).
     *
-    * F0b missing-data filter nuances, against the reference:
-    *  - EMPTY payload (len == 0) is NOT filtered there — the JSON block
-    *    is skipped and a metadata-only packet (topic/date/dev_eui/ids,
-    *    all radio fields absent) is saved WITH the message (:119,153-166),
-    *    so empty-payload rows pass through here as metadata-only rows;
-    *  - JSON without a 'data' key early-returns WITHOUT saving (:122-125)
-    *    and without resetting the buffer, so the logged message rides
-    *    into the NEXT envelope. This projection drops the row (the F0b
-    *    adjudication, SURVEY §2.4) — the buffered-message nuance is an
-    *    envelope-assembler concern this per-row path cannot express,
-    *    documented here so a future assembler knows to prepend it. */
+    * Every message is appended to the buffer FIRST (:111-117), so every
+    * failure here is post-append: the buffer is not reset and the
+    * message rides into the NEXT saved envelope — route=perr_buf
+    * (StateOps.locationStep hosts the buffering; see
+    * Pipeline.genericEnvelopes). Classes, against the reference:
+    *  - EMPTY payload (len == 0) is NOT a failure — the JSON block is
+    *    skipped and a metadata-only packet (topic/date/dev_eui/ids, all
+    *    radio fields absent) is saved WITH the message (:119,155-170) —
+    *    route=radio;
+    *  - JSON that fails json.loads / a non-dict root → crash at :120 or
+    *    `'data' not in` (:122) → perr_buf;
+    *  - JSON without a 'data' key (or data: null) early-returns (:122-125)
+    *    or crashes at the pad concat — no packet either way → perr_buf;
+    *  - datr missing/null → parse_datr(None) re.search TypeError (:140)
+    *    → perr_buf (a PRESENT non-matching datr is fine: "{}", P5).
+    * Residual (documented): a non-string `data` value, which Python
+    * crashes on (`+=` TypeError) but PERMISSIVE coercion stringifies. */
   def genericMqtt(df: DataFrame): DataFrame = {
     val m = from_json(col("message"), PacketSchema.genericMqtt)
     val phy = PhyFunctions.phy_decode_b64(m("data")) // P2 pad inside UDF
-    df.filter(length(col("message")) === 0 || m("data").isNotNull)
-      .select(Seq(
+    df.select(Seq(
         col("arrival_ts").as("date"),
         col("topic"),
         col("data_collector_id"), col("organization_id"),
@@ -301,7 +306,9 @@ object Normalize {
         // (Service.py has no such columns) — extra columns here, not part
         // of the shared packet struct
         m("seqn").as("seqn"), m("opts").as("opts"), m("port").as("port"),
-        lit("radio").as("route"),
+        when(length(col("message")) === 0, "radio")
+          .when(m("data").isNull || m("datr").isNull, "perr_buf")
+          .otherwise("radio").as("route"),
         col("seq"), col("message").as("raw_message")): _*)
   }
 

@@ -353,6 +353,22 @@ object Pipeline {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  /** Generic-MQTT: normalize → Dataset[Rec] (routes radio|perr_buf). */
+  def toGenericRecs(df: DataFrame)(implicit s: SparkSession): Dataset[Rec] = {
+    import s.implicits._
+    radioRecs(Normalize.genericMqtt(df), lit(null).cast("string")).as[Rec]
+  }
+
+  /** Batch/streaming: generic-MQTT per-message envelopes. The reference's
+    * generic collector keeps no enrichment state — only the message
+    * buffer that a post-append failure leaves un-reset
+    * (GenericMqttCollector.py:111-117 append; :122-125 early return and
+    * :175-177 except, neither resets) — so the F4 host serves unchanged:
+    * no location rows arise on this source, radio rows save per-message,
+    * and perr_buf rows ride into the next saved envelope. */
+  def genericEnvelopes(recs: Dataset[Rec])(implicit s: SparkSession): Dataset[Envelope] =
+    ttnEnvelopes(recs)
+
   /** Batch/streaming: TTN location take-once (F4). */
   def ttnEnvelopes(recs: Dataset[Rec])(implicit s: SparkSession): Dataset[Envelope] = {
     import s.implicits._

@@ -120,30 +120,60 @@ class NormalizeSpec extends SparkSuite {
     assert(out.getAs[Long]("seqn") == 42L)
     assert(out.getAs[String]("opts") == "00aa")
     assert(out.getAs[Int]("port") == 12)
-    // F0b: no 'data' key → dropped
-    assert(Normalize.genericMqtt(rawDf(Seq(("t", """{"chan":1}""")))).count() == 0)
+    // F0b: no 'data' key → the reference early-returns AFTER the message
+    // append (:122-125): no packet, the message rides into the next
+    // envelope → route=perr_buf (same for invalid JSON and missing datr)
+    val noData = Normalize.genericMqtt(rawDf(Seq(("t", """{"chan":1}"""))))
+      .collect()
+    assert(noData.length == 1 && noData.head.getAs[String]("route") == "perr_buf")
+    assert(Normalize.genericMqtt(rawDf(Seq(("t", "not json"))))
+      .collect().head.getAs[String]("route") == "perr_buf")
+    // datr missing → parse_datr(None) re.search TypeError (:140): crash,
+    // no packet — NOT a packet with null datr
+    assert(Normalize.genericMqtt(rawDf(Seq(("lora/ab/up", s"""{"data":"$unpadded"}"""))))
+      .collect().head.getAs[String]("route") == "perr_buf")
     // ... but an EMPTY payload is NOT F0b: the reference skips the JSON
     // block and saves a metadata-only packet (GenericMqttCollector.py:119)
     val empty = Normalize.genericMqtt(
       rawDf(Seq(("lora/ab-cd/up", "")))).collect()
     assert(empty.length == 1)
+    assert(empty.head.getAs[String]("route") == "radio")
     assert(empty.head.getAs[String]("dev_eui") == "abcd")
     assert(empty.head.getAs[String]("m_type") == null)
     assert(empty.head.getAs[String]("data") == null)
     // P6 is UNCONDITIONAL: a non-matching topic stores null, never the
     // phy-parsed join dev_eui (GenericMqttCollector.py:160 overwrites)
     val offTopic = Normalize.genericMqtt(
-      rawDf(Seq(("devices/x/up", s"""{"data":"$unpadded"}""")))).collect().head
+      rawDf(Seq(("devices/x/up",
+        s"""{"data":"$unpadded","datr":"SF7BW125"}""")))).collect().head
+    assert(offTopic.getAs[String]("route") == "radio")
     assert(offTopic.getAs[String]("m_type") == "JoinRequest")
     assert(offTopic.getAs[String]("dev_eui") == null)
     // P5: a non-SF..BW.. datr stringifies parse_datr's empty dict
     val fsk = Normalize.genericMqtt(
       rawDf(Seq(("lora/ab/up", s"""{"data":"$unpadded","datr":"50000"}""")))).collect().head
     assert(fsk.getAs[String]("datr") == "{}")
+    assert(fsk.getAs[String]("route") == "radio") // a PRESENT datr never crashes
     // P7: '/joined' topic forces JoinAccept
     val joined = Normalize.genericMqtt(
-      rawDf(Seq(("lora/ab/joined", s"""{"data":"$unpadded"}""")))).collect().head
+      rawDf(Seq(("lora/ab/joined",
+        s"""{"data":"$unpadded","datr":"SF7BW125"}""")))).collect().head
     assert(joined.getAs[String]("m_type") == "JoinAccept")
+  }
+
+  test("generic MQTT crash classes ride into the next envelope (perr_buf)") {
+    implicit val s = spark
+    val unpadded = jrB64.stripSuffix("=").stripSuffix("=")
+    val good = s"""{"data":"$unpadded","datr":"SF7BW125"}"""
+    val noDatr = s"""{"data":"$unpadded"}"""
+    val envs = graft.streaming.Pipeline.genericEnvelopes(
+      graft.streaming.Pipeline.toGenericRecs(rawDf(Seq(
+        ("lora/ab/up", noDatr), ("lora/ab/up", "garbage"),
+        ("lora/ab/up", good)))))
+      .collect()
+    assert(envs.length == 1) // the two crash messages saved no envelope
+    assert(envs.head.messages.map(_.message) == Seq(noDatr, "garbage", good))
+    assert(envs.head.packet.nonEmpty)
   }
 
   test("TTN v2 uplink + status frames (P11, P12, F0a, F0g)") {
@@ -337,7 +367,8 @@ class NormalizeSpec extends SparkSuite {
     val unpadded = jrB64
     val gw = rawDf(Seq(("gateway/g/rx",
       s"""{"phyPayload":"$upB64","rxInfo":{"channel":1,"rfChain":0,"crcStatus":1,"codeRate":"4/5","rssi":-57,"loRaSNR":9.5,"size":28,"timestamp":1,"frequency":868300000,"mac":"aa","dataRate":{"modulation":"LORA","spreadFactor":7,"bandwidth":125}}}""")))
-    val generic = rawDf(Seq(("lora/ab/up", s"""{"data":"$unpadded"}""")))
+    val generic = rawDf(Seq(("lora/ab/up",
+      s"""{"data":"$unpadded","datr":"SF7BW125"}""")))
     val v2frame = "a[\"gateway uplink " +
       s"""{"payload":"$upB64","timestamp":"2024-06-01T10:20:30Z"}""".replace("\"", "\\\"") + "\"]"
     val v3rec =

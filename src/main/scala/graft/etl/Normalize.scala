@@ -266,13 +266,22 @@ object Normalize {
     *    `'data' not in` (:122) → perr_buf;
     *  - JSON without a 'data' key (or data: null) early-returns (:122-125)
     *    or crashes at the pad concat — no packet either way → perr_buf;
-    *  - datr missing/null → parse_datr(None) re.search TypeError (:140)
-    *    → perr_buf (a PRESENT non-matching datr is fine: "{}", P5).
+    *  - a datr that is not a JSON STRING (missing, null, number — e.g.
+    *    packet-forwarder FSK uplinks —, object) → re.search TypeError in
+    *    parse_datr (:140) → perr_buf (a present non-matching STRING datr
+    *    is fine: "{}", P5).
     * Residual (documented): a non-string `data` value, which Python
     * crashes on (`+=` TypeError) but PERMISSIVE coercion stringifies. */
   def genericMqtt(df: DataFrame): DataFrame = {
     val m = from_json(col("message"), PacketSchema.genericMqtt)
     val phy = PhyFunctions.phy_decode_b64(m("data")) // P2 pad inside UDF
+    // parse_datr runs re.search on the RAW value: only a STRING datr
+    // survives — missing/null/number/object all raise TypeError (:140);
+    // Semtech packet-forwarder FSK uplinks carry a NUMERIC datr (50000),
+    // which the parsed StringType slot cannot tell from "50000", so the
+    // raw-text quote probe decides. Residual: a '"datr":"' sequence
+    // inside another string value (impossible for base64 payloads).
+    val datrIsString = col("message").rlike("\"datr\"\\s*:\\s*\"")
     df.select(Seq(
         col("arrival_ts").as("date"),
         col("topic"),
@@ -307,7 +316,7 @@ object Normalize {
         // of the shared packet struct
         m("seqn").as("seqn"), m("opts").as("opts"), m("port").as("port"),
         when(length(col("message")) === 0, "radio")
-          .when(m("data").isNull || m("datr").isNull, "perr_buf")
+          .when(m("data").isNull || !datrIsString, "perr_buf")
           .otherwise("radio").as("route"),
         col("seq"), col("message").as("raw_message")): _*)
   }
@@ -418,10 +427,24 @@ object Normalize {
     val d = m("data")
     val phy = PhyFunctions.phy_decode_b64(d("raw_payload"))
     val name = m("name")
-    // int(settings.get('frequency'))-faithful: Python int() accepts only
-    // an integral string — "868500000.0" or "abc" raise (→ crash row),
-    // and the guarded cast keeps the value expression ANSI-safe
-    val freqOkUp = d("settings")("frequency").rlike("^[+-]?[0-9]+$")
+    // int()-faithful numeric probes for settings.frequency and
+    // request.rx1_frequency (both uint64 → JSON STRING in proto-JSON,
+    // but a raw number token also parses — StringType keeps its text).
+    // Python semantics: int(str) accepts only an integral string
+    // ("868500000.0"/"abc" raise → crash row), while int(number) never
+    // raises (floats truncate toward zero). The parsed slot cannot tell
+    // "50000" from 50000, so a raw-text quote probe splits the cases;
+    // residual: a '"<key>":"' sequence inside an unrelated string value.
+    // The double→long cast keeps the value ANSI-safe for both token
+    // kinds and truncates toward zero exactly like int().
+    def quotedTok(key: String) =
+      col("message").rlike("\"" + key + "\"\\s*:\\s*\"")
+    def intOk(slot: Column, key: String) =
+      slot.isNotNull && (!quotedTok(key) || slot.rlike("^[+-]?[0-9]+$"))
+    def intVal(slot: Column, key: String) =
+      when(intOk(slot, key), slot.cast("double").cast("long"))
+    val freqUp = d("settings")("frequency")
+    val rx1 = d("request")("rx1_frequency")
     // F0d — null-safe: a malformed/name-less record has name = NULL, and
     // a bare =!= would evaluate NULL and silently DROP it; the reference
     // routes parse failures to save_parsing_error (TTNv3Collector.py:
@@ -443,9 +466,8 @@ object Normalize {
         // below) and the value expression must not ANSI-throw
         unix_millis(try_to_timestamp(m("time"))).as("tmst"),
         nullCol("chan"), nullCol("rfch"),
-        when(name === "gs.up.receive",
-          when(freqOkUp, d("settings")("frequency").cast("long") / 1e6))
-          .otherwise(d("request")("rx1_frequency") / 1e6).as("freq"),
+        when(name === "gs.up.receive", intVal(freqUp, "frequency") / 1e6)
+          .otherwise(intVal(rx1, "rx1_frequency") / 1e6).as("freq"),
         nullCol("stat"), nullCol("modu"), nullCol("datr"),
         when(name === "gs.up.receive", d("settings")("coding_rate")).as("codr"),
         get(d("rx_metadata"), lit(0))("snr").as("lsnr"),
@@ -496,9 +518,9 @@ object Normalize {
               (m("time").isNotNull && length(m("time")) > 0 &&
                 try_to_timestamp(m("time")).isNull) ||
               (name === "gs.up.receive" && d("settings").isNotNull &&
-                (d("settings")("frequency").isNull || !freqOkUp)) ||
+                !intOk(freqUp, "frequency")) ||
               (name === "gs.down.send" && d("request").isNotNull &&
-                d("request")("rx1_frequency").isNull) ||
+                !intOk(rx1, "rx1_frequency")) ||
               (size(m("identifiers")) > 0 &&
                 get(m("identifiers"), lit(0))("gateway_ids")("eui").isNull), "perr_buf")
               .otherwise("radio"))

@@ -172,8 +172,12 @@ object PacketSchema {
         StructField("settings", StructType(Seq(
           StructField("frequency", StringType),
           StructField("coding_rate", StringType)))),
+        // proto-JSON renders uint64 as a STRING (like settings.frequency
+        // above); StringType also keeps a raw number token's text, so
+        // both encodings parse — the int()-faithful probe in
+        // Normalize.ttnV3 decides validity
         StructField("request", StructType(Seq(
-          StructField("rx1_frequency", LongType)))),
+          StructField("rx1_frequency", StringType)))),
         StructField("antenna_locations", ArrayType(StructType(Seq(
           StructField("latitude", DoubleType),
           StructField("longitude", DoubleType),

@@ -73,7 +73,7 @@ object StateOps {
   final case class Rec(
       seq: Long,
       collectorId: Long,
-      route: String,         // radio | app | join | location | raw
+      route: String, // radio | app | join | location | raw | drop | perr | perr_buf
       topic: Option[String],
       message: String,       // the raw message for the envelope log
       // radio-route fields the ops read/write
@@ -232,7 +232,15 @@ object StateOps {
     * the append (route=perr_buf) leaves its message in the buffer, and
     * the NEXT saved envelope carries it (TTNCollector.py:214-221 append,
     * :272-274 outer except without reset; same shape in
-    * TTNv3Collector.py:243-249, :338-341). */
+    * TTNv3Collector.py:243-249, :338-341).
+    *
+    * STATE SCHEMA BOUNDARY (v2): adding `pending` changed the persisted
+    * state encoding for both F4 hosts (GroupState[LocState] /
+    * ValueState[LocState]). A streaming checkpoint written by the
+    * 3-field v1 state fails the state-store schema check on restart —
+    * discard the checkpoint (or drain the old query before upgrading);
+    * held-location and buffered-message state start empty. Same
+    * operator contract as Events.idempotencyKey's KEY VERSION BOUNDARY. */
   final case class LocState(lat: Option[Double], lon: Option[Double],
                             alt: Option[Double], pending: Seq[Msg] = Nil)
 

@@ -321,7 +321,8 @@ object Pipeline {
       .unionByName(raws).as[Rec]
   }
 
-  /** TTN v2/v3: normalize → Dataset[Rec] (routes radio|location|raw). */
+  /** TTN v2/v3: normalize → Dataset[Rec]
+    * (routes radio|location|raw|perr|perr_buf). */
   def toTtnRecs(df: DataFrame, v3: Boolean)(implicit s: SparkSession): Dataset[Rec] = {
     import s.implicits._
     val norm = if (v3) Normalize.ttnV3(df) else Normalize.ttnV2(df)

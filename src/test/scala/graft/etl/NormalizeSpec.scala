@@ -132,6 +132,11 @@ class NormalizeSpec extends SparkSuite {
     // no packet — NOT a packet with null datr
     assert(Normalize.genericMqtt(rawDf(Seq(("lora/ab/up", s"""{"data":"$unpadded"}"""))))
       .collect().head.getAs[String]("route") == "perr_buf")
+    // NUMERIC datr (packet-forwarder FSK uplink): re.search(pat, 50000)
+    // raises too — only a STRING datr survives
+    assert(Normalize.genericMqtt(rawDf(Seq(("lora/ab/up",
+        s"""{"data":"$unpadded","datr":50000}"""))))
+      .collect().head.getAs[String]("route") == "perr_buf")
     // ... but an EMPTY payload is NOT F0b: the reference skips the JSON
     // block and saves a metadata-only packet (GenericMqttCollector.py:119)
     val empty = Normalize.genericMqtt(
@@ -353,6 +358,25 @@ class NormalizeSpec extends SparkSuite {
     val perrOut = Normalize.ttnV3(rawDf(perr.map((null: String, _)))).collect()
     assert(perrOut.forall(_.getAs[String]("route") == "perr"),
       perrOut.map(_.getAs[String]("route")).mkString(","))
+    // int()-faithful token typing: int(str) demands an integral string,
+    // int(number) never raises (floats truncate) — so a STRING
+    // "868500000.0" crashes (:277) while a NUMBER 868500000.0 is a valid
+    // packet, and rx1_frequency accepts BOTH its proto-JSON string form
+    // and a raw number token
+    val floatStr = rec("gs.up.receive",
+      s"""{"raw_payload":"$upB64","settings":{"frequency":"868500000.0"}}""")
+    assert(Normalize.ttnV3(rawDf(Seq((null, floatStr)))).collect()
+      .head.getAs[String]("route") == "perr_buf")
+    val floatNum = rec("gs.up.receive",
+      s"""{"raw_payload":"$upB64","settings":{"frequency":868500000.0}}""")
+    val floatRow = Normalize.ttnV3(rawDf(Seq((null, floatNum)))).collect().head
+    assert(floatRow.getAs[String]("route") == "radio")
+    assert(floatRow.getAs[Double]("freq") == 868.5) // int() truncation
+    val rx1Str = rec("gs.down.send",
+      s"""{"raw_payload":"$jrB64","request":{"rx1_frequency":"869525000"}}""")
+    val rx1Row = Normalize.ttnV3(rawDf(Seq((null, rx1Str)))).collect().head
+    assert(rx1Row.getAs[String]("route") == "radio")
+    assert(rx1Row.getAs[Double]("freq") == 869.525)
     // non-crashing near-misses stay radio: empty identifiers ([] is
     // falsy, :310), missing time (tmst None, :268), absent settings
     val ok = Seq(

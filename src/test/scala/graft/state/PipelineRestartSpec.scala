@@ -106,4 +106,72 @@ class PipelineRestartSpec extends SparkSuite {
       }
     }
   }
+
+  test("F4 location host restart: held location AND pending crash buffer survive") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def r(seq: Long, route: String, msg: String, lat: Option[Double] = None): Rec =
+        Rec(seq, 1L, route, None, msg, None, None, None, None, None,
+          lat, lat.map(_ + 1), lat.map(_ + 2), None, None, 1000 + seq)
+      // batch 1 ends with BOTH state kinds pending: a held location and
+      // two buffered crash messages; the restart must recover them so
+      // the first radio row after recovery emits one envelope carrying
+      // [crash1, crash2, up1] enriched with the held location
+      val b1 = Seq(
+        r(1, "radio", "up0"),
+        r(2, "location", "loc1", lat = Some(9.0)),
+        r(3, "perr_buf", "crash1"),
+        r(4, "perr", "bad1"), // inert: must not disturb recovered state
+        r(5, "perr_buf", "crash2"))
+      val b2 = Seq(r(6, "radio", "up1"), r(7, "raw", "other1"))
+      val b3 = Seq(r(8, "perr_buf", "crash3"), r(9, "radio", "up2"))
+
+      val contStream = MemoryStream[Rec]
+      val contQ = Pipeline.ttnEnvelopesTws(contStream.toDS())
+        .writeStream.format("memory").queryName("loc_cont")
+        .outputMode(OutputMode.Append).start()
+      val expected = try {
+        contStream.addData(b1: _*); contQ.processAllAvailable()
+        contStream.addData(b2: _*); contQ.processAllAvailable()
+        contStream.addData(b3: _*); contQ.processAllAvailable()
+        spark.table("loc_cont").as[Envelope].collect().toSeq.sortBy(_.toString)
+      } finally contQ.stop()
+
+      val ckpt = java.nio.file.Files.createTempDirectory("loc_ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("loc_sink").toString
+      val stream = MemoryStream[Rec]
+      def start() = Pipeline.ttnEnvelopesTws(stream.toDS())
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      val q1 = start()
+      try {
+        stream.addData(b1: _*); q1.processAllAvailable()
+      } finally q1.stop()
+      stream.addData(b2: _*) // arrives while down
+      val q2 = start()
+      val actual = try {
+        stream.addData(b3: _*); q2.processAllAvailable()
+        spark.read.parquet(outDir).as[Envelope].collect().toSeq.sortBy(_.toString)
+      } finally q2.stop()
+
+      assert(actual == expected)
+      // and the recovered semantics are the intended ones, not just
+      // self-consistent: the post-restart radio envelope carries the
+      // pre-restart crash buffer and the held location
+      val up1Env = actual.find(_.messages.exists(_.message == "up1")).get
+      assert(up1Env.messages.map(_.message) == Seq("crash1", "crash2", "up1"))
+      assert(up1Env.packet.get.latitude.contains(9.0))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

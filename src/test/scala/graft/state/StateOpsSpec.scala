@@ -209,7 +209,7 @@ class StateOpsSpec extends SparkSuite {
     val rnd = new scala.util.Random(42)
     val rows = (1 to 400).map { i =>
       val cid = (i % 3).toLong
-      rnd.nextInt(10) match {
+      rnd.nextInt(12) match {
         case 0 | 1 | 2 | 3 => // radio (some devAddrs never joined → buffering)
           val da = das(rnd.nextInt(das.length)); val f = rnd.nextInt(3)
           ("gateway/gw1/rx",
@@ -224,8 +224,12 @@ class StateOpsSpec extends SparkSuite {
           val da = das(rnd.nextInt(das.length))
           (s"application/1/device/j$i/join",
             s"""{"devAddr":"$da","devEUI":"joined$i"}""", cid, i.toLong)
-        case _ => // raw
+        case 8 => // raw
           ("some/other/topic", s"""not-json-$i""", cid, i.toLong)
+        case 9 => // struct-crash radio → perr: inert in BOTH kernels
+          ("gateway/gw1/rx", s"""{"rxInfo":{"rssi":-$i}}""", cid, i.toLong)
+        case _ => // undecodable radio → raw re-route (flush + message row)
+          ("gateway/gw1/tx", s"""!!frame$i!!""", cid, i.toLong)
       }
     }
     val raw = rows.toDF("topic", "message", "data_collector_id", "seq_")

@@ -62,7 +62,17 @@ object Transports {
     * and a strictly increasing `seq` (which is what makes the source's
     * file-count offsets exactly-once and its seq-based segment pruning
     * sound). `nowMicros` is injected so tests and replay tooling stay
-    * deterministic. */
+    * deterministic.
+    *
+    * RESUME: construction scans the directory and continues numbering
+    * after the last published segment (its name for `segNo`, its last
+    * record for `seq`) — a restarted daemon must NEVER renumber from
+    * zero, because Files.move replaces an existing target silently and
+    * a streaming offset that already passed that file would lose the
+    * original records without a trace. One writer per directory is the
+    * deployer's obligation (concurrent writers would race the same
+    * segment names; shard across directories/files instead, as the
+    * source's scale note says). */
   final class SegmentLogWriter(dir: Path, collectorId: Long,
                                organizationId: Long, nowMicros: () => Long,
                                framesPerSegment: Int = 256) {
@@ -71,6 +81,14 @@ object Transports {
     private val buf = new ArrayBuffer[String]
     private var seq = 0L
     private var segNo = 0L
+    // resume after the last published segment, if any
+    MessageLogSource.listFiles(dir.toString).lastOption.foreach { last =>
+      val name = new java.io.File(last).getName // seg-%012d.jsonl
+      segNo = name.stripPrefix("seg-").stripSuffix(".jsonl").toLong + 1
+      val lines = Files.readAllLines(java.nio.file.Paths.get(last))
+      lines.toArray(Array.empty[String]).reverseIterator.find(_.nonEmpty)
+        .foreach(l => seq = mapper.readTree(l).get("seq").asLong + 1)
+    }
 
     def append(topic: Option[String], message: String): Unit = synchronized {
       val node = mapper.createObjectNode()
@@ -112,10 +130,16 @@ object Transports {
     def disconnect(): Unit
   }
 
+  /** Callbacks carry the client they fire on — the paho shape
+    * (on_connect(client, …)). This is what keeps the pump safe when an
+    * implementation connects synchronously inside open() (the callback
+    * would otherwise race the pump's own field assignment) or when a
+    * reconnect loop fires callbacks for a socket the pump has already
+    * replaced. */
   trait MqttCallbacks {
-    def onConnect(rc: Int): Unit
-    def onMessage(topic: String, payload: String): Unit
-    def onDisconnect(rc: Int): Unit
+    def onConnect(client: MqttClient, rc: Int): Unit
+    def onMessage(client: MqttClient, topic: String, payload: String): Unit
+    def onDisconnect(client: MqttClient, rc: Int): Unit
   }
 
   /** Connection factory — config only, serializable (the
@@ -150,17 +174,18 @@ object Transports {
       if (client != null) return // 'Existing connection' (:67-68)
       client = connector.open(host, port, keepaliveSecs = 60, credentials,
         new MqttCallbacks {
-          override def onConnect(rc: Int): Unit =
+          override def onConnect(c: MqttClient, rc: Int): Unit =
             if (beingTested) { // probe: emit + stop, never subscribe (:503-508)
               out.testEvent("SUCCESS", "Connection successful")
               testDone = true
             } else {
-              client.subscribe(topics) // (:510-511)
+              c.subscribe(topics) // (:510-511) — on the callback's client
               out.status("CONNECTED")
             }
-          override def onMessage(topic: String, payload: String): Unit =
+          override def onMessage(c: MqttClient, topic: String,
+                                 payload: String): Unit =
             if (!beingTested) out.frame(Some(topic), payload) // (:229-230)
-          override def onDisconnect(rc: Int): Unit =
+          override def onDisconnect(c: MqttClient, rc: Int): Unit =
             if (rc != 0) out.status("DISCONNECTED") // (:514-520)
         })
     }
@@ -181,10 +206,17 @@ object Transports {
     def fetchAccessToken(): (String, Long)
   }
 
+  /** Callbacks carry the socket they fire on — the websocket-client
+    * shape (on_message(ws, …), exactly what the reference's lambdas
+    * receive). The session compares the callback's socket against its
+    * CURRENT one, so an old socket's asynchronous onClose after a
+    * reconnect cannot wedge the new session, and onOpen can subscribe
+    * even when an implementation completes the handshake inside
+    * open(). */
   trait WsCallbacks {
-    def onOpen(): Unit
-    def onMessage(raw: String): Unit
-    def onClose(): Unit
+    def onOpen(ws: WsClient): Unit
+    def onMessage(ws: WsClient, raw: String): Unit
+    def onClose(ws: WsClient): Unit
   }
 
   trait WsClient {
@@ -213,29 +245,53 @@ object Transports {
 
     def isClosed: Boolean = closed
 
+    /** Idempotent like MqttPump.connect: a live session is left alone —
+      * a second socket would double-log every frame under fresh seq
+      * values, which no downstream dedup could repair. On a token-fetch
+      * failure the session stays closed and F7 is told DISCONNECTED;
+      * the host retries by calling connect() again (the reference
+      * instead lets the fetch exception escape with `connected` stuck
+      * at CONNECTED — robustness over crash-fidelity, documented). */
     def connect(): Unit = synchronized {
+      if (!closed) return
       if (!http.login(user, password)) {
         if (beingTested) out.testEvent("ERROR", "Login failed") // (:122-123)
         else out.loginError() // (:125-126)
         return
       }
       out.status("CONNECTED") // (:89-91 — set right after login succeeds)
-      val (tok, exp) = http.fetchAccessToken()
+      val (tok, exp) =
+        try http.fetchAccessToken()
+        catch {
+          case NonFatal(_) =>
+            out.status("DISCONNECTED") // never report a dead transport up
+            return
+        }
       token = tok
       expires = Some(exp)
       refreshFailures = 0
       closed = false
       ws = wsc.open(new WsCallbacks {
-        override def onOpen(): Unit =
+        override def onOpen(sock: WsClient): Unit =
           if (beingTested) {
             out.testEvent("SUCCESS", "Connection successful") // (:292-295)
           } else {
-            ws.send("[\"gateway:" + gatewayId + "\"]") // (:297)
-            ws.send("[\"token:" + token + "\"]") // (:298)
+            // send on the callback's OWN socket: an implementation may
+            // complete the handshake inside open(), before the `ws`
+            // field assignment
+            sock.send("[\"gateway:" + gatewayId + "\"]") // (:297)
+            sock.send("[\"token:" + token + "\"]") // (:298)
             out.status("CONNECTED") // (:299)
           }
-        override def onMessage(raw: String): Unit = handleFrame(raw)
-        override def onClose(): Unit = closed = true // (:285-288)
+        override def onMessage(sock: WsClient, raw: String): Unit =
+          handleFrame(sock, raw)
+        override def onClose(sock: WsClient): Unit =
+          TtnV2Session.this.synchronized {
+            // only the CURRENT socket's close ends the session — a
+            // replaced socket's asynchronous close after a reconnect
+            // must not wedge the new one (:285-288)
+            if (sock eq ws) closed = true
+          }
       })
     }
 
@@ -244,8 +300,12 @@ object Transports {
       closed = true
     }
 
-    private def handleFrame(raw: String): Unit = synchronized {
+    private def handleFrame(sock: WsClient, raw: String): Unit = synchronized {
       if (beingTested) return // (:161-162)
+      // frames from a REPLACED socket still draining its queue are
+      // dropped; ws == null means the handshake completed inside open()
+      // and this is the current socket's first delivery
+      if (ws != null && !(sock eq ws)) return
       // every frame goes to the engine log VERBATIM — keepalives ('h')
       // and control frames are downstream concerns (F0a, ttnV2Kind)
       out.frame(None, raw)
@@ -253,7 +313,7 @@ object Transports {
       // itself was persisted above — the reference's handler falls
       // through to the message append (:168-174)
       if (raw.contains("[200,\"disconnected\"]")) {
-        ws.close()
+        sock.close()
         closed = true
         connect()
       }
@@ -262,7 +322,9 @@ object Transports {
     /** Refresh step. Due when no valid expiry is held (a prior fetch
       * failed) or now ≥ expiry − 15 min (:321-329). On success the new
       * token is pushed down the open socket (:336-339); the 3rd
-      * consecutive failure closes and reconnects (:341-350). */
+      * consecutive failure closes and reconnects (:341-350). A closed
+      * session never refreshes — the host monitors isClosed and calls
+      * connect(). */
     def tick(): Unit = synchronized {
       if (closed) return
       val due = expires.forall(e => nowMillis() >= e - 900000L)
@@ -328,6 +390,7 @@ object Transports {
     def start(): Unit = {
       attempt = connector.open()
       stopped = false
+      carry = ""
     }
 
     def step(): Boolean = {
@@ -357,6 +420,7 @@ object Transports {
         case SseTimeout => // silent restart every STREAM_TIMEOUT (:141-145)
           attempt.close()
           attempt = connector.open()
+          carry = "" // a dead stream's partial record never prefixes the new one
           true
         case SseError(_) => // (:146-151)
           out.status("DISCONNECTED")
@@ -366,12 +430,31 @@ object Transports {
       }
     }
 
-    /** WRITEFUNCTION contract: strip the trailing '\n\n', split
-      * multi-record deliveries on the blank line, one engine frame per
-      * record (:68-73). The -1 limit keeps empty records, matching
-      * Python str.split — an empty record is a downstream parsing error
-      * (route perr), exactly as json.loads('') is in the reference. */
-    private def onReceive(data: String): Unit =
-      data.dropRight(2).split("\n\n", -1).foreach(m => out.frame(None, m))
+    /** WRITEFUNCTION contract (:68-73): records are delimited by a
+      * blank line; one engine frame per record. Unlike the reference —
+      * whose on_receive does data[:-2] unconditionally and therefore
+      * CORRUPTS a record split across two curl deliveries (both halves
+      * become unparseable fragments) — deliveries are reassembled in a
+      * carry buffer and only '\n\n'-terminated records are emitted:
+      * identical behavior for boundary-aligned chunks, whole records
+      * instead of fragment noise for split ones (robustness over
+      * crash-fidelity, documented; an unterminated final record is
+      * held, where the reference would emit its mangled prefix). An
+      * EMPTY terminated record is still emitted — downstream it is a
+      * parsing error (route perr), exactly as json.loads('') is in the
+      * reference. Test-mode traffic never reaches the log: the
+      * reference's message() returns before processing when
+      * being_tested (TTNv3Collector.py:206-207). */
+    private var carry = ""
+    private def onReceive(data: String): Unit = {
+      carry += data
+      var idx = carry.indexOf("\n\n")
+      while (idx >= 0) {
+        val record = carry.substring(0, idx)
+        carry = carry.substring(idx + 2)
+        if (!beingTested) out.frame(None, record)
+        idx = carry.indexOf("\n\n")
+      }
+    }
   }
 }

@@ -105,6 +105,8 @@ object ChirpFoldInternal {
   private val ROUTE_APP = UTF8String.fromString("app")
   private val ROUTE_DROP = UTF8String.fromString("drop")
   private val ROUTE_PERR = UTF8String.fromString("perr")
+  private val ROUTE_PERR_APP = UTF8String.fromString("perr_app")
+  private val ROUTE_PERR_APP_EAT = UTF8String.fromString("perr_app_eat")
 
   // boxing accessors for the opaque packet-struct copy
   private val pktAccessors: Array[(InternalRow, Int) => Any] =
@@ -226,9 +228,13 @@ object ChirpFoldInternal {
 
       } else if (route == ROUTE_RADIO) {
         flushPrev(ts) // :370-376
+        // buffer residue surviving an app-crash (prev==null, prevMsgs≠Nil)
+        // rides into this row's save (same contract as chirpStep)
+        val buf = prevMsgs
         val da = str(row, DEV_ADDR)
         if (da == null) {
-          emit(ts, ownPacket(row), msg :: Nil) // :478-491
+          emit(ts, ownPacket(row), buf :+ msg) // :478-491
+          prevMsgs = Nil
         } else {
           val info = devices.get(da)
           if (info != null) {
@@ -239,10 +245,12 @@ object ChirpFoldInternal {
               if (row.isNullAt(PACKET)) null
               else packetOut(row.getStruct(PACKET, PKT_N), info.devEui, app, dev,
                 dbl(row, LATITUDE), dbl(row, LONGITUDE), dbl(row, ALTITUDE))
-            emit(ts, pkt, msg :: Nil)
+            emit(ts, pkt, buf :+ msg)
+            prevMsgs = Nil
           } else {
-            // map miss: buffer as prev_packet (:389-399)
-            prev = row; prevMsgs = msg :: Nil
+            // map miss: buffer as prev_packet (:389-399) — the message
+            // APPENDS to whatever the buffer already holds
+            prev = row; prevMsgs = buf :+ msg
           }
         }
 
@@ -275,9 +283,32 @@ object ChirpFoldInternal {
         }
         // no pending packet: app message dropped (standard_packet stays empty)
 
+      } else if (route == ROUTE_PERR_APP) {
+        // rxInfo[0] raises ON PAIR-HIT (:419-427): prev consumed then
+        // lost, buffer kept; on f_count mismatch the normal un-enriched
+        // flush happens; no prev → inert (same as StateOps.chirpStep)
+        if (prev != null) {
+          val p = prev
+          val pMsgs = prevMsgs
+          val fMatch = !p.isNullAt(F_COUNT) && !row.isNullAt(F_COUNT) &&
+            p.getLong(F_COUNT) == row.getLong(F_COUNT)
+          if (fMatch) {
+            prev = null // prevMsgs kept: rides on
+          } else {
+            prev = null; prevMsgs = Nil
+            emit(ts, ownPacket(p), pMsgs :+ msg)
+          }
+        }
+
+      } else if (route == ROUTE_PERR_APP_EAT) {
+        // non-dict app message: raises BEFORE the f_count compare (:416)
+        // — prev lost regardless, buffer kept, nothing emitted
+        if (prev != null) prev = null
+
       } else { // raw / unparseable (:450-474)
         flushPrev(ts)
-        emit(ts, null, msg :: Nil)
+        emit(ts, null, prevMsgs :+ msg)
+        prevMsgs = Nil
       }
     }
   }

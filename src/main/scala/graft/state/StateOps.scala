@@ -102,6 +102,13 @@ object StateOps {
 
   // ------------------------------------------------------- F1+F2+F3 state
 
+  /** `prevMsgs` is the reference's packet_writter_message['messages']
+    * buffer (excluding the in-flight message): it usually tracks `prev`
+    * — a buffered radio packet's message — but is INDEPENDENT of it,
+    * because an app-crash (perr_app/perr_app_eat) consumes prev while
+    * leaving the buffer to ride into the next saved envelope
+    * (LoraServerIOCollector.py:412-413 consume, :496-500 crash without
+    * reset). Every emission therefore prepends prevMsgs. */
   final case class ChirpState(
       devices: Map[String, DeviceInfo],
       prev: Option[Rec],
@@ -151,6 +158,10 @@ object StateOps {
             Seq(env(Some(p), st.prevMsgs)))
           case None => (st, Nil)
         }
+        // buffer residue surviving an app-crash (prev=None, prevMsgs≠Nil)
+        // rides into this row's save (:477-495 appends into the un-reset
+        // packet_writter_message)
+        val buf = afterFlush.prevMsgs
         r.devAddr match {
           case Some(da) =>
             afterFlush.devices.get(da) match {
@@ -160,14 +171,17 @@ object StateOps {
                   devEui = info.devEui,
                   appName = if (info.fromApp) info.appName else r.appName,
                   devName = if (info.fromApp) info.devName else r.devName)
-                (afterFlush, flushed :+ env(Some(enriched), Seq(msg)))
+                (afterFlush.copy(prevMsgs = Nil),
+                  flushed :+ env(Some(enriched), buf :+ msg))
               case None =>
-                // map miss: buffer as prev_packet (:389-399)
-                (afterFlush.copy(prev = Some(r), prevMsgs = Seq(msg)), flushed)
+                // map miss: buffer as prev_packet (:389-399) — the message
+                // APPENDS to whatever the buffer already holds
+                (afterFlush.copy(prev = Some(r), prevMsgs = buf :+ msg), flushed)
             }
           case None =>
             // no dev_addr (join request / error row): emit directly (:478-491)
-            (afterFlush, flushed :+ env(Some(r), Seq(msg)))
+            (afterFlush.copy(prevMsgs = Nil),
+              flushed :+ env(Some(r), buf :+ msg))
         }
 
       case "app" =>
@@ -197,13 +211,44 @@ object StateOps {
             (st, Nil)
         }
 
+      case "perr_app" =>
+        // app message whose rxInfo[0] dereference raises ON PAIR-HIT
+        // (:419-427: 'rxInfo' present but null / not a list / empty /
+        // non-dict first element). prev is consumed BEFORE the check
+        // (:412-413); the raise lands in the outer except (:496-500)
+        // without reset, so the packet is LOST and the buffered radio
+        // message survives to ride into the next envelope. On an f_count
+        // MISMATCH the rxInfo block never runs — the normal un-enriched
+        // flush happens. With no prev the whole block is skipped and
+        // nothing is saved or buffered (same as a clean unpaired app row).
+        st.prev match {
+          case Some(p) if p.fCount.isDefined && p.fCount == r.fCount =>
+            (st.copy(prev = None), Nil) // prevMsgs kept: rides on
+          case Some(p) =>
+            (st.copy(prev = None, prevMsgs = Nil),
+              Seq(env(Some(p), st.prevMsgs :+ msg)))
+          case None => (st, Nil)
+        }
+
+      case "perr_app_eat" =>
+        // non-dict app message: `.get('fCnt')` raises BEFORE the f_count
+        // compare (:416) — prev (if any) is already consumed and lost
+        // regardless of its f_count; buffer kept; nothing emitted. With
+        // no prev the branch is skipped entirely: inert.
+        st.prev match {
+          case Some(_) => (st.copy(prev = None), Nil)
+          case None => (st, Nil)
+        }
+
       case _ => // raw / unparseable (:450-474)
         val (afterFlush, flushed) = st.prev match {
           case Some(p) => (st.copy(prev = None, prevMsgs = Nil),
             Seq(env(Some(p), st.prevMsgs)))
           case None => (st, Nil)
         }
-        (afterFlush, flushed :+ env(None, Seq(msg)))
+        // app-crash residue (no prev) rides into the message-only save
+        (afterFlush.copy(prevMsgs = Nil),
+          flushed :+ env(None, afterFlush.prevMsgs :+ msg))
     }
   }
 

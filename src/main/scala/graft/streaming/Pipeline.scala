@@ -149,7 +149,10 @@ object Pipeline {
     // topics the reference additionally swallows the message itself
     // after the failed protobuf retry — there we still persist it as the
     // raw-log row: strictly more information, same flush semantics.)
-    val decodeFailed = col("route0") === "radio" &&
+    // json.loads failure on ANY parsed route — radio (after the F0h
+    // proto retry), app, join — lands in the FIRST except (:243-280):
+    // flush + message-only envelope → raw
+    val decodeFailed = col("route0").isin("radio", "app", "join") &&
       get_json_object(col("msg_n"), "$").isNull
     // A radio message that DOES decode as JSON but whose structure would
     // crash the reference's packet-assembly block (non-object root,
@@ -166,9 +169,49 @@ object Pipeline {
       when(col("is_proto"),
         Normalize.chirpstackProtoStructCrash(col("msg_n"), col("mp")))
         .otherwise(Normalize.chirpstackJsonStructCrash(col("msg_n"), col("mj")))
+    // join crash surface (:287-290): a valid-JSON join whose root is not
+    // an object (`.get('devEUI')` AttributeError) or lacks the devAddr
+    // KEY (`mqtt_messsage['devAddr']` KeyError) raises into the outer
+    // except (:496-500) BEFORE the message append — parsing error only,
+    // nothing persisted, prev untouched → perr. A JSON-null devAddr is
+    // NOT a crash (None is a hashable dict key; a non-scalar devAddr
+    // would be, but is an accepted residual). The keys probe runs only
+    // when the cheap devAddr extraction came back null.
+    val joinKeys = json_object_keys(col("msg_n"))
+    val joinCrash = col("route0") === "join" &&
+      get_json_object(col("msg_n"), "$.devAddr").isNull &&
+      (joinKeys.isNull || !array_contains(joinKeys, "devAddr"))
+    // app crash surface (:412-427) — the raise is STATE-dependent (it
+    // happens only when a pair-hit reaches the crashing line), so rows
+    // are only TAGGED here and chirpStep decides:
+    //  - perr_app_eat: valid JSON whose root is not an object —
+    //    `.get('fCnt')` raises before the f_count compare (:416), after
+    //    prev was consumed (:412-413);
+    //  - perr_app: 'rxInfo' key present but null / not an array / empty
+    //    / with a non-struct first element — rxInfo[0].get raises on the
+    //    pair-hit path only (:419-427).
+    // Probes read the parsed struct; json_object_keys runs only for rows
+    // whose parsed slots are already suspect (PERMISSIVE from_json gives
+    // a NON-null all-null-fields struct for a scalar/array root, so
+    // struct nullness alone cannot spot a non-object — the keys probe,
+    // gated behind every field being null, is the exact test).
+    val ma0 = col("ma")
+    val maRx = ma0("rxInfo")
+    val maEmpty = ma0.isNull ||
+      (ma0("fCnt").isNull && ma0("devEUI").isNull &&
+        ma0("applicationName").isNull && ma0("deviceName").isNull &&
+        maRx.isNull)
+    val appEat = col("route0") === "app" && maEmpty &&
+      json_object_keys(col("msg_n")).isNull
+    val appCrash = col("route0") === "app" &&
+      (maRx.isNull || get(maRx, lit(0)).isNull) &&
+      array_contains(json_object_keys(col("msg_n")), "rxInfo")
     val route = when(oversized, "drop")
       .when(decodeFailed, "raw")
       .when(structCrash, "perr")
+      .when(joinCrash, "perr")
+      .when(appEat, "perr_app_eat")
+      .when(appCrash, "perr_app")
       .otherwise(col("route0"))
     val x = coalesce(mj("txInfo"), mj("rxInfo")) // json-dialect x_info quirk
     val lmi = mp("txInfo")("loRaModulationInfo")
@@ -215,13 +258,15 @@ object Pipeline {
       case other => nul(other).as(other) // lat/lon/alt, app/dev_name
     }
     // get(…, 0), not (0): ANSI throws on [0] of an EMPTY array, killing
-    // the whole query on one malformed message. The reference instead
-    // raises per-message (rxInfo[0] IndexError on a pair-hit,
-    // LoraServerIOCollector.py:419-421), losing the consumed prev_packet
-    // to save_parsing_error; enriching with nulls here instead is a
-    // documented robustness-over-crash-fidelity divergence (same
-    // adjudication as genericMqtt's datr-crash note in Normalize).
+    // the whole query on one malformed message — and rows with a
+    // malformed rxInfo are exactly the perr_app route, whose crash
+    // semantics (prev lost on pair-hit, buffer rides) chirpStep models
+    // in state; the VALUE expressions here must stay null-safe for them.
     val appLoc = get(ma("rxInfo"), lit(0))("location")
+    // app fields also populate for the tagged crash routes so the
+    // fused and union forms stay column-identical (chirpStep never
+    // reads them on the crash paths)
+    val isApp = route.isin("app", "perr_app", "perr_app_eat")
     b.select(
       col("seq"),
       col("data_collector_id").as("collectorId"),
@@ -232,15 +277,15 @@ object Pipeline {
         .when(route === "join", get_json_object(col("message"), "$.devAddr"))
         .as("devAddr"),
       when(route === "radio", phy("f_count"))
-        .when(route === "app", ma("fCnt")).as("fCount"),
+        .when(isApp, ma("fCnt")).as("fCount"),
       when(route === "join", get_json_object(col("message"), "$.devEUI"))
-        .when(route === "app", ma("devEUI")).as("devEui"),
-      when(route === "app", ma("applicationName")).as("appName"),
-      when(route === "app", ma("deviceName")).as("devName"),
-      when(route === "app", appLoc("latitude")).cast("double").as("latitude"),
-      when(route === "app", appLoc("longitude")).cast("double").as("longitude"),
-      when(route === "app", appLoc("altitude")).cast("double").as("altitude"),
-      when(route === "app", get(ma("rxInfo"), lit(0))("name")).as("gwName"),
+        .when(isApp, ma("devEUI")).as("devEui"),
+      when(isApp, ma("applicationName")).as("appName"),
+      when(isApp, ma("deviceName")).as("devName"),
+      when(isApp, appLoc("latitude")).cast("double").as("latitude"),
+      when(isApp, appLoc("longitude")).cast("double").as("longitude"),
+      when(isApp, appLoc("altitude")).cast("double").as("altitude"),
+      when(isApp, get(ma("rxInfo"), lit(0))("name")).as("gwName"),
       when(route === "radio", struct(pktCols: _*))
         .otherwise(lit(null).cast(PacketSchema.packet)).as("packet"),
       col("arrival_ts").cast("long").as("arrivalTs")).as[Rec]
@@ -290,16 +335,41 @@ object Pipeline {
         .unionByName(radioProtoRaw),
       lit(null).cast("string"))
 
-    val joins = emptyRec(routed.filter(col("route") === "join"), "join")
+    // app/join topics with non-JSON text take the same first-except raw
+    // path as radio (:243-280)
+    val appJoinUndecodable = routed
+      .filter(col("route").isin("app", "join") &&
+        get_json_object(col("message"), "$").isNull)
+      .drop("route")
+
+    // join crash split (branch form of the fused joinCrash probe)
+    val joinRows = routed.filter(col("route") === "join" &&
+      get_json_object(col("message"), "$").isNotNull)
+    val jKeys = json_object_keys(col("message"))
+    val jCrash = get_json_object(col("message"), "$.devAddr").isNull &&
+      (jKeys.isNull || !array_contains(jKeys, "devAddr"))
+    // crash rows drop here like the radio normalizers drop theirs (the
+    // fused form tags them "perr"; both are inert downstream)
+    val joins = emptyRec(joinRows.filter(!jCrash).drop("route"), "join")
       .drop("devAddr", "devEui")
       .withColumn("devAddr", get_json_object(col("message"), "$.devAddr"))
       .withColumn("devEui", get_json_object(col("message"), "$.devEUI"))
 
     val appM = from_json(col("message"), PacketSchema.chirpstackApp)
-    val apps = routed.filter(col("route") === "app").select(
+    val appRx = appM("rxInfo")
+    val appEmptyU = appM.isNull ||
+      (appM("fCnt").isNull && appM("devEUI").isNull &&
+        appM("applicationName").isNull && appM("deviceName").isNull &&
+        appRx.isNull)
+    val appCrashU = (appRx.isNull || get(appRx, lit(0)).isNull) &&
+      array_contains(json_object_keys(col("message")), "rxInfo")
+    val apps = routed.filter(col("route") === "app" &&
+      get_json_object(col("message"), "$").isNotNull).select(
       col("seq"),
       col("data_collector_id").as("collectorId"),
-      lit("app").as("route"),
+      when(appEmptyU && json_object_keys(col("message")).isNull, "perr_app_eat")
+        .when(appCrashU, "perr_app")
+        .otherwise("app").as("route"),
       col("topic"),
       col("message"),
       lit(null).cast("string").as("devAddr"),
@@ -316,6 +386,7 @@ object Pipeline {
 
     val raws = emptyRec(routed.filter(col("route") === "raw"), "raw")
       .unionByName(emptyRec(radioUndecodable.drop("route", "proto_json"), "raw"))
+      .unionByName(emptyRec(appJoinUndecodable, "raw"))
 
     radioJson.unionByName(radioProto).unionByName(joins).unionByName(apps)
       .unionByName(raws).as[Rec]

@@ -157,6 +157,53 @@ class StateOpsSpec extends SparkSuite {
     assert(st8.map(s => (s.lat, s.pending)) == Some((Some(9.0), Nil)))
   }
 
+  test("app-crash routes: pair-hit loses prev, buffer rides; mismatch flushes; eat always") {
+    // perr_app on a pair HIT (:412-427): prev consumed, then the rxInfo
+    // deref raises — packet LOST, parsing error only, and the buffered
+    // radio message survives packet_writter_message (:496-500 never
+    // resets) to ride into the NEXT saved envelope
+    val radio = rec(1, "radio", devAddr = "aa", fCount = 7L, msg = "up1")
+    val crashHit = rec(2, "perr_app", fCount = 7L, msg = "appX")
+    val radio2 = rec(3, "radio", devAddr = "bb", fCount = 1L, msg = "up2")
+    val (st1, o1) = chirpStep(ChirpState.empty, radio) // map miss: buffered
+    assert(o1.isEmpty)
+    val (st2, o2) = chirpStep(st1, crashHit)
+    assert(o2.isEmpty && st2.prev.isEmpty) // packet lost, nothing emitted
+    assert(st2.prevMsgs.map(_.message) == Seq("up1")) // buffer survives
+    val (st3, o3) = chirpStep(st2, radio2)
+    // radio2 is itself a map miss → buffered; the residue accumulates
+    assert(o3.isEmpty && st3.prevMsgs.map(_.message) == Seq("up1", "up2"))
+    val (st4, o4) = chirpStep(st3, rec(4, "raw", msg = "other"))
+    // the raw row flushes radio2's envelope carrying BOTH messages,
+    // then emits its own message-only envelope
+    assert(o4.length == 2)
+    assert(o4.head.packet.nonEmpty &&
+      o4.head.messages.map(_.message) == Seq("up1", "up2"))
+    assert(o4.last.packet.isEmpty &&
+      o4.last.messages.map(_.message) == Seq("other"))
+    assert(st4.prev.isEmpty && st4.prevMsgs.isEmpty)
+
+    // perr_app on a f_count MISMATCH: the rxInfo line is never reached —
+    // the normal un-enriched flush happens (:478-491 via fallthrough)
+    val (st5, _) = chirpStep(ChirpState.empty, radio)
+    val (st6, o6) = chirpStep(st5, rec(5, "perr_app", fCount = 9L, msg = "appY"))
+    assert(o6.length == 1 && o6.head.packet.nonEmpty)
+    assert(o6.head.messages.map(_.message) == Seq("up1", "appY"))
+    assert(st6.prev.isEmpty && st6.prevMsgs.isEmpty)
+
+    // perr_app_eat loses prev regardless of f_count (:416 raises first)
+    val (st7, _) = chirpStep(ChirpState.empty, radio)
+    val (st8, o8) = chirpStep(st7, rec(6, "perr_app_eat", msg = "appZ"))
+    assert(o8.isEmpty && st8.prev.isEmpty &&
+      st8.prevMsgs.map(_.message) == Seq("up1"))
+
+    // with no prev both crash routes are inert (the block is skipped)
+    assert(chirpStep(ChirpState.empty, rec(7, "perr_app", fCount = 1L)) ==
+      ((ChirpState.empty, Nil)))
+    assert(chirpStep(ChirpState.empty, rec(8, "perr_app_eat")) ==
+      ((ChirpState.empty, Nil)))
+  }
+
   test("F5 verification gate: threshold flip at total≥5 ∧ ratio>0.8") {
     var st = VerifState.empty
     val results = (1 to 6).map { i =>
@@ -305,6 +352,10 @@ class StateOpsSpec extends SparkSuite {
       "some/other/topic" -> "not-json-raw",
       "gateway/gw1/rx" -> """{"rxInfo":{"rssi":-50}}""",           // struct crash → perr (:357)
       "gateway/gw2/up" -> """{"rxInfo":{"rssi":-1},"txInfo":{"loRaModulationInfo":{"spreadingFactor":7}}}""", // proto dialect, no gatewayID → perr (:324)
+      "application/1/device/e1/rx" -> "5",                          // non-dict app → perr_app_eat (:416)
+      "application/1/device/e2/rx" -> """{"fCnt":7,"rxInfo":[]}""", // empty rxInfo → perr_app (:419-421)
+      "application/1/device/j2/join" -> """{"devEUI":"nope"}""",    // no devAddr key → perr (:288 KeyError)
+      "application/1/device/e3/rx" -> "not json @@",                // app decode failure → raw (:243-280)
       "gateway/gw3/up" -> rawProtoFrame)                           // F0h raw protobuf
     val raw = cases.zipWithIndex
       .map { case ((t, m), i) => (t, m, (i % 2).toLong, i.toLong) }
@@ -318,16 +369,23 @@ class StateOpsSpec extends SparkSuite {
     // inside the per-dialect normalizers; the fused form routes them to
     // "drop" / "perr" (same downstream semantics — state ops ignore both)
     assert(fused.filter(_.route == "drop").map(_.seq) == Seq(2L, 3L))
-    assert(fused.filter(_.route == "perr").map(_.seq) == Seq(9L, 10L))
+    assert(fused.filter(_.route == "perr").map(_.seq) == Seq(9L, 10L, 13L))
     assert(fused.filterNot(r => r.route == "drop" || r.route == "perr") == union)
     // routes land where expected — index 5 (non-JSON text on a radio
     // topic) re-routes to raw: the reference's decode-failure path
     // persists a packet-less envelope, never a fabricated metadata
-    // packet; indexes 9-10 (valid JSON that crashes the reference's
-    // assembly block) re-route to perr: parsing error only, no envelope
+    // packet; 9-10 (valid JSON that crashes the radio assembly block)
+    // and 13 (join without the devAddr KEY) re-route to perr: parsing
+    // error only, no envelope; 11-12 are the STATE-dependent app crash
+    // tags (non-dict root / bad rxInfo) chirpStep resolves; 14 (non-JSON
+    // on an app topic) takes the same first-except raw path as radio
     assert(fused.map(_.route) ==
       Seq("radio", "radio", "drop", "drop", "radio", "raw", "app", "join",
-        "raw", "perr", "perr", "radio"))
+        "raw", "perr", "perr", "perr_app_eat", "perr_app", "perr", "raw",
+        "radio"))
+    // the perr_app row keeps its fCount — chirpStep's pair-hit decision
+    // needs it (:416)
+    assert(fused.find(_.route == "perr_app").get.fCount.contains(7L))
     // the F0h raw frame actually PARSED on both paths (not a metadata-
     // only fallthrough): the envelope keeps the original base64 text,
     // the packet carries the decoded proto fields

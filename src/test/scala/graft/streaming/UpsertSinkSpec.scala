@@ -94,12 +94,15 @@ class UpsertSinkSpec extends SparkSuite {
         graft.codec.Lorawan.hexToBytes("00000000")
       graft.codec.Lorawan.b64encode(body)
     }
+    // devAddr must be present: a join without the KEY crashes the
+    // reference at devices_map[msg['devAddr']] (KeyError → perr, no
+    // envelope at all)
     val raw = Seq(
       ("application/1/device/aa/join",
-        s"""{"phyPayload":"${jr(1)}","devEUI":"0004a30b001fbc00"}""",
+        s"""{"devAddr":"01020304","phyPayload":"${jr(1)}","devEUI":"0004a30b001fbc00"}""",
         7L, 1L),
       ("application/1/device/aa/join",
-        s"""{"phyPayload":"${jr(2)}","devEUI":"0004a30b001fbc00"}""",
+        s"""{"devAddr":"01020304","phyPayload":"${jr(2)}","devEUI":"0004a30b001fbc00"}""",
         7L, 2L))
       .toDF("topic", "message", "data_collector_id", "seq")
       .withColumn("organization_id", lit(1L))

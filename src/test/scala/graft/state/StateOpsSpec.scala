@@ -256,7 +256,7 @@ class StateOpsSpec extends SparkSuite {
     val rnd = new scala.util.Random(42)
     val rows = (1 to 400).map { i =>
       val cid = (i % 3).toLong
-      rnd.nextInt(12) match {
+      rnd.nextInt(15) match {
         case 0 | 1 | 2 | 3 => // radio (some devAddrs never joined → buffering)
           val da = das(rnd.nextInt(das.length)); val f = rnd.nextInt(3)
           ("gateway/gw1/rx",
@@ -275,6 +275,15 @@ class StateOpsSpec extends SparkSuite {
           ("some/other/topic", s"""not-json-$i""", cid, i.toLong)
         case 9 => // struct-crash radio → perr: inert in BOTH kernels
           ("gateway/gw1/rx", s"""{"rxInfo":{"rssi":-$i}}""", cid, i.toLong)
+        case 10 => // malformed rxInfo app → perr_app; fCnt sometimes
+          // pair-hits a buffered packet (prev lost, buffer rides)
+          (s"application/1/device/c$i/rx",
+            s"""{"fCnt":${rnd.nextInt(3)},"rxInfo":[]}""", cid, i.toLong)
+        case 11 => // non-dict app → perr_app_eat (prev lost regardless)
+          (s"application/1/device/c$i/rx", s"$i", cid, i.toLong)
+        case 12 => // join without the devAddr KEY → perr (inert)
+          (s"application/1/device/j$i/join",
+            s"""{"devEUI":"nokey$i"}""", cid, i.toLong)
         case _ => // undecodable radio → raw re-route (flush + message row)
           ("gateway/gw1/tx", s"""!!frame$i!!""", cid, i.toLong)
       }

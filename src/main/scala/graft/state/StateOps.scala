@@ -73,7 +73,8 @@ object StateOps {
   final case class Rec(
       seq: Long,
       collectorId: Long,
-      route: String, // radio | app | join | location | raw | drop | perr | perr_buf
+      route: String, // radio | app | join | location | raw | drop
+                     //   | perr | perr_buf | perr_app | perr_app_eat
       topic: Option[String],
       message: String,       // the raw message for the envelope log
       // radio-route fields the ops read/write

@@ -151,9 +151,14 @@ object Pipeline {
     // raw-log row: strictly more information, same flush semantics.)
     // json.loads failure on ANY parsed route — radio (after the F0h
     // proto retry), app, join — lands in the FIRST except (:243-280):
-    // flush + message-only envelope → raw
+    // flush + message-only envelope → raw. The JSON literal `null` is
+    // NOT a decode failure (json.loads("null") succeeds and the
+    // assembly block then crashes on None — the perr/perr_app_eat
+    // probes below all fire for it) even though get_json_object
+    // returns SQL NULL for it.
+    val jsonNullLit = trim(col("msg_n")) === "null"
     val decodeFailed = col("route0").isin("radio", "app", "join") &&
-      get_json_object(col("msg_n"), "$").isNull
+      get_json_object(col("msg_n"), "$").isNull && !jsonNullLit
     // A radio message that DOES decode as JSON but whose structure would
     // crash the reference's packet-assembly block (non-object root,
     // neither rxInfo nor txInfo, non-object x_info, missing dataRate /
@@ -203,9 +208,25 @@ object Pipeline {
         maRx.isNull)
     val appEat = col("route0") === "app" && maEmpty &&
       json_object_keys(col("msg_n")).isNull
+    // rxInfo[0].location truthiness (:421-424): `if location:` runs
+    // location.get('latitude') — a TRUTHY non-object location (non-zero
+    // number, non-empty string/array, true) raises; Python-falsy values
+    // (absent, null, false, 0, "", [], {}) skip the block. The parsed
+    // slot is null for every non-object, so the RAW text decides
+    // truthiness (an object location never reaches this probe — it
+    // parses non-null). Residual: the string "false" (truthy in Python,
+    // unquoted by get_json_object here).
+    val elem0 = get(maRx, lit(0))
+    val locText = get_json_object(col("msg_n"), "$.rxInfo[0].location")
+    val locNum = locText.rlike(
+      "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
+    val locTruthy = length(locText) > 0 && locText =!= "false" &&
+      trim(locText) =!= "[]" &&
+      (!locNum || locText.cast("double") =!= 0.0)
     val appCrash = col("route0") === "app" &&
-      (maRx.isNull || get(maRx, lit(0)).isNull) &&
-      array_contains(json_object_keys(col("msg_n")), "rxInfo")
+      (((maRx.isNull || elem0.isNull) &&
+        array_contains(json_object_keys(col("msg_n")), "rxInfo")) ||
+        (elem0.isNotNull && elem0("location").isNull && locTruthy))
     val route = when(oversized, "drop")
       .when(decodeFailed, "raw")
       .when(structCrash, "perr")
@@ -311,9 +332,11 @@ object Pipeline {
     // decodable protobuf frame becomes a raw-route message-only row —
     // the reference's except path (LoraServerIOCollector.py:243-280)
     val radioUndecodable = radio.filter(col("proto_json").isNull &&
-      get_json_object(col("message"), "$").isNull)
+      get_json_object(col("message"), "$").isNull &&
+      trim(col("message")) =!= "null") // JSON null: json.loads-valid → crash path
     val radioTxt = radio.filter(col("proto_json").isNull &&
-        get_json_object(col("message"), "$").isNotNull)
+        (get_json_object(col("message"), "$").isNotNull ||
+          trim(col("message")) === "null"))
       .withColumn("dialect",
         when(get_json_object(col("message"), "$.rxInfo.gatewayID").isNotNull ||
           get_json_object(col("message"), "$.txInfo.loRaModulationInfo").isNotNull, "proto")
@@ -336,15 +359,17 @@ object Pipeline {
       lit(null).cast("string"))
 
     // app/join topics with non-JSON text take the same first-except raw
-    // path as radio (:243-280)
+    // path as radio (:243-280); the JSON literal `null` is json.loads-
+    // VALID and crashes in the assembly block instead (fused jsonNullLit)
+    val isJsonNull = trim(col("message")) === "null"
     val appJoinUndecodable = routed
       .filter(col("route").isin("app", "join") &&
-        get_json_object(col("message"), "$").isNull)
+        get_json_object(col("message"), "$").isNull && !isJsonNull)
       .drop("route")
 
     // join crash split (branch form of the fused joinCrash probe)
     val joinRows = routed.filter(col("route") === "join" &&
-      get_json_object(col("message"), "$").isNotNull)
+      (get_json_object(col("message"), "$").isNotNull || isJsonNull))
     val jKeys = json_object_keys(col("message"))
     val jCrash = get_json_object(col("message"), "$.devAddr").isNull &&
       (jKeys.isNull || !array_contains(jKeys, "devAddr"))
@@ -361,10 +386,19 @@ object Pipeline {
       (appM("fCnt").isNull && appM("devEUI").isNull &&
         appM("applicationName").isNull && appM("deviceName").isNull &&
         appRx.isNull)
-    val appCrashU = (appRx.isNull || get(appRx, lit(0)).isNull) &&
-      array_contains(json_object_keys(col("message")), "rxInfo")
+    val appElem0 = get(appRx, lit(0))
+    val appLocText = get_json_object(col("message"), "$.rxInfo[0].location")
+    val appLocNum = appLocText.rlike(
+      "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
+    val appLocTruthy = length(appLocText) > 0 && appLocText =!= "false" &&
+      trim(appLocText) =!= "[]" &&
+      (!appLocNum || appLocText.cast("double") =!= 0.0)
+    val appCrashU =
+      ((appRx.isNull || appElem0.isNull) &&
+        array_contains(json_object_keys(col("message")), "rxInfo")) ||
+        (appElem0.isNotNull && appElem0("location").isNull && appLocTruthy)
     val apps = routed.filter(col("route") === "app" &&
-      get_json_object(col("message"), "$").isNotNull).select(
+      (get_json_object(col("message"), "$").isNotNull || isJsonNull)).select(
       col("seq"),
       col("data_collector_id").as("collectorId"),
       when(appEmptyU && json_object_keys(col("message")).isNull, "perr_app_eat")

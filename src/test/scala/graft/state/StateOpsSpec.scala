@@ -365,7 +365,12 @@ class StateOpsSpec extends SparkSuite {
       "application/1/device/e2/rx" -> """{"fCnt":7,"rxInfo":[]}""", // empty rxInfo → perr_app (:419-421)
       "application/1/device/j2/join" -> """{"devEUI":"nope"}""",    // no devAddr key → perr (:288 KeyError)
       "application/1/device/e3/rx" -> "not json @@",                // app decode failure → raw (:243-280)
-      "gateway/gw3/up" -> rawProtoFrame)                           // F0h raw protobuf
+      "gateway/gw3/up" -> rawProtoFrame,                           // F0h raw protobuf
+      "application/1/device/e4/rx" -> """{"fCnt":1,"rxInfo":[{"location":5}]}""", // truthy non-object location → perr_app (:421-424)
+      "application/1/device/e5/rx" -> """{"fCnt":1,"rxInfo":[{"location":0}]}""", // falsy location skips the block → app
+      "application/1/device/e6/rx" -> "null",                       // json.loads-valid null → eat (:416)
+      "application/1/device/j3/join" -> "null",                     // None.get('devEUI') → perr (:288)
+      "gateway/gw1/rx" -> "null")                                   // 'phyPayload' in None → perr (:311)
     val raw = cases.zipWithIndex
       .map { case ((t, m), i) => (t, m, (i % 2).toLong, i.toLong) }
       .toDF("topic", "message", "data_collector_id", "seq")
@@ -378,7 +383,7 @@ class StateOpsSpec extends SparkSuite {
     // inside the per-dialect normalizers; the fused form routes them to
     // "drop" / "perr" (same downstream semantics — state ops ignore both)
     assert(fused.filter(_.route == "drop").map(_.seq) == Seq(2L, 3L))
-    assert(fused.filter(_.route == "perr").map(_.seq) == Seq(9L, 10L, 13L))
+    assert(fused.filter(_.route == "perr").map(_.seq) == Seq(9L, 10L, 13L, 19L, 20L))
     assert(fused.filterNot(r => r.route == "drop" || r.route == "perr") == union)
     // routes land where expected — index 5 (non-JSON text on a radio
     // topic) re-routes to raw: the reference's decode-failure path
@@ -391,15 +396,15 @@ class StateOpsSpec extends SparkSuite {
     assert(fused.map(_.route) ==
       Seq("radio", "radio", "drop", "drop", "radio", "raw", "app", "join",
         "raw", "perr", "perr", "perr_app_eat", "perr_app", "perr", "raw",
-        "radio"))
+        "radio", "perr_app", "app", "perr_app_eat", "perr", "perr"))
     // the perr_app row keeps its fCount — chirpStep's pair-hit decision
     // needs it (:416)
     assert(fused.find(_.route == "perr_app").get.fCount.contains(7L))
     // the F0h raw frame actually PARSED on both paths (not a metadata-
     // only fallthrough): the envelope keeps the original base64 text,
     // the packet carries the decoded proto fields
-    val rawProto = fused.last
-    assert(rawProto.message == cases.last._2)
+    val rawProto = fused(15) // the F0h frame (crash cases follow it)
+    assert(rawProto.message == cases(15)._2)
     assert(rawProto.packet.get.gateway.contains("aabbccddeeff0011"))
     assert(rawProto.packet.get.dev_addr.contains("44332211"))
     assert(rawProto.packet.get.f_count.contains(9L))

@@ -144,7 +144,13 @@ object Orchestrator {
         }
         ok
       } finally q.stop()
-    } catch { case _: Exception => false }
+    } catch {
+      // the poll sleeps: an interrupt lands here as InterruptedException —
+      // report ERROR but re-set the flag so the caller sees its own
+      // cancellation (swallowing it would clear the interrupt status)
+      case _: InterruptedException => Thread.currentThread().interrupt(); false
+      case scala.util.control.NonFatal(_) => false
+    }
 
   /** Driver-side manager: applies [[lifecycle]] plans to real
     * StreamingQueries. `build` is the per-collector query factory
@@ -164,6 +170,18 @@ object Orchestrator {
   final class QueryManager(build: CollectorConfig => StreamingQuery) {
     private var running: Map[Long, (CollectorConfig, Seq[StreamingQuery])] = Map.empty
 
+    // Guarded stop shared by every stop path: NonFatal faults are
+    // swallowed (one dying query must not abort the rest of the plan),
+    // but an InterruptedException re-sets the thread's interrupt flag —
+    // a bare `case _: Exception` here would silently CLEAR it, leaving
+    // the caller (e.g. an executor-service shutdown interrupting plan
+    // application) unable to observe its own cancellation.
+    private def quietStop(q: StreamingQuery): Unit =
+      try q.stop() catch {
+        case _: InterruptedException => Thread.currentThread().interrupt()
+        case scala.util.control.NonFatal(_) => ()
+      }
+
     def runningIds: Set[Long] = running.keySet
 
     def handle(ev: Event): Unit = synchronized {
@@ -180,8 +198,7 @@ object Orchestrator {
       // abort the rest of the plan; the id deregisters either way — the
       // lifecycle decided it must not run.
       plan.stop.filterNot(restarted).foreach { id =>
-        running.get(id).foreach(_._2.foreach(q =>
-          try q.stop() catch { case _: Exception => () }))
+        running.get(id).foreach(_._2.foreach(quietStop))
         running -= id
       }
       plan.start.groupBy(_.id).foreach { case (id, configs) =>
@@ -197,7 +214,7 @@ object Orchestrator {
         val built = Vector.newBuilder[StreamingQuery]
         try configs.foreach(c => built += build(c))
         catch { case e: Throwable =>
-          built.result().foreach(q => try q.stop() catch { case _: Exception => () })
+          built.result().foreach(quietStop)
           throw e
         }
         val builtQueries = built.result()
@@ -208,8 +225,7 @@ object Orchestrator {
         // double-writing, unreachable by stopAll). Guarded: a throwing
         // stop() must not abort BEFORE the swap, or it is the freshly
         // built generation that ends up orphaned instead.
-        running.get(id).foreach(_._2.foreach(q =>
-          try q.stop() catch { case _: Exception => () }))
+        running.get(id).foreach(_._2.foreach(quietStop))
         running += id -> (configs.head, builtQueries)
       }
     }
@@ -217,8 +233,7 @@ object Orchestrator {
     def stopAll(): Unit = synchronized {
       // guarded like every other stop path: one dying query must not
       // prevent the rest of the fleet from stopping
-      running.values.foreach(_._2.foreach(q =>
-        try q.stop() catch { case _: Exception => () }))
+      running.values.foreach(_._2.foreach(quietStop))
       running = Map.empty
     }
   }

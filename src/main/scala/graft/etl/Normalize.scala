@@ -122,7 +122,16 @@ object Normalize {
     * message with NEITHER side present does not crash — the proto branch
     * never touches `x_info` outside the two `in` guards. Same probe-cheap
     * structure as the JSON dialect: struct slots decide, key presence is
-    * consulted only when a slot is null. */
+    * consulted only when a slot is null.
+    *
+    * Residual (documented): a PRESENT gatewayID whose text is not valid
+    * base64 raises binascii.Error inside `base64.b64decode` (:324) in the
+    * reference — parsing error, no packet — while this side's lenient
+    * unbase64 keeps the packet with a mangled gateway id. Unreachable for
+    * real input: this branch only ever sees MessageToJson output (F0h
+    * sniff), and protobuf-JSON serializes `bytes` fields as valid base64
+    * by construction; probing would re-scan the raw text per row for a
+    * shape that cannot occur. */
   private[graft] def chirpstackProtoStructCrash(msg: Column, m: Column): Column = {
     val rx = m("rxInfo"); val tx = m("txInfo")
     def keyPresent(k: String) = array_contains(json_object_keys(msg), k)
@@ -508,7 +517,13 @@ object Normalize {
         //    identifiers whose [0]['gateway_ids']['eui'] path is absent
         //    (:312 KeyError). Residuals (documented): non-dict
         //    elements inside rx_metadata/identifiers that PERMISSIVE
-        //    parsing nulls the same as absence.
+        //    parsing nulls the same as absence; and an EXPLICIT JSON
+        //    null eui (`"eui": null`), which PERMISSIVE parses to the
+        //    same null as an ABSENT key — but `['eui']` on a present
+        //    key returns None without raising, so the reference would
+        //    save the packet (gateway None) where this side routes
+        //    perr_buf. Unreachable for real input: proto-JSON never
+        //    emits explicit nulls for scalar fields.
         when(m.isNull, "perr")
           .when(name === "gs.status.receive" && d.isNull, "perr")
           .when(name === "gs.status.receive" &&

@@ -222,6 +222,14 @@ object StateOps {
         // MISMATCH the rxInfo block never runs — the normal un-enriched
         // flush happens. With no prev the whole block is skipped and
         // nothing is saved or buffered (same as a clean unpaired app row).
+        // Residual (documented): the reference compares
+        // `standard_packet['f_count'] == msg.get('fCnt', None)` (:412),
+        // so None == None is a PAIR-HIT — a buffered prev with null
+        // f_count plus an fCnt-less crash row would consume-and-lose prev
+        // there, but mismatch-flush here (fCount.isDefined guard).
+        // Unreachable: a buffered prev implies an "up" data frame whose
+        // PHY parse always sets f_count; the guard matches the app-route
+        // convention used by the clean "app" branch above.
         st.prev match {
           case Some(p) if p.fCount.isDefined && p.fCount == r.fCount =>
             (st.copy(prev = None), Nil) // prevMsgs kept: rides on

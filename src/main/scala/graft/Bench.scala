@@ -137,45 +137,128 @@ object Bench {
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
     }
-    val (busy0, idle0, steal0) = cpuJiffies()
-    val own0 = ownJiffies()
-    val load1Start = load1()
-
     // A query that throws serializes as null in `queries` (so consumers
     // summing/plotting per-query values never see a corrupted number)
     // and its name lands in `errors`; sum(non-null queries) == `value`.
     val withMetrics = sys.env.get("SPARK_GRAFT_METRICS").contains("1")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // isolate queries from each other's heap debt: collect garbage
-      // OUTSIDE the timed section (measured: a heavy predecessor
-      // otherwise inflates the next query up to 3x run-to-run).
-      //
-      // Cached relations are deliberately NOT cleared between queries:
-      // the persisted intra-query tables (q33's pair list, q39/q98
-      // centroids, q100's vocab — KBs to MBs, bounded by near-dup/
-      // vocabulary sizes, never corpus-sized) are exactly the staged
-      // artifacts the composite queries (q42/q58/q62/q72/q82) share in
-      // a production pipeline, where the pair list is computed once and
-      // checkpointed. Measured A/B on the 102-query suite: 82.7 s
-      // shared vs 105.6 s fully isolated (clearCache per query) — the
-      // 22% delta is the value of artifact reuse, not cache pollution.
-      // Verify DOES clear per query: correctness runs want isolation.
-      System.gc()
-      val t0 = System.nanoTime()
-      val ok = try {
-        val df = fn(spark, sfDir)
-        if (withMetrics) {
-          // metrics mode executes the query's OWN plan (Measure.run);
-          // timings remain comparable (same plan, rdd-count action)
-          val m = graft.tools.Measure.run(df)
-          System.err.println(s"[metrics] $name shuffleBytes=${m.shuffleBytes} " +
-            s"shuffleRecords=${m.shuffleRecords} exchanges=${m.exchanges} rows=${m.rows}")
-        } else df.count()
-        true
-      } catch { case _: Throwable => false }
-      val secs = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) Some(secs) else None)
+
+    /** One timed pass over the whole suite, with its own telemetry
+      * window — retakes (below) must publish the TELEMETRY of the
+      * attempt they publish the timings of, or the contamination
+      * evidence and the reading would describe different runs. */
+    final case class Attempt(results: Seq[(String, Option[Double])],
+                             stealPct: Double, ownSharePct: Double,
+                             load1Start: Double, load1End: Double)
+
+    def runAttempt(): Attempt = {
+      val (busy0, idle0, steal0) = cpuJiffies()
+      val own0 = ownJiffies()
+      val load1Start = load1()
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // isolate queries from each other's heap debt: collect garbage
+        // OUTSIDE the timed section (measured: a heavy predecessor
+        // otherwise inflates the next query up to 3x run-to-run).
+        //
+        // Cached relations are deliberately NOT cleared between queries:
+        // the persisted intra-query tables (q33's pair list, q39/q98
+        // centroids, q100's vocab — KBs to MBs, bounded by near-dup/
+        // vocabulary sizes, never corpus-sized) are exactly the staged
+        // artifacts the composite queries (q42/q58/q62/q72/q82) share in
+        // a production pipeline, where the pair list is computed once and
+        // checkpointed. Measured A/B on the 102-query suite: 82.7 s
+        // shared vs 105.6 s fully isolated (clearCache per query) — the
+        // 22% delta is the value of artifact reuse, not cache pollution.
+        // Verify DOES clear per query: correctness runs want isolation.
+        System.gc()
+        val t0 = System.nanoTime()
+        val ok = try {
+          val df = fn(spark, sfDir)
+          if (withMetrics) {
+            // metrics mode executes the query's OWN plan (Measure.run);
+            // timings remain comparable (same plan, rdd-count action)
+            val m = graft.tools.Measure.run(df)
+            System.err.println(s"[metrics] $name shuffleBytes=${m.shuffleBytes} " +
+              s"shuffleRecords=${m.shuffleRecords} exchanges=${m.exchanges} rows=${m.rows}")
+          } else df.count()
+          true
+        } catch { case _: Throwable => false }
+        val secs = (System.nanoTime() - t0) / 1e9
+        (name, if (ok) Some(secs) else None)
+      }
+      val (busy1, idle1, steal1) = cpuJiffies()
+      val own1 = ownJiffies()
+      val load1End = load1()
+      val totalJiff = (busy1 + idle1) - (busy0 + idle0)
+      val busyJiff = busy1 - busy0
+      val stealPct =
+        if (totalJiff > 0) 100.0 * (steal1 - steal0) / totalJiff else 0.0
+      val ownSharePct =
+        if (busyJiff > 0) 100.0 * (own1 - own0) / busyJiff else 0.0
+      Attempt(results, stealPct, ownSharePct, load1Start, load1End)
     }
+
+    // Drift self-validation (mechanizing BASELINE.md's retaken-not-
+    // recorded rule): host interference inflates every wall time with no
+    // code change, and neither steal nor own-share reliably catches a
+    // co-resident burst that ends before the run does — BENCH_r08 read
+    // ~1.8-2x baseline while the quiet self-record reproduced at 1.1x.
+    // The documented environment signature is UNIFORM inflation on
+    // untouched queries vs the committed quiet reading, so Bench now
+    // carries that check itself: median per-query ratio against the
+    // committed BENCH_REF.json over stable queries (ref >= 0.2 s; the
+    // sub-200ms tail is scheduling noise) above 1.15 flags the attempt
+    // as contaminated and triggers ONE automatic retake. The published
+    // line is the better (lower-median) attempt, with `drift_detected`
+    // carrying the verdict on the attempt actually published — a still-
+    // true flag tells the harvester the reading is environment-bound
+    // even after the retake. Median, not mean: a handful of queries
+    // legitimately change cost between rounds; 84 of 105 reference
+    // entries clear the 0.2 s floor, so the estimator is robust to any
+    // plausible number of deliberate changes.
+    val refQueries: Map[String, Double] = try {
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json")
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(p))
+      val it = node.get("queries").properties().iterator()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+      }
+      b.result()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] no drift reference (${e.getMessage}) — skipping self-validation")
+      Map.empty
+    }
+    def medianRatio(a: Attempt): Option[Double] = {
+      val rs = (for {
+        (k, vOpt) <- a.results; v <- vOpt
+        r <- refQueries.get(k) if r >= 0.2
+      } yield v / r).sorted
+      // <8 comparable queries means the reference doesn't describe this
+      // suite (renamed queries, truncated file) — no verdict, no retake.
+      if (rs.size < 8) None
+      else Some(if (rs.size % 2 == 1) rs(rs.size / 2)
+                else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2)
+    }
+    val driftBar = 1.15
+    val first = runAttempt()
+    val firstRatio = medianRatio(first)
+    val (attempt, chosenRatio, attempts) =
+      if (firstRatio.exists(_ > driftBar)) {
+        System.err.println(f"[bench] drift suspected (median ratio ${firstRatio.get}%.3f" +
+          " vs BENCH_REF) — retaking once")
+        System.gc()
+        val second = runAttempt()
+        val secondRatio = medianRatio(second)
+        // publish the lower-ratio attempt (the retake is warmer AND ran
+        // later — either attempt can be the quiet one)
+        if (secondRatio.zip(firstRatio).forall { case (r2, r1) => r2 <= r1 })
+          (second, secondRatio, 2)
+        else (first, firstRatio, 2)
+      } else (first, firstRatio, 1)
+    val driftDetected = chosenRatio.exists(_ > driftBar)
+    val results = attempt.results
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
     import graft.JsonNum.num // Locale.ROOT JSON numerals (shared helper)
     // 4-decimal seconds: full Double.toString tripled the line length
@@ -192,21 +275,11 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = rounded.flatMap(_._2).sum
     val errs = failed.mkString("[", ",", "]")
-    val (busy1, idle1, steal1) = cpuJiffies()
-    val own1 = ownJiffies()
-    val load1End = load1()
-    val totalJiff = (busy1 + idle1) - (busy0 + idle0)
-    val busyJiff = busy1 - busy0
-    val stealPct =
-      if (totalJiff > 0) 100.0 * (steal1 - steal0) / totalJiff else 0.0
-    // Share of the machine's BUSY cpu burned by this JVM: near 100 on a
-    // quiet host, collapses when a co-resident process competes.
-    val ownSharePct =
-      if (busyJiff > 0) 100.0 * (own1 - own0) / busyJiff else 0.0
     // sfDir is env-supplied: escape it, or a path carrying a quote or
     // backslash corrupts the one-line artifact AND the self-record
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
-    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":${num("%.1f", stealPct)},"own_cpu_share_pct":${num("%.1f", ownSharePct)},"load1_start":${num("%.1f", load1Start)},"load1_end":${num("%.1f", load1End)},"sf":"$sfJson"}"""
+    val ratioJson = chosenRatio.fold("null")(num("%.3f", _))
+    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":${num("%.1f", attempt.stealPct)},"own_cpu_share_pct":${num("%.1f", attempt.ownSharePct)},"load1_start":${num("%.1f", attempt.load1Start)},"load1_end":${num("%.1f", attempt.load1End)},"drift_median_ratio":$ratioJson,"drift_detected":$driftDetected,"bench_attempts":$attempts,"sf":"$sfJson"}"""
     println(line)
     // Self-record: the one-line artifact also lands on disk, so a
     // console harvester that truncates the stdout capture (the r6 bench

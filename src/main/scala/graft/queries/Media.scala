@@ -218,7 +218,10 @@ object Media {
         |FROM rows_all ORDER BY media_id, win""".stripMargin,
     // the SAME integer DCT pipeline as Multimodal.phashBytes, constant
     // table included verbatim (DctT below) — every step is int64-exact
-    // so the hash matches Spark's bit-for-bit
+    // so the hash matches Spark's bit-for-bit. The pair join is the
+    // pigeonhole restatement the engine runs (hamming <= 2 over 63 bits
+    // forces >= 1 of 3 disjoint 21-bit chunks equal — lossless), so the
+    // oracle stays sub-quadratic at sf0.1
     "q57_media_phash" ->
       s"""WITH m0 AS (SELECT doc_id AS media_id, text,
          |    CAST(length(text) AS BIGINT) AS L
@@ -254,11 +257,19 @@ object Media {
          |h AS (SELECT media_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    [CASE WHEN acs[k+1] > med THEN CAST(1 AS BIGINT)<<k
          |          ELSE CAST(0 AS BIGINT) END for k in range(0, 63)]),
-         |    (a, b) -> a + b) AS ph FROM ac)
-         |SELECT a.media_id AS media_a, b.media_id AS media_b,
-         |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
-         |FROM h a JOIN h b ON a.media_id < b.media_id
-         |WHERE bit_count(xor(a.ph, b.ph)) <= 2
+         |    (a, b) -> a + b) AS ph FROM ac),
+         |ch AS (SELECT media_id,
+         |  unnest([(ph >> 0) & 2097151, (ph >> 21) & 2097151,
+         |          (ph >> 42) & 2097151]) AS cv,
+         |  unnest([0, 1, 2]) AS ci FROM h),
+         |cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+         |  FROM ch a JOIN ch b
+         |    ON a.ci = b.ci AND a.cv = b.cv AND a.media_id < b.media_id)
+         |SELECT cand.media_a, cand.media_b,
+         |  CAST(bit_count(xor(ha.ph, hb.ph)) AS BIGINT) AS hamming
+         |FROM cand JOIN h ha ON ha.media_id = cand.media_a
+         |          JOIN h hb ON hb.media_id = cand.media_b
+         |WHERE bit_count(xor(ha.ph, hb.ph)) <= 2
          |ORDER BY media_a, media_b""".stripMargin,
     // image rows (doc_id % 3 = 0) mirror the REAL BMP parse: the fixture
     // wraps the bytes as one row of gray pixels, so decoded width = byte

@@ -108,6 +108,41 @@ object TextOps {
       |  for i in range(1, greatest(len(w) - 2, 0) + 1)])"""
       .stripMargin.replace("\n", " ")
 
+  /** Sub-quadratic candidate CTEs for the Jaccard/containment pair
+    * oracles — the same AllPairs prefix filter (Bayardo et al., WWW'07
+    * "Scaling Up All Pairs Similarity Search") the Spark side runs, so
+    * the DuckDB side stops being O(N²) and the whole dedup family
+    * graduates out of the sf0.1 pruned-oracle set. LOSSLESS, not
+    * approximate: J(A,B) >= num/den forces |A∩B| >= ceil(num·|A|/den),
+    * so under one global token order (ascending document frequency,
+    * token text as tiebreak) A's first |A| - ceil(num·|A|/den) + 1
+    * tokens must intersect B's prefix (symmetric argument for B) — any
+    * surviving pair shares a prefix token, and the exact Jaccard verify
+    * downstream is unchanged, so the final rows (and their doubles) are
+    * identical to the all-pairs form; equality was checked row-for-row
+    * against the old oracles at sf0.01 before the swap. ceil is done in
+    * integers ((num·n + den-1) // den) — no float boundary at n % den
+    * == 0. Containment C(A,B) = |A∩B|/|A| >= num/den only bounds A's
+    * side, so its callers join A's prefix against B's FULL inventory
+    * (`bRel = "tok"`). Expects a preceding CTE `sh(doc_id, sh)`; yields
+    * `cand(doc_a, doc_b)` (DISTINCT) for the caller to verify exactly. */
+  private def duckPrefixCands(num: Int, den: Int, pairCond: String,
+                              bRel: String = "pref"): String =
+    s"""tok AS (SELECT doc_id, unnest(sh) AS t, len(sh) AS n FROM sh),
+       |dfq AS (SELECT t, count(*) AS dfreq FROM tok GROUP BY t),
+       |rk AS (SELECT doc_id, t, n, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY dfreq, t) AS r FROM tok JOIN dfq USING (t)),
+       |pref AS (SELECT doc_id, t FROM rk
+       |  WHERE r <= n - (($num * n + ${den - 1}) // $den) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pref a JOIN $bRel b ON a.t = b.t AND ($pairCond))""".stripMargin
+
+  /** Exact-verify Jaccard over the candidate pairs (same expression as
+    * the retired all-pairs form, aliased to `sa`/`sb` full lists). */
+  private val duckJaccSaSb: String =
+    """CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+      |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))""".stripMargin
+
   // ------------------------------------------------------------ q30 stats
 
   /** q30: token counting + quality scoring (length/stopword/alpha ratios). */
@@ -255,17 +290,18 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Shared DuckDB oracle for q33/q34: exact pairwise Jaccard (feasible at
-    * oracle SF; the Spark side must match it exactly, which also proves
-    * LSH recall). */
-  private def jaccardOracle(threshold: Double): String =
+  /** Shared DuckDB oracle for q33/q34: exact pairwise Jaccard at
+    * threshold num/den (prefix-filter candidates + exact verify — same
+    * rows as the retired all-pairs form, feasible at sf0.1; the Spark
+    * side must match it exactly, which also proves LSH recall). */
+  private def jaccardOracle(num: Int, den: Int, thr: String): String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
        |sh AS (SELECT doc_id, $duckShingles sh FROM w),
-       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= $threshold
+       |${duckPrefixCands(num, den, "a.doc_id < b.doc_id")},
+       |p AS (SELECT doc_a, doc_b, $duckJaccSaSb AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+       |            JOIN sh sb ON sb.doc_id = cand.doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= $thr
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------ q34 MinHash-LSH
@@ -2334,10 +2370,10 @@ object TextOps {
     "q42_neardup_survivors" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          |sh AS (SELECT doc_id, $duckShingles sh FROM w),
-         |p AS (SELECT b.doc_id AS doc_b,
-         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |${duckPrefixCands(4, 5, "a.doc_id < b.doc_id")},
+         |p AS (SELECT cand.doc_b, $duckJaccSaSb AS j
+         |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+         |            JOIN sh sb ON sb.doc_id = cand.doc_b)
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM p WHERE j >= 0.8)
          |ORDER BY doc_id""".stripMargin,
@@ -2405,10 +2441,11 @@ object TextOps {
     "q58_corpus_release" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          |sh AS (SELECT doc_id, $duckShingles sh FROM w),
-         |dup AS (SELECT DISTINCT b.doc_id AS doc_id
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         |${duckPrefixCands(4, 5, "a.doc_id < b.doc_id")},
+         |dup AS (SELECT DISTINCT cand.doc_b AS doc_id
+         |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+         |            JOIN sh sb ON sb.doc_id = cand.doc_b
+         |  WHERE $duckJaccSaSb >= 0.8),
          |keepex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
          |rep AS (SELECT w.doc_id FROM w
          |  LEFT JOIN (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM
@@ -2486,14 +2523,15 @@ object TextOps {
         |  CAST((so + n_tokens - 1) // 512 AS BIGINT) AS last_seq,
         |  (so // 512) != ((so + n_tokens - 1) // 512) AS straddles
         |FROM y ORDER BY source, doc_id""".stripMargin,
-    "q33_ngram_jaccard" -> jaccardOracle(0.8),
+    "q33_ngram_jaccard" -> jaccardOracle(4, 5, "0.8"),
     "q63_ensemble_neardup" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          |sh AS (SELECT doc_id, $duckShingles sh FROM w),
-         |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         |${duckPrefixCands(4, 5, "a.doc_id < b.doc_id")},
+         |tp AS (SELECT cand.doc_a, cand.doc_b
+         |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+         |            JOIN sh sb ON sb.doc_id = cand.doc_b
+         |  WHERE $duckJaccSaSb >= 0.8),
          |ep AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |  WHERE ${Vectors.duckCosine("a.embedding", "b.embedding")} >= 0.4)
@@ -2510,10 +2548,11 @@ object TextOps {
     "q62_dup_clusters" ->
       s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          |sh AS (SELECT doc_id, $duckShingles sh FROM w),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         |${duckPrefixCands(4, 5, "a.doc_id < b.doc_id")},
+         |p AS (SELECT cand.doc_a, cand.doc_b
+         |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+         |            JOIN sh sb ON sb.doc_id = cand.doc_b
+         |  WHERE $duckJaccSaSb >= 0.8),
          |e AS (SELECT doc_a AS u, doc_b AS v FROM p
          |      UNION SELECT doc_b, doc_a FROM p),
          |r(n, m) AS (
@@ -2527,10 +2566,11 @@ object TextOps {
     "q72_canonical_docs" ->
       s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          |sh AS (SELECT doc_id, $duckShingles sh FROM w),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         |${duckPrefixCands(4, 5, "a.doc_id < b.doc_id")},
+         |p AS (SELECT cand.doc_a, cand.doc_b
+         |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+         |            JOIN sh sb ON sb.doc_id = cand.doc_b
+         |  WHERE $duckJaccSaSb >= 0.8),
          |e AS (SELECT doc_a AS u, doc_b AS v FROM p
          |      UNION SELECT doc_b, doc_a FROM p),
          |r(n, m) AS (
@@ -2551,13 +2591,18 @@ object TextOps {
          |FROM sel WHERE rk = 1 AND n_members >= 2
          |ORDER BY cluster_id""".stripMargin,
     "q88_containment_join" ->
+      // containment only bounds the EXCERPT side (|A∩B| >= ceil(0.9|A|)),
+      // so A's prefix joins B's FULL token inventory — the same
+      // A-prefix × B-full inverted index the Spark side runs
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-         |sh AS (SELECT doc_id, $duckShingles sh FROM w)
-         |SELECT a.doc_id AS excerpt_id, b.doc_id AS container_id,
-         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+         |sh AS (SELECT doc_id, $duckShingles sh FROM w),
+         |${duckPrefixCands(9, 10, "a.doc_id != b.doc_id", bRel = "tok")}
+         |SELECT cand.doc_a AS excerpt_id, cand.doc_b AS container_id,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh)
          |    AS containment
-         |FROM sh a JOIN sh b ON a.doc_id != b.doc_id
-         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.9
+         |FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+         |          JOIN sh sb ON sb.doc_id = cand.doc_b
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh) >= 0.9
          |ORDER BY excerpt_id, container_id""".stripMargin,
     "q85_reference_integrity" ->
       """SELECT CAST(COUNT(d.doc_id) AS BIGINT) AS n_docs,
@@ -2570,13 +2615,29 @@ object TextOps {
         |  CAST(MAX(len(e.embedding)) AS BIGINT) AS max_dim
         |FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
     "q84_fuzzy_join" ->
+      // FastSS candidates instead of the N² levenshtein cross: every
+      // lev<=1 pair shares a deletion-neighborhood variant (equal pairs
+      // share the string itself; a deletion shares the shorter string;
+      // a substitution at position i shares both sides' delete-at-i),
+      // so the variant equi-join is a lossless candidate generator and
+      // the exact levenshtein verify keeps the output rows identical
       """WITH dirty AS (SELECT c_custkey AS dirty_id,
         |    substring(c_name, 1, CAST(c_custkey % length(c_name) AS INT)) ||
         |    substring(c_name, CAST(c_custkey % length(c_name) AS INT) + 2) AS dirty_name
         |  FROM customer),
-        |cand AS (SELECT d.dirty_id, c.c_custkey AS canon_id
-        |  FROM dirty d JOIN customer c
-        |    ON levenshtein(d.dirty_name, c.c_name) <= 1)
+        |dv AS (SELECT dirty_id, dirty_name,
+        |    unnest(list_distinct([dirty_name] ||
+        |      [substring(dirty_name, 1, i - 1) || substring(dirty_name, i + 1)
+        |       for i in range(1, length(dirty_name) + 1)])) AS v FROM dirty),
+        |cv AS (SELECT c_custkey, c_name,
+        |    unnest(list_distinct([c_name] ||
+        |      [substring(c_name, 1, i - 1) || substring(c_name, i + 1)
+        |       for i in range(1, length(c_name) + 1)])) AS v FROM customer),
+        |cand0 AS (SELECT DISTINCT d.dirty_id, d.dirty_name,
+        |    c.c_custkey, c.c_name
+        |  FROM dv d JOIN cv c ON d.v = c.v),
+        |cand AS (SELECT dirty_id, c_custkey AS canon_id FROM cand0
+        |  WHERE levenshtein(dirty_name, c_name) <= 1)
         |SELECT dirty_id, MIN(canon_id) AS matched_canon_id,
         |  COUNT(*) AS n_candidates
         |FROM cand GROUP BY dirty_id ORDER BY dirty_id""".stripMargin,
@@ -2590,10 +2651,11 @@ object TextOps {
     "q82_split_leakage" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          |sh AS (SELECT doc_id, $duckShingles sh FROM w),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         |${duckPrefixCands(4, 5, "a.doc_id < b.doc_id")},
+         |p AS (SELECT cand.doc_a, cand.doc_b
+         |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+         |            JOIN sh sb ON sb.doc_id = cand.doc_b
+         |  WHERE $duckJaccSaSb >= 0.8),
          |sp AS (SELECT doc_id,
          |    CASE WHEN ((doc_id % 100) * 2654435761) % 100 < 80 THEN 'train'
          |         WHEN ((doc_id % 100) * 2654435761) % 100 < 90 THEN 'val'
@@ -2646,13 +2708,16 @@ object TextOps {
         |    (SUM(bucket - n_tokens) + SUM(n_tokens)) AS pad_frac
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q76_incremental_dedup" ->
+      // the original pair condition was a FULL inc×corpus cross (no
+      // shared-token requirement); only j >= 0.8 pairs survive into
+      // `best`, so the prefix filter is lossless here too
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          |sh AS (SELECT doc_id, $duckShingles sh FROM w),
-         |x AS (SELECT a.doc_id AS inc_id, b.doc_id AS corpus_id,
-         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
-         |  FROM sh a JOIN sh b
-         |    ON a.doc_id % 10 = 7 AND b.doc_id % 10 != 7),
+         |${duckPrefixCands(4, 5, "a.doc_id % 10 = 7 AND b.doc_id % 10 != 7")},
+         |x AS (SELECT cand.doc_a AS inc_id, cand.doc_b AS corpus_id,
+         |    $duckJaccSaSb AS j
+         |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+         |            JOIN sh sb ON sb.doc_id = cand.doc_b),
          |best AS (SELECT inc_id, corpus_id, j,
          |    ROW_NUMBER() OVER (PARTITION BY inc_id
          |      ORDER BY j DESC, corpus_id ASC) AS rk
@@ -2679,7 +2744,10 @@ object TextOps {
         |  CAST(sum(cc) AS DOUBLE) / count(*) AS familiarity,
         |  CAST(sum(cc) AS DOUBLE) / count(*) < 225 AS flagged
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q34_minhash_lsh"   -> jaccardOracle(0.8),
+    "q34_minhash_lsh"   -> jaccardOracle(4, 5, "0.8"),
+    // pair join = pigeonhole restatement (hamming <= 3 over 60 bits
+    // forces >= 1 of 4 disjoint 15-bit chunks equal — lossless), the
+    // same blocked equi-join the engine's 100 TB path runs
     "q35_simhash" ->
       s"""WITH h AS (SELECT doc_id,
          |  list_transform(list_distinct(string_split(text, ' ')),
@@ -2697,11 +2765,19 @@ object TextOps {
          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    [CAST(CASE WHEN bitsum[j+1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS BIGINT)
          |     for j in range(0, 60)]), (a, b) -> a + b) AS simhash
-         |  FROM bs)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |  FROM bs),
+         |ch AS (SELECT doc_id,
+         |  unnest([(simhash >> 0) & 32767, (simhash >> 15) & 32767,
+         |          (simhash >> 30) & 32767, (simhash >> 45) & 32767]) AS cv,
+         |  unnest([0, 1, 2, 3]) AS ci FROM sh),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ch a JOIN ch b
+         |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+         |SELECT cand.doc_a, cand.doc_b,
+         |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+         |FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+         |          JOIN sh sb ON sb.doc_id = cand.doc_b
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q38_fingerprint" ->
       """SELECT doc_id,

@@ -533,12 +533,18 @@ object Vectors {
     "q61_semantic_dedup" -> (q61SemanticDedup _),
   )
 
-  /** DuckDB mirror of DotProductF: identical left-to-right double fold,
-    * so doubles are bit-identical across engines. */
+  /** DuckDB mirror of DotProductF: `list_dot_product` over double-cast
+    * lists is the same left-to-right double accumulation as the engine's
+    * fold, so doubles stay bit-identical across engines — verified
+    * empirically against the interpreted
+    * `list_reduce(list_prepend(0.0, [x[i]*y[i] …]), +)` form on every
+    * sf0.01 embedding pair (0 mismatches) before swapping. The native
+    * kernel is what makes the all-pairs cosine oracles (q37/q63/q79)
+    * feasible at sf0.1: the interpreted lambda stalled DuckDB for tens
+    * of minutes on 2M pairs, the native form runs them in seconds, so
+    * the whole cosine family graduates out of the pruned-oracle set. */
   private def duckDot(x: String, y: String): String =
-    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |  [CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in range(1, len($x) + 1)]),
-       |  (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+    s"list_dot_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))"
 
   /** DuckDB mirror: identical left-to-right fold. */
   private[queries] def duckCosine(a: String, b: String): String =

@@ -5,9 +5,9 @@ the parquet dumps written by `graft.Verify`.
 
 Usage: python3 tools/parity.py <sfDir> <verifyOutDir> [--prune-quadratic] [--json <path>]
 
---prune-quadratic skips the oracles whose DuckDB side is O(N^2) by
-design (the dedup-family pair lists) plus sf0.01-pinned q29 — the
-sf0.1 sweep recipe from the verify skill as one command.
+--prune-quadratic skips the sf0.01-pinned q29 oracle (historically also
+the dedup-family pair lists, restated sub-quadratically in round 9) —
+the sf0.1 sweep recipe from the verify skill as one command.
 
 --json <path> additionally writes a machine-readable record (per-query
 ok/fail + the skip list) so a sweep leaves an artifact, not just a
@@ -18,11 +18,12 @@ console log.
 import json, sys, glob, os
 import duckdb
 
-# Engine side is the sub-quadratic plan; the ORACLE side of these is a
-# deliberate O(N^2) SQL restatement that stalls DuckDB past sf0.01.
-QUADRATIC_ORACLES = ("q33", "q34", "q35", "q37", "q42", "q57", "q58",
-                     "q61", "q62", "q63", "q72", "q76", "q79", "q82",
-                     "q84", "q88", "q29")
+# Round 9 restated every dedup/cosine-family oracle sub-quadratically
+# (prefix-filter candidates, pigeonhole hamming chunks, FastSS deletion
+# variants, native list_dot_product) — all run at sf0.1 now. Only q29
+# remains pinned: its oracle embeds sf0.01-specific key lookups by
+# design.
+QUADRATIC_ORACLES = ("q29",)
 
 def main(sf_dir, out_dir, prune_quadratic=False, json_out=None):
     con = duckdb.connect()

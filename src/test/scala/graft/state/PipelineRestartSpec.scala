@@ -107,6 +107,105 @@ class PipelineRestartSpec extends SparkSuite {
     }
   }
 
+  test("F1/F2 chirp restart: devices map, pairing buffer, crash residue all survive") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def r(seq: Long, route: String, msg: String,
+            devAddr: Option[String] = None, fCount: Option[Long] = None,
+            devEui: Option[String] = None, appName: Option[String] = None,
+            devName: Option[String] = None, lat: Option[Double] = None): Rec =
+        Rec(seq, 1L, route, Some(s"t/$seq"), msg, devAddr, fCount, devEui,
+          appName, devName, lat, lat.map(_ + 1), lat.map(_ + 2), None, None,
+          2000 + seq)
+      // batch 1 leaves EVERY kind of chirp state populated at the
+      // restart boundary: a join-sourced devices_map entry (aa01), a
+      // pending prev_packet (cc03@7), and crash residue in prevMsgs
+      // (up-b survives the perr_app pair-hit that LOSES the bb02 prev)
+      val b1 = Seq(
+        r(1, "join", "join-a", devAddr = Some("aa01"), devEui = Some("joined1")),
+        r(2, "radio", "up-b", devAddr = Some("bb02"), fCount = Some(5L)),
+        r(3, "perr_app", "crash-a", fCount = Some(5L)),
+        r(4, "radio", "up-c", devAddr = Some("cc03"), fCount = Some(7L)))
+      // batch 2 (arrives while the query is DOWN) consumes all three:
+      // the app row pair-hits the recovered prev_packet (and writes the
+      // app-sourced cc03 map entry), the radio row hits the recovered
+      // join-sourced map entry
+      val b2 = Seq(
+        r(5, "app", "app-c", fCount = Some(7L), devEui = Some("eui-app"),
+          appName = Some("appX"), devName = Some("devX"), lat = Some(4.0)),
+        r(6, "radio", "up-a", devAddr = Some("aa01"), fCount = Some(1L)))
+      // batch 3 proves the SECOND incarnation's own write persisted: the
+      // cc03 map entry created by the pair-hit enriches a later uplink
+      val b3 = Seq(
+        r(7, "radio", "up-c2", devAddr = Some("cc03"), fCount = Some(9L)))
+      val all = b1 ++ b2 ++ b3
+
+      // pin 1: the batch fold is the semantics oracle
+      val batchExpected = Pipeline.chirpEnvelopes(all.toDS())
+        .collect().toSeq.sortBy(_.toString)
+
+      // pin 2: one uninterrupted streaming incarnation
+      val contStream = MemoryStream[Rec]
+      val contQ = Pipeline.chirpEnvelopesTws(contStream.toDS())
+        .writeStream.format("memory").queryName("chirp_f12_cont")
+        .outputMode(OutputMode.Append).start()
+      val expected = try {
+        contStream.addData(b1: _*); contQ.processAllAvailable()
+        contStream.addData(b2: _*); contQ.processAllAvailable()
+        contStream.addData(b3: _*); contQ.processAllAvailable()
+        spark.table("chirp_f12_cont").as[Envelope].collect().toSeq.sortBy(_.toString)
+      } finally contQ.stop()
+      assert(expected == batchExpected)
+
+      // the restarted run: same checkpoint + file sink, two incarnations
+      val ckpt = java.nio.file.Files.createTempDirectory("chirp_f12_ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("chirp_f12_sink").toString
+      val stream = MemoryStream[Rec]
+      def start() = Pipeline.chirpEnvelopesTws(stream.toDS())
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      val q1 = start()
+      try {
+        stream.addData(b1: _*); q1.processAllAvailable()
+      } finally q1.stop()
+      stream.addData(b2: _*) // arrives while down
+      val q2 = start()
+      val actual = try {
+        stream.addData(b3: _*); q2.processAllAvailable()
+        spark.read.parquet(outDir).as[Envelope].collect().toSeq.sortBy(_.toString)
+      } finally q2.stop()
+      assert(actual == expected)
+
+      // and the recovered semantics are the intended ones, not just
+      // self-consistent:
+      // pair-hit envelope carries the pre-restart crash residue (up-b),
+      // the buffered up-c, and the app message, enriched from the app row
+      val pairEnv = actual.find(_.messages.exists(_.message == "app-c")).get
+      assert(pairEnv.messages.map(_.message) == Seq("up-b", "up-c", "app-c"))
+      assert(pairEnv.packet.get.devEui.contains("eui-app"))
+      assert(pairEnv.packet.get.latitude.contains(4.0))
+      // join-sourced map entry recovered: up-a enriched with joined1
+      val upAEnv = actual.find(_.messages.exists(_.message == "up-a")).get
+      assert(upAEnv.packet.get.devEui.contains("joined1"))
+      // app-sourced map entry written post-restart enriches the b3 uplink
+      val upC2Env = actual.find(_.messages.exists(_.message == "up-c2")).get
+      assert(upC2Env.packet.get.devEui.contains("eui-app"))
+      assert(upC2Env.packet.get.appName.contains("appX"))
+      assert(upC2Env.packet.get.devName.contains("devX"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("F4 location host restart: held location AND pending crash buffer survive") {
     implicit val s = spark
     import s.implicits._

@@ -92,6 +92,55 @@ object Orchestrator {
     (cache ++ current, events)
   }
 
+  /** Status-loop cadence (Orchestrator.py check_data_collectors_status):
+    * one startup grace sleep — "wait until every collector is up after
+    * deployment ... to avoid unstable logging in the frontend"
+    * (`time.sleep(60*2)`, :90) — then a delta poll every 5 s
+    * (`time.sleep(5)` at the END of each iteration, :135, so the FIRST
+    * poll runs right after the grace, not grace+poll). */
+  final val StatusStartupGraceMs: Long = 120000L
+  final val StatusPollMs: Long = 5000L
+
+  /** The k-th status poll (0-based) fires at start + grace + k·poll —
+    * the schedule [[runStatusLoop]] sleeps through, exposed pure so the
+    * cadence constants are pinned without a clock. */
+  def statusPollDeadline(startMs: Long, tick: Long,
+                         graceMs: Long = StatusStartupGraceMs,
+                         pollMs: Long = StatusPollMs): Long =
+    startMs + graceMs + tick * pollMs
+
+  /** Driver loop around [[statusDeltas]] (Orchestrator.py:88-135):
+    * grace sleep, then per-tick snapshot → deltas → emit → poll sleep.
+    * `sleep` is injected so tests pin the schedule; `ticks` bounds the
+    * reference's infinite loop. Fault contract mirrors the reference:
+    * a throwing emit is the caught per-publish error (:117-121) — the
+    * cache entry STILL updates (the dict assignment sits outside the
+    * inner try), so a lost delta is lost for good, not re-emitted; a
+    * throwing snapshot is the outer `except` (:133) — the tick is
+    * skipped but the loop keeps its cadence. */
+  def runStatusLoop(snapshot: () => Map[Long, Status])
+                   (emit: StatusEvent => Unit)
+                   (sleep: Long => Unit, ticks: Long,
+                    graceMs: Long = StatusStartupGraceMs,
+                    pollMs: Long = StatusPollMs): Map[Long, Status] = {
+    sleep(graceMs)
+    var cache = Map.empty[Long, Status]
+    var k = 0L
+    while (k < ticks) {
+      try {
+        val (next, events) = statusDeltas(cache, snapshot())
+        events.foreach { e =>
+          try emit(e)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        cache = next
+      } catch { case scala.util.control.NonFatal(_) => () }
+      sleep(pollMs)
+      k += 1
+    }
+    cache
+  }
+
   // ------------------------------------------------- F5 timeout (driver)
 
   /** The 600 s verification timer (BaseCollector.py:26,43-53): collectors

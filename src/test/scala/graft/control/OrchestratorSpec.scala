@@ -92,6 +92,45 @@ class OrchestratorSpec extends graft.SparkSuite {
     assert(statusDeltas(cache3, now)._2.isEmpty)
   }
 
+  test("F7 status loop cadence: 120 s startup grace, then one poll per 5 s (Orchestrator.py:90,135)") {
+    // the pure schedule carries the reference constants
+    assert(statusPollDeadline(1000L, 0) == 1000L + 120000L)
+    assert(statusPollDeadline(1000L, 3) == 1000L + 120000L + 3 * 5000L)
+
+    // the loop sleeps exactly that schedule: grace first, poll after
+    // every tick (sleep at the END of the iteration, so the first
+    // snapshot happens right after the grace)
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[StatusEvent]
+    val snaps = Iterator(
+      Map(1L -> Status(connected = false, verified = false)), // delta (down)
+      Map(1L -> Status(connected = false, verified = false)), // same — silent
+      Map(1L -> Status(connected = true, verified = false)))  // delta (back up)
+    val cache = runStatusLoop(() => snaps.next())(emitted += _)(sleeps += _, ticks = 3)
+    assert(sleeps.toSeq == Seq(120000L, 5000L, 5000L, 5000L))
+    assert(emitted.toSeq == Seq(
+      StatusEvent(1, "DISCONNECTED", verified = false),
+      StatusEvent(1, "CONNECTED", verified = false)))
+    assert(cache == Map(1L -> Status(connected = true, verified = false)))
+
+    // fault contract: a throwing emit is the reference's caught publish
+    // error — the cache entry still updates, so the delta is lost for
+    // good (NOT re-emitted next tick); a throwing snapshot skips the
+    // tick but keeps the cadence
+    val sleeps2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var emits = 0
+    val snaps2 = Iterator(
+      () => Map(1L -> Status(connected = false, verified = false)), // emit throws
+      () => throw new RuntimeException("snapshot down"),            // tick skipped
+      () => Map(1L -> Status(connected = false, verified = false))) // cached — silent
+    val cache2 = runStatusLoop(() => snaps2.next()())(
+      _ => { emits += 1; throw new RuntimeException("publish down") })(
+      sleeps2 += _, ticks = 3)
+    assert(emits == 1) // the lost delta never retried
+    assert(sleeps2.toSeq == Seq(120000L, 5000L, 5000L, 5000L))
+    assert(cache2 == Map(1L -> Status(connected = false, verified = false)))
+  }
+
   /** Minimal StreamingQuery stub recording stop() — QueryManager only
     * ever calls stop on the queries it builds. */
   private class StubQuery extends org.apache.spark.sql.streaming.StreamingQuery {

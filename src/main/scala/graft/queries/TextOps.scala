@@ -290,6 +290,51 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** df-ordered prefix variant of q33 (AllPairs' canonical rarest-first
+    * order): the global shingle order is (document frequency asc, hash)
+    * instead of hash alone. Same lossless theorem, same exact verify,
+    * IDENTICAL output — but a boilerplate shingle (high df) sorts LAST
+    * and falls out of every prefix, where the hash order gambles: a hot
+    * shingle whose hash lands in the bottom ~20% quantile enters the
+    * prefix of ~every doc containing it, and the index self-join then
+    * produces ~df²/2 candidates on that one key — quadratic in the hot
+    * df, the 100 TB boilerplate blow-up SkewProbe measures. Price: the
+    * df pass adds two linear token-inventory exchanges (groupBy h +
+    * join) and a per-doc window — all map-combinable / linear.
+    * Adoption was measurement-gated (SKEW_r09 A/B, BASELINE.md):
+    * kept alongside, not default, while the uniform-corpus cost and
+    * hot-corpus win are recorded. */
+  private[graft] def q33NgramJaccardDfOrdered(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.jaccardSim
+    val docs = shingled(documents(s, d))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    val tok = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("h"))
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("dfreq"), col("h"))
+    // prefix length n - ceil(0.8n) + 1, the PrefixHashes formula, in
+    // exact integer arithmetic (ceil(4n/5) = (4n+4) div 5)
+    val pref = tok.join(dfreq, "h")
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select(col("doc_id"), col("n"), col("h"))
+    val cands = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 4 <= col("b.n") * 5 && col("b.n") * 4 <= col("a.n") * 5)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val v = verifySide(s, d)
+    pinned(cands, col("doc_a"))
+      .join(v(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))), Seq("doc_a"))
+      .join(v(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))), Seq("doc_b"))
+      .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Shared DuckDB oracle for q33/q34: exact pairwise Jaccard at
     * threshold num/den (prefix-filter candidates + exact verify — same
     * rows as the retired all-pairs form, feasible at sf0.1; the Spark

@@ -1,0 +1,164 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Dev-only: adversarial-skew evidence for the dedup family.
+  *
+  * SCALING_r08/r09 prove growth laws on the driver's UNIFORM corpora; a
+  * real 100 TB crawl has hot shingles (boilerplate footers in a third of
+  * the web). This tool synthesizes that adversary — it appends one fixed
+  * boilerplate sentence to 30% of the sf0.1 documents, which plants ~4
+  * bigram shingles each shared by ~1500 docs — and measures per-STAGE
+  * task-time skew (max vs median) for the inverted-index dedup queries,
+  * against the unmodified corpus as the control.
+  *
+  * Why task-time ratio and not wall: the failure mode of a hot key in a
+  * shingle-partitioned self-join is ONE reducer producing the hot
+  * bucket's candidate cross-product while 31 idle — wall degrades by
+  * the straggler, but max/median task time is the direct signature
+  * (and the number that predicts the 1000-executor cluster, where the
+  * idle fraction is 999/1000).
+  *
+  * The engine's designs are expected to bound this WITHOUT new code:
+  * q33/q88's prefixes keep only each doc's lowest-hash shingles, so a
+  * hot shingle enters at most the prefixes whose docs have few rarer
+  * tokens; the candidate joins are sort-merge under AQE, whose skew
+  * split divides an inflated partition across tasks even for a single
+  * hot key (the other side's partition is replicated per split). This
+  * artifact turns that expectation into a measured number per query —
+  * and if a ratio blows up on the hot corpus but not the control, that
+  * query gets an ops/Skew mitigation with the before number recorded.
+  *
+  * runMain graft.tools.SkewProbe [outJson]   (default SKEW_r09.json)
+  * env: SKEW_BASE_SF (default /root/testdata/sf0.1),
+  *      SKEW_QUERIES (default the dedup-family four).
+  */
+object SkewProbe {
+  def main(args: Array[String]): Unit = {
+    val outPath = if (args.nonEmpty) args(0) else "SKEW_r09.json"
+    val baseSf = sys.env.getOrElse("SKEW_BASE_SF", "/root/testdata/sf0.1")
+    val queries = sys.env.get("SKEW_QUERIES")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq("q32_dedup_exact", "q33_ngram_jaccard", "q33_dforder",
+        "q34_minhash_lsh", "q88_containment_join"))
+    // the df-ordered q33 A/B candidate rides along under a dev name (not
+    // part of the driver contract); its output is asserted equal below
+    val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map("q33_dforder" -> (graft.queries.TextOps.q33NgramJaccardDfOrdered _))
+
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // --- synthesize the hot-key corpus -------------------------------
+    // one boilerplate sentence on 30% of docs (doc_id % 10 < 3): every
+    // treated doc gains the same ~4 bigram shingles → hot inverted-index
+    // keys with df ≈ 1500 at sf0.1. Other tables are not copied — the
+    // probed queries read documents only.
+    val skewDir = "/tmp/skewdata/sf0.1"
+    spark.read.parquet(s"$baseSf/documents.parquet")
+      .withColumn("text",
+        when(col("doc_id") % 10 < 3,
+          concat(col("text"), lit(" lorem ipsum dolor sit amet footer")))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+
+    // --- per-task listener: durations per stage ----------------------
+    val stageTasks = mutable.Map.empty[Int, mutable.ArrayBuffer[Long]]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null && e.taskInfo.successful)
+          stageTasks.synchronized {
+            stageTasks.getOrElseUpdate(e.stageId,
+              mutable.ArrayBuffer.empty[Long]) += e.taskInfo.duration
+          }
+    })
+    def reset(): Unit = stageTasks.synchronized(stageTasks.clear())
+
+    import graft.JsonNum.num
+    val rows = mutable.ArrayBuffer.empty[String]
+    def publish(): Unit = {
+      val out = java.nio.file.Paths.get(outPath)
+      val tmp = out.resolveSibling(out.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp,
+        rows.mkString("[\n", ",\n", "\n]\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, out,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    def lookup(q: String) = extra.get(q).orElse(graft.SparkEntry.queries.get(q))
+
+    // losslessness cross-check: the df-ordered variant must produce the
+    // EXACT q33 rows on both corpora before its timings mean anything
+    for ((label, dir) <- Seq("base" -> baseSf, "hotkey" -> skewDir)) {
+      val a = graft.queries.TextOps.q33NgramJaccard(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      val b = graft.queries.TextOps.q33NgramJaccardDfOrdered(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      require(a == b, s"q33 df-ordered variant diverges on $label")
+      println(s"[skewprobe] q33 variants identical on $label (${a.size} pairs)")
+      spark.sharedState.cacheManager.clearCache()
+    }
+
+    // warm the kernels once so neither dataset is charged JIT
+    queries.foreach(q => lookup(q).foreach(f => f(spark, baseSf).count()))
+
+    for ((label, dir) <- Seq("base" -> baseSf, "hotkey" -> skewDir);
+         q <- queries) {
+      lookup(q) match {
+        case None => System.err.println(s"[skewprobe] unknown query $q — skipped")
+        case Some(f) =>
+          // rep1 absorbs per-(dataset,query) first-execution codegen;
+          // rep2 is recorded. Cold cache both reps (ScaleSweep recipe).
+          var wall = 0.0; var n = 0L
+          var stats: Seq[(Int, Int, Long, Long)] = Nil // (stage, tasks, max, med)
+          for (rep <- 1 to 2) {
+            org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
+            spark.sharedState.cacheManager.clearCache()
+            graft.queries.TextOps.clearTrainMemo()
+            System.gc()
+            reset()
+            val t0 = System.nanoTime()
+            n = f(spark, dir).count()
+            wall = (System.nanoTime() - t0) / 1e9
+            org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
+            if (rep == 2) stats = stageTasks.synchronized {
+              stageTasks.toSeq.map { case (sid, ds) =>
+                val sorted = ds.sorted
+                (sid, ds.size, sorted.last, sorted(sorted.size / 2))
+              }
+            }
+          }
+          // the dominant stage (largest max task) carries the skew
+          // verdict; ratios on sub-200ms stages are scheduling noise,
+          // so the "meaningful" worst ratio only looks above that floor
+          val dominant = stats.maxBy(_._3)
+          val meaningful = stats.filter(s => s._3 >= 200 && s._2 >= 8)
+          val worst = if (meaningful.isEmpty) 0.0
+            else meaningful.map(s => s._3.toDouble / math.max(s._4, 1L)).max
+          def stageJson(s: (Int, Int, Long, Long)) =
+            s"""{"tasks":${s._2},"max_ms":${s._3},"med_ms":${s._4},""" +
+              s""""ratio":${num("%.2f", s._3.toDouble / math.max(s._4, 1L))}}"""
+          val line =
+            s"""{"dataset":"$label","query":"$q","rows":$n,""" +
+              s""""wall_s":${num("%.3f", wall)},"n_stages":${stats.size},""" +
+              s""""dominant_stage":${stageJson(dominant)},""" +
+              s""""worst_meaningful_ratio":${num("%.2f", worst)}}"""
+          println(line)
+          rows += line
+          publish()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -17,6 +17,16 @@ class TextOpsSpec extends SparkSuite {
     assert(TextOps.q35Simhash(spark, sf).collect().toSeq == broadcastRows)
   }
 
+  test("q33 df-ordered prefix variant equals the hash-ordered default") {
+    // both are lossless AllPairs prefix filters under different global
+    // orders; the exact verify makes the outputs identical — pinned so
+    // the boilerplate-corpus escape hatch (SKEW_r09 A/B) stays correct
+    val a = TextOps.q33NgramJaccard(spark, sf).collect().toSeq
+    val b = TextOps.q33NgramJaccardDfOrdered(spark, sf).collect().toSeq
+    assert(a.nonEmpty)
+    assert(b == a)
+  }
+
   test("q51 decontamination flags only non-benchmark docs, with real overlap") {
     import org.apache.spark.sql.functions.col
     val hits = TextOps.q51Decontaminate(spark, sf).collect()

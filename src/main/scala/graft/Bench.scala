@@ -248,6 +248,13 @@ object Bench {
       if (firstRatio.exists(_ > driftBar)) {
         System.err.println(f"[bench] drift suspected (median ratio ${firstRatio.get}%.3f" +
           " vs BENCH_REF) — retaking once")
+        // reset the session-shared cache + training memo so the retake
+        // starts from the same cold-cache state attempt 1 did —
+        // otherwise attempt 2 reads persisted pair lists / memoized
+        // trajectories attempt 1 built and under-reports those queries,
+        // making its per-query ratios incomparable with the reference
+        spark.sharedState.cacheManager.clearCache()
+        graft.queries.TextOps.clearTrainMemo()
         System.gc()
         val second = runAttempt()
         val secondRatio = medianRatio(second)

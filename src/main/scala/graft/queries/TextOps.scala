@@ -251,28 +251,22 @@ object TextOps {
     // in-session, only the tiny pair-list output below is cached.
     val docs = shingled(documents(s, d))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-    // canonical global order (xxhash64(s), s); prefix size n - ceil(0.8n) + 1
-    // — heap-selected in the native PrefixHashes expression (zero-copy
-    // xxh64 over the UTF8String bytes, array<long> out, no UDF converter)
-    // over the SAME `docs` subtree as the verify joins: Catalyst reuses
-    // one scan+kernel+exchange across the index and verify sides — a
-    // fused text→prefix variant measured SLOWER overall because it
-    // forfeited exactly that reuse.
-    // The index keeps ONLY the 64-bit shingle hash, not the shingle
-    // string: every candidate is exact-verified by the Jaccard join
-    // below, so a hash collision can only add a candidate that
-    // verification rejects — recall is untouched (hash-equal ⊇
-    // string-equal) and the self-join exchange rows shrink from
-    // ~40-byte strings to 8-byte longs.
-    val pref = docs.select(col("doc_id"), col("n"),
-        explode(graft.functions.GraftFunctions.prefixHashes(
-          col("sh"), lit(0.8))).as("h"))
-    val cands = pref.as("a").join(pref.as("b"),
-        col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * 4 <= col("b.n") * 5 && col("b.n") * 4 <= col("a.n") * 5)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // Global prefix order = (document frequency asc, hash) — AllPairs'
+    // canonical rarest-first order, made the DEFAULT in round 9 on the
+    // SkewProbe A/B at the synthetic-sf1 decade (BASELINE.md): a
+    // boilerplate shingle in 30% of 50k docs sent the previous
+    // hash-ordered prefix to 24.5 s (every index task grinding the hot
+    // key's ~df²/25 candidate cross-product — a hot shingle whose hash
+    // lands in the bottom ~20% quantile enters the prefix of ~every doc
+    // containing it, and the blow-up grows QUADRATICALLY in the hot df),
+    // while this order ran the same corpus in 2.9 s: a high-df shingle
+    // sorts LAST and falls out of every prefix by construction. Price on
+    // uniform corpora: the df pass adds two linear hash-only token-
+    // inventory exchanges (groupBy h + join) and a per-doc window —
+    // ~+70% on q33 alone (~1-2 s at bench SF), the measured premium for
+    // deleting a quadratic cliff. The hash-ordered form is kept below
+    // for the A/B record (outputs pinned identical in TextOpsSpec).
+    val cands = pairCands(dfOrderedPrefix(docs, 4, 5))
     // pin the candidate list's width too: the verify joins below inherit
     // their stage parallelism from this exchange, and the per-pair fold
     // is the query's dominant CPU
@@ -290,41 +284,53 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** df-ordered prefix variant of q33 (AllPairs' canonical rarest-first
-    * order): the global shingle order is (document frequency asc, hash)
-    * instead of hash alone. Same lossless theorem, same exact verify,
-    * IDENTICAL output — but a boilerplate shingle (high df) sorts LAST
-    * and falls out of every prefix, where the hash order gambles: a hot
-    * shingle whose hash lands in the bottom ~20% quantile enters the
-    * prefix of ~every doc containing it, and the index self-join then
-    * produces ~df²/2 candidates on that one key — quadratic in the hot
-    * df, the 100 TB boilerplate blow-up SkewProbe measures. Price: the
-    * df pass adds two linear token-inventory exchanges (groupBy h +
-    * join) and a per-doc window — all map-combinable / linear.
-    * Adoption was measurement-gated (SKEW_r09 A/B, BASELINE.md):
-    * kept alongside, not default, while the uniform-corpus cost and
-    * hot-corpus win are recorded. */
-  private[graft] def q33NgramJaccardDfOrdered(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.GraftFunctions.jaccardSim
-    val docs = shingled(documents(s, d))
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+  /** df-ordered prefix index rows (doc_id, n, h) at threshold num/den:
+    * each doc keeps its n - ceil(num·n/den) + 1 rarest shingles under
+    * the global (document frequency asc, hash) order. The index carries
+    * ONLY the 64-bit hash: every candidate is exact-verified downstream,
+    * so a hash collision can only add a candidate the verify rejects —
+    * recall untouched (hash-equal ⊇ string-equal), exchange rows 8-byte
+    * longs. ceil in exact integers ((num·n + den-1) div den). */
+  private def dfOrderedPrefix(docs: DataFrame, num: Int, den: Int): DataFrame = {
     val tok = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n"), xxhash64(col("s")).as("h"))
     val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("dfreq"), col("h"))
-    // prefix length n - ceil(0.8n) + 1, the PrefixHashes formula, in
-    // exact integer arithmetic (ceil(4n/5) = (4n+4) div 5)
-    val pref = tok.join(dfreq, "h")
+    tok.join(dfreq, "h")
       .withColumn("r", row_number().over(w))
-      .filter(col("r") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .filter(col("r") <= col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1)
       .select(col("doc_id"), col("n"), col("h"))
-    val cands = pref.as("a").join(pref.as("b"),
+  }
+
+  /** Symmetric candidate pairs from a prefix index: equi-join on the
+    * prefix hash, ordered ids, length-ratio prune (J >= 0.8 forces
+    * 4·min(n) <= 5·max(n)), distinct. */
+  private def pairCands(pref: DataFrame): DataFrame =
+    pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * 4 <= col("b.n") * 5 && col("b.n") * 4 <= col("a.n") * 5)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+
+  /** The retired hash-ordered prefix form (global order = xxhash64(s)
+    * alone, heap-selected per row by the native PrefixHashes
+    * expression — no df pass, no extra exchanges). Kept for the A/B
+    * record: ~70% cheaper on uniform corpora, but a hot shingle whose
+    * hash falls in the bottom ~20% quantile puts ~df²/25 candidates on
+    * one index key — 24.5 s vs the default's 2.9 s on the synthetic-sf1
+    * hot corpus (SKEW_r09 / BASELINE.md), diverging quadratically in
+    * the hot df. Output pinned identical to the default in
+    * TextOpsSpec. */
+  private[graft] def q33NgramJaccardHashOrdered(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.jaccardSim
+    val docs = shingled(documents(s, d))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    val pref = docs.select(col("doc_id"), col("n"),
+        explode(graft.functions.GraftFunctions.prefixHashes(
+          col("sh"), lit(0.8))).as("h"))
+    val cands = pairCands(pref)
     val v = verifySide(s, d)
     pinned(cands, col("doc_a"))
       .join(v(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))), Seq("doc_a"))
@@ -661,15 +667,21 @@ object TextOps {
     * point), B-side index bigger by construction. B's entries hash with
     * the native codegen'd xxhash64 (same seed as the kernel's). */
   def q88ContainmentJoin(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.GraftFunctions.{containmentSim, prefixHashes}
+    import graft.functions.GraftFunctions.containmentSim
     val docs = shingled(documents(s, d))
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
     // index rows carry only the 64-bit hash (as in q33): the exact
     // containment verify below rejects any hash-collision candidate,
     // so recall is untouched and the big B-side index exchange ships
-    // longs, not shingle strings
-    val prefA = docs.select(col("doc_id").as("id_a"),
-        explode(prefixHashes(col("sh"), lit(0.9))).as("h"))
+    // longs, not shingle strings. The A-prefix is df-ORDERED (round 9,
+    // same SkewProbe adjudication as q33): containment only bounds the
+    // excerpt side, so its prefix joins B's FULL inventory — with the
+    // old hash order, a hot boilerplate shingle in an A-prefix matched
+    // the full hot posting list (~0.1·df × df candidates: 14.2 s vs
+    // this form's flat reading on the synthetic-sf1 hot corpus); under
+    // rarest-first ordering high-df shingles never enter A-prefixes.
+    val prefA = dfOrderedPrefix(docs, 9, 10)
+      .select(col("doc_id").as("id_a"), col("h"))
     val fullB = docs.select(col("doc_id").as("id_b"),
         explode(col("sh")).as("s"))
       .select(col("id_b"), xxhash64(col("s")).as("h"))

@@ -43,12 +43,13 @@ object SkewProbe {
     val baseSf = sys.env.getOrElse("SKEW_BASE_SF", "/root/testdata/sf0.1")
     val queries = sys.env.get("SKEW_QUERIES")
       .map(_.split(",").map(_.trim).toSeq)
-      .getOrElse(Seq("q32_dedup_exact", "q33_ngram_jaccard", "q33_dforder",
+      .getOrElse(Seq("q32_dedup_exact", "q33_ngram_jaccard", "q33_hashorder",
         "q34_minhash_lsh", "q88_containment_join"))
-    // the df-ordered q33 A/B candidate rides along under a dev name (not
-    // part of the driver contract); its output is asserted equal below
+    // the retired hash-ordered q33 rides along under a dev name (not
+    // part of the driver contract) so the A/B stays reproducible; its
+    // output is asserted equal to the df-ordered default below
     val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      Map("q33_dforder" -> (graft.queries.TextOps.q33NgramJaccardDfOrdered _))
+      Map("q33_hashorder" -> (graft.queries.TextOps.q33NgramJaccardHashOrdered _))
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -98,14 +99,14 @@ object SkewProbe {
 
     def lookup(q: String) = extra.get(q).orElse(graft.SparkEntry.queries.get(q))
 
-    // losslessness cross-check: the df-ordered variant must produce the
-    // EXACT q33 rows on both corpora before its timings mean anything
+    // losslessness cross-check: both prefix orders must produce the
+    // EXACT q33 rows on both corpora before the timings mean anything
     for ((label, dir) <- Seq("base" -> baseSf, "hotkey" -> skewDir)) {
       val a = graft.queries.TextOps.q33NgramJaccard(spark, dir)
         .collect().map(_.toString).sorted.toSeq
-      val b = graft.queries.TextOps.q33NgramJaccardDfOrdered(spark, dir)
+      val b = graft.queries.TextOps.q33NgramJaccardHashOrdered(spark, dir)
         .collect().map(_.toString).sorted.toSeq
-      require(a == b, s"q33 df-ordered variant diverges on $label")
+      require(a == b, s"q33 prefix-order variants diverge on $label")
       println(s"[skewprobe] q33 variants identical on $label (${a.size} pairs)")
       spark.sharedState.cacheManager.clearCache()
     }

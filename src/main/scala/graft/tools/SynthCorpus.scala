@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only: synthesize an sf1-equivalent corpus from the driver's sf0.1
+  * tables, extending the ScaleSweep growth law one more decade without
+  * requiring driver testdata (r8-verdict task 5).
+  *
+  * Replication must not fabricate structure the growth law would then
+  * mis-measure: verbatim copies would plant exact/near-dup pairs ACROSS
+  * replicas (every doc 10 copies → 45 jaccard-1.0 pairs each — output
+  * itself quadratic in replicas), so each replica perturbs content into
+  * its own similarity universe while preserving per-doc statistics:
+  *  - documents: every word gains a replica suffix ("w" → "w~3") —
+  *    within-replica shingle structure, lengths, df shape and the
+  *    planted near-dups survive intact; cross-replica shingle sets are
+  *    disjoint (Jaccard 0). Vocabulary grows ~linearly with the corpus,
+  *    which is what fresh crawl text does.
+  *  - embeddings: dimensions rotate by the replica index — norms and
+  *    within-replica geometry (cosines, sign buckets, planted ANN
+  *    neighbors) are preserved exactly; cross-replica cosines decorrelate.
+  *  - customer (for q84 FastSS): names gain the replica suffix, keys
+  *    offset — deletion-variant inventories stay disjoint across
+  *    replicas.
+  * doc_id/vec_id/custkey offsets use a stride far above the source id
+  * range, so the id-derived slices (doc_id % 41 benchmark, % 10 = 7
+  * increment, split buckets) keep their proportions in every replica.
+  *
+  * runMain graft.tools.SynthCorpus <srcSfDir> <outDir> <replicas>
+  */
+object SynthCorpus {
+  def main(args: Array[String]): Unit = {
+    val src = args(0); val out = args(1); val reps = args(2).toInt
+    require(reps >= 1 && reps <= 64, s"replicas in [1,64], got $reps")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docStride = 1000000L
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until reps).map { r =>
+      if (r == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(r * docStride)).as("doc_id"),
+        // one-time generation cost: the interpreted transform lambda is
+        // fine here, this is a generator, not an engine path
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(s"~$r"))), " ").as("text"),
+        col("lang"), col("source"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = emb.selectExpr("max(size(embedding)) d").head().getInt(0)
+    (0 until reps).map { r =>
+      val rot = r % dim
+      val rotated =
+        if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, dim - rot),
+          slice(col("embedding"), 1, rot))
+      emb.select(
+        (col("vec_id") + lit(r * docStride)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    (0 until reps).map { r =>
+      if (r == 0) cust
+      else cust
+        .withColumn("c_custkey", col("c_custkey") + lit(r * 10000000L))
+        .withColumn("c_name", concat(col("c_name"), lit(s"~$r")))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    println(s"[synthcorpus] wrote ${reps}x $src -> $out")
+    spark.stop()
+  }
+}

@@ -17,12 +17,13 @@ class TextOpsSpec extends SparkSuite {
     assert(TextOps.q35Simhash(spark, sf).collect().toSeq == broadcastRows)
   }
 
-  test("q33 df-ordered prefix variant equals the hash-ordered default") {
+  test("q33 hash-ordered prefix variant equals the df-ordered default") {
     // both are lossless AllPairs prefix filters under different global
     // orders; the exact verify makes the outputs identical — pinned so
-    // the boilerplate-corpus escape hatch (SKEW_r09 A/B) stays correct
+    // the retired hash-ordered form (the SKEW_r09 A/B record) stays a
+    // faithful baseline for future re-measurement
     val a = TextOps.q33NgramJaccard(spark, sf).collect().toSeq
-    val b = TextOps.q33NgramJaccardDfOrdered(spark, sf).collect().toSeq
+    val b = TextOps.q33NgramJaccardHashOrdered(spark, sf).collect().toSeq
     assert(a.nonEmpty)
     assert(b == a)
   }

@@ -62,6 +62,16 @@ object SynthCorpus {
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val dim = emb.selectExpr("max(size(embedding)) d").head().getInt(0)
+    // rotation uniqueness is what keeps cross-replica cosines
+    // decorrelated: if reps exceeded the dimension, replica r and
+    // r - dim would share a rotation and every vector would find its
+    // own cosine-1.0 twin — quadratic fabricated near-dup structure
+    // poisoning the very growth law this corpus exists to measure.
+    // Fail loudly instead (the 64-replica cap above only matches the
+    // CURRENT dim; a regeneration could ship a narrower embedding).
+    require(reps <= dim,
+      s"replicas ($reps) must not exceed embedding dim ($dim): dimension " +
+        "rotations would repeat and plant cross-replica exact near-dups")
     (0 until reps).map { r =>
       val rot = r % dim
       val rotated =

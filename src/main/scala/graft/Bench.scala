@@ -11,6 +11,21 @@ import org.apache.spark.sql.SparkSession
   * stable attribution. Each query is forced with `count()` (full plan
   * execution; limit queries stay cheap by design).
   */
+/** Attempt-selection policy for Bench's drift retakes — pure, so the
+  * spec pins it without running a suite. */
+object BenchPolicy {
+  /** 0-based index of the attempt to publish: lowest DEFINED drift
+    * ratio wins (ties → earliest attempt); if no attempt has a defined
+    * ratio the first is published. A None verdict (reference absent,
+    * or mass query failures leaving <8 comparable queries) must never
+    * beat a measured one — the r9 advice case was a broken retake
+    * whose vacuous comparison displaced the flagged original. */
+  def pickPublished(ratios: Seq[Option[Double]]): Int = {
+    val defined = ratios.zipWithIndex.collect { case (Some(r), i) => (r, i) }
+    if (defined.isEmpty) 0 else defined.min._2
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -242,28 +257,71 @@ object Bench {
                 else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2)
     }
     val driftBar = 1.15
+
+    // Quiet-host wait between retakes (r9 verdict: both r9 driver
+    // attempts ran back-to-back on the same busy host and both drifted;
+    // retaking immediately just re-measures the same interference).
+    // load1 is the wrong signal here — it carries OUR OWN attempt's
+    // 32-core minute-scale decay — so quietness is measured directly:
+    // other processes' busy cores over a 5 s window ((Δbusy − Δown) /
+    // elapsed, USER_HZ=100) plus hypervisor steal. Quiet = co-residents
+    // under 2 cores AND steal under 5% for one full window. Returns the
+    // seconds actually waited; gives up when its budget runs out (the
+    // attempt history then proves the host never quieted).
+    def waitForQuiet(budgetSec: Double): Double = {
+      val pollSec = 5.0
+      var waited = 0.0
+      while (waited < budgetSec) {
+        val (b0, i0, s0) = cpuJiffies(); val o0 = ownJiffies()
+        Thread.sleep((pollSec * 1000).toLong); waited += pollSec
+        val (b1, i1, s1) = cpuJiffies(); val o1 = ownJiffies()
+        val tot = (b1 + i1) - (b0 + i0)
+        val stealPct = if (tot > 0) 100.0 * (s1 - s0) / tot else 0.0
+        val otherCores = ((b1 - b0) - (o1 - o0)) / (pollSec * 100.0)
+        if (otherCores < 2.0 && stealPct < 5.0) return waited
+        System.err.println(f"[bench] host busy (other=${otherCores}%.1f cores, " +
+          f"steal=${stealPct}%.1f%%) — waiting (${waited}%.0f/${budgetSec}%.0f s)")
+      }
+      waited
+    }
+
+    final case class Rec(attempt: Attempt, ratio: Option[Double], waitedSec: Double)
+
+    // Drifted attempts retake up to 3 times (4 total), each retake
+    // preceded by a quiet-host wait from a shared ~4 min budget — the
+    // r9 immediate-retake policy re-measured the same co-resident burst
+    // and published a still-drifted line. Each retake resets the
+    // session-shared cache + training memo so it starts from the same
+    // cold-cache state attempt 1 did — otherwise later attempts read
+    // persisted pair lists / memoized trajectories earlier ones built
+    // and their per-query ratios are incomparable with the reference.
+    val maxAttempts = 4
+    var waitBudget = 240.0
     val first = runAttempt()
-    val firstRatio = medianRatio(first)
-    val (attempt, chosenRatio, attempts) =
-      if (firstRatio.exists(_ > driftBar)) {
-        System.err.println(f"[bench] drift suspected (median ratio ${firstRatio.get}%.3f" +
-          " vs BENCH_REF) — retaking once")
-        // reset the session-shared cache + training memo so the retake
-        // starts from the same cold-cache state attempt 1 did —
-        // otherwise attempt 2 reads persisted pair lists / memoized
-        // trajectories attempt 1 built and under-reports those queries,
-        // making its per-query ratios incomparable with the reference
-        spark.sharedState.cacheManager.clearCache()
-        graft.queries.TextOps.clearTrainMemo()
-        System.gc()
-        val second = runAttempt()
-        val secondRatio = medianRatio(second)
-        // publish the lower-ratio attempt (the retake is warmer AND ran
-        // later — either attempt can be the quiet one)
-        if (secondRatio.zip(firstRatio).forall { case (r2, r1) => r2 <= r1 })
-          (second, secondRatio, 2)
-        else (first, firstRatio, 2)
-      } else (first, firstRatio, 1)
+    var recs = Vector(Rec(first, medianRatio(first), 0.0))
+    while (recs.last.ratio.exists(_ > driftBar) && recs.size < maxAttempts) {
+      System.err.println(f"[bench] drift suspected (median ratio ${recs.last.ratio.get}%.3f" +
+        f" vs BENCH_REF) — attempt ${recs.size + 1}/$maxAttempts after quiet-wait")
+      val waited = waitForQuiet(waitBudget)
+      waitBudget = math.max(0.0, waitBudget - waited)
+      spark.sharedState.cacheManager.clearCache()
+      graft.queries.TextOps.clearTrainMemo()
+      System.gc()
+      val a = runAttempt()
+      recs = recs :+ Rec(a, medianRatio(a), waited)
+    }
+    // Publish the attempt with the lowest DEFINED drift ratio (the
+    // BASELINE.md retaken-not-recorded rule, mechanized — best-of-N is
+    // the policy, disclosed via bench_attempts + the attempt history
+    // below and recorded in BASELINE.md §bench-protocol). An attempt
+    // whose ratio is None (mass query failures leave <8 comparable
+    // queries) carries no verdict and is never preferred over a
+    // measured one — if EVERY attempt is None the first is published
+    // unflagged, because there was never a drift verdict to clear.
+    val pubIdx = BenchPolicy.pickPublished(recs.map(_.ratio))
+    val attempt = recs(pubIdx).attempt
+    val chosenRatio = recs(pubIdx).ratio
+    val attempts = recs.size
     val driftDetected = chosenRatio.exists(_ > driftBar)
     val results = attempt.results
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
@@ -286,29 +344,52 @@ object Bench {
     // backslash corrupts the one-line artifact AND the self-record
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
     val ratioJson = chosenRatio.fold("null")(num("%.3f", _))
-    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":${num("%.1f", attempt.stealPct)},"own_cpu_share_pct":${num("%.1f", attempt.ownSharePct)},"load1_start":${num("%.1f", attempt.load1Start)},"load1_end":${num("%.1f", attempt.load1End)},"drift_median_ratio":$ratioJson,"drift_detected":$driftDetected,"bench_attempts":$attempts,"sf":"$sfJson"}"""
+    // Full per-attempt history (r9 verdict task 1): when the host never
+    // quiets, the artifact itself proves it — every attempt's ratio,
+    // wall total, telemetry and the quiet-wait that preceded it.
+    val history = recs.map { r =>
+      val tot = r.attempt.results.flatMap(_._2).sum
+      s"""{"ratio":${r.ratio.fold("null")(num("%.3f", _))},""" +
+        s""""total":${num("%.1f", tot)},""" +
+        s""""steal_pct":${num("%.1f", r.attempt.stealPct)},""" +
+        s""""own_cpu_share_pct":${num("%.1f", r.attempt.ownSharePct)},""" +
+        s""""load1_start":${num("%.1f", r.attempt.load1Start)},""" +
+        s""""load1_end":${num("%.1f", r.attempt.load1End)},""" +
+        s""""waited_before_s":${num("%.0f", r.waitedSec)}}"""
+    }.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":${num("%.1f", attempt.stealPct)},"own_cpu_share_pct":${num("%.1f", attempt.ownSharePct)},"load1_start":${num("%.1f", attempt.load1Start)},"load1_end":${num("%.1f", attempt.load1End)},"drift_median_ratio":$ratioJson,"drift_detected":$driftDetected,"bench_attempts":$attempts,"published_attempt":${pubIdx + 1},"attempt_history":$history,"sf":"$sfJson"}"""
     println(line)
     // Self-record: the one-line artifact also lands on disk, so a
     // console harvester that truncates the stdout capture (the r6 bench
     // record lost q01-q37, and the r7 committed record lost q01-q31 +
     // the total the same way) can always recover the full JSON.
-    // The default path is cwd-relative BENCH_SELF.json: Bench runs from
-    // the repo root (sbt runMain), so the round's end-of-round commit
-    // always captures the untruncated line — and a run from a worktree
-    // or another checkout records into ITS OWN tree instead of
-    // clobbering this one's committed artifact.
+    // Paths are cwd-relative: Bench runs from the repo root (sbt
+    // runMain), so the round's end-of-round commit always captures the
+    // untruncated line — and a run from a worktree or another checkout
+    // records into ITS OWN tree instead of clobbering this one's
+    // committed artifact.
     // Write-then-rename keeps the published file whole under any crash.
-    try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json"))
-      val tmp = out.resolveSibling(out.getFileName.toString + ".tmp")
-      java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, out,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] self-record write failed: ${e.getMessage}")
-    }
+    //
+    // Two files (r9 verdict task 5: the driver's drifted run clobbered
+    // the committed clean self-record): EVERY run lands verbatim in
+    // BENCH_LAST.json; BENCH_SELF.json — the repo's committed quiet
+    // record — is only overwritten by a CLEAN reading
+    // (drift_detected=false), so a contaminated graded run can no
+    // longer displace it. SPARK_GRAFT_BENCH_OUT redirects the
+    // always-written copy (explicit operator intent wins).
+    def record(path: String): Unit =
+      try {
+        val out = java.nio.file.Paths.get(path)
+        val tmp = out.resolveSibling(out.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, out,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] self-record write to $path failed: ${e.getMessage}")
+      }
+    record(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
+    if (!driftDetected) record("BENCH_SELF.json")
     spark.stop()
   }
 }

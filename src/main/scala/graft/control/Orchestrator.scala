@@ -109,17 +109,49 @@ object Orchestrator {
                          pollMs: Long = StatusPollMs): Long =
     startMs + graceMs + tick * pollMs
 
+  /** Per-collector transport-link view for the status loop's reconnect
+    * scan (Orchestrator.py:125-128). Only TTN v2 collectors carry a
+    * directly-observable websocket; `hasSocket` mirrors the reference's
+    * `collector.ws` null check (a collector whose connect() never got as
+    * far as opening a socket is NOT retried by the poll — only one whose
+    * socket existed and then closed). */
+  final case class LinkView(isTtnV2: Boolean, hasSocket: Boolean,
+                            socketClosed: Boolean, manuallyDisconnected: Boolean)
+
+  /** The status poll's auto-reconnect predicate (Orchestrator.py:125-128):
+    * `isinstance(collector, TTNCollector) and not collector
+    * .manually_disconnected and collector.ws and collector.ws.is_closed`.
+    * Pure, so the spec pins each conjunct without a transport. */
+  def needsReconnect(l: LinkView): Boolean =
+    l.isTtnV2 && l.hasSocket && l.socketClosed && !l.manuallyDisconnected
+
   /** Driver loop around [[statusDeltas]] (Orchestrator.py:88-135):
-    * grace sleep, then per-tick snapshot → deltas → emit → poll sleep.
-    * `sleep` is injected so tests pin the schedule; `ticks` bounds the
-    * reference's infinite loop. Fault contract mirrors the reference:
-    * a throwing emit is the caught per-publish error (:117-121) — the
-    * cache entry STILL updates (the dict assignment sits outside the
-    * inner try), so a lost delta is lost for good, not re-emitted; a
-    * throwing snapshot is the outer `except` (:133) — the tick is
-    * skipped but the loop keeps its cadence. */
+    * grace sleep, then per-tick snapshot → deltas → emit → reconnect
+    * scan → poll sleep. `sleep` is injected so tests pin the schedule;
+    * `ticks` bounds the reference's infinite loop. Fault contract
+    * mirrors the reference: a throwing emit is the caught per-publish
+    * error (:117-121) — the cache entry STILL updates (the dict
+    * assignment sits outside the inner try), so a lost delta is lost
+    * for good, not re-emitted; a throwing snapshot is the outer
+    * `except` (:133) — the tick is skipped but the loop keeps its
+    * cadence.
+    *
+    * The reconnect scan is the reference's per-tick TTN v2 branch
+    * (:125-128): every collector whose link reports ws-closed and NOT
+    * manually disconnected gets `reconnect(id)` — wired by the host to
+    * the TtnV2Session's idempotent connect(). A throwing reconnect is
+    * the outer except too (the reference wraps connect() in no inner
+    * try): it aborts the REMAINING reconnects of that tick but keeps the
+    * loop cadence. One documented divergence: the reference interleaves
+    * the reconnect check with delta publishing per collector, so a
+    * throwing connect also suppresses LATER collectors' deltas for that
+    * tick; this loop batches all deltas first (they ride one snapshot),
+    * so deltas never wait on a faulting transport — strictly less loss,
+    * same steady state. */
   def runStatusLoop(snapshot: () => Map[Long, Status])
-                   (emit: StatusEvent => Unit)
+                   (emit: StatusEvent => Unit,
+                    links: () => Map[Long, LinkView] = () => Map.empty,
+                    reconnect: Long => Unit = _ => ())
                    (sleep: Long => Unit, ticks: Long,
                     graceMs: Long = StatusStartupGraceMs,
                     pollMs: Long = StatusPollMs): Map[Long, Status] = {
@@ -134,6 +166,9 @@ object Orchestrator {
           catch { case scala.util.control.NonFatal(_) => () }
         }
         cache = next
+        links().toSeq.sortBy(_._1).foreach { case (id, l) =>
+          if (needsReconnect(l)) reconnect(id)
+        }
       } catch { case scala.util.control.NonFatal(_) => () }
       sleep(pollMs)
       k += 1

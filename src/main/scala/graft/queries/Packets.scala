@@ -410,6 +410,33 @@ object Packets {
     "q27_point_lookup"       -> (q27PointLookup _),
   )
 
+  /** q29 oracle SQL for a given key pin. The JR⋈JA PAIRING is plain SQL
+    * (the same per-user lead window as the Spark side — any pairing
+    * drift shows up as row/order mismatch); the AES-derived keys are not
+    * SQL-expressible, so the paired rows LEFT-join a pinned lookup of
+    * the fixture's derived keys (crypto itself is pinned independently
+    * by LorawanCryptoSpec against the public-spec derivation). A pairing
+    * row missing from the pin joins to NULL keys → hash mismatch →
+    * caught. `pinRows` is the VALUES body — one `(event_id, 'nwk',
+    * 'app')` row per expected JR⋈JA pair. The committed oracle entry
+    * carries the sf0.01 pin (the driver's gate SF); tools/KeyPin
+    * re-derives the pin for any SF from the fixture construction +
+    * LorawanCrypto primitives and emits this same template, so the
+    * sf0.1 sweep grades q29 with an sf0.1 pin instead of pruning it. */
+  def q29OracleSql(pinRows: String): String =
+    s"""WITH e AS (SELECT event_id, user_id, ts,
+       |    CASE WHEN event_id % 2 = 0 THEN 'jr' ELSE 'ja' END AS kind
+       |  FROM events WHERE event_id < 400),
+       |p AS (SELECT event_id, user_id, kind,
+       |    lead(kind) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_kind
+       |  FROM e),
+       |k(event_id, nwk_s_key, app_s_key) AS (VALUES
+       |$pinRows)
+       |SELECT p.event_id, p.user_id, k.nwk_s_key, k.app_s_key
+       |FROM p LEFT JOIN k ON p.event_id = k.event_id
+       |WHERE p.kind = 'jr' AND p.next_kind = 'ja'
+       |ORDER BY p.event_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q26_decode_errors" ->
       """SELECT event_id,
@@ -425,23 +452,11 @@ object Packets {
         |  repeat('0', 28) || lpad(lower(hex(user_id % 256)), 2, '0')
         |    || lpad(lower(hex(event_id % 256)), 2, '0') AS found_key
         |FROM events WHERE event_id < 8 ORDER BY event_id, found_key""".stripMargin,
-    // q29: the JR⋈JA PAIRING is plain SQL (the same per-user lead window
-    // as the Spark side — any pairing drift shows up as row/order
-    // mismatch); the AES-derived keys are not SQL-expressible, so the
-    // paired rows LEFT-join a pinned lookup of the sf0.01 fixture's
-    // derived keys (crypto itself is pinned independently by
-    // LorawanCryptoSpec against the public-spec derivation). A pairing
-    // row missing from the pin joins to NULL keys → hash mismatch →
-    // caught. The pin is sf0.01-specific: the driver's gate SF.
-    "q29_session_keys" ->
-      """WITH e AS (SELECT event_id, user_id, ts,
-        |    CASE WHEN event_id % 2 = 0 THEN 'jr' ELSE 'ja' END AS kind
-        |  FROM events WHERE event_id < 400),
-        |p AS (SELECT event_id, user_id, kind,
-        |    lead(kind) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_kind
-        |  FROM e),
-        |k(event_id, nwk_s_key, app_s_key) AS (VALUES
-        |  (8, 'faafae6be54784772de8d82f519e3685', '05a9b7bc44db7b62865e5c8e6bbdbded'),
+    // q29: see q29OracleSql — the map carries the sf0.01 pin (the
+    // driver's gate SF); tools/KeyPin regenerates the pin file for any
+    // other SF so the sf0.1 sweep grades q29 too.
+    "q29_session_keys" -> q29OracleSql(
+      """  (8, 'faafae6be54784772de8d82f519e3685', '05a9b7bc44db7b62865e5c8e6bbdbded'),
         |  (10, '57da9a52cb566ed435dec65d2c35479b', '0ff901fc64c6e2ba5b4cb3bc556a3d0c'),
         |  (14, '1cceb86427284dac4a2e18188f7d5255', '25846185edf810c42903c5d9d07ae947'),
         |  (22, '8bd51279d89085ead005c13a49471a1e', 'e89ebe98d398710b5d6392fe3e802608'),
@@ -505,11 +520,7 @@ object Packets {
         |  (346, '35eb638a390ab48b3705221f4b146f52', 'e61ab91d39bbcf3bfad6156d6d3d54c5'),
         |  (348, '6792034cc3c2f792ed3eaf6fa7f2b724', '0c480e8a1a0a9fd9ef97335378dd4a77'),
         |  (354, 'bb124cfda2b63c259822b2fd371c4020', '1673ad7a29ae8cf4c94d4d66e4ca4916'),
-        |  (382, 'e25290f440c595f7cd01dfb05063a497', '4da1187fa756db4f15e872e4486ef30c'))
-        |SELECT p.event_id, p.user_id, k.nwk_s_key, k.app_s_key
-        |FROM p LEFT JOIN k ON p.event_id = k.event_id
-        |WHERE p.kind = 'jr' AND p.next_kind = 'ja'
-        |ORDER BY p.event_id""".stripMargin,
+        |  (382, 'e25290f440c595f7cd01dfb05063a497', '4da1187fa756db4f15e872e4486ef30c')""".stripMargin),
     // planted by construction, as q48: each JoinAccept decrypts+validates
     // only under the key3-shaped key it was synthesized with
     "q89_joinaccept_keys" ->

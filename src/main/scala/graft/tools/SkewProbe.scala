@@ -39,7 +39,7 @@ import scala.collection.mutable
   */
 object SkewProbe {
   def main(args: Array[String]): Unit = {
-    val outPath = if (args.nonEmpty) args(0) else "SKEW_r09.json"
+    val outPath = if (args.nonEmpty) args(0) else "SKEW_r10.json"
     val baseSf = sys.env.getOrElse("SKEW_BASE_SF", "/root/testdata/sf0.1")
     val queries = sys.env.get("SKEW_QUERIES")
       .map(_.split(",").map(_.trim).toSeq)
@@ -142,18 +142,23 @@ object SkewProbe {
           }
           // the dominant stage (largest max task) carries the skew
           // verdict; ratios on sub-200ms stages are scheduling noise,
-          // so the "meaningful" worst ratio only looks above that floor
-          val dominant = stats.maxBy(_._3)
+          // so the "meaningful" worst ratio only looks above that floor.
+          // A query whose rep-2 plan records no stage tasks at all
+          // (collapsed to a driver-local/cached result) still emits its
+          // row — with dominant_stage null — instead of aborting the
+          // probe and losing every other query's rows (r9 advice).
           val meaningful = stats.filter(s => s._3 >= 200 && s._2 >= 8)
           val worst = if (meaningful.isEmpty) 0.0
             else meaningful.map(s => s._3.toDouble / math.max(s._4, 1L)).max
           def stageJson(s: (Int, Int, Long, Long)) =
             s"""{"tasks":${s._2},"max_ms":${s._3},"med_ms":${s._4},""" +
               s""""ratio":${num("%.2f", s._3.toDouble / math.max(s._4, 1L))}}"""
+          val dominantJson =
+            if (stats.isEmpty) "null" else stageJson(stats.maxBy(_._3))
           val line =
             s"""{"dataset":"$label","query":"$q","rows":$n,""" +
               s""""wall_s":${num("%.3f", wall)},"n_stages":${stats.size},""" +
-              s""""dominant_stage":${stageJson(dominant)},""" +
+              s""""dominant_stage":$dominantJson,""" +
               s""""worst_meaningful_ratio":${num("%.2f", worst)}}"""
           println(line)
           rows += line

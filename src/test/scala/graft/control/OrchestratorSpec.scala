@@ -131,6 +131,98 @@ class OrchestratorSpec extends graft.SparkSuite {
     assert(cache2 == Map(1L -> Status(connected = false, verified = false)))
   }
 
+  test("F7 status loop auto-reconnect: ws-closed TTN v2 retried per tick, manual disconnect left alone (Orchestrator.py:125-128)") {
+    // the pure predicate, conjunct by conjunct: TTNCollector instance,
+    // ws non-null, ws.is_closed, not manually_disconnected
+    val hit = LinkView(isTtnV2 = true, hasSocket = true,
+      socketClosed = true, manuallyDisconnected = false)
+    assert(needsReconnect(hit))
+    assert(!needsReconnect(hit.copy(isTtnV2 = false)))           // chirpstack/v3: never
+    assert(!needsReconnect(hit.copy(hasSocket = false)))         // ws is None: never
+    assert(!needsReconnect(hit.copy(socketClosed = false)))      // live socket: left alone
+    assert(!needsReconnect(hit.copy(manuallyDisconnected = true))) // user said stop: honored
+
+    // in the loop: the closed+auto collector is retried on EVERY tick
+    // while it stays closed; the manually-disconnected one never is
+    val attempts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val links = Map(
+      1L -> hit,
+      2L -> hit.copy(manuallyDisconnected = true),
+      3L -> hit.copy(socketClosed = false))
+    runStatusLoop(() => Map.empty)(_ => (), () => links, attempts += _)(
+      _ => (), ticks = 2)
+    assert(attempts.toSeq == Seq(1L, 1L))
+
+    // fault contract: a throwing connect is the OUTER except (no inner
+    // try in the reference) — remaining reconnects of the tick are
+    // aborted, cadence keeps, deltas (batched before the scan) were
+    // already emitted
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val tried = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[StatusEvent]
+    val twoDown = Map(1L -> hit, 2L -> hit)
+    runStatusLoop(() => Map(9L -> Status(connected = false, verified = false)))(
+      emitted += _, () => twoDown,
+      id => { tried += id; if (id == 1L) throw new RuntimeException("connect down") })(
+      sleeps += _, ticks = 2)
+    assert(tried.toSeq == Seq(1L, 1L)) // id 2 never reached, both ticks
+    assert(sleeps.toSeq == Seq(120000L, 5000L, 5000L))
+    assert(emitted.toSeq == Seq(StatusEvent(9, "DISCONNECTED", verified = false)))
+  }
+
+  test("F7 auto-reconnect wired to the TtnV2Session machine: poll revives a server-dropped socket, connect() stays idempotent") {
+    import graft.sources.Transports._
+    // minimal transport fakes (TransportsSpec owns the exhaustive ones)
+    val http = new HttpSession {
+      override def login(u: String, p: String): Boolean = true
+      override def fetchAccessToken(): (String, Long) = ("tok", Long.MaxValue)
+    }
+    var opens = 0
+    var lastCb: WsCallbacks = null
+    var lastSock: WsClient = null
+    val wsc = new WsConnector {
+      override def open(cb: WsCallbacks): WsClient = {
+        opens += 1; lastCb = cb
+        lastSock = new WsClient {
+          override def send(text: String): Unit = ()
+          override def close(): Unit = ()
+        }
+        lastSock
+      }
+    }
+    val out = new TransportOutput {
+      override def frame(topic: Option[String], message: String): Unit = ()
+      override def status(value: String): Unit = ()
+      override def loginError(): Unit = ()
+      override def testEvent(kind: String, message: String): Unit = ()
+    }
+    val s = new TtnV2Session(http, wsc, "u", "p", "gw", out, () => 0L)
+    s.connect()
+    assert(!s.isClosed && opens == 1)
+    var manual = false
+    def link() = Map(1L -> LinkView(isTtnV2 = true, hasSocket = opens > 0,
+      socketClosed = s.isClosed, manuallyDisconnected = manual))
+
+    // a tick over a LIVE session is a no-op (connect() idempotence
+    // would also protect it, but the predicate never fires)
+    runStatusLoop(() => Map.empty)(_ => (), link _, _ => s.connect())(
+      _ => (), ticks = 1)
+    assert(opens == 1)
+
+    // server drops the socket → next poll tick reconnects it
+    lastCb.onClose(lastSock)
+    assert(s.isClosed)
+    runStatusLoop(() => Map.empty)(_ => (), link _, _ => s.connect())(
+      _ => (), ticks = 1)
+    assert(!s.isClosed && opens == 2)
+
+    // user disconnect: the session closes and the poll honors it forever
+    s.disconnect(); manual = true
+    runStatusLoop(() => Map.empty)(_ => (), link _, _ => s.connect())(
+      _ => (), ticks = 3)
+    assert(s.isClosed && opens == 2)
+  }
+
   /** Minimal StreamingQuery stub recording stop() — QueryManager only
     * ever calls stop on the queries it builds. */
   private class StubQuery extends org.apache.spark.sql.streaming.StreamingQuery {

@@ -3,11 +3,18 @@
 runs DuckDB oracle SQL against the sfDir parquet tables and compares with
 the parquet dumps written by `graft.Verify`.
 
-Usage: python3 tools/parity.py <sfDir> <verifyOutDir> [--prune-quadratic] [--json <path>]
+Usage: python3 tools/parity.py <sfDir> <verifyOutDir> [--prune-quadratic]
+       [--oracle-override name=path ...] [--json <path>]
 
---prune-quadratic skips the sf0.01-pinned q29 oracle (historically also
-the dedup-family pair lists, restated sub-quadratically in round 9) —
-the sf0.1 sweep recipe from the verify skill as one command.
+--oracle-override name=path replaces that query's oracle SQL with the
+file's contents before grading — the sf0.1 q29 recipe: regenerate the
+key pin with `runMain graft.tools.KeyPin /root/testdata/sf0.1`, then
+pass --oracle-override q29_session_keys=tools/pins/q29_sf0.1.sql.
+
+--prune-quadratic is kept for recipe compatibility but prunes NOTHING
+since round 10: round 9 restated every dedup/cosine-family oracle
+sub-quadratically, and round 10 un-pinned q29 (KeyPin regenerates its
+key pin per SF). The sweep is total.
 
 --json <path> additionally writes a machine-readable record (per-query
 ok/fail + the skip list) so a sweep leaves an artifact, not just a
@@ -18,14 +25,10 @@ console log.
 import json, sys, glob, os
 import duckdb
 
-# Round 9 restated every dedup/cosine-family oracle sub-quadratically
-# (prefix-filter candidates, pigeonhole hamming chunks, FastSS deletion
-# variants, native list_dot_product) — all run at sf0.1 now. Only q29
-# remains pinned: its oracle embeds sf0.01-specific key lookups by
-# design.
-QUADRATIC_ORACLES = ("q29",)
+# Empty since round 10 (see --prune-quadratic above).
+QUADRATIC_ORACLES = ()
 
-def main(sf_dir, out_dir, prune_quadratic=False, json_out=None):
+def main(sf_dir, out_dir, prune_quadratic=False, json_out=None, overrides=None):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -33,6 +36,11 @@ def main(sf_dir, out_dir, prune_quadratic=False, json_out=None):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    for name, path in (overrides or {}).items():
+        if name not in oracle:
+            sys.exit(f"--oracle-override {name}: no such query in oracle_sql.json")
+        oracle[name] = open(path).read()
+        print(f"(oracle for {name} overridden from {path})")
     pruned = []
     if prune_quadratic:
         pruned = sorted(n for n in oracle
@@ -108,6 +116,13 @@ if __name__ == "__main__":
         if _i + 1 >= len(_rest) or _rest[_i + 1].startswith("--"):
             sys.exit("--json requires a path operand")
         _json = _rest[_i + 1]
+    _overrides = {}
+    for _i, _a in enumerate(_rest):
+        if _a == "--oracle-override":
+            if _i + 1 >= len(_rest) or "=" not in _rest[_i + 1]:
+                sys.exit("--oracle-override requires a name=path operand")
+            _n, _p = _rest[_i + 1].split("=", 1)
+            _overrides[_n] = _p
     sys.exit(main(sys.argv[1], sys.argv[2],
                   prune_quadratic="--prune-quadratic" in _rest,
-                  json_out=_json))
+                  json_out=_json, overrides=_overrides))

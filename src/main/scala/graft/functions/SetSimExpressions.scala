@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -146,6 +146,71 @@ object PrefixHashKernel {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       if (size == k) hh else java.util.Arrays.copyOf(hh, size))
   }
+
+  /** Hybrid (is-hot, hash, shingle) variant: identical bounded-heap
+    * select, but any hash present in `hotSorted` (a sorted long[] of
+    * high-df hashes) orders AFTER every non-hot hash — a hot shingle
+    * enters a prefix only when the doc has fewer non-hot shingles than
+    * the prefix width, the same exclusion-by-construction the full
+    * df-order gives, without the per-doc df join + window. Lossless for
+    * the same reason every global order is: prefixes stay prefixes of
+    * ONE total order ((isHot, h, s) is total), and candidates are
+    * exact-verified downstream. */
+  def evalHot(arr: ArrayData, t: Double, hotSorted: Array[Long]): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val k = n - math.ceil(t * n).toInt + 1
+    if (k <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val hh = new Array[Long](k)
+    val hs = new Array[UTF8String](k)
+    val hf = new Array[Boolean](k)
+    var size = 0
+    @inline def gt(f1: Boolean, h1: Long, s1: UTF8String,
+                   f2: Boolean, h2: Long, s2: UTF8String): Boolean =
+      (f1 && !f2) || (f1 == f2 && (h1 > h2 || (h1 == h2 && s1.compareTo(s2) > 0)))
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s == null) { i += 1 }
+      else {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, SEED)
+        val f = java.util.Arrays.binarySearch(hotSorted, h) >= 0
+        if (size < k) {
+          var c = size
+          hh(c) = h; hs(c) = s; hf(c) = f; size += 1
+          while (c > 0 && gt(hf(c), hh(c), hs(c), hf((c - 1) / 2), hh((c - 1) / 2), hs((c - 1) / 2))) {
+            val p = (c - 1) / 2
+            val th = hh(c); val ts = hs(c); val tf = hf(c)
+            hh(c) = hh(p); hs(c) = hs(p); hf(c) = hf(p)
+            hh(p) = th; hs(p) = ts; hf(p) = tf
+            c = p
+          }
+        } else if (gt(hf(0), hh(0), hs(0), f, h, s)) {
+          hh(0) = h; hs(0) = s; hf(0) = f
+          var c = 0
+          var done = false
+          while (!done) {
+            val l = 2 * c + 1
+            val r = l + 1
+            var m = c
+            if (l < size && gt(hf(l), hh(l), hs(l), hf(m), hh(m), hs(m))) m = l
+            if (r < size && gt(hf(r), hh(r), hs(r), hf(m), hh(m), hs(m))) m = r
+            if (m == c) done = true
+            else {
+              val th = hh(c); val ts = hs(c); val tf = hf(c)
+              hh(c) = hh(m); hs(c) = hs(m); hf(c) = hf(m)
+              hh(m) = th; hs(m) = ts; hf(m) = tf
+              c = m
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (size == k) hh else java.util.Arrays.copyOf(hh, size))
+  }
 }
 
 /** 128-permutation MinHash signature as a native expression — the exact
@@ -224,6 +289,54 @@ case class PrefixHashes(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** [[PrefixHashKernel.evalHot]] as an expression: prefix under the
+  * hybrid (is-hot, hash, shingle) order. `hot` must be a FOLDABLE
+  * ARRAY<BIGINT> of high-df hashes (driver-computed, bounded by
+  * tokens/threshold) — it is evaluated once per plan, sorted once, and
+  * shipped to codegen as a reference object, not re-read per row. */
+case class PrefixHashesHot(first: Expression, second: Expression,
+                           third: Expression) extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_prefix_hashes_hot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val arrOk = SetSimTypeChecks.stringArrays(prettyName, Seq(first.dataType))
+    if (arrOk != TypeCheckResult.TypeCheckSuccess) arrOk
+    else if (second.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires DOUBLE for its threshold, got ${second.dataType.sql}")
+    else if (!third.dataType.isInstanceOf[ArrayType] ||
+        third.dataType.asInstanceOf[ArrayType].elementType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<BIGINT> for its hot set, got ${third.dataType.sql}")
+    else if (!third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable (literal) hot set")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val hotSorted: Array[Long] = {
+    val a = third.eval().asInstanceOf[ArrayData].toLongArray()
+    java.util.Arrays.sort(a)
+    a
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    PrefixHashKernel.evalHot(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[java.lang.Double], hotSorted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hotRef = ctx.addReferenceObj("hotHashes", hotSorted, "long[]")
+    nullSafeCodeGen(ctx, ev, (a, b, _) =>
+      s"${ev.value} = graft.functions.PrefixHashKernel.evalHot($a, $b, $hotRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** Exact Jaccard |a∩b| / |a∪b| between two string-array SETS — native

@@ -155,6 +155,14 @@ object GraftFunctions {
     GraftColumnBridge.column(
       PrefixHashes(GraftColumnBridge.expression(sh), GraftColumnBridge.expression(t)))
 
+  /** Hybrid (is-hot, hash) AllPairs prefix
+    * (SetSimExpressions.PrefixHashesHot); `hot` must be a literal
+    * ARRAY<BIGINT> of high-df hashes. */
+  def prefixHashesHot(sh: Column, t: Column, hot: Column): Column =
+    GraftColumnBridge.column(
+      PrefixHashesHot(GraftColumnBridge.expression(sh),
+        GraftColumnBridge.expression(t), GraftColumnBridge.expression(hot)))
+
   /** Native 128-perm MinHash signature (SetSimExpressions.MinHashSig). */
   def minhashSig(sh: Column): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(sh)))

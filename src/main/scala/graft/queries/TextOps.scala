@@ -341,6 +341,60 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Hybrid (is-hot, hash) prefix-order candidate (SURVEY §7's deferred
+    * r9 trade, adjudicated in round 10 — BASELINE.md): ONE partial-agg
+    * df pass finds the hashes whose df exceeds max(16, N/100), the
+    * bounded hot list broadcasts into the native kernel as a literal,
+    * and the prefix is heap-selected per row under (is-hot, h, s) —
+    * hot shingles order last and fall out of every prefix exactly as in
+    * the full df-order, but WITHOUT the per-doc df join + window
+    * (two exchanges + a sort saved). Lossless for the same reason any
+    * global order is; outputs pinned identical to the df-ordered
+    * default in TextOpsSpec.
+    *
+    * The collect is BOUNDED BY CONSTRUCTION: at most totalTokens /
+    * threshold hashes clear an absolute-df cutoff, and the loud guard
+    * below enforces the broadcast-size contract rather than letting a
+    * pathological corpus grow the plan silently. The residual exposure
+    * vs full df-order: a key with df JUST UNDER the cutoff still costs
+    * ~(0.2·df)²/2 candidates — the threshold turns the df-order's
+    * by-construction immunity into a knob, which is why this stays a
+    * measured A/B variant until the probe says the knob is safe. */
+  private def hybridPrefix(docs: DataFrame, t: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nDocs = docs.count()
+    val thr = math.max(16L, nDocs / 100L)
+    val hot = docs.select(explode(col("sh")).as("s"))
+      .select(xxhash64(col("s")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") > thr)
+      .select(col("h")).as[Long].collect()
+    require(hot.length <= (1 << 20),
+      s"hybridPrefix: ${hot.length} hot hashes exceed the 1M broadcast " +
+        "contract — raise the df threshold or use the full df-order")
+    docs.select(col("doc_id"), col("n"),
+      explode(graft.functions.GraftFunctions.prefixHashesHot(
+        col("sh"), lit(t), typedLit(hot.sorted.toSeq))).as("h"))
+  }
+
+  /** q33 under [[hybridPrefix]] — the A/B variant for the round-10
+    * adjudication (dev name q33_hybrid in SkewProbe). */
+  private[graft] def q33NgramJaccardHybridOrdered(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.jaccardSim
+    val docs = shingled(documents(s, d))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    val cands = pairCands(hybridPrefix(docs, 0.8))
+    val v = verifySide(s, d)
+    pinned(cands, col("doc_a"))
+      .join(v(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))), Seq("doc_a"))
+      .join(v(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))), Seq("doc_b"))
+      .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Shared DuckDB oracle for q33/q34: exact pairwise Jaccard at
     * threshold num/den (prefix-filter candidates + exact verify — same
     * rows as the retired all-pairs form, feasible at sf0.1; the Spark

@@ -49,7 +49,8 @@ object SkewProbe {
     // part of the driver contract) so the A/B stays reproducible; its
     // output is asserted equal to the df-ordered default below
     val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      Map("q33_hashorder" -> (graft.queries.TextOps.q33NgramJaccardHashOrdered _))
+      Map("q33_hashorder" -> (graft.queries.TextOps.q33NgramJaccardHashOrdered _),
+        "q33_hybrid" -> (graft.queries.TextOps.q33NgramJaccardHybridOrdered _))
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -62,9 +63,9 @@ object SkewProbe {
 
     // --- synthesize the hot-key corpus -------------------------------
     // one boilerplate sentence on 30% of docs (doc_id % 10 < 3): every
-    // treated doc gains the same ~4 bigram shingles → hot inverted-index
-    // keys with df ≈ 1500 at sf0.1. Other tables are not copied — the
-    // probed queries read documents only.
+    // treated doc gains the same ~4 bigram shingles (and, for q99, ~10
+    // identical 25-char grams) → hot inverted-index/window keys with
+    // df ≈ 0.3·N.
     val skewDir = "/tmp/skewdata/sf0.1"
     spark.read.parquet(s"$baseSf/documents.parquet")
       .withColumn("text",
@@ -72,6 +73,21 @@ object SkewProbe {
           concat(col("text"), lit(" lorem ipsum dolor sit amet footer")))
           .otherwise(col("text")))
       .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+    // q84's input is CUSTOMER, which the boilerplate edit never touches —
+    // its hot-key adversary is a duplicate-name family (the entity-res
+    // real case: one canonical string mass-duplicated by an upstream
+    // feed). Every 300th customer gets the same name → all its FastSS
+    // deletion variants become hot join keys carrying a genuine
+    // |family|² candidate set; the probe's question is whether that
+    // work SPREADS (AQE skew split) or funnels into one task. The
+    // family is capped (~N/300) so the legitimate quadratic output
+    // stays small next to the corpus.
+    if (new java.io.File(s"$baseSf/customer.parquet").exists)
+      spark.read.parquet(s"$baseSf/customer.parquet")
+        .withColumn("c_name",
+          when(col("c_custkey") % 300 === 0, lit("Customer#HOTFAMILY0000"))
+            .otherwise(col("c_name")))
+        .write.mode("overwrite").parquet(s"$skewDir/customer.parquet")
 
     // --- per-task listener: durations per stage ----------------------
     val stageTasks = mutable.Map.empty[Int, mutable.ArrayBuffer[Long]]
@@ -101,12 +117,20 @@ object SkewProbe {
 
     // losslessness cross-check: both prefix orders must produce the
     // EXACT q33 rows on both corpora before the timings mean anything
-    for ((label, dir) <- Seq("base" -> baseSf, "hotkey" -> skewDir)) {
+    // (only when a q33 variant is actually being probed — the check
+    // costs four full q33 runs at the probe decade)
+    val checkQ33 = queries.exists(_.startsWith("q33"))
+    for ((label, dir) <- Seq("base" -> baseSf, "hotkey" -> skewDir) if checkQ33) {
       val a = graft.queries.TextOps.q33NgramJaccard(spark, dir)
         .collect().map(_.toString).sorted.toSeq
       val b = graft.queries.TextOps.q33NgramJaccardHashOrdered(spark, dir)
         .collect().map(_.toString).sorted.toSeq
       require(a == b, s"q33 prefix-order variants diverge on $label")
+      if (queries.contains("q33_hybrid")) {
+        val c = graft.queries.TextOps.q33NgramJaccardHybridOrdered(spark, dir)
+          .collect().map(_.toString).sorted.toSeq
+        require(a == c, s"q33 hybrid prefix order diverges on $label")
+      }
       println(s"[skewprobe] q33 variants identical on $label (${a.size} pairs)")
       spark.sharedState.cacheManager.clearCache()
     }

@@ -27,12 +27,20 @@ import org.apache.spark.sql.functions._
   * range, so the id-derived slices (doc_id % 41 benchmark, % 10 = 7
   * increment, split buckets) keep their proportions in every replica.
   *
-  * runMain graft.tools.SynthCorpus <srcSfDir> <outDir> <replicas>
+  * runMain graft.tools.SynthCorpus <srcSfDir> <outDir> <replicas> [tables]
+  * (tables: comma list from documents,embeddings,customer — default all.
+  *  embeddings cap replicas at the embedding dim (rotation uniqueness);
+  *  the suffix schemes for documents/customer have no such ceiling, so
+  *  a documents-only build can go another decade — the r10 sf10 corpus
+  *  is `... /tmp/synth/sf10 100 documents,customer`.)
   */
 object SynthCorpus {
   def main(args: Array[String]): Unit = {
     val src = args(0); val out = args(1); val reps = args(2).toInt
-    require(reps >= 1 && reps <= 64, s"replicas in [1,64], got $reps")
+    val tables: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      else Set("documents", "embeddings", "customer")
+    require(reps >= 1 && reps <= 1024, s"replicas in [1,1024], got $reps")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -44,6 +52,7 @@ object SynthCorpus {
 
     val docStride = 1000000L
 
+    if (tables("documents")) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until reps).map { r =>
       if (r == 0) docs
@@ -59,7 +68,9 @@ object SynthCorpus {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
 
+    if (tables("embeddings")) {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val dim = emb.selectExpr("max(size(embedding)) d").head().getInt(0)
     // rotation uniqueness is what keeps cross-replica cosines
@@ -67,8 +78,8 @@ object SynthCorpus {
     // r - dim would share a rotation and every vector would find its
     // own cosine-1.0 twin — quadratic fabricated near-dup structure
     // poisoning the very growth law this corpus exists to measure.
-    // Fail loudly instead (the 64-replica cap above only matches the
-    // CURRENT dim; a regeneration could ship a narrower embedding).
+    // Fail loudly instead (the arg-level cap above is table-agnostic;
+    // only this guard knows the actual shipped dim).
     require(reps <= dim,
       s"replicas ($reps) must not exceed embedding dim ($dim): dimension " +
         "rotations would repeat and plant cross-replica exact near-dups")
@@ -84,7 +95,9 @@ object SynthCorpus {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
 
+    if (tables("customer")) {
     val cust = spark.read.parquet(s"$src/customer.parquet")
     (0 until reps).map { r =>
       if (r == 0) cust
@@ -94,8 +107,10 @@ object SynthCorpus {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    }
 
-    println(s"[synthcorpus] wrote ${reps}x $src -> $out")
+    println(s"[synthcorpus] wrote ${reps}x $src -> $out " +
+      s"(${tables.toSeq.sorted.mkString(",")})")
     spark.stop()
   }
 }

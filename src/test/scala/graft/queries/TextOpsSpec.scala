@@ -26,6 +26,9 @@ class TextOpsSpec extends SparkSuite {
     val b = TextOps.q33NgramJaccardHashOrdered(spark, sf).collect().toSeq
     assert(a.nonEmpty)
     assert(b == a)
+    // the round-10 hybrid (is-hot, hash) candidate too — same losslessness
+    val c = TextOps.q33NgramJaccardHybridOrdered(spark, sf).collect().toSeq
+    assert(c == a)
   }
 
   test("q51 decontamination flags only non-benchmark docs, with real overlap") {

@@ -61,8 +61,21 @@ object TextOps {
     * word lands in ~3 three-word shingles), so the q35 doc-COUNT switch,
     * calibrated for 16-byte simhash rows, would near its 1M limit force
     * a multi-GB broadcast precisely where AQE's byte threshold was
-    * protecting the executors. Past the byte cap the shuffle join is the
-    * right plan, correctly byte-sized by AQE at that scale. */
+    * protecting the executors.
+    *
+    * Past the byte cap the join must shuffle — but NOT sort-merge:
+    * sort-merge sorts the probe side, and by the second verify join the
+    * probe is the candidate stream carrying the first join's shingle
+    * arrays (candidates × array bytes — linear, but wide), so the sort
+    * externalizes. Measured at the synthetic-sf10 decade (500k docs,
+    * first beyond-cap corpus, SCALING_r10/BASELINE.md r10): q88 spilled
+    * 40 GB and ran 75 s wall under sort-merge. A shuffled HASH join
+    * builds on THIS side instead — per partition it holds only its
+    * doc-array slice (total/numPartitions, bounded by the same
+    * partition sizing as any scan) and streams the candidate side with
+    * no sort at all. Candidate order is irrelevant downstream (the
+    * verify filter is per-row; q33 re-sorts only its tiny output), so
+    * the sort was pure waste. */
   private val verifySideMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]
 
@@ -81,7 +94,7 @@ object TextOps {
       val estBytes = stats.getLong(0) * 48L + stats.getLong(1) * 3L
       estBytes <= VerifyBroadcastBytes
     })
-    if (fits) broadcast(_) else identity
+    if (fits) broadcast(_) else (df => df.hint("shuffle_hash"))
   }
 
   /** 64 MB: deliberately above the 10 MB advisory (the verify build side

@@ -24,6 +24,26 @@ object BenchPolicy {
     val defined = ratios.zipWithIndex.collect { case (Some(r), i) => (r, i) }
     if (defined.isEmpty) 0 else defined.min._2
   }
+
+  /** Whether another retake is warranted: the best MEASURED ratio so
+    * far is still over the bar. A None-ratio retake (mass failures
+    * under the same interference) neither clears nor creates a drift
+    * verdict — the measured one still stands and the remaining attempts
+    * exist for it. A first attempt with no measured ratio (reference
+    * absent) never retakes: no verdict, no retake. */
+  def retakeNeeded(ratios: Seq[Option[Double]], bar: Double): Boolean =
+    ratios.flatten.minOption.exists(_ > bar)
+
+  /** Whether a run may overwrite BENCH_SELF.json, the committed quiet
+    * sf0.1 record. Demands a POSITIVE verdict: a measured median ratio
+    * inside [floor, bar] — a wrong-SF run reads ~0.1 (not comparable),
+    * a drifted one reads > bar, and a None ratio carries no verdict.
+    * Bootstrap exception: with no reference at all, a fully-green run
+    * may seed the record. */
+  def selfRecordable(ratio: Option[Double], refMissing: Boolean,
+                     anyFailed: Boolean, bar: Double,
+                     floor: Double = 0.5): Boolean =
+    ratio.exists(r => r >= floor && r <= bar) || (refMissing && !anyFailed)
 }
 
 object Bench {
@@ -299,8 +319,18 @@ object Bench {
     var waitBudget = 240.0
     val first = runAttempt()
     var recs = Vector(Rec(first, medianRatio(first), 0.0))
-    while (recs.last.ratio.exists(_ > driftBar) && recs.size < maxAttempts) {
-      System.err.println(f"[bench] drift suspected (median ratio ${recs.last.ratio.get}%.3f" +
+    // Keep retaking while the BEST MEASURED ratio so far is still over
+    // the bar (and budget remains): a retake whose own ratio is None
+    // (mass query failures — the same co-resident burst that caused the
+    // drift can OOM queries) carries no verdict and must not END the
+    // loop either — the drift verdict from the measured attempt still
+    // stands, and the remaining attempts/budget exist exactly for it.
+    // A FIRST attempt with no measured ratio (reference absent) never
+    // enters the loop: no verdict, no retake, as before.
+    while (recs.size < maxAttempts &&
+        BenchPolicy.retakeNeeded(recs.map(_.ratio), driftBar)) {
+      val best = recs.flatMap(_.ratio).min
+      System.err.println(f"[bench] drift suspected (best median ratio $best%.3f" +
         f" vs BENCH_REF) — attempt ${recs.size + 1}/$maxAttempts after quiet-wait")
       val waited = waitForQuiet(waitBudget)
       waitBudget = math.max(0.0, waitBudget - waited)
@@ -389,7 +419,18 @@ object Bench {
         System.err.println(s"[bench] self-record write to $path failed: ${e.getMessage}")
       }
     record(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
-    if (!driftDetected) record("BENCH_SELF.json")
+    // BENCH_SELF.json demands a POSITIVE verdict, not merely the absence
+    // of a drift flag: a run at the wrong SF reads median ratios ~0.1
+    // (10× less data than the sf0.1 reference) and a run with no usable
+    // reference reads None — both are "not drifted" but neither is a
+    // comparable quiet sf0.1 record, and both used to clobber the
+    // committed one. The band's floor rejects wrong-SF readings while
+    // admitting any plausible genuine speedup (a uniform 2× improvement
+    // is a refresh-BENCH_REF event per the verify skill, not a silent
+    // self-record). Policy + cases in BenchPolicy/BenchPolicySpec.
+    if (BenchPolicy.selfRecordable(chosenRatio, refQueries.isEmpty,
+        failed.nonEmpty, driftBar))
+      record("BENCH_SELF.json")
     spark.stop()
   }
 }

@@ -92,60 +92,16 @@ object SetSimKernels {
 object PrefixHashKernel {
   private val SEED = 42L
 
-  def eval(arr: ArrayData, t: Double): ArrayData = {
-    val n = arr.numElements()
-    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
-    val k = n - math.ceil(t * n).toInt + 1
-    if (k <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
-    // bounded max-heap of (hash, string): evict the largest while scanning
-    val hh = new Array[Long](k)
-    val hs = new Array[UTF8String](k)
-    var size = 0
-    @inline def gt(h1: Long, s1: UTF8String, h2: Long, s2: UTF8String): Boolean =
-      h1 > h2 || (h1 == h2 && s1.compareTo(s2) > 0)
-    var i = 0
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      // null ELEMENTS are skipped (containsNull=true passes the type
-      // check, and s.getBaseObject would NPE mid-codegen) — mirrored in
-      // the UDF twin so the prefix-set parity pin holds on such input
-      if (s == null) { i += 1 }
-      else {
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset, s.numBytes, SEED)
-      if (size < k) {
-        var c = size
-        hh(c) = h; hs(c) = s; size += 1
-        while (c > 0 && gt(hh(c), hs(c), hh((c - 1) / 2), hs((c - 1) / 2))) {
-          val p = (c - 1) / 2
-          val th = hh(c); val ts = hs(c)
-          hh(c) = hh(p); hs(c) = hs(p); hh(p) = th; hs(p) = ts
-          c = p
-        }
-      } else if (gt(hh(0), hs(0), h, s)) {
-        hh(0) = h; hs(0) = s
-        var c = 0
-        var done = false
-        while (!done) {
-          val l = 2 * c + 1
-          val r = l + 1
-          var m = c
-          if (l < size && gt(hh(l), hs(l), hh(m), hs(m))) m = l
-          if (r < size && gt(hh(r), hs(r), hh(m), hs(m))) m = r
-          if (m == c) done = true
-          else {
-            val th = hh(c); val ts = hs(c)
-            hh(c) = hh(m); hs(c) = hs(m); hh(m) = th; hs(m) = ts
-            c = m
-          }
-        }
-      }
-      i += 1
-      }
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      if (size == k) hh else java.util.Arrays.copyOf(hh, size))
-  }
+  private val NoHot = Array.empty[Long]
+
+  /** Hash-only prefix order: exactly [[evalHot]] with an empty hot set
+    * ((false, h, s) degenerates to (h, s)) — ONE heap implementation to
+    * maintain, so a fix to the tie-break or truncation cannot desync
+    * the prefix variants the TextOpsSpec output pins compare. The empty
+    * binarySearch per element is a constant-time miss, and this kernel
+    * runs only on the retired A/B paths (the defaults build their
+    * df-ordered prefixes in SQL). */
+  def eval(arr: ArrayData, t: Double): ArrayData = evalHot(arr, t, NoHot)
 
   /** Hybrid (is-hot, hash, shingle) variant: identical bounded-heap
     * select, but any hash present in `hotSorted` (a sorted long[] of
@@ -171,6 +127,9 @@ object PrefixHashKernel {
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
+      // null ELEMENTS are skipped (containsNull=true passes the type
+      // check, and s.getBaseObject would NPE mid-codegen) — mirrored in
+      // the UDF twin so the prefix-set parity pin holds on such input
       if (s == null) { i += 1 }
       else {
         val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(

@@ -33,9 +33,11 @@ object TextOps {
     * exchange (cheaper than the shingle arrays it replaces) lets the
     * kernel run at full width in each consumer stage; the exchange
     * itself is reused across all consumer subtrees. */
-  private def shingled(docs: org.apache.spark.sql.DataFrame) =
+  private def shingled(docs: org.apache.spark.sql.DataFrame,
+                       width: Option[Int] = None) =
     docs
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+      .repartition(width.getOrElse(
+        docs.sparkSession.sessionState.conf.numShufflePartitions),
         col("doc_id"))
       .select(col("doc_id"),
         graft.functions.TextFunctions.shingles(col("text")).as("sh"))
@@ -77,30 +79,84 @@ object TextOps {
     * verify filter is per-row; q33 re-sorts only its tiny output), so
     * the sort was pure waste. */
   private val verifySideMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
 
-  private def verifySide(s: SparkSession, d: String): DataFrame => DataFrame = {
+  /** The two plan knobs of a dedup verify join, derived together from
+    * the estimated build-side bytes. `attach` wraps the doc-array side:
+    * `broadcast` under the cap, `shuffle_hash` past it. `width` is the
+    * byte-derived partition count of the shuffle regime — a hinted
+    * shuffled-hash build side cannot spill, so its per-partition slice
+    * must be SIZED, not hoped for: with the session's pinned 32
+    * partitions a 10× bigger corpus puts 10× the arrays in every build
+    * map and eventually OOMs where sort-merge would have (slowly)
+    * spilled. Scaling the width with the bytes keeps each build slice
+    * ~[[VerifyBuildSliceBytes]] at ANY corpus size — the property the
+    * broadcast cap provides below it. */
+  private[graft] final case class VerifyJoin(
+      attach: DataFrame => DataFrame, width: Option[Int]) {
+    /* The byte-derived `width` must reach the physical plan through
+     * BOTH join children, and the cheap carrier for the build side is
+     * the [[shingled]] doc_id pin upstream (its partitioning propagates
+     * through the doc_id→doc_a/doc_b ALIASES, so the build side arrives
+     * at the join already hash-clustered on the key at the pin's
+     * count). Two measured wrong turns, kept here so they stay wrong:
+     * a probe-side-only repartition(n) is REWRITTEN by
+     * EnsureRequirements, which plans the unpartitioned build side at
+     * the session default and co-partitions the probe DOWN to it (the
+     * 42-partition REPARTITION_BY_NUM printed as 32); an explicit
+     * build-side repartition(n, key) inside attach preserved the width
+     * but DUPLICATED the doc-array exchange the alias propagation
+     * otherwise avoids (+420 MB/query at the sf10 decade, +84% on
+     * q34's total). */
+    /** Probe-side pin before the FIRST verify join: the kernel stages
+      * downstream inherit this width (see [[pinned]] for why AQE's
+      * byte-based coalescing must not size them); in the shuffle regime
+      * the byte-derived width also bounds the build slice the hash join
+      * materializes per task. */
+    def pinFirst(df: DataFrame, key: String): DataFrame =
+      df.repartition(width.getOrElse(
+        df.sparkSession.sessionState.conf.numShufflePartitions), col(key))
+    /** Probe-side re-pin between the two verify joins — shuffle regime
+      * only: the second join re-shuffles the pair+array stream on its
+      * key regardless, the explicit count just keeps that exchange and
+      * the matching build-side shuffle at the byte-derived width. A
+      * broadcast verify needs no exchange here at all, so this is a
+      * no-op under the cap (adding one would insert a gratuitous
+      * shuffle of the fattest stream in the query). */
+    def pinMid(df: DataFrame, key: String): DataFrame =
+      width.map(n => df.repartition(n, col(key))).getOrElse(df)
+  }
+
+  private def verifySide(s: SparkSession, d: String): VerifyJoin = {
     // memoized per (session, sfDir), the trainStepsMemo treatment: this
     // decision runs at PLAN-CONSTRUCTION time and q33 alone is rebuilt
     // by q42/q58/q62/q63/q72/q82 (plus q34/q76/q88) — unmemoized, one
     // verify pass paid the corpus-wide stats aggregate ~9 times for one
-    // boolean that cannot change within a session
+    // number that cannot change within a session
     verifySideMemo.keySet.removeIf(_._1.sparkContext.isStopped)
-    val fits = verifySideMemo.computeIfAbsent((s, d), _ => {
+    val estBytes: Long = verifySideMemo.computeIfAbsent((s, d), _ => {
       val stats = documents(s, d)
         .agg(count(lit(1)).as("n"), coalesce(sum(col("n_chars")), lit(0L)).as("b"))
         .head()
       // ~3 bytes of shingle per text byte + 48 B/row of array/id overhead
-      val estBytes = stats.getLong(0) * 48L + stats.getLong(1) * 3L
-      estBytes <= VerifyBroadcastBytes
+      stats.getLong(0) * 48L + stats.getLong(1) * 3L
     })
-    if (fits) broadcast(_) else (df => df.hint("shuffle_hash"))
+    if (estBytes <= VerifyBroadcastBytes) VerifyJoin(broadcast(_), None)
+    else VerifyJoin(
+      _.hint("shuffle_hash"),
+      Some(math.max(s.sessionState.conf.numShufflePartitions,
+        (estBytes / VerifyBuildSliceBytes).toInt + 1)))
   }
 
   /** 64 MB: deliberately above the 10 MB advisory (the verify build side
     * must not flip to sort-merge at test SF) yet a bounded per-executor
     * memory cost at any corpus size. */
   private val VerifyBroadcastBytes = 64L << 20
+
+  /** Target raw-array bytes per shuffled-hash build slice (the in-memory
+    * HashedRelation expands this ~4×, landing each task's build around
+    * the broadcast cap). */
+  private val VerifyBuildSliceBytes = 16L << 20
 
   /** The reproducible engine-independent doc_id hashes every sampling /
     * splitting / ordering query keys on — ONE definition each (with the
@@ -262,7 +318,9 @@ object TextOps {
     // InMemoryTableScan. At real cluster scale the signature table would
     // be checkpointed to storage once and shared by every dedup consumer;
     // in-session, only the tiny pair-list output below is cached.
-    val docs = shingled(documents(s, d))
+    // the verify width rides this pin into both verify-join build sides
+    // through the doc_id aliases (see VerifyJoin)
+    val docs = shingled(documents(s, d), verifySide(s, d).width)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
     // Global prefix order = (document frequency asc, hash) — AllPairs'
     // canonical rarest-first order, made the DEFAULT in round 9 on the
@@ -280,21 +338,36 @@ object TextOps {
     // deleting a quadratic cliff. The hash-ordered form is kept below
     // for the A/B record (outputs pinned identical in TextOpsSpec).
     val cands = pairCands(dfOrderedPrefix(docs, 4, 5))
-    // pin the candidate list's width too: the verify joins below inherit
-    // their stage parallelism from this exchange, and the per-pair fold
-    // is the query's dominant CPU
-    val v = verifySide(s, d)
-    pinned(cands, col("doc_a"))
-      .join(v(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))), Seq("doc_a"))
-      .join(v(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))), Seq("doc_b"))
-      .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    q33Verify(s, d, docs, cands)
       // the pair list is tiny (near-dups are rare by definition) and has
       // two downstream consumers (q42 survivors, q58 release) —
       // materialize once, CacheManager rewrites their identical subtrees
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Shared candidate-verify tail of q34 and the three q33 prefix-order
+    * forms (default df-ordered + the retired hash/hybrid A/B variants):
+    * exact-Jaccard verify of (doc_a, doc_b) candidates at 0.8 over the
+    * full shingle arrays. ONE body, so a verify-join change cannot
+    * silently desync the variants whose outputs the TextOpsSpec and
+    * SkewProbe pins assert identical. The first pin also fixes the
+    * candidate exchange's width: the verify joins inherit their stage
+    * parallelism from it, and the per-pair fold is the dominant CPU. */
+  private def q33Verify(s: SparkSession, d: String,
+                        docs: DataFrame, cands: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.jaccardSim
+    val v = verifySide(s, d)
+    v.pinMid(
+        v.pinFirst(cands, "doc_a")
+          .join(v.attach(docs.select(col("doc_id").as("doc_a"),
+            col("sh").as("sha"))), Seq("doc_a")),
+        "doc_b")
+      .join(v.attach(docs.select(col("doc_id").as("doc_b"),
+        col("sh").as("shb"))), Seq("doc_b"))
+      .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** df-ordered prefix index rows (doc_id, n, h) at threshold num/den:
@@ -337,21 +410,12 @@ object TextOps {
     * the hot df. Output pinned identical to the default in
     * TextOpsSpec. */
   private[graft] def q33NgramJaccardHashOrdered(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.GraftFunctions.jaccardSim
-    val docs = shingled(documents(s, d))
+    val docs = shingled(documents(s, d), verifySide(s, d).width)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
     val pref = docs.select(col("doc_id"), col("n"),
         explode(graft.functions.GraftFunctions.prefixHashes(
           col("sh"), lit(0.8))).as("h"))
-    val cands = pairCands(pref)
-    val v = verifySide(s, d)
-    pinned(cands, col("doc_a"))
-      .join(v(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))), Seq("doc_a"))
-      .join(v(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))), Seq("doc_b"))
-      .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    q33Verify(s, d, docs, pairCands(pref))
   }
 
   /** Hybrid (is-hot, hash) prefix-order candidate (SURVEY §7's deferred
@@ -394,18 +458,9 @@ object TextOps {
   /** q33 under [[hybridPrefix]] — the A/B variant for the round-10
     * adjudication (dev name q33_hybrid in SkewProbe). */
   private[graft] def q33NgramJaccardHybridOrdered(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.GraftFunctions.jaccardSim
-    val docs = shingled(documents(s, d))
+    val docs = shingled(documents(s, d), verifySide(s, d).width)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-    val cands = pairCands(hybridPrefix(docs, 0.8))
-    val v = verifySide(s, d)
-    pinned(cands, col("doc_a"))
-      .join(v(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))), Seq("doc_a"))
-      .join(v(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))), Seq("doc_b"))
-      .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    q33Verify(s, d, docs, pairCands(hybridPrefix(docs, 0.8)))
   }
 
   /** Shared DuckDB oracle for q33/q34: exact pairwise Jaccard at
@@ -436,8 +491,11 @@ object TextOps {
     // per band element, so a collapsed projection would re-run the
     // 128-perm kernel 32× per row. With shingled's exchange below and
     // this one above, both kernels run once per row at full width.
-    val docs = pinned(shingled(documents(s, d))
-      .withColumn("sig", minhashSig(col("sh"))), col("doc_id"))
+    val vw = verifySide(s, d).width
+    val docs = shingled(documents(s, d), vw)
+      .withColumn("sig", minhashSig(col("sh")))
+      .repartition(vw.getOrElse(
+        s.sessionState.conf.numShufflePartitions), col("doc_id"))
       // four consumers (both band sides + both verify sides); as in q33,
       // re-running the scan + kernels beats caching the wide arrays cold
     val bands = docs.select(col("doc_id"),
@@ -450,15 +508,7 @@ object TextOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = docs.select(col("doc_id"), col("sh"))
-    val v = verifySide(s, d)
-    pinned(cands, col("doc_a"))
-      .join(v(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha")), "doc_a")
-      .join(v(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb")), "doc_b")
-      .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    q33Verify(s, d, docs.select(col("doc_id"), col("sh")), cands)
   }
 
   // --------------------------------------------------------- q35 SimHash
@@ -735,7 +785,7 @@ object TextOps {
     * the native codegen'd xxhash64 (same seed as the kernel's). */
   def q88ContainmentJoin(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.containmentSim
-    val docs = shingled(documents(s, d))
+    val docs = shingled(documents(s, d), verifySide(s, d).width)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
     // index rows carry only the 64-bit hash (as in q33): the exact
     // containment verify below rejects any hash-collision candidate,
@@ -756,9 +806,13 @@ object TextOps {
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val v = verifySide(s, d)
-    pinned(cands, col("id_a"))
-      .join(v(docs.select(col("doc_id").as("id_a"), col("sh").as("sha"))), Seq("id_a"))
-      .join(v(docs.select(col("doc_id").as("id_b"), col("sh").as("shb"))), Seq("id_b"))
+    v.pinMid(
+        v.pinFirst(cands, "id_a")
+          .join(v.attach(docs.select(col("doc_id").as("id_a"),
+            col("sh").as("sha"))), Seq("id_a")),
+        "id_b")
+      .join(v.attach(docs.select(col("doc_id").as("id_b"),
+        col("sh").as("shb"))), Seq("id_b"))
       .withColumn("containment", containmentSim(col("sha"), col("shb")))
       .filter(col("containment") >= 0.9)
       .select(col("id_a").as("excerpt_id"), col("id_b").as("container_id"),
@@ -961,7 +1015,7 @@ object TextOps {
     * nulls — the keep/drop verdict list. */
   def q76IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions.jaccardSim
-    val all = shingled(documents(s, d))
+    val all = shingled(documents(s, d), verifySide(s, d).width)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
     val inc = all.filter(col("doc_id") % 10 === 7)
     val corpus = all.filter(col("doc_id") % 10 =!= 7)
@@ -981,10 +1035,13 @@ object TextOps {
       .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("corpus_id"))
       .distinct()
     val v = verifySide(s, d)
-    val verified = pinned(cands, col("inc_id"))
-      .join(v(inc.select(col("doc_id").as("inc_id"), col("sh").as("sha"))), Seq("inc_id"))
-      .join(v(corpus.select(col("doc_id").as("corpus_id"), col("sh").as("shb"))),
-        Seq("corpus_id"))
+    val verified = v.pinMid(
+        v.pinFirst(cands, "inc_id")
+          .join(v.attach(inc.select(col("doc_id").as("inc_id"),
+            col("sh").as("sha"))), Seq("inc_id")),
+        "corpus_id")
+      .join(v.attach(corpus.select(col("doc_id").as("corpus_id"),
+        col("sh").as("shb"))), Seq("corpus_id"))
       .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
       .filter(col("jaccard") >= 0.8)
       .groupBy(col("inc_id"))

@@ -37,9 +37,15 @@ import org.apache.spark.sql.functions._
 object SynthCorpus {
   def main(args: Array[String]): Unit = {
     val src = args(0); val out = args(1); val reps = args(2).toInt
+    val knownTables = Set("documents", "embeddings", "customer")
     val tables: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).toSet
-      else Set("documents", "embeddings", "customer")
+      else knownTables
+    // a typo'd table name must fail loudly, not write nothing and print
+    // success — a following sweep would then measure a stale corpus
+    require(tables.nonEmpty && tables.subsetOf(knownTables),
+      s"unknown tables ${(tables -- knownTables).mkString(",")} — " +
+        s"pick from ${knownTables.mkString(",")}")
     require(reps >= 1 && reps <= 1024, s"replicas in [1,1024], got $reps")
     val spark = SparkSession.builder()
       .master("local[32]")

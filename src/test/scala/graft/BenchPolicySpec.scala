@@ -33,4 +33,30 @@ class BenchPolicySpec extends AnyFunSuite {
   test("single clean attempt publishes itself") {
     assert(BenchPolicy.pickPublished(Seq(Some(1.0))) == 0)
   }
+
+  test("a None-ratio retake does not END the retake loop (r10 review)") {
+    // attempt 1 measured drifted, retake 2 unmeasurable: the drift
+    // verdict still stands — keep retaking within budget
+    assert(BenchPolicy.retakeNeeded(Seq(Some(1.6), None), 1.15))
+    // a later clean measurement ends it
+    assert(!BenchPolicy.retakeNeeded(Seq(Some(1.6), None, Some(1.02)), 1.15))
+    // no measured ratio at all = no verdict = no retake
+    assert(!BenchPolicy.retakeNeeded(Seq(None), 1.15))
+    assert(!BenchPolicy.retakeNeeded(Seq(Some(1.05)), 1.15))
+  }
+
+  test("BENCH_SELF overwrite needs a positive in-band verdict (r10 review)") {
+    val bar = 1.15
+    // clean comparable run: record
+    assert(BenchPolicy.selfRecordable(Some(1.02), refMissing = false, anyFailed = false, bar))
+    // wrong SF: median ratio ~0.1 is 'not drifted' but NOT comparable
+    assert(!BenchPolicy.selfRecordable(Some(0.1), refMissing = false, anyFailed = false, bar))
+    // drifted: never
+    assert(!BenchPolicy.selfRecordable(Some(1.4), refMissing = false, anyFailed = false, bar))
+    // unmeasurable with a reference present: no verdict, no record
+    assert(!BenchPolicy.selfRecordable(None, refMissing = false, anyFailed = false, bar))
+    // bootstrap: no reference exists yet — a fully-green run seeds it
+    assert(BenchPolicy.selfRecordable(None, refMissing = true, anyFailed = false, bar))
+    assert(!BenchPolicy.selfRecordable(None, refMissing = true, anyFailed = true, bar))
+  }
 }

@@ -218,6 +218,42 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("beyond-cap verify joins plan shuffled-hash at the byte-derived width on BOTH children") {
+    // A 100-row corpus whose n_chars column CLAIMS ~200M chars total:
+    // verifySide's estimate (48·n + 3·Σn_chars) crosses the 64 MB
+    // broadcast cap without the test paying for real data. The three
+    // properties the r10 sf10/sf20 measurements bought (BASELINE.md)
+    // must survive refactors and Spark upgrades:
+    //   1. the verify joins are shuffled HASH joins (sort-merge sorted
+    //      the candidate×array stream and spilled 40 GB at sf10);
+    //   2. the byte-derived width (est/16 MB slices — a hinted SHJ
+    //      build side cannot spill, so a fixed width OOMs at scale)
+    //      reaches the physical plan on BOTH join children;
+    //   3. nothing rewrites the probe pins back down to the session
+    //      default (EnsureRequirements does exactly that when only one
+    //      side carries the width — the alias-propagated shingled pin
+    //      is what keeps both sides at it).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    (0 until 100).map(i =>
+        (i.toLong, s"alpha bravo charlie delta echo f$i g$i", "en", "syn", 2000000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val est = 100L * 48L + 100L * 2000000L * 3L
+    val width = math.max(spark.sessionState.conf.numShufflePartitions.toLong,
+      est / (16L << 20) + 1).toInt
+    assert(width != spark.sessionState.conf.numShufflePartitions,
+      "fixture too small to distinguish the byte-derived width from the default")
+    val p = plan(TextOps.q33NgramJaccard(spark, dir))
+    assert(p.contains("ShuffledHashJoin"), p)
+    // probe pins (doc_a/doc_b) and build-side doc_id pins all at width
+    val atWidth = s", $width\\)".r.findAllIn(p).length
+    assert(atWidth >= 4, s"expected >=4 exchanges at width $width, got $atWidth:\n$p")
+    // and no EnsureRequirements rewrite of a verify key down to default
+    val rewritten = s"hashpartitioning\\(doc_[ab]#\\d+L, ${spark.sessionState.conf.numShufflePartitions}\\)".r
+    assert(rewritten.findFirstIn(p).isEmpty, p)
+  }
+
   test("q69 funnel: both window passes share ONE user_id shuffle") {
     // two chained ignore-nulls last() windows on the same partitioning —
     // Catalyst must plan one hash exchange, not one per Window operator

@@ -35,15 +35,17 @@ object BenchPolicy {
     ratios.flatten.minOption.exists(_ > bar)
 
   /** Whether a run may overwrite BENCH_SELF.json, the committed quiet
-    * sf0.1 record. Demands a POSITIVE verdict: a measured median ratio
-    * inside [floor, bar] — a wrong-SF run reads ~0.1 (not comparable),
-    * a drifted one reads > bar, and a None ratio carries no verdict.
+    * sf0.1 record. Demands a POSITIVE verdict: zero failed queries
+    * (an errors-bearing line omits the failed queries' seconds — a
+    * faster-LOOKING invalid record) AND a measured median ratio inside
+    * [floor, bar] — a wrong-SF run reads ~0.1 (not comparable), a
+    * drifted one reads > bar, and a None ratio carries no verdict.
     * Bootstrap exception: with no reference at all, a fully-green run
     * may seed the record. */
   def selfRecordable(ratio: Option[Double], refMissing: Boolean,
                      anyFailed: Boolean, bar: Double,
                      floor: Double = 0.5): Boolean =
-    ratio.exists(r => r >= floor && r <= bar) || (refMissing && !anyFailed)
+    !anyFailed && (ratio.exists(r => r >= floor && r <= bar) || refMissing)
 }
 
 object Bench {
@@ -403,10 +405,12 @@ object Bench {
     // Two files (r9 verdict task 5: the driver's drifted run clobbered
     // the committed clean self-record): EVERY run lands verbatim in
     // BENCH_LAST.json; BENCH_SELF.json — the repo's committed quiet
-    // record — is only overwritten by a CLEAN reading
-    // (drift_detected=false), so a contaminated graded run can no
-    // longer displace it. SPARK_GRAFT_BENCH_OUT redirects the
-    // always-written copy (explicit operator intent wins).
+    // record — is only overwritten on BenchPolicy.selfRecordable's
+    // positive verdict (zero failures + measured in-band ratio, or the
+    // no-reference bootstrap), so a contaminated, wrong-SF, partial or
+    // unmeasurable run can no longer displace it.
+    // SPARK_GRAFT_BENCH_OUT redirects the always-written copy
+    // (explicit operator intent wins).
     def record(path: String): Unit =
       try {
         val out = java.nio.file.Paths.get(path)

@@ -125,6 +125,15 @@ object TextOps {
       * shuffle of the fattest stream in the query). */
     def pinMid(df: DataFrame, key: String): DataFrame =
       width.map(n => df.repartition(n, col(key))).getOrElse(df)
+    /** The full two-join verify choreography every dedup verify
+      * shares: pin the candidate stream on `keyA`, attach `buildA`,
+      * re-pin on `keyB` (shuffle regime only), attach `buildB`. ONE
+      * body across q33/q34/q88/q76 so a verify-join change cannot
+      * silently desync the family. */
+    def verify(cands: DataFrame, keyA: String, buildA: DataFrame,
+               keyB: String, buildB: DataFrame): DataFrame =
+      pinMid(pinFirst(cands, keyA).join(attach(buildA), Seq(keyA)), keyB)
+        .join(attach(buildB), Seq(keyB))
   }
 
   private def verifySide(s: SparkSession, d: String): VerifyJoin = {
@@ -357,13 +366,9 @@ object TextOps {
                         docs: DataFrame, cands: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.jaccardSim
     val v = verifySide(s, d)
-    v.pinMid(
-        v.pinFirst(cands, "doc_a")
-          .join(v.attach(docs.select(col("doc_id").as("doc_a"),
-            col("sh").as("sha"))), Seq("doc_a")),
-        "doc_b")
-      .join(v.attach(docs.select(col("doc_id").as("doc_b"),
-        col("sh").as("shb"))), Seq("doc_b"))
+    v.verify(cands,
+        "doc_a", docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+        "doc_b", docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")))
       .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -491,11 +496,9 @@ object TextOps {
     // per band element, so a collapsed projection would re-run the
     // 128-perm kernel 32× per row. With shingled's exchange below and
     // this one above, both kernels run once per row at full width.
-    val vw = verifySide(s, d).width
-    val docs = shingled(documents(s, d), vw)
-      .withColumn("sig", minhashSig(col("sh")))
-      .repartition(vw.getOrElse(
-        s.sessionState.conf.numShufflePartitions), col("doc_id"))
+    val v = verifySide(s, d)
+    val docs = v.pinFirst(shingled(documents(s, d), v.width)
+      .withColumn("sig", minhashSig(col("sh"))), "doc_id")
       // four consumers (both band sides + both verify sides); as in q33,
       // re-running the scan + kernels beats caching the wide arrays cold
     val bands = docs.select(col("doc_id"),
@@ -806,13 +809,9 @@ object TextOps {
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val v = verifySide(s, d)
-    v.pinMid(
-        v.pinFirst(cands, "id_a")
-          .join(v.attach(docs.select(col("doc_id").as("id_a"),
-            col("sh").as("sha"))), Seq("id_a")),
-        "id_b")
-      .join(v.attach(docs.select(col("doc_id").as("id_b"),
-        col("sh").as("shb"))), Seq("id_b"))
+    v.verify(cands,
+        "id_a", docs.select(col("doc_id").as("id_a"), col("sh").as("sha")),
+        "id_b", docs.select(col("doc_id").as("id_b"), col("sh").as("shb")))
       .withColumn("containment", containmentSim(col("sha"), col("shb")))
       .filter(col("containment") >= 0.9)
       .select(col("id_a").as("excerpt_id"), col("id_b").as("container_id"),
@@ -1035,13 +1034,9 @@ object TextOps {
       .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("corpus_id"))
       .distinct()
     val v = verifySide(s, d)
-    val verified = v.pinMid(
-        v.pinFirst(cands, "inc_id")
-          .join(v.attach(inc.select(col("doc_id").as("inc_id"),
-            col("sh").as("sha"))), Seq("inc_id")),
-        "corpus_id")
-      .join(v.attach(corpus.select(col("doc_id").as("corpus_id"),
-        col("sh").as("shb"))), Seq("corpus_id"))
+    val verified = v.verify(cands,
+        "inc_id", inc.select(col("doc_id").as("inc_id"), col("sh").as("sha")),
+        "corpus_id", corpus.select(col("doc_id").as("corpus_id"), col("sh").as("shb")))
       .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
       .filter(col("jaccard") >= 0.8)
       .groupBy(col("inc_id"))

@@ -58,5 +58,8 @@ class BenchPolicySpec extends AnyFunSuite {
     // bootstrap: no reference exists yet — a fully-green run seeds it
     assert(BenchPolicy.selfRecordable(None, refMissing = true, anyFailed = false, bar))
     assert(!BenchPolicy.selfRecordable(None, refMissing = true, anyFailed = true, bar))
+    // a failed query invalidates even an in-band ratio: the line's
+    // total omits the failure's seconds — faster-looking but partial
+    assert(!BenchPolicy.selfRecordable(Some(1.0), refMissing = false, anyFailed = true, bar))
   }
 }

@@ -252,6 +252,14 @@ class PlanSpec extends SparkSuite {
     // and no EnsureRequirements rewrite of a verify key down to default
     val rewritten = s"hashpartitioning\\(doc_[ab]#\\d+L, ${spark.sessionState.conf.numShufflePartitions}\\)".r
     assert(rewritten.findFirstIn(p).isEmpty, p)
+    // q88 (different verify keys, prefix×FULL candidate generator)
+    // inherits the same shape through VerifyJoin.verify
+    val p88 = plan(TextOps.q88ContainmentJoin(spark, dir))
+    assert(p88.contains("ShuffledHashJoin"), p88)
+    val atWidth88 = s", $width\\)".r.findAllIn(p88).length
+    assert(atWidth88 >= 4, s"expected >=4 exchanges at width $width, got $atWidth88:\n$p88")
+    val rewritten88 = s"hashpartitioning\\(id_[ab]#\\d+L, ${spark.sessionState.conf.numShufflePartitions}\\)".r
+    assert(rewritten88.findFirstIn(p88).isEmpty, p88)
   }
 
   test("q69 funnel: both window passes share ONE user_id shuffle") {

@@ -224,6 +224,65 @@ case class MinHashSig(child: Expression)
     copy(child = newChild)
 }
 
+object HashedShinglesKernel {
+  private val SEED = 42L
+
+  /** Distinct sorted xxhash64 image of a string-array SET — the
+    * hash-side representation the beyond-cap verify prefilter ships
+    * instead of the strings (~2.5× fewer bytes per candidate). Sorted
+    * + distinct so `array_intersect` sizes are true set-intersection
+    * cardinalities; null ELEMENTS are skipped as in the prefix
+    * kernels. The image loses only hash-colliding distinctions, which
+    * can only RAISE an intersection count or SHRINK a set size — the
+    * monotonicity the lossless prefilter relies on. */
+  def eval(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var size = 0
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        out(size) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, SEED)
+        size += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(out, 0, size)
+    // drop duplicate hashes (collisions within one set): keeps the
+    // array a SET so downstream set algebra stays exact on the image
+    var w = 0
+    var r = 0
+    while (r < size) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (w == n) out else java.util.Arrays.copyOf(out, w))
+  }
+}
+
+/** [[HashedShinglesKernel.eval]] as a codegen'd unary expression. */
+case class HashedShingles(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hashed_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    SetSimTypeChecks.stringArrays(prettyName, Seq(child.dataType))
+
+  override def nullSafeEval(a: Any): Any =
+    HashedShinglesKernel.eval(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.HashedShinglesKernel.eval($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class PrefixHashes(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -163,6 +163,13 @@ object GraftFunctions {
       PrefixHashesHot(GraftColumnBridge.expression(sh),
         GraftColumnBridge.expression(t), GraftColumnBridge.expression(hot)))
 
+  /** Distinct sorted xxhash64 image of a shingle set
+    * (SetSimExpressions.HashedShingles) — the verify prefilter's
+    * hash-side representation. */
+  def hashedShingles(sh: Column): Column =
+    GraftColumnBridge.column(
+      HashedShingles(GraftColumnBridge.expression(sh)))
+
   /** Native 128-perm MinHash signature (SetSimExpressions.MinHashSig). */
   def minhashSig(sh: Column): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(sh)))

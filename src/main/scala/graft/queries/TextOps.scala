@@ -126,14 +126,70 @@ object TextOps {
     def pinMid(df: DataFrame, key: String): DataFrame =
       width.map(n => df.repartition(n, col(key))).getOrElse(df)
     /** The full two-join verify choreography every dedup verify
-      * shares: pin the candidate stream on `keyA`, attach `buildA`,
-      * re-pin on `keyB` (shuffle regime only), attach `buildB`. ONE
-      * body across q33/q34/q88/q76 so a verify-join change cannot
-      * silently desync the family. */
+      * shares: pin the candidate stream on `keyA`, attach `buildA`
+      * (two columns: the key + the shingle array), re-pin on `keyB`,
+      * attach `buildB`; the caller computes its exact measure over the
+      * returned string arrays. ONE body across q33/q34/q88/q76 so a
+      * verify-join change cannot silently desync the family.
+      *
+      * Shuffle regime only (width defined): a LOSSLESS HASH PREFILTER
+      * runs first — the dominant beyond-cap exchange is candidates ×
+      * STRING-array bytes, so the candidate joins instead ride the
+      * distinct-sorted xxhash64 image of each set (8 B/shingle,
+      * ~2.5× fewer bytes), prefilter on `measureOnCounts(|∩|, |a|,
+      * |b|)` over the hash image, and only the SURVIVORS (output-scale)
+      * get string arrays attached — from build sides semi-joined down
+      * to the surviving docs, so the confirm joins move doc-count
+      * bytes, not candidate-count bytes. Losslessness is monotonicity,
+      * not luck: hash collisions only MERGE set elements, so on the
+      * image |∩| can only grow and |a|,|b| only shrink — jaccard
+      * i/(na+nb−i) and containment i/na are both nondecreasing under
+      * that, every true pair survives the prefilter at the same
+      * threshold, and the caller's exact string-side filter remains
+      * authoritative (output-pinned across regimes in TextOpsSpec).
+      *
+      * `hashPrefilter = false` opts a caller out: the win scales with
+      * candidates-per-doc, so it pays for the WIDE candidate
+      * generators (AllPairs prefixes — q33/q88/q76: shuffle −35-40%,
+      * q88 sf20 32→19 GB measured) and it LOSES for generators whose
+      * candidates are already output-scale (q34's LSH bands: +13%
+      * bytes for the hash-image build + confirm machinery — measured
+      * at the same decades, BASELINE.md r10). */
     def verify(cands: DataFrame, keyA: String, buildA: DataFrame,
-               keyB: String, buildB: DataFrame): DataFrame =
-      pinMid(pinFirst(cands, keyA).join(attach(buildA), Seq(keyA)), keyB)
-        .join(attach(buildB), Seq(keyB))
+               keyB: String, buildB: DataFrame,
+               measureOnCounts: (Column, Column, Column) => Column,
+               threshold: Double,
+               hashPrefilter: Boolean = true): DataFrame = {
+      def choreography(pairs: DataFrame, bA: DataFrame, bB: DataFrame) =
+        pinMid(pinFirst(pairs, keyA).join(attach(bA), Seq(keyA)), keyB)
+          .join(attach(bB), Seq(keyB))
+      if (width.isEmpty || !hashPrefilter) choreography(cands, buildA, buildB)
+      else {
+        import graft.functions.GraftFunctions.hashedShingles
+        val arrA = buildA.columns.find(_ != keyA).get
+        val arrB = buildB.columns.find(_ != keyB).get
+        val survivors = choreography(cands,
+            buildA.select(col(keyA), hashedShingles(col(arrA)).as("__ha")),
+            buildB.select(col(keyB), hashedShingles(col(arrB)).as("__hb")))
+          .filter(measureOnCounts(
+            size(array_intersect(col("__ha"), col("__hb"))).cast("long"),
+            size(col("__ha")).cast("long"),
+            size(col("__hb")).cast("long")) >= threshold)
+          .select(col(keyA), col(keyB))
+          // three consumers (probe + both semi-join filters) — the
+          // prefilter pass must run once, not thrice; survivor pairs
+          // are output-scale, so the materialization is tiny
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the key-distincts pin at the verify width too: the groupBy
+        // then reuses the repartition (no second exchange) and the
+        // semi joins stay co-partitioned with the width-pinned builds
+        choreography(survivors,
+          buildA.join(pinFirst(survivors.select(col(keyA)), keyA).distinct(),
+            Seq(keyA), "left_semi"),
+          buildB.join(pinFirst(survivors.select(col(keyB)), keyB).distinct(),
+            Seq(keyB), "left_semi"))
+      }
+    }
   }
 
   private def verifySide(s: SparkSession, d: String): VerifyJoin = {
@@ -153,8 +209,13 @@ object TextOps {
     if (estBytes <= VerifyBroadcastBytes) VerifyJoin(broadcast(_), None)
     else VerifyJoin(
       _.hint("shuffle_hash"),
-      Some(math.max(s.sessionState.conf.numShufflePartitions,
-        (estBytes / VerifyBuildSliceBytes).toInt + 1)))
+      // clamp: past ~64k partitions per-task scheduling dominates any
+      // slice-size win on any realistic cluster — at that corpus scale
+      // the deployment sets spark.sql.shuffle.partitions itself and
+      // the max() lets that conf win
+      Some(math.min(1 << 16,
+        math.max(s.sessionState.conf.numShufflePartitions,
+          (estBytes / VerifyBuildSliceBytes).toInt + 1))))
   }
 
   /** 64 MB: deliberately above the 10 MB advisory (the verify build side
@@ -363,12 +424,15 @@ object TextOps {
     * candidate exchange's width: the verify joins inherit their stage
     * parallelism from it, and the per-pair fold is the dominant CPU. */
   private def q33Verify(s: SparkSession, d: String,
-                        docs: DataFrame, cands: DataFrame): DataFrame = {
+                        docs: DataFrame, cands: DataFrame,
+                        hashPrefilter: Boolean = true): DataFrame = {
     import graft.functions.GraftFunctions.jaccardSim
     val v = verifySide(s, d)
     v.verify(cands,
         "doc_a", docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
-        "doc_b", docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")))
+        "doc_b", docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+        (i, na, nb) => i.cast("double") / (na + nb - i), 0.8,
+        hashPrefilter)
       .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -511,7 +575,11 @@ object TextOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    q33Verify(s, d, docs.select(col("doc_id"), col("sh")), cands)
+    // no hash prefilter: LSH band candidates are already output-scale,
+    // so the hash-image pass is pure overhead (+13% bytes measured at
+    // the sf10/sf20 decades — VerifyJoin.verify scaladoc / BASELINE.md)
+    q33Verify(s, d, docs.select(col("doc_id"), col("sh")), cands,
+      hashPrefilter = false)
   }
 
   // --------------------------------------------------------- q35 SimHash
@@ -811,7 +879,8 @@ object TextOps {
     val v = verifySide(s, d)
     v.verify(cands,
         "id_a", docs.select(col("doc_id").as("id_a"), col("sh").as("sha")),
-        "id_b", docs.select(col("doc_id").as("id_b"), col("sh").as("shb")))
+        "id_b", docs.select(col("doc_id").as("id_b"), col("sh").as("shb")),
+        (i, na, _) => i.cast("double") / na, 0.9)
       .withColumn("containment", containmentSim(col("sha"), col("shb")))
       .filter(col("containment") >= 0.9)
       .select(col("id_a").as("excerpt_id"), col("id_b").as("container_id"),
@@ -1036,7 +1105,8 @@ object TextOps {
     val v = verifySide(s, d)
     val verified = v.verify(cands,
         "inc_id", inc.select(col("doc_id").as("inc_id"), col("sh").as("sha")),
-        "corpus_id", corpus.select(col("doc_id").as("corpus_id"), col("sh").as("shb")))
+        "corpus_id", corpus.select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
+        (i, na, nb) => i.cast("double") / (na + nb - i), 0.8)
       .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
       .filter(col("jaccard") >= 0.8)
       .groupBy(col("inc_id"))

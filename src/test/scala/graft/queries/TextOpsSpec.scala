@@ -31,6 +31,31 @@ class TextOpsSpec extends SparkSuite {
     assert(c == a)
   }
 
+  test("beyond-cap hash-prefilter verify is output-identical to the broadcast regime") {
+    // same REAL corpus, n_chars inflated so verifySide's estimate
+    // crosses the 64 MB broadcast cap: the shuffle regime (shuffled-hash
+    // joins, hash-image prefilter + string confirm on survivors) must
+    // produce byte-identical rows to the broadcast regime — the
+    // prefilter is lossless by monotonicity (collisions only merge set
+    // elements: |∩| grows, |a|/|b| shrink, jaccard/containment
+    // nondecreasing on the image), and this pin is where that proof
+    // meets real text
+    import org.apache.spark.sql.functions.{col, lit}
+    // ×2000 lands the estimate just past the cap (width ~55) — a larger
+    // factor would swing the byte-derived width into the thousands and
+    // the test would spend its time scheduling empty tasks
+    val dir = java.nio.file.Files.createTempDirectory("graft_regime").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("n_chars", col("n_chars") * lit(2000L))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val a33 = TextOps.q33NgramJaccard(spark, sf).collect().toSeq
+    val b33 = TextOps.q33NgramJaccard(spark, dir).collect().toSeq
+    assert(a33.nonEmpty && b33 == a33)
+    val a88 = TextOps.q88ContainmentJoin(spark, sf).collect().toSeq
+    val b88 = TextOps.q88ContainmentJoin(spark, dir).collect().toSeq
+    assert(a88.nonEmpty && b88 == a88)
+  }
+
   test("q51 decontamination flags only non-benchmark docs, with real overlap") {
     import org.apache.spark.sql.functions.col
     val hits = TextOps.q51Decontaminate(spark, sf).collect()

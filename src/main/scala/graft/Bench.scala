@@ -40,12 +40,31 @@ object BenchPolicy {
     * faster-LOOKING invalid record) AND a measured median ratio inside
     * [floor, bar] — a wrong-SF run reads ~0.1 (not comparable), a
     * drifted one reads > bar, and a None ratio carries no verdict.
-    * Bootstrap exception: with no reference at all, a fully-green run
-    * may seed the record. */
+    *
+    * MONOTONE (r10 verdict task 2): the record is the repo's best clean
+    * reading, so replacement additionally requires beating — or tying
+    * within `eps` — the ratio already stored in it. The in-band-only
+    * gate let the r10 driver's 88.8 s run (ratio 1.141, load1 rising
+    * 5.8→11.4) displace the committed 67.6 s / 0.912 record: both were
+    * "positive" verdicts, but a 31%-slower one protects nothing. `eps`
+    * admits same-speed refreshes (newer telemetry fields, re-runs on an
+    * equally quiet host) without letting slow creep ratchet the record
+    * upward.
+    *
+    * Bootstrap exception: with no reference at all AND no measured
+    * record to protect, a fully-green run may seed the record. A
+    * stored measured ratio survives even a reference-file loss — the
+    * record outlives the yardstick that produced it. */
   def selfRecordable(ratio: Option[Double], refMissing: Boolean,
                      anyFailed: Boolean, bar: Double,
-                     floor: Double = 0.5): Boolean =
-    !anyFailed && (ratio.exists(r => r >= floor && r <= bar) || refMissing)
+                     storedRatio: Option[Double] = None,
+                     floor: Double = 0.5,
+                     eps: Double = 0.02): Boolean =
+    !anyFailed && {
+      val inBand = ratio.exists(r => r >= floor && r <= bar)
+      val beatsStored = storedRatio.forall(s => ratio.exists(_ <= s + eps))
+      (inBand && beatsStored) || (refMissing && storedRatio.isEmpty)
+    }
 }
 
 object Bench {
@@ -337,11 +356,27 @@ object Bench {
       val waited = waitForQuiet(waitBudget)
       waitBudget = math.max(0.0, waitBudget - waited)
       spark.sharedState.cacheManager.clearCache()
+      // the clearCache above already dropped the blocks; this empties
+      // the registry's frame list so it tracks only the NEW attempt's
+      // persists (double-unpersist is a no-op by contract)
+      graft.CacheRegistry.releaseAll()
       graft.queries.TextOps.clearTrainMemo()
       System.gc()
       val a = runAttempt()
       recs = recs :+ Rec(a, medianRatio(a), waited)
     }
+    // r10 verdict task 4: the dedup/ANN helpers persist their shared
+    // intermediates through CacheRegistry (pair lists, normed-embedding
+    // index, k-means centroids, BPE vocab) — deliberately shared ACROSS
+    // queries during the timed pass (the measured 22% artifact-reuse
+    // premium above), released HERE, untimed, once the pass is over.
+    // The line carries the proof: how many frames still held storage
+    // (caches_released) and that nothing — registry-tracked or not —
+    // lingers afterwards (cache_empty_after_release, straight from the
+    // session CacheManager, which also covers the try/finally-owned
+    // persists in CorpusStream/Pipeline and q62's loop frames).
+    val cachesReleased = graft.CacheRegistry.releaseAll(blocking = true)
+    val cacheEmptyAfterRelease = spark.sharedState.cacheManager.isEmpty
     // Publish the attempt with the lowest DEFINED drift ratio (the
     // BASELINE.md retaken-not-recorded rule, mechanized — best-of-N is
     // the policy, disclosed via bench_attempts + the attempt history
@@ -389,7 +424,7 @@ object Bench {
         s""""load1_end":${num("%.1f", r.attempt.load1End)},""" +
         s""""waited_before_s":${num("%.0f", r.waitedSec)}}"""
     }.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":${num("%.1f", attempt.stealPct)},"own_cpu_share_pct":${num("%.1f", attempt.ownSharePct)},"load1_start":${num("%.1f", attempt.load1Start)},"load1_end":${num("%.1f", attempt.load1End)},"drift_median_ratio":$ratioJson,"drift_detected":$driftDetected,"bench_attempts":$attempts,"published_attempt":${pubIdx + 1},"attempt_history":$history,"sf":"$sfJson"}"""
+    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":${num("%.1f", attempt.stealPct)},"own_cpu_share_pct":${num("%.1f", attempt.ownSharePct)},"load1_start":${num("%.1f", attempt.load1Start)},"load1_end":${num("%.1f", attempt.load1End)},"drift_median_ratio":$ratioJson,"drift_detected":$driftDetected,"caches_released":$cachesReleased,"cache_empty_after_release":$cacheEmptyAfterRelease,"bench_attempts":$attempts,"published_attempt":${pubIdx + 1},"attempt_history":$history,"sf":"$sfJson"}"""
     println(line)
     // Self-record: the one-line artifact also lands on disk, so a
     // console harvester that truncates the stdout capture (the r6 bench
@@ -431,10 +466,24 @@ object Bench {
     // committed one. The band's floor rejects wrong-SF readings while
     // admitting any plausible genuine speedup (a uniform 2× improvement
     // is a refresh-BENCH_REF event per the verify skill, not a silent
-    // self-record). Policy + cases in BenchPolicy/BenchPolicySpec.
+    // self-record). AND the record is monotone (r10 verdict task 2):
+    // the stored reading's own drift_median_ratio is the bar a
+    // replacement must beat — in-band alone admitted a 31%-slower
+    // driver run. Policy + cases in BenchPolicy/BenchPolicySpec.
+    val storedRatio: Option[Double] = try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File("BENCH_SELF.json"))
+        .get("drift_median_ratio")
+      if (node != null && node.isNumber) Some(node.asDouble()) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
     if (BenchPolicy.selfRecordable(chosenRatio, refQueries.isEmpty,
-        failed.nonEmpty, driftBar))
+        failed.nonEmpty, driftBar, storedRatio))
       record("BENCH_SELF.json")
+    else if (!failed.nonEmpty && chosenRatio.exists(r =>
+        r >= 0.5 && r <= driftBar))
+      System.err.println(f"[bench] in-band (${chosenRatio.get}%.3f) but does" +
+        f" not beat the stored record (${storedRatio.getOrElse(Double.NaN)}%.3f)" +
+        " — BENCH_SELF.json untouched (monotone rule)")
     spark.stop()
   }
 }

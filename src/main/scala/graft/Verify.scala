@@ -41,6 +41,10 @@ object Verify {
       // the checkpoint blocks don't stay resident for the rest of the
       // run
       spark.sharedState.cacheManager.clearCache()
+      // keep the CacheRegistry's frame list from growing across 105
+      // queries: clearCache already dropped the blocks, this forgets
+      // the (now-unpersisted) frames so the registry stays bounded
+      graft.CacheRegistry.releaseAll()
       graft.queries.TextOps.clearTrainMemo()
       rmTree(Paths.get(outDir, name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

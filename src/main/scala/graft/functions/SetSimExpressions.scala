@@ -232,9 +232,16 @@ object HashedShinglesKernel {
     * instead of the strings (~2.5× fewer bytes per candidate). Sorted
     * + distinct so `array_intersect` sizes are true set-intersection
     * cardinalities; null ELEMENTS are skipped as in the prefix
-    * kernels. The image loses only hash-colliding distinctions, which
-    * can only RAISE an intersection count or SHRINK a set size — the
-    * monotonicity the lossless prefilter relies on. */
+    * kernels. The image loses only hash-colliding distinctions —
+    * PROBABILISTICALLY lossless for the prefilter: a collision between
+    * an intersection element and a non-member raises |∩| or shrinks a
+    * set size (measure nondecreasing), but one between two distinct
+    * elements BOTH inside the intersection shrinks |∩| by one along
+    * with both sizes, which can LOWER the image measure below the
+    * string-side one (r10 ADVICE: a={x,y,z}, b={x,y,w}, h(x)=h(y) →
+    * jaccard 0.5 → 1/3). That needs a 64-bit within-pair collision,
+    * ~2^-64 per shingle pair — unobservable in practice, and the
+    * exact string-side verify remains authoritative for survivors. */
   def eval(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)

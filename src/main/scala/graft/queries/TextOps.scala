@@ -140,13 +140,19 @@ object TextOps {
       * |b|)` over the hash image, and only the SURVIVORS (output-scale)
       * get string arrays attached — from build sides semi-joined down
       * to the surviving docs, so the confirm joins move doc-count
-      * bytes, not candidate-count bytes. Losslessness is monotonicity,
-      * not luck: hash collisions only MERGE set elements, so on the
-      * image |∩| can only grow and |a|,|b| only shrink — jaccard
-      * i/(na+nb−i) and containment i/na are both nondecreasing under
-      * that, every true pair survives the prefilter at the same
-      * threshold, and the caller's exact string-side filter remains
-      * authoritative (output-pinned across regimes in TextOpsSpec).
+      * bytes, not candidate-count bytes. Losslessness is
+      * PROBABILISTIC, not absolute (r10 ADVICE): a collision that
+      * merges an intersection element with a non-member raises the
+      * image |∩| or shrinks |a|,|b| — jaccard i/(na+nb−i) and
+      * containment i/na nondecreasing, pair survives — but a collision
+      * between two distinct shingles BOTH in a true pair's
+      * intersection shrinks |∩| along with both sizes and can push the
+      * image measure below threshold (a={x,y,z}, b={x,y,w}, h(x)=h(y):
+      * jaccard 0.5 → 1/3). A drop needs that 64-bit WITHIN-PAIR
+      * collision — ~2^-64 per shingle pair, unobservable at any corpus
+      * scale this engine targets — and the caller's exact string-side
+      * filter remains authoritative for everything that survives
+      * (output-pinned across regimes in TextOpsSpec).
       *
       * `hashPrefilter = false` opts a caller out: the win scales with
       * candidates-per-doc, so it pays for the WIDE candidate
@@ -179,7 +185,7 @@ object TextOps {
           // three consumers (probe + both semi-join filters) — the
           // prefilter pass must run once, not thrice; survivor pairs
           // are output-scale, so the materialization is tiny
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.CacheRegistry.trackPersist(_))
         // the key-distincts pin at the verify width too: the groupBy
         // then reuses the repartition (no second exchange) and the
         // semi joins stay co-partitioned with the width-pinned builds
@@ -412,7 +418,7 @@ object TextOps {
       // the pair list is tiny (near-dups are rare by definition) and has
       // two downstream consumers (q42 survivors, q58 release) —
       // materialize once, CacheManager rewrites their identical subtrees
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.trackPersist(_))
   }
 
   /** Shared candidate-verify tail of q34 and the three q33 prefix-order
@@ -803,9 +809,9 @@ object TextOps {
   private[queries] def ccLabelsDistributed(pairs: DataFrame): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("u", "v").persist(mem)
+      .toDF("u", "v").transform(graft.CacheRegistry.trackPersist(_, mem))
     var labels = edges.select(col("u")).distinct()
-      .select(col("u"), col("u").as("lbl")).persist(mem)
+      .select(col("u"), col("u").as("lbl")).transform(graft.CacheRegistry.trackPersist(_, mem))
     var converged = false
     while (!converged) {
       val viaNbr = edges
@@ -815,7 +821,7 @@ object TextOps {
         .join(viaNbr, Seq("u"), "left")
         .select(col("u"), col("old"),
           least(col("old"), coalesce(col("nl"), col("old"))).as("lbl"))
-        .persist(mem)
+        .transform(graft.CacheRegistry.trackPersist(_, mem))
       converged = next.filter(col("lbl") =!= col("old")).isEmpty
       labels.unpersist()
       labels = next.select(col("u"), col("lbl"))
@@ -1265,7 +1271,7 @@ object TextOps {
       .orderBy(col("doc_id"))
       // contaminated-id list is small and q58 anti-joins it — share one
       // materialization across the release pipeline
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.trackPersist(_))
   }
 
   /** q60: Bloom-prefiltered decontamination — same contract (and
@@ -1294,7 +1300,7 @@ object TextOps {
     // the bloomFilter aggregation, and the verify join — and unpersisted
     // each was a full corpus-side explode+distinct
     val bench = g.filter(col("doc_id") % 41 === 0).select(col("gram")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.trackPersist(_))
     val bloom =
       bench.stat.bloomFilter("gram", math.max(bench.count(), 64L), 0.01)
     val bloomB = s.sparkContext.broadcast(bloom)
@@ -1338,7 +1344,7 @@ object TextOps {
       .orderBy(col("doc_id"))
       // one row per doc; q58 semi-joins the keepers — share the
       // materialization with the release pipeline
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.trackPersist(_))
   }
 
   /** q53: source-mixture resampling — downsample each source toward a
@@ -1835,7 +1841,7 @@ object TextOps {
     // 2^k parquet scans; cached, the corpus is scanned exactly twice
     // (vocab build + final tokenize join)
     val vocab = dw.groupBy(col("word")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.trackPersist(_))
     // ' k  e  y ' — regexp char-split avoids engine-specific
     // empty-pattern split() semantics. (?s): Java's dot excludes line
     // terminators by default, while the oracle's char split does not —
@@ -1855,7 +1861,7 @@ object TextOps {
       .agg(sum(col("c")).as("cnt"))
     def argmax(pc: DataFrame): DataFrame =
       pc.orderBy(col("cnt").desc, col("s1"), col("s2")).limit(1)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheRegistry.trackPersist(_))
     def applyMerge(v: DataFrame, m: DataFrame): DataFrame = v
       .crossJoin(broadcast(m.select(col("s1").as("ms1"), col("s2").as("ms2"))))
       .withColumn("seq", expr(

@@ -49,7 +49,7 @@ object Vectors {
     * per vector, MEMORY_AND_DISK so a 100× corpus spills, not OOMs. */
   private def embNormed(s: SparkSession, d: String): DataFrame =
     withNorm(embeddings(s, d), "embedding", "nv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.trackPersist(_))
 
   /** q36: brute-force cosine top-k (k=5) for every 50th vector as query. */
   def q36CosineTopk(s: SparkSession, d: String): DataFrame = {
@@ -207,7 +207,7 @@ object Vectors {
     // corpus-sized frames and would add a useless 16-row exchange)
     val centroids = refined
       .withColumn("nc", sqrt(dot_f(col("cv"), col("cv"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.trackPersist(_))
     def csim = dot_f(col("cv"), col("embedding")) / (col("nc") * col("nv"))
     // Probe selection: filter FIRST (the 2% query slice), then a tiny
     // queries × 16 crossJoin — not a corpus-wide third pass. probes is
@@ -490,7 +490,7 @@ object Vectors {
       .select(col("vec_id"), col("embedding"))
       .withColumn("xx", dot_f(col("embedding"), col("embedding")))
       .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.trackPersist(_))
     def d2c = col("xx") - lit(2.0) * dot_f(col("embedding"), col("cv")) +
       dot_f(col("cv"), col("cv"))
     // argmin via min_by partial aggregation (ties → lowest c_id), one
@@ -511,7 +511,7 @@ object Vectors {
       .groupBy(col("c_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("c_id"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.trackPersist(_))
     val seeds = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
     val c1 = means(assign(seeds))

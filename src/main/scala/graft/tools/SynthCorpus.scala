@@ -58,8 +58,22 @@ object SynthCorpus {
 
     val docStride = 1000000L
 
+    // r10 ADVICE low 2: the stride must clear the SOURCE id range or
+    // replicas silently collide ids and fabricate duplicate structure
+    // in the very corpus the dedup growth law is measured on (the
+    // embeddings rotation got its reuse guard; the id scheme needs the
+    // same). Checked per table against the ids actually read — a
+    // larger future source (an sf1 documents table at ≥1M rows) fails
+    // loudly here instead of poisoning a sweep.
+    def strideGuard(table: String, maxId: Long, stride: Long): Unit =
+      require(maxId + 1 <= stride,
+        s"$table max source id $maxId collides with replica stride " +
+          s"$stride — raise the stride or shrink the source")
+
     if (tables("documents")) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    strideGuard("documents",
+      docs.agg(max(col("doc_id").cast("long"))).head().getLong(0), docStride)
     (0 until reps).map { r =>
       if (r == 0) docs
       else docs.select(
@@ -89,6 +103,8 @@ object SynthCorpus {
     require(reps <= dim,
       s"replicas ($reps) must not exceed embedding dim ($dim): dimension " +
         "rotations would repeat and plant cross-replica exact near-dups")
+    strideGuard("embeddings",
+      emb.agg(max(col("vec_id").cast("long"))).head().getLong(0), docStride)
     (0 until reps).map { r =>
       val rot = r % dim
       val rotated =
@@ -105,6 +121,8 @@ object SynthCorpus {
 
     if (tables("customer")) {
     val cust = spark.read.parquet(s"$src/customer.parquet")
+    strideGuard("customer",
+      cust.agg(max(col("c_custkey").cast("long"))).head().getLong(0), 10000000L)
     (0 until reps).map { r =>
       if (r == 0) cust
       else cust

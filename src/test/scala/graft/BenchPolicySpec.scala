@@ -62,4 +62,32 @@ class BenchPolicySpec extends AnyFunSuite {
     // total omits the failure's seconds — faster-looking but partial
     assert(!BenchPolicy.selfRecordable(Some(1.0), refMissing = false, anyFailed = true, bar))
   }
+
+  test("BENCH_SELF record is monotone (r10 verdict task 2)") {
+    val bar = 1.15
+    // the exact r10 driver case: in-band 1.141 vs stored 0.912 — the
+    // 31%-slower run must NOT displace the committed quiet record
+    assert(!BenchPolicy.selfRecordable(Some(1.141), refMissing = false,
+      anyFailed = false, bar, storedRatio = Some(0.912)))
+    // a genuinely faster clean run replaces it
+    assert(BenchPolicy.selfRecordable(Some(0.905), refMissing = false,
+      anyFailed = false, bar, storedRatio = Some(0.912)))
+    // a tie within eps (same-speed refresh on an equally quiet host)
+    // is admitted — re-runs carrying new telemetry fields stay possible
+    assert(BenchPolicy.selfRecordable(Some(0.92), refMissing = false,
+      anyFailed = false, bar, storedRatio = Some(0.912)))
+    // ...but eps does not admit real regressions
+    assert(!BenchPolicy.selfRecordable(Some(0.95), refMissing = false,
+      anyFailed = false, bar, storedRatio = Some(0.912)))
+    // no stored measured ratio (fresh tree, or a legacy record without
+    // the field): the in-band verdict alone suffices
+    assert(BenchPolicy.selfRecordable(Some(1.1), refMissing = false,
+      anyFailed = false, bar, storedRatio = None))
+    // bootstrap seeds ONLY when there is no measured record to protect:
+    // a reference-file loss must not let a ratio-less run clobber one
+    assert(!BenchPolicy.selfRecordable(None, refMissing = true,
+      anyFailed = false, bar, storedRatio = Some(0.912)))
+    assert(BenchPolicy.selfRecordable(None, refMissing = true,
+      anyFailed = false, bar, storedRatio = None))
+  }
 }

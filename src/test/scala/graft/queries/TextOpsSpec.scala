@@ -36,10 +36,11 @@ class TextOpsSpec extends SparkSuite {
     // crosses the 64 MB broadcast cap: the shuffle regime (shuffled-hash
     // joins, hash-image prefilter + string confirm on survivors) must
     // produce byte-identical rows to the broadcast regime — the
-    // prefilter is lossless by monotonicity (collisions only merge set
-    // elements: |∩| grows, |a|/|b| shrink, jaccard/containment
-    // nondecreasing on the image), and this pin is where that proof
-    // meets real text
+    // prefilter is probabilistically lossless (a true-pair drop needs a
+    // 64-bit xxh64 collision between two distinct shingles BOTH inside
+    // that pair's intersection, ~2^-64 per shingle pair — r10 ADVICE
+    // corrected the earlier "strictly monotone" claim), and this pin is
+    // where that contract meets real text
     import org.apache.spark.sql.functions.{col, lit}
     // ×2000 lands the estimate just past the cap (width ~55) — a larger
     // factor would swing the byte-derived width into the thousands and

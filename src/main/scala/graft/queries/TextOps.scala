@@ -81,6 +81,45 @@ object TextOps {
   private val verifySideMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
 
+  /** Memoized corpus-size estimate (one count+sum over documents per
+    * (session, sfDir)): ~3 bytes of shingle per text byte + 48 B/row of
+    * array/id overhead — the verify build-side estimate, and since r11
+    * also the base every other byte-derived width in this file scales
+    * from (q99's gram exchange: est/3 ≈ total chars). One memoized scan
+    * feeds them all — q33 alone is rebuilt ~9× per session and q99 must
+    * not re-pay a corpus aggregate per construction. */
+  private def docsEstBytes(s: SparkSession, d: String): Long = {
+    verifySideMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    verifySideMemo.computeIfAbsent((s, d), _ => {
+      val stats = documents(s, d)
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("n_chars")), lit(0L)).as("b"))
+        .head()
+      stats.getLong(0) * 48L + stats.getLong(1) * 3L
+    })
+  }
+
+  private val custStatsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+
+  /** Memoized q84 variant-inventory estimate (one count+sum(length)
+    * over the customer dim per (session, sfDir), the docsEstBytes
+    * treatment — this runs eagerly at plan-construction time, so
+    * unmemoized it would bill a driver round-trip to every bench
+    * construction): each side explodes len+1 deletion variants of
+    * ~len chars + ~24 B of ids per name. */
+  private def custVariantEstBytes(s: SparkSession, d: String): Long = {
+    custStatsMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    custStatsMemo.computeIfAbsent((s, d), _ => {
+      val st = customer(s, d)
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(length(col("c_name")).cast("long")), lit(0L)).as("l"))
+        .head()
+      val nCust = st.getLong(0); val sumLen = st.getLong(1)
+      val avgLen = if (nCust > 0) sumLen / nCust else 0L
+      (sumLen + nCust) * (avgLen + 24L)
+    })
+  }
+
   /** The two plan knobs of a dedup verify join, derived together from
     * the estimated build-side bytes. `attach` wraps the doc-array side:
     * `broadcast` under the cap, `shuffle_hash` past it. `width` is the
@@ -204,14 +243,7 @@ object TextOps {
     // by q42/q58/q62/q63/q72/q82 (plus q34/q76/q88) — unmemoized, one
     // verify pass paid the corpus-wide stats aggregate ~9 times for one
     // number that cannot change within a session
-    verifySideMemo.keySet.removeIf(_._1.sparkContext.isStopped)
-    val estBytes: Long = verifySideMemo.computeIfAbsent((s, d), _ => {
-      val stats = documents(s, d)
-        .agg(count(lit(1)).as("n"), coalesce(sum(col("n_chars")), lit(0L)).as("b"))
-        .head()
-      // ~3 bytes of shingle per text byte + 48 B/row of array/id overhead
-      stats.getLong(0) * 48L + stats.getLong(1) * 3L
-    })
+    val estBytes: Long = docsEstBytes(s, d)
     if (estBytes <= VerifyBroadcastBytes) VerifyJoin(broadcast(_), None)
     else VerifyJoin(
       _.hint("shuffle_hash"),
@@ -419,6 +451,19 @@ object TextOps {
       // two downstream consumers (q42 survivors, q58 release) —
       // materialize once, CacheManager rewrites their identical subtrees
       .transform(graft.CacheRegistry.trackPersist(_))
+  }
+
+  /** Dev-only A/B twin of [[q33NgramJaccard]] with the beyond-cap hash
+    * prefilter OFF (r10 verdict task 1: the shuffle-regime prefilter
+    * had scale evidence on uniform corpora only) — SkewProbe runs both
+    * on a hot corpus past the broadcast cap and asserts identical rows;
+    * not part of the driver contract, no persist. Below the cap the
+    * flag is a no-op and both forms plan identically. */
+  private[graft] def q33NgramJaccardNoPrefilter(s: SparkSession, d: String): DataFrame = {
+    val docs = shingled(documents(s, d), verifySide(s, d).width)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    val cands = pairCands(dfOrderedPrefix(docs, 4, 5))
+    q33Verify(s, d, docs, cands, hashPrefilter = false)
   }
 
   /** Shared candidate-verify tail of q34 and the three q33 prefix-order
@@ -860,7 +905,17 @@ object TextOps {
     * length-ratio pruning (the size-mismatched pairs are exactly the
     * point), B-side index bigger by construction. B's entries hash with
     * the native codegen'd xxhash64 (same seed as the kernel's). */
-  def q88ContainmentJoin(s: SparkSession, d: String): DataFrame = {
+  def q88ContainmentJoin(s: SparkSession, d: String): DataFrame =
+    q88Containment(s, d, hashPrefilter = true)
+
+  /** Dev-only A/B twin with the beyond-cap hash prefilter OFF (the
+    * q33NgramJaccardNoPrefilter treatment) — SkewProbe's adversarial
+    * prefilter A/B + losslessness check; not in the driver contract. */
+  private[graft] def q88ContainmentJoinNoPrefilter(s: SparkSession, d: String): DataFrame =
+    q88Containment(s, d, hashPrefilter = false)
+
+  private def q88Containment(s: SparkSession, d: String,
+                             hashPrefilter: Boolean): DataFrame = {
     import graft.functions.GraftFunctions.containmentSim
     val docs = shingled(documents(s, d), verifySide(s, d).width)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
@@ -886,7 +941,7 @@ object TextOps {
     v.verify(cands,
         "id_a", docs.select(col("doc_id").as("id_a"), col("sh").as("sha")),
         "id_b", docs.select(col("doc_id").as("id_b"), col("sh").as("shb")),
-        (i, na, _) => i.cast("double") / na, 0.9)
+        (i, na, _) => i.cast("double") / na, 0.9, hashPrefilter)
       .withColumn("containment", containmentSim(col("sha"), col("shb")))
       .filter(col("containment") >= 0.9)
       .select(col("id_a").as("excerpt_id"), col("id_b").as("container_id"),
@@ -949,7 +1004,35 @@ object TextOps {
       .select(col("dirty_id"), col("dirty_name"), delKeys("dirty_name"))
     val canon = customer(s, d).select(col("c_custkey").as("canon_id"),
         col("c_name").as("canon_name"), delKeys("c_name"))
-    dirty.join(canon, "k")
+    // Variant-join regime switch (r11, the verifySide treatment —
+    // measured at the synthetic sf10/sf20 decades, SCALING_r11): left
+    // to the planner, the exploded variant inventories (Σ(len+1) rows
+    // per side) ride the CUSTOMER scan's size estimate, so sf10
+    // BROADCAST a ~0.9 GB variant index (8 MB shuffled — fine on one
+    // box, 1000 copies of a corpus-growing build on a cluster) and
+    // sf20 flipped to sort-merge that SORTED both 56M-row streams:
+    // 8.7 GB spill (7.5 mem + 1.2 disk), 80 s wall. Past a byte cap on
+    // the ESTIMATED variant bytes (one count+sum(length) over the dim
+    // table), both sides co-partition at a byte-derived width (both
+    // children pinned to the same (k, w) — the one-sided form gets
+    // renegotiated to the session default, the r10 EnsureRequirements
+    // lesson) and the join is hinted shuffled-hash: per-partition
+    // build = a 16 MB variant slice at any corpus size, no sort.
+    // Re-measured (SCALING_r11): sf10 wall 43.8 → 20.9 s, sf20
+    // 80.3 → 50.6 s, spill ZERO at both, bytes 1.22 → 2.60 GB for the
+    // 2× step — linear. Below the cap (bench SFs) nothing changes.
+    val joined = {
+      val estVar = custVariantEstBytes(s, d)
+      if (estVar <= VerifyBroadcastBytes) dirty.join(canon, "k")
+      else {
+        val w = math.min(1 << 16,
+          math.max(s.sessionState.conf.numShufflePartitions,
+            (estVar / VerifyBuildSliceBytes).toInt + 1))
+        dirty.repartition(w, col("k"))
+          .join(canon.repartition(w, col("k")).hint("shuffle_hash"), "k")
+      }
+    }
+    joined
       .filter(levenshtein(col("dirty_name"), col("canon_name")) <= 1)
       .select(col("dirty_id"), col("canon_id")).distinct()
       .groupBy(col("dirty_id"))
@@ -1776,8 +1859,27 @@ object TextOps {
     * shipping 25 bytes once. */
   def q99SubstringDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = pinned(documents(s, d).select(col("doc_id"), col("text")),
-        col("doc_id"))
+    // Byte-derived width for the TEXT pin (r11, measured at synthetic
+    // sf10 via StageClock per-stage spill): the explode below turns
+    // each character position into a ~64 B in-memory gram row, so a
+    // session-width (32) pin hands every map task corpus/32 characters
+    // and the gram exchange's SHUFFLE WRITER spills by construction
+    // once that slice outgrows a task's execution-memory grant — at
+    // sf10 the 32-task explode stage carried ALL 16.3 GB of the
+    // query's spill (10.2 mem / 6.1 disk) while the 448-wide window
+    // stages spilled zero. Bound the per-task explode payload to
+    // ~256 MB of gram rows instead: width = chars × 64 B / 256 MB
+    // (chars ≈ docsEstBytes/3, the memoized corpus scan). On a real
+    // cluster the scan's maxPartitionBytes does this automatically —
+    // the pin must not UNDO it as the corpus grows. Below the
+    // threshold the session default wins and bench-SF plans are
+    // untouched.
+    val q99Chars = docsEstBytes(s, d) / 3L
+    val textWidth = math.min(1 << 16,
+      math.max(s.sessionState.conf.numShufflePartitions,
+        (q99Chars * 64L / (256L << 20)).toInt + 1))
+    val g = documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(textWidth, col("doc_id"))
       .select(col("doc_id"),
         explode(expr(
           s"""transform(
@@ -1788,12 +1890,51 @@ object TextOps {
              |              substring(text, i + 1, $SubstrL) AS gram))"""
             .stripMargin)).as("x"))
       .select(col("doc_id"), col("x.pos").as("pos"), col("x.gram").as("gram"))
-    val hits = g
+    // Byte-derived width for the gram-keyed exchange (r11, the
+    // verifySide treatment): the count window SORTS each partition's
+    // gram slice, and at the session's pinned 32 partitions that
+    // reduce-side sort grows with the corpus. The inventory ships
+    // ~32 B per character position (measured 6.85 GB / 214M grams at
+    // sf10), so width = est-chars × 32 B / 16 MB keeps each window
+    // sort memory-resident at any corpus scale — the 448-wide window
+    // stage measured ZERO spill at sf10 (StageClock per-stage rows;
+    // the query's remaining spill was the MAP side, fixed by the text
+    // pin above). docsEstBytes/3 ≈ total chars (one memoized scan
+    // shared with the verify joins). Below the threshold the width
+    // equals the session default and the explicit repartition is
+    // withheld entirely, so bench-SF plans (and their AQE coalescing)
+    // are byte-identical to before.
+    val gramWidth = {
+      val est = docsEstBytes(s, d) / 3L * 32L
+      math.min(1 << 16,
+        math.max(s.sessionState.conf.numShufflePartitions,
+          (est / (16L << 20)).toInt + 1))
+    }
+    val gPinned =
+      if (gramWidth > s.sessionState.conf.numShufflePartitions)
+        g.repartition(gramWidth, col("gram"))
+      else g
+    val hits = gPinned
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .filter(col("cnt") >= 2)
       .select(col("doc_id"), col("pos"))
+    // ...and the DOC-side exchange (the islands windows + final agg all
+    // inherit it): hits ≤ one ~10 B (doc_id, pos) wire row per char
+    // position (measured 4.43 GB / 459M grams at sf20, where the
+    // 32-wide doc window was the query's LAST spiller — 13.3 GB,
+    // StageClock stage 21 — after the other two exchanges were sized).
+    // Worst-case bound (every gram duplicated), so uniform corpora get
+    // near-empty extra tasks at ~ms each; below threshold the session
+    // default wins, bench plans untouched.
+    val docWidth = math.min(1 << 16,
+      math.max(s.sessionState.conf.numShufflePartitions,
+        (q99Chars * 10L / (16L << 20)).toInt + 1))
+    val hitsPinned =
+      if (docWidth > s.sessionState.conf.numShufflePartitions)
+        hits.repartition(docWidth, col("doc_id"))
+      else hits
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    hits
+    hitsPinned
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) > SubstrL, 1L)
           .otherwise(0L))

@@ -26,7 +26,8 @@ object StageClock {
     spark.sparkContext.setLogLevel("WARN")
 
     final case class St(id: Int, name: String, submitted: Long, completed: Long,
-                        taskMs: Long, tasks: Int, gcMs: Long)
+                        taskMs: Long, tasks: Int, gcMs: Long,
+                        swB: Long, srB: Long, spillMemB: Long, spillDiskB: Long)
     val stages = ArrayBuffer.empty[St]
     // Listener callbacks arrive on the async listener-bus thread while
     // main clears/reads the buffers between reps — guard every access
@@ -40,7 +41,11 @@ object StageClock {
           stages += St(si.stageId, si.name.take(60),
             si.submissionTime.getOrElse(0L), si.completionTime.getOrElse(0L),
             si.taskMetrics.executorRunTime, si.numTasks,
-            si.taskMetrics.jvmGCTime)
+            si.taskMetrics.jvmGCTime,
+            si.taskMetrics.shuffleWriteMetrics.bytesWritten,
+            si.taskMetrics.shuffleReadMetrics.totalBytesRead,
+            si.taskMetrics.memoryBytesSpilled,
+            si.taskMetrics.diskBytesSpilled)
         }
       }
     })
@@ -87,7 +92,7 @@ object StageClock {
         val gap = math.max(0L, s.submitted - unionEnd)
         union += math.max(0L, s.completed - math.max(s.submitted, unionEnd))
         unionEnd = math.max(unionEnd, s.completed)
-        println(f"  stage ${s.id}%4d wall=${(s.completed - s.submitted) / 1e3}%6.2f gapBefore=${gap / 1e3}%6.2f taskSum=${s.taskMs / 1e3}%7.2f gc=${s.gcMs / 1e3}%5.2f tasks=${s.tasks}%3d  ${s.name}")
+        println(f"  stage ${s.id}%4d wall=${(s.completed - s.submitted) / 1e3}%6.2f gapBefore=${gap / 1e3}%6.2f taskSum=${s.taskMs / 1e3}%7.2f gc=${s.gcMs / 1e3}%5.2f tasks=${s.tasks}%3d sw=${s.swB / 1e9}%6.2fG sr=${s.srB / 1e9}%6.2fG spill=${s.spillMemB / 1e9}%5.2f/${s.spillDiskB / 1e9}%5.2fG  ${s.name}")
         rawSum += s.completed - s.submitted
       }
       val span = if (sorted.nonEmpty) (sorted.map(_.completed).max - sorted.map(_.submitted).min) / 1e3 else 0.0

@@ -55,6 +55,13 @@ class TextOpsSpec extends SparkSuite {
     val a88 = TextOps.q88ContainmentJoin(spark, sf).collect().toSeq
     val b88 = TextOps.q88ContainmentJoin(spark, dir).collect().toSeq
     assert(a88.nonEmpty && b88 == a88)
+    // the _nopref dev twins (SkewProbe's prefilter A/B) must stay
+    // output-identical in the shuffle regime too — a desync here would
+    // silently invalidate every future A/B row
+    assert(TextOps.q33NgramJaccardNoPrefilter(spark, dir)
+      .collect().toSeq == a33)
+    assert(TextOps.q88ContainmentJoinNoPrefilter(spark, dir)
+      .collect().toSeq == a88)
   }
 
   test("q51 decontamination flags only non-benchmark docs, with real overlap") {

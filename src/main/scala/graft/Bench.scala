@@ -43,18 +43,24 @@ object BenchPolicy {
     *
     * MONOTONE (r10 verdict task 2): the record is the repo's best clean
     * reading, so replacement additionally requires beating — or tying
-    * within `eps` — the ratio already stored in it. The in-band-only
-    * gate let the r10 driver's 88.8 s run (ratio 1.141, load1 rising
-    * 5.8→11.4) displace the committed 67.6 s / 0.912 record: both were
-    * "positive" verdicts, but a 31%-slower one protects nothing. `eps`
-    * admits same-speed refreshes (newer telemetry fields, re-runs on an
-    * equally quiet host) without letting slow creep ratchet the record
-    * upward.
+    * within `eps` — the record's FLOOR ratio (the minimum ratio it has
+    * ever held, `record_floor_ratio` in the file; r11 review: comparing
+    * against the LAST stored ratio instead would let repeated
+    * within-eps refreshes ratchet the record slower in +eps steps all
+    * the way to the drift bar — against the floor, the bar never rises
+    * above best-ever + eps). The in-band-only gate let the r10 driver's
+    * 88.8 s run (ratio 1.141, load1 rising 5.8→11.4) displace the
+    * committed 67.6 s / 0.912 record: both were "positive" verdicts,
+    * but a 31%-slower one protects nothing. `eps` admits same-speed
+    * refreshes (newer telemetry fields, re-runs on an equally quiet
+    * host).
     *
     * Bootstrap exception: with no reference at all AND no measured
     * record to protect, a fully-green run may seed the record. A
     * stored measured ratio survives even a reference-file loss — the
-    * record outlives the yardstick that produced it. */
+    * record outlives the yardstick that produced it. (A deliberate
+    * BENCH_REF refresh re-seeds BENCH_SELF alongside — per-reference
+    * ratios are incomparable across references; verify skill.) */
   def selfRecordable(ratio: Option[Double], refMissing: Boolean,
                      anyFailed: Boolean, bar: Double,
                      storedRatio: Option[Double] = None,
@@ -65,6 +71,13 @@ object BenchPolicy {
       val beatsStored = storedRatio.forall(s => ratio.exists(_ <= s + eps))
       (inBand && beatsStored) || (refMissing && storedRatio.isEmpty)
     }
+
+  /** The floor the NEXT record carries after this run records: the
+    * minimum ever seen, so a within-eps (slower) refresh inherits the
+    * OLD floor and the monotone bar never rises — the anti-ratchet
+    * (spec-pinned). */
+  def nextFloor(chosen: Option[Double], stored: Option[Double]): Option[Double] =
+    (chosen.toSeq ++ stored.toSeq).minOption
 }
 
 object Bench {
@@ -338,6 +351,7 @@ object Bench {
     // and their per-query ratios are incomparable with the reference.
     val maxAttempts = 4
     var waitBudget = 240.0
+    var cachesReleasedTotal = 0
     val first = runAttempt()
     var recs = Vector(Rec(first, medianRatio(first), 0.0))
     // Keep retaking while the BEST MEASURED ratio so far is still over
@@ -355,11 +369,12 @@ object Bench {
         f" vs BENCH_REF) — attempt ${recs.size + 1}/$maxAttempts after quiet-wait")
       val waited = waitForQuiet(waitBudget)
       waitBudget = math.max(0.0, waitBudget - waited)
+      // release the registry FIRST so the attempt's live frames are
+      // counted into the run-level total (clearCache would zero their
+      // storage levels and the count with them), then clear whatever
+      // non-registry caches remain
+      cachesReleasedTotal += graft.CacheRegistry.releaseAll()
       spark.sharedState.cacheManager.clearCache()
-      // the clearCache above already dropped the blocks; this empties
-      // the registry's frame list so it tracks only the NEW attempt's
-      // persists (double-unpersist is a no-op by contract)
-      graft.CacheRegistry.releaseAll()
       graft.queries.TextOps.clearTrainMemo()
       System.gc()
       val a = runAttempt()
@@ -370,12 +385,17 @@ object Bench {
     // index, k-means centroids, BPE vocab) — deliberately shared ACROSS
     // queries during the timed pass (the measured 22% artifact-reuse
     // premium above), released HERE, untimed, once the pass is over.
-    // The line carries the proof: how many frames still held storage
-    // (caches_released) and that nothing — registry-tracked or not —
-    // lingers afterwards (cache_empty_after_release, straight from the
-    // session CacheManager, which also covers the try/finally-owned
-    // persists in CorpusStream/Pipeline and q62's loop frames).
-    val cachesReleased = graft.CacheRegistry.releaseAll(blocking = true)
+    // The line carries the proof: how many frames held storage when
+    // released — a RUN-level total across every attempt, since retakes
+    // release between attempts too (r11 review: an attempt-level
+    // number on a line describing a DIFFERENT published attempt would
+    // mislead a cross-checking harvester) — and that nothing, registry
+    // -tracked or not, lingers afterwards (cache_empty_after_release,
+    // straight from the session CacheManager, which also covers the
+    // try/finally-owned persists in CorpusStream/Pipeline and q62's
+    // loop frames).
+    val cachesReleased =
+      cachesReleasedTotal + graft.CacheRegistry.releaseAll(blocking = true)
     val cacheEmptyAfterRelease = spark.sharedState.cacheManager.isEmpty
     // Publish the attempt with the lowest DEFINED drift ratio (the
     // BASELINE.md retaken-not-recorded rule, mechanized — best-of-N is
@@ -446,11 +466,28 @@ object Bench {
     // unmeasurable run can no longer displace it.
     // SPARK_GRAFT_BENCH_OUT redirects the always-written copy
     // (explicit operator intent wins).
-    def record(path: String): Unit =
+    // The record's FLOOR is read BEFORE any write (r11 review: reading
+    // it after the unconditional record() below let
+    // SPARK_GRAFT_BENCH_OUT=BENCH_SELF.json overwrite the record first
+    // and then "compare" the run against itself — the monotone guard
+    // defeated by an env var). record_floor_ratio is the minimum ratio
+    // the record has ever held; legacy records without the field fall
+    // back to their own drift_median_ratio.
+    val storedFloor: Option[Double] = try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File("BENCH_SELF.json"))
+      val node = Option(root.get("record_floor_ratio"))
+        .filter(_.isNumber).orElse(Option(root.get("drift_median_ratio")))
+      node.filter(_.isNumber).map(_.asDouble())
+    } catch { case scala.util.control.NonFatal(_) => None }
+    def record(path: String, extraField: String = ""): Unit =
       try {
         val out = java.nio.file.Paths.get(path)
         val tmp = out.resolveSibling(out.getFileName.toString + ".tmp")
-        java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+        val full =
+          if (extraField.isEmpty) line
+          else line.stripSuffix("}") + "," + extraField + "}"
+        java.nio.file.Files.write(tmp, (full + "\n").getBytes("UTF-8"))
         java.nio.file.Files.move(tmp, out,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -465,24 +502,28 @@ object Bench {
     // comparable quiet sf0.1 record, and both used to clobber the
     // committed one. The band's floor rejects wrong-SF readings while
     // admitting any plausible genuine speedup (a uniform 2× improvement
-    // is a refresh-BENCH_REF event per the verify skill, not a silent
-    // self-record). AND the record is monotone (r10 verdict task 2):
-    // the stored reading's own drift_median_ratio is the bar a
-    // replacement must beat — in-band alone admitted a 31%-slower
-    // driver run. Policy + cases in BenchPolicy/BenchPolicySpec.
-    val storedRatio: Option[Double] = try {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(new java.io.File("BENCH_SELF.json"))
-        .get("drift_median_ratio")
-      if (node != null && node.isNumber) Some(node.asDouble()) else None
-    } catch { case scala.util.control.NonFatal(_) => None }
+    // is a refresh-BENCH_REF event per the verify skill — which also
+    // re-seeds BENCH_SELF.json, since ratios against the NEW reference
+    // are incomparable with the stored floor). AND the record is
+    // monotone (r10 verdict task 2): the bar is the record's FLOOR
+    // ratio (min ever recorded), carried in record_floor_ratio, so
+    // repeated within-eps refreshes cannot ratchet the record slower
+    // step by step (r11 review) — the bar never rises above
+    // floor + eps no matter how many refreshes land. Policy + cases in
+    // BenchPolicy/BenchPolicySpec.
     if (BenchPolicy.selfRecordable(chosenRatio, refQueries.isEmpty,
-        failed.nonEmpty, driftBar, storedRatio))
-      record("BENCH_SELF.json")
-    else if (!failed.nonEmpty && chosenRatio.exists(r =>
-        r >= 0.5 && r <= driftBar))
+        failed.nonEmpty, driftBar, storedFloor)) {
+      val floor = BenchPolicy.nextFloor(chosenRatio, storedFloor)
+      record("BENCH_SELF.json",
+        floor.fold("")(f => s""""record_floor_ratio":${num("%.3f", f)}"""))
+    } else if (BenchPolicy.selfRecordable(chosenRatio, refQueries.isEmpty,
+        failed.nonEmpty, driftBar, storedRatio = None))
+      // would have recorded but for the monotone rule — same policy
+      // call minus the floor, so this message can never disagree with
+      // the gate (r11 review: the old hand-rolled condition duplicated
+      // the band check and could desync from it)
       System.err.println(f"[bench] in-band (${chosenRatio.get}%.3f) but does" +
-        f" not beat the stored record (${storedRatio.getOrElse(Double.NaN)}%.3f)" +
+        f" not beat the stored record floor (${storedFloor.getOrElse(Double.NaN)}%.3f)" +
         " — BENCH_SELF.json untouched (monotone rule)")
     spark.stop()
   }

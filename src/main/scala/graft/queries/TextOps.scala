@@ -251,9 +251,7 @@ object TextOps {
       // slice-size win on any realistic cluster — at that corpus scale
       // the deployment sets spark.sql.shuffle.partitions itself and
       // the max() lets that conf win
-      Some(math.min(1 << 16,
-        math.max(s.sessionState.conf.numShufflePartitions,
-          (estBytes / VerifyBuildSliceBytes).toInt + 1))))
+      Some(byteDerivedWidth(s, estBytes, VerifyBuildSliceBytes)))
   }
 
   /** 64 MB: deliberately above the 10 MB advisory (the verify build side
@@ -265,6 +263,20 @@ object TextOps {
     * HashedRelation expands this ~4×, landing each task's build around
     * the broadcast cap). */
   private val VerifyBuildSliceBytes = 16L << 20
+
+  /** ONE clamp for every byte-derived exchange width in this file
+    * (verify joins, q84's variant join, q99's three exchanges — r11
+    * review: five hand-maintained copies of the same formula desync
+    * the moment the policy changes): estimated bytes over the slice,
+    * never below the session default (the deployment conf wins below
+    * the threshold, keeping bench-SF plans untouched), clamped at 64k
+    * partitions (past that per-task scheduling dominates any
+    * slice-size win; a real deployment sets the session conf itself). */
+  private[graft] def byteDerivedWidth(s: SparkSession, estBytes: Long,
+                                      sliceBytes: Long): Int =
+    math.min(1 << 16,
+      math.max(s.sessionState.conf.numShufflePartitions,
+        (estBytes / sliceBytes).toInt + 1))
 
   /** The reproducible engine-independent doc_id hashes every sampling /
     * splitting / ordering query keys on — ONE definition each (with the
@@ -1025,9 +1037,7 @@ object TextOps {
       val estVar = custVariantEstBytes(s, d)
       if (estVar <= VerifyBroadcastBytes) dirty.join(canon, "k")
       else {
-        val w = math.min(1 << 16,
-          math.max(s.sessionState.conf.numShufflePartitions,
-            (estVar / VerifyBuildSliceBytes).toInt + 1))
+        val w = byteDerivedWidth(s, estVar, VerifyBuildSliceBytes)
         dirty.repartition(w, col("k"))
           .join(canon.repartition(w, col("k")).hint("shuffle_hash"), "k")
       }
@@ -1875,9 +1885,7 @@ object TextOps {
     // threshold the session default wins and bench-SF plans are
     // untouched.
     val q99Chars = docsEstBytes(s, d) / 3L
-    val textWidth = math.min(1 << 16,
-      math.max(s.sessionState.conf.numShufflePartitions,
-        (q99Chars * 64L / (256L << 20)).toInt + 1))
+    val textWidth = byteDerivedWidth(s, q99Chars * 64L, 256L << 20)
     val g = documents(s, d).select(col("doc_id"), col("text"))
       .repartition(textWidth, col("doc_id"))
       .select(col("doc_id"),
@@ -1904,12 +1912,7 @@ object TextOps {
     // equals the session default and the explicit repartition is
     // withheld entirely, so bench-SF plans (and their AQE coalescing)
     // are byte-identical to before.
-    val gramWidth = {
-      val est = docsEstBytes(s, d) / 3L * 32L
-      math.min(1 << 16,
-        math.max(s.sessionState.conf.numShufflePartitions,
-          (est / (16L << 20)).toInt + 1))
-    }
+    val gramWidth = byteDerivedWidth(s, q99Chars * 32L, 16L << 20)
     val gPinned =
       if (gramWidth > s.sessionState.conf.numShufflePartitions)
         g.repartition(gramWidth, col("gram"))
@@ -1926,9 +1929,7 @@ object TextOps {
     // Worst-case bound (every gram duplicated), so uniform corpora get
     // near-empty extra tasks at ~ms each; below threshold the session
     // default wins, bench plans untouched.
-    val docWidth = math.min(1 << 16,
-      math.max(s.sessionState.conf.numShufflePartitions,
-        (q99Chars * 10L / (16L << 20)).toInt + 1))
+    val docWidth = byteDerivedWidth(s, q99Chars * 10L, 16L << 20)
     val hitsPinned =
       if (docWidth > s.sessionState.conf.numShufflePartitions)
         hits.repartition(docWidth, col("doc_id"))

@@ -123,6 +123,10 @@ object ScaleSweep {
           for (rep <- 1 to 2) {
             org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
             spark.sharedState.cacheManager.clearCache()
+            // clearCache dropped the blocks; this forgets the frames so
+            // the registry list stays bounded across a multi-decade
+            // sweep (the Verify.scala treatment)
+            graft.CacheRegistry.releaseAll()
             // q104/q105 memoize their training trajectory outside the
             // CacheManager — clear it too, or their rows under-report;
             // the GC nudge lets the ContextCleaner reclaim the evicted

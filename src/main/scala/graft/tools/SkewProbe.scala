@@ -80,8 +80,14 @@ object SkewProbe {
     // measurement protocol runs one query per JVM, and rebuilding a
     // 500k-doc corpus in every JVM would dominate the probe.
     val skewDir = sys.env.getOrElse("SKEW_HOT_DIR", "/tmp/skewdata/sf0.1")
+    // prebuilt = EVERY table the base corpus carries is fully written
+    // (per-table _SUCCESS markers) — checking documents alone would let
+    // a build that died before the customer write (or a stale customer
+    // from a different base) silently poison the hot-vs-base A/B rows
     val hotPrebuilt = sys.env.contains("SKEW_HOT_DIR") &&
-      new java.io.File(s"$skewDir/documents.parquet/_SUCCESS").exists
+      new java.io.File(s"$skewDir/documents.parquet/_SUCCESS").exists &&
+      (!new java.io.File(s"$baseSf/customer.parquet").exists ||
+        new java.io.File(s"$skewDir/customer.parquet/_SUCCESS").exists)
     if (hotPrebuilt)
       System.err.println(s"[skewprobe] reusing prebuilt hot corpus $skewDir")
     if (!hotPrebuilt) {

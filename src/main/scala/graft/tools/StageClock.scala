@@ -68,6 +68,9 @@ object StageClock {
       org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
       stages.synchronized(stages.clear())
       spark.sharedState.cacheManager.clearCache()
+      // keep the CacheRegistry's frame list bounded across reps (the
+      // Verify.scala treatment; blocks are already gone)
+      graft.CacheRegistry.releaseAll()
       // q104/q105 memoize their training trajectory outside the
       // CacheManager — without this, reps 2+ skip training entirely
       graft.queries.TextOps.clearTrainMemo()

@@ -65,15 +65,21 @@ object SynthCorpus {
     // same). Checked per table against the ids actually read — a
     // larger future source (an sf1 documents table at ≥1M rows) fails
     // loudly here instead of poisoning a sweep.
-    def strideGuard(table: String, maxId: Long, stride: Long): Unit =
+    // the max row is NULL on an empty source (r11 review: getLong
+    // would NPE before the diagnostic) — an empty table collides with
+    // nothing, so it passes trivially
+    def strideGuard(table: String, maxRow: org.apache.spark.sql.Row,
+                    stride: Long): Unit = {
+      val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
       require(maxId + 1 <= stride,
         s"$table max source id $maxId collides with replica stride " +
           s"$stride — raise the stride or shrink the source")
+    }
 
     if (tables("documents")) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     strideGuard("documents",
-      docs.agg(max(col("doc_id").cast("long"))).head().getLong(0), docStride)
+      docs.agg(max(col("doc_id").cast("long"))).head(), docStride)
     (0 until reps).map { r =>
       if (r == 0) docs
       else docs.select(
@@ -104,7 +110,7 @@ object SynthCorpus {
       s"replicas ($reps) must not exceed embedding dim ($dim): dimension " +
         "rotations would repeat and plant cross-replica exact near-dups")
     strideGuard("embeddings",
-      emb.agg(max(col("vec_id").cast("long"))).head().getLong(0), docStride)
+      emb.agg(max(col("vec_id").cast("long"))).head(), docStride)
     (0 until reps).map { r =>
       val rot = r % dim
       val rotated =
@@ -122,7 +128,7 @@ object SynthCorpus {
     if (tables("customer")) {
     val cust = spark.read.parquet(s"$src/customer.parquet")
     strideGuard("customer",
-      cust.agg(max(col("c_custkey").cast("long"))).head().getLong(0), 10000000L)
+      cust.agg(max(col("c_custkey").cast("long"))).head(), 10000000L)
     (0 until reps).map { r =>
       if (r == 0) cust
       else cust

@@ -90,4 +90,22 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(BenchPolicy.selfRecordable(None, refMissing = true,
       anyFailed = false, bar, storedRatio = None))
   }
+
+  test("the monotone bar is the record's FLOOR, so within-eps refreshes cannot ratchet it (r11 review)") {
+    val bar = 1.15
+    // a 0.93 refresh lands in the tie band of floor 0.912 and records...
+    assert(BenchPolicy.selfRecordable(Some(0.93), refMissing = false,
+      anyFailed = false, bar, storedRatio = Some(0.912)))
+    // ...but the floor it WRITES is still 0.912 — not its own 0.93
+    assert(BenchPolicy.nextFloor(Some(0.93), Some(0.912)) == Some(0.912))
+    // so the next step of the would-be ratchet (0.95 vs floor 0.912)
+    // is rejected: the bar never walks upward in +eps steps
+    assert(!BenchPolicy.selfRecordable(Some(0.95), refMissing = false,
+      anyFailed = false, bar, storedRatio = Some(0.912)))
+    // a genuinely faster run lowers the floor
+    assert(BenchPolicy.nextFloor(Some(0.88), Some(0.912)) == Some(0.88))
+    // seeding writes its own ratio as the floor
+    assert(BenchPolicy.nextFloor(Some(1.0), None) == Some(1.0))
+    assert(BenchPolicy.nextFloor(None, None).isEmpty)
+  }
 }

@@ -262,6 +262,62 @@ class PlanSpec extends SparkSuite {
     assert(rewritten88.findFirstIn(p88).isEmpty, p88)
   }
 
+  test("beyond-cap q99 runs all three exchanges at their byte-derived widths") {
+    // reuses the claimed-200M-chars fixture trick: the r11 sf10/sf20
+    // measurements (SCALING_r11/BASELINE.md) bought three properties —
+    // map-side explode slices, gram-window sort slices and doc-window
+    // hits slices all bounded by width — and this pin keeps them
+    // through refactors without the test paying for real data
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap99").toString
+    (0 until 100).map(i =>
+        (i.toLong, s"alpha bravo charlie delta echo f$i g$i", "en", "syn", 2000000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val chars = (100L * 48L + 100L * 2000000L * 3L) / 3L
+    val session = spark.sessionState.conf.numShufflePartitions
+    def w(est: Long, slice: Long) =
+      math.min(1 << 16, math.max(session, (est / slice).toInt + 1))
+    val textWidth = w(chars * 64L, 256L << 20)
+    val gramWidth = w(chars * 32L, 16L << 20)
+    val docWidth = w(chars * 10L, 16L << 20)
+    assert(Set(textWidth, gramWidth, docWidth).forall(_ != session),
+      "fixture too small to distinguish the byte-derived widths")
+    val p = plan(TextOps.q99SubstringDedup(spark, dir))
+    for (width <- Seq(textWidth, gramWidth, docWidth))
+      assert(s", $width\\)".r.findFirstIn(p).isDefined,
+        s"expected an exchange at width $width:\n$p")
+  }
+
+  test("beyond-cap q84 variant join is shuffled-hash with BOTH sides at the byte-derived width") {
+    // names long enough that the estimated deletion-variant inventory
+    // (one count+sum(length) over the dim) crosses the 64 MB cap: the
+    // r11 measurements showed the planner otherwise BROADCASTS a
+    // corpus-growing variant index at sf10 and sort-merge-spills at
+    // sf20 (SCALING_r11/BASELINE.md) — past the cap the join must be
+    // shuffled-hash with both children co-partitioned at the width
+    // (one-sided pins get renegotiated to the session default)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap84").toString
+    val name = "x" * 3000
+    (1 to 200).map(i => (i.toLong, s"$name$i"))
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val (n, sumLen) = (200L, (1 to 200).map(i => 3000L + i.toString.length).sum)
+    val avgLen = sumLen / n
+    val estVar = (sumLen + n) * (avgLen + 24L)
+    val session = spark.sessionState.conf.numShufflePartitions
+    val width = math.min(1 << 16,
+      math.max(session, (estVar / (16L << 20)).toInt + 1))
+    assert(width != session, "fixture too small to cross the cap")
+    val p = plan(TextOps.q84FuzzyJoin(spark, dir))
+    assert(p.contains("ShuffledHashJoin"), p)
+    val atWidth = s", $width\\)".r.findAllIn(p).length
+    assert(atWidth >= 2, s"expected both children at width $width, got $atWidth:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q69 funnel: both window passes share ONE user_id shuffle") {
     // two chained ignore-nulls last() windows on the same partitioning —
     // Catalyst must plan one hash exchange, not one per Window operator

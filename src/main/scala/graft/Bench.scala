@@ -494,7 +494,25 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] self-record write to $path failed: ${e.getMessage}")
       }
-    record(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
+    // A redirect aimed AT the committed record is still a record write
+    // (r11 ADVICE low 2: the unconditional copy used to land on
+    // BENCH_SELF.json without record_floor_ratio, so the NEXT run's
+    // storedFloor fell back to the clobbering run's drift_median_ratio
+    // — the env var could erase the floor and raise the monotone bar).
+    // Explicit operator intent still wins — the write happens — but it
+    // carries the min-ever floor forward and says so loudly.
+    val outTarget = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    val redirectIsRecord =
+      try java.nio.file.Paths.get(outTarget).toAbsolutePath.normalize ==
+        java.nio.file.Paths.get("BENCH_SELF.json").toAbsolutePath.normalize
+      catch { case _: Throwable => outTarget == "BENCH_SELF.json" }
+    if (redirectIsRecord) {
+      System.err.println("[bench] SPARK_GRAFT_BENCH_OUT targets the committed " +
+        "record BENCH_SELF.json — writing it WITH the carried record floor " +
+        "(the monotone rule survives the redirect)")
+      record(outTarget, BenchPolicy.nextFloor(chosenRatio, storedFloor)
+        .fold("")(f => s""""record_floor_ratio":${num("%.3f", f)}"""))
+    } else record(outTarget)
     // BENCH_SELF.json demands a POSITIVE verdict, not merely the absence
     // of a drift flag: a run at the wrong SF reads median ratios ~0.1
     // (10× less data than the sf0.1 reference) and a run with no usable
@@ -517,14 +535,27 @@ object Bench {
       record("BENCH_SELF.json",
         floor.fold("")(f => s""""record_floor_ratio":${num("%.3f", f)}"""))
     } else if (BenchPolicy.selfRecordable(chosenRatio, refQueries.isEmpty,
-        failed.nonEmpty, driftBar, storedRatio = None))
+        failed.nonEmpty, driftBar, storedRatio = None)) {
       // would have recorded but for the monotone rule — same policy
       // call minus the floor, so this message can never disagree with
       // the gate (r11 review: the old hand-rolled condition duplicated
-      // the band check and could desync from it)
-      System.err.println(f"[bench] in-band (${chosenRatio.get}%.3f) but does" +
-        f" not beat the stored record floor (${storedFloor.getOrElse(Double.NaN)}%.3f)" +
-        " — BENCH_SELF.json untouched (monotone rule)")
+      // the band check and could desync from it). Two distinct shapes
+      // reach here (r11 ADVICE medium): a measured in-band ratio above
+      // the floor, and the ratio-LESS no-reference bootstrap blocked by
+      // an existing record — chosenRatio is None there, so the message
+      // must not .get it (the old interpolation threw
+      // NoSuchElementException and killed the run before spark.stop()).
+      val floorTxt = storedFloor.fold("n/a")(f => f"$f%.3f")
+      chosenRatio match {
+        case Some(r) => System.err.println(f"[bench] in-band ($r%.3f) but" +
+          s" does not beat the stored record floor ($floorTxt)" +
+          " — BENCH_SELF.json untouched (monotone rule)")
+        case None => System.err.println("[bench] no reference ratio — " +
+          s"bootstrap blocked by the existing record (floor $floorTxt); " +
+          "BENCH_SELF.json untouched (a stored measured record outlives " +
+          "a lost reference; delete BENCH_SELF.json to re-seed deliberately)")
+      }
+    }
     spark.stop()
   }
 }

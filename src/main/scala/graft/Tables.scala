@@ -165,7 +165,7 @@ object Tables {
       df.schema.fields.find(_.name == "ts").map(_.dataType) match {
         case Some(LongType) => try {
           val r = df.agg(max(col("ts")).as("mx"), min(col("ts")).as("mn"),
-            max(abs(col("ts") % 1000)).as("res")).head
+            max(abs(col("ts") % 1000)).as("res")).head()
           if (r.isNullAt(0)) Nil // zero rows: no values to misread
           else {
           val mx = r.getLong(0)

@@ -999,7 +999,15 @@ object TextOps {
     * Shuffle-bounded, no cross product. Dirty copies are synthesized by
     * dropping the char at position c_custkey mod len, deterministically
     * in both engines. Ambiguity surfaces as n_candidates > 1 with a
-    * deterministic min-id pick. */
+    * deterministic min-id pick.
+    *
+    * NOTE (r11 ADVICE, accepted as designed): plan CONSTRUCTION eagerly
+    * scans the customer dim once per (session, sfDir) — the memoized
+    * [[custVariantEstBytes]] count+sum(length) that sizes the variant
+    * join's regime switch (the docsEstBytes treatment). Construction is
+    * therefore not lazy: a missing customer.parquet fails at build, not
+    * execution, and the first build per session bills one driver
+    * round-trip over the dim table. */
   def q84FuzzyJoin(s: SparkSession, d: String): DataFrame = {
     def delKeys(nameCol: String) = explode(expr(
       s"""array_append(

@@ -148,13 +148,21 @@ object ScaleSweep {
               }
             }
           }
+          // volatile_cols makes each row self-describing (r11 verdict
+          // nit 3): wall/CPU are single-host readings with documented
+          // 2-3× run-to-run variance at the multi-GB-shuffle decades
+          // (JIT code-cache state, page cache, one shared disk — the
+          // r10 variance doctrine, SCALING.md); the byte/spill columns
+          // are deterministic functions of plan+data and are the
+          // signals a reader may compare across rows.
           val line =
             s"""{"sf":"${sf.split('/').filter(_.nonEmpty).last}","query":"$q","wall_s":${num("%.3f", wall)},""" +
             s""""wall_cold_s":${num("%.3f", wallCold)},""" +
             s""""rows":$n,"task_cpu_s":${num("%.2f", snap._1 / 1e3)},""" +
             s""""shuffle_write_b":${snap._2},"shuffle_read_b":${snap._3},""" +
             s""""spill_mem_b":${snap._4},""" +
-            s""""spill_disk_b":${snap._5},"tasks":${snap._6},"stages":${snap._7}}"""
+            s""""spill_disk_b":${snap._5},"tasks":${snap._6},"stages":${snap._7},""" +
+            s""""volatile_cols":"wall_s,wall_cold_s,task_cpu_s"}"""
           println(line)
           rows += line
           publish()

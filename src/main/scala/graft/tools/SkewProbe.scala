@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
@@ -66,52 +66,95 @@ object SkewProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     // --- synthesize the hot-key corpus -------------------------------
-    // one boilerplate sentence on 30% of docs (doc_id % 10 < 3): every
-    // treated doc gains the same ~4 bigram shingles (and, for q99, ~10
-    // identical 25-char grams) → hot inverted-index/window keys with
-    // df ≈ 0.3·N. Appended to whatever SKEW_BASE_SF points at, so on a
-    // synthetic sf10 base the boilerplate shingles are UNsuffixed —
-    // genuinely hot across all replicas, df ≈ 150k at 500k docs (the
-    // scale adversary: hot df grows WITH the corpus, unlike the
-    // per-replica-suffixed source words).
+    // Two document adversaries (SKEW_ADVERSARY):
+    //  - "boilerplate" (default): one boilerplate sentence appended to
+    //    30% of docs (doc_id % 10 < 3) — every treated doc gains the
+    //    same ~4 bigram shingles (and, for q99, ~10 identical 25-char
+    //    grams) → hot inverted-index/window keys with df ≈ 0.3·N.
+    //    Appended to whatever SKEW_BASE_SF points at, so on a synthetic
+    //    sf10 base the boilerplate shingles are UNsuffixed — genuinely
+    //    hot across all replicas, df ≈ 150k at 500k docs (the scale
+    //    adversary: hot df grows WITH the corpus, unlike the
+    //    per-replica-suffixed source words).
+    //  - "dupfam" (r12, the q62 adversary): docs at doc_id % EVERY == 1
+    //    (SKEW_DUPFAM_EVERY, default 250) have their text REPLACED by
+    //    one fixed sentence — K identical docs, cross-replica (the
+    //    replacement carries no replica suffixes), forming ONE giant
+    //    dup family: q33 legitimately emits ~K²/2 pairs for it and the
+    //    CC loop gets a K-node star whose root's neighborhood is the
+    //    groupBy-min hot key the large-star design claims to spread.
+    //    K is chosen by EVERY (≈ N/EVERY members) so the legitimate
+    //    quadratic OUTPUT stays bounded next to the corpus.
+    // Both builds also carry the q84 CUSTOMER adversary (untouched by
+    // the document edits): a duplicate-name family (the entity-res real
+    // case: one canonical string mass-duplicated by an upstream feed) —
+    // every (SKEW_FAMILY_MOD, default 300)-th customer gets the same
+    // name → all its FastSS deletion variants become hot join keys
+    // carrying a genuine |family|² candidate set; the probe's question
+    // is whether that work SPREADS across the byte-derived
+    // shuffled-hash width or funnels into one task.
     //
     // SKEW_HOT_DIR overrides the output path and makes the build
     // IDEMPOTENT (reused if already populated): the r10 per-JVM
     // measurement protocol runs one query per JVM, and rebuilding a
     // 500k-doc corpus in every JVM would dominate the probe.
+    val adversary = sys.env.getOrElse("SKEW_ADVERSARY", "boilerplate")
+    require(Set("boilerplate", "dupfam")(adversary),
+      s"SKEW_ADVERSARY must be boilerplate|dupfam, got $adversary")
+    val dupEvery = sys.env.getOrElse("SKEW_DUPFAM_EVERY", "250").toLong
+    val familyMod = sys.env.getOrElse("SKEW_FAMILY_MOD", "300").toLong
     val skewDir = sys.env.getOrElse("SKEW_HOT_DIR", "/tmp/skewdata/sf0.1")
-    // prebuilt = EVERY table the base corpus carries is fully written
-    // (per-table _SUCCESS markers) — checking documents alone would let
-    // a build that died before the customer write (or a stale customer
-    // from a different base) silently poison the hot-vs-base A/B rows
-    val hotPrebuilt = sys.env.contains("SKEW_HOT_DIR") &&
+    val hasCustomer = new java.io.File(s"$baseSf/customer.parquet").exists
+    // Reuse demands BOTH existence and provenance (r11 ADVICE low 3):
+    // per-table _SUCCESS markers prove the write finished, but a hot
+    // corpus built from a DIFFERENT base/adversary/knob set would pass
+    // an existence-only check and silently poison the base-vs-hotkey
+    // A/B rows. The build stamps a provenance line (base path +
+    // adversary + knobs + base row counts) and reuse requires it to
+    // match the current invocation exactly.
+    val provenance: String = {
+      val nDocs = spark.read.parquet(s"$baseSf/documents.parquet").count()
+      val nCust = if (hasCustomer)
+        spark.read.parquet(s"$baseSf/customer.parquet").count() else 0L
+      s"""{"base":"$baseSf","adversary":"$adversary",""" +
+        s""""dupfam_every":$dupEvery,"family_mod":$familyMod,""" +
+        s""""base_docs":$nDocs,"base_customers":$nCust}"""
+    }
+    val provPath = java.nio.file.Paths.get(s"$skewDir/_provenance.json")
+    val provMatches = java.nio.file.Files.exists(provPath) &&
+      new String(java.nio.file.Files.readAllBytes(provPath), "UTF-8").trim == provenance
+    val hotPrebuilt = sys.env.contains("SKEW_HOT_DIR") && provMatches &&
       new java.io.File(s"$skewDir/documents.parquet/_SUCCESS").exists &&
-      (!new java.io.File(s"$baseSf/customer.parquet").exists ||
+      (!hasCustomer ||
         new java.io.File(s"$skewDir/customer.parquet/_SUCCESS").exists)
     if (hotPrebuilt)
-      System.err.println(s"[skewprobe] reusing prebuilt hot corpus $skewDir")
+      System.err.println(s"[skewprobe] reusing prebuilt hot corpus $skewDir ($provenance)")
     if (!hotPrebuilt) {
+    if (java.nio.file.Files.exists(provPath) && !provMatches)
+      System.err.println(s"[skewprobe] provenance mismatch at $skewDir — rebuilding")
+    java.nio.file.Files.deleteIfExists(provPath) // a dying build must not leave a stale stamp
+    val docEdit: Column => Column =
+      if (adversary == "dupfam")
+        text => when(col("doc_id") % dupEvery === 1,
+          lit("the quick brown fox jumps over the lazy dog while the " +
+            "patient grey owl watches from the old oak tree"))
+          .otherwise(text)
+      else
+        text => when(col("doc_id") % 10 < 3,
+          concat(text, lit(" lorem ipsum dolor sit amet footer")))
+          .otherwise(text)
     spark.read.parquet(s"$baseSf/documents.parquet")
-      .withColumn("text",
-        when(col("doc_id") % 10 < 3,
-          concat(col("text"), lit(" lorem ipsum dolor sit amet footer")))
-          .otherwise(col("text")))
+      .withColumn("text", docEdit(col("text")))
+      // dupfam replaces text wholesale — keep n_chars consistent with it
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
-    // q84's input is CUSTOMER, which the boilerplate edit never touches —
-    // its hot-key adversary is a duplicate-name family (the entity-res
-    // real case: one canonical string mass-duplicated by an upstream
-    // feed). Every 300th customer gets the same name → all its FastSS
-    // deletion variants become hot join keys carrying a genuine
-    // |family|² candidate set; the probe's question is whether that
-    // work SPREADS (AQE skew split) or funnels into one task. The
-    // family is capped (~N/300) so the legitimate quadratic output
-    // stays small next to the corpus.
-    if (new java.io.File(s"$baseSf/customer.parquet").exists)
+    if (hasCustomer)
       spark.read.parquet(s"$baseSf/customer.parquet")
         .withColumn("c_name",
-          when(col("c_custkey") % 300 === 0, lit("Customer#HOTFAMILY0000"))
+          when(col("c_custkey") % familyMod === 0, lit("Customer#HOTFAMILY0000"))
             .otherwise(col("c_name")))
         .write.mode("overwrite").parquet(s"$skewDir/customer.parquet")
+    java.nio.file.Files.write(provPath, (provenance + "\n").getBytes("UTF-8"))
     }
 
     // --- per-task listener: durations per stage + byte totals --------

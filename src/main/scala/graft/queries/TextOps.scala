@@ -1041,23 +1041,70 @@ object TextOps {
     // Re-measured (SCALING_r11): sf10 wall 43.8 → 20.9 s, sf20
     // 80.3 → 50.6 s, spill ZERO at both, bytes 1.22 → 2.60 GB for the
     // 2× step — linear. Below the cap (bench SFs) nothing changes.
-    val joined = {
-      val estVar = custVariantEstBytes(s, d)
-      if (estVar <= VerifyBroadcastBytes) dirty.join(canon, "k")
+    //
+    // Shuffle regime only (r12, measured by the hot-family probe): the
+    // canon side COLLAPSES duplicate names per variant key before the
+    // join. A mass-duplicated canonical name (one string fed in F
+    // times — the entity-res adversary) makes every pair of (dirty
+    // member, canon member) a TRUE lev≤1 match, so the join's output
+    // at each of the family's ~|name| hot keys is |F_dirty|·|F_canon|
+    // rows — and a hash equi-join cannot split one key across tasks:
+    // SKEW_r12 measured one 124 s straggler against a 5.2 s stage
+    // median (ratio 23.8) at F = 5000 on the synthetic-sf10 corpus.
+    // The downstream aggregate only needs min(canon_id) and the count
+    // of distinct matched canon ids per dirty row, and ids of
+    // DIFFERENT names are disjoint — so grouping canon rows to one
+    // (k, canon_name, min_id, n_ids) row per name makes the hot key's
+    // build side a SINGLE row and per-key join output linear in the
+    // dirty rows, exactly (the r12 re-probe: straggler 124 s → gone,
+    // stage ratios back to the uniform band). The groupBy reuses the
+    // (k, w) repartition — {k} ⊆ {k, name} satisfies the clustering —
+    // so the collapse costs no extra exchange. Below the cap the
+    // original pair-level distinct stays (bench plans untouched);
+    // outputs are pinned identical across regimes in TextOpsSpec on a
+    // dup-family corpus via the claimCustEstBytes seam.
+    val estVar = custVariantEstBytes(s, d)
+    val perDirty =
+      if (estVar <= VerifyBroadcastBytes)
+        dirty.join(canon, "k")
+          .filter(levenshtein(col("dirty_name"), col("canon_name")) <= 1)
+          .select(col("dirty_id"), col("canon_id")).distinct()
+          .groupBy(col("dirty_id"))
+          .agg(min(col("canon_id")).as("matched_canon_id"),
+            count(lit(1)).as("n_candidates"))
       else {
         val w = byteDerivedWidth(s, estVar, VerifyBuildSliceBytes)
+        // one row per (variant key, canonical name): min_id/n_ids are
+        // identical across a name's keys (every canon named X explodes
+        // the same delKeys(X)), so the post-join distinct collapses
+        // multi-key matches of the same name to one row per dirty —
+        // countDistinct because delKeys can emit the same variant
+        // twice for one name (adjacent equal chars)
+        val canonGrp = canon.repartition(w, col("k"))
+          .groupBy(col("k"), col("canon_name"))
+          .agg(min(col("canon_id")).as("g_min_id"),
+            countDistinct(col("canon_id")).as("g_n_ids"))
         dirty.repartition(w, col("k"))
-          .join(canon.repartition(w, col("k")).hint("shuffle_hash"), "k")
+          .join(canonGrp.hint("shuffle_hash"), "k")
+          .filter(levenshtein(col("dirty_name"), col("canon_name")) <= 1)
+          .select(col("dirty_id"), col("canon_name"),
+            col("g_min_id"), col("g_n_ids"))
+          .distinct()
+          .groupBy(col("dirty_id"))
+          .agg(min(col("g_min_id")).as("matched_canon_id"),
+            sum(col("g_n_ids")).as("n_candidates"))
       }
-    }
-    joined
-      .filter(levenshtein(col("dirty_name"), col("canon_name")) <= 1)
-      .select(col("dirty_id"), col("canon_id")).distinct()
-      .groupBy(col("dirty_id"))
-      .agg(min(col("canon_id")).as("matched_canon_id"),
-        count(lit(1)).as("n_candidates"))
-      .orderBy(col("dirty_id"))
+    perDirty.orderBy(col("dirty_id"))
   }
+
+  /** Test seam: claim a variant-inventory estimate for (session, dir)
+    * so a spec can force q84's shuffle regime on SMALL real data (the
+    * documents fixtures lie via the n_chars column, but the customer
+    * estimate reads actual name lengths — without the seam, crossing
+    * the 64 MB cap would need gigabytes of exploded variants). */
+  private[graft] def claimCustEstBytes(s: SparkSession, d: String,
+                                       bytes: Long): Unit =
+    custStatsMemo.put((s, d), bytes)
 
   /** q83: corpus diversity audit — per-source distinct-vs-total 3-gram
     * counts and type-token ratio: the "is this source repetitive

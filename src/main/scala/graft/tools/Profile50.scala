@@ -50,7 +50,8 @@ object Profile50 {
         graft.streaming.Pipeline.chirpEnvelopeFrameBatch(raw)
           .queryExecution.toRdd.count()
       }
-      time("q50 full")(Packets.q50PipelineE2e(spark, sfDir).count())
+      time("q50 full")(org.apache.spark.sql.GraftColumnBridge.forceOwnPlan(
+        Packets.q50PipelineE2e(spark, sfDir)))
     }
     spark.stop()
   }

@@ -25,7 +25,8 @@ object ProfileQuery {
     for (round <- 1 to 2) {
       println(s"-- round $round --")
       names.foreach { n =>
-        time(n)(graft.SparkEntry.queries(n)(spark, sfDir).count())
+        time(n)(org.apache.spark.sql.GraftColumnBridge.forceOwnPlan(
+          graft.SparkEntry.queries(n)(spark, sfDir)))
       }
     }
     spark.stop()

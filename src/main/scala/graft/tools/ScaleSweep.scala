@@ -104,7 +104,8 @@ object ScaleSweep {
     // JVM/JIT warm-up outside measurement so the smallest SF (first in
     // the arg order) isn't charged the compile cost of every kernel.
     queries.foreach { q =>
-      graft.SparkEntry.queries.get(q).foreach(f => f(spark, sfDirs.head).count())
+      graft.SparkEntry.queries.get(q).foreach(f =>
+        org.apache.spark.sql.GraftColumnBridge.forceOwnPlan(f(spark, sfDirs.head)))
     }
     for (sf <- sfDirs; q <- queries) {
       graft.SparkEntry.queries.get(q) match {
@@ -136,7 +137,9 @@ object ScaleSweep {
             System.gc()
             reset()
             val t0 = System.nanoTime()
-            n = f(spark, sf).count()
+            // own-plan forcing (r12): count() pruned q76's whole verify
+            // tail (terminal unique-keyed left join) to a 4-stage scan
+            n = org.apache.spark.sql.GraftColumnBridge.forceOwnPlan(f(spark, sf))
             val w = (System.nanoTime() - t0) / 1e9
             org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
             if (rep == 1) wallCold = w

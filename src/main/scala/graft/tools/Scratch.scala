@@ -32,7 +32,9 @@ object Scratch {
       System.gc()
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
-      val cnt = df.count()
+      // own-plan forcing (r12) — also makes SCRATCH_EXPLAIN print the
+      // plan that actually ran, not a count-pruned sibling
+      val cnt = org.apache.spark.sql.GraftColumnBridge.forceOwnPlan(df)
       println(f"SCRATCH $n rep$r ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$cnt")
       if (sys.env.contains("SCRATCH_EXPLAIN")) {
         println(s"==== $n executed plan ====")

@@ -250,7 +250,8 @@ object SkewProbe {
     }
 
     // warm the kernels once so neither dataset is charged JIT
-    queries.foreach(q => lookup(q).foreach(f => f(spark, baseSf).count()))
+    queries.foreach(q => lookup(q).foreach(f =>
+      org.apache.spark.sql.GraftColumnBridge.forceOwnPlan(f(spark, baseSf))))
 
     for ((label, dir) <- Seq("base" -> baseSf, "hotkey" -> skewDir);
          q <- queries) {
@@ -268,7 +269,10 @@ object SkewProbe {
             System.gc()
             reset()
             val t0 = System.nanoTime()
-            n = f(spark, dir).count()
+            // own-plan forcing (r12, the ScaleSweep/Bench treatment):
+            // count() would prune terminal sorts/projections and can
+            // eliminate a unique-keyed left-join tail entirely
+            n = org.apache.spark.sql.GraftColumnBridge.forceOwnPlan(f(spark, dir))
             wall = (System.nanoTime() - t0) / 1e9
             org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
             if (rep == 2) stats = stageTasks.synchronized {

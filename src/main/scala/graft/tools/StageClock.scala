@@ -76,7 +76,10 @@ object StageClock {
       graft.queries.TextOps.clearTrainMemo()
       System.gc()
       val t0 = System.nanoTime()
-      val cnt = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      // own-plan forcing (r12): stage rows must describe the query's
+      // plan, not a count-pruned rewrite of it
+      val cnt = org.apache.spark.sql.GraftColumnBridge.forceOwnPlan(
+        graft.SparkEntry.queries(name)(spark, sfDir))
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"== $name rep$r wall=$wall%.2f s rows=$cnt")
       org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)

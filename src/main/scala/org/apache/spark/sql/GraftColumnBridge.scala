@@ -28,6 +28,19 @@ object GraftColumnBridge {
   def toInternalRdd(df: DataFrame): RDD[InternalRow] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
 
+  /** Execute `df`'s OWN physical plan to completion and return its row
+    * count — the honest forcing action for measurement tools.
+    * `df.count()` wraps the plan in a new count aggregate and lets the
+    * optimizer prune everything the count doesn't need: terminal
+    * projections (a map-only query collapses to a parquet row count),
+    * output sorts, and — the r12 finding — a whole terminal LEFT JOIN
+    * whose right side is an aggregate on the join key (provably unique,
+    * no columns referenced → join eliminated): q76's count() executed 4
+    * stages / 0.4 MB of shuffle at synthetic sf10 where the query's own
+    * plan moves gigabytes. Rows are materialized inside tasks and only
+    * per-partition counts reach the driver. */
+  def forceOwnPlan(df: DataFrame): Long = toInternalRdd(df).count()
+
   /** Analyzed logical plan of a DataFrame (for building custom logical
     * operators over already-resolved child outputs). */
   def analyzedPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =

@@ -64,6 +64,41 @@ class TextOpsSpec extends SparkSuite {
       .collect().toSeq == a88)
   }
 
+  test("beyond-cap q84 name-collapsed variant join equals the broadcast regime on a dup family") {
+    // The r12 hot-family probe measured a 23.8× straggler in the
+    // shuffle-regime variant join (one canonical name mass-duplicated —
+    // every (dirty, canon) family pair is a TRUE lev≤1 match, and a
+    // hash equi-join cannot split one key), fixed by collapsing the
+    // canon side to one (k, name, min_id, n_ids) row per name before
+    // the join. The collapse is an EXACT rewrite (ids of different
+    // names are disjoint; a name's min/count reconstruct from its
+    // group row) — this pin is where that argument meets data, on a
+    // corpus that actually CONTAINS a dup family. The shuffle regime
+    // is forced via the claimCustEstBytes seam (the customer estimate
+    // reads real name lengths, so unlike the documents fixtures it
+    // cannot lie through a stats column).
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val dirA = java.nio.file.Files.createTempDirectory("graft_fam_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_fam_b").toString
+    val fam = spark.read.parquet(s"$sf/customer.parquet")
+      .withColumn("c_name",
+        when(col("c_custkey") % 50 === 0, lit("Customer#HOTFAMILY0000"))
+          .otherwise(col("c_name")))
+    for (dir <- Seq(dirA, dirB))
+      fam.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val below = TextOps.q84FuzzyJoin(spark, dirA).collect().toSeq
+    TextOps.claimCustEstBytes(spark, dirB, 100L << 20) // force shuffle regime
+    val beyond = TextOps.q84FuzzyJoin(spark, dirB).collect().toSeq
+    assert(below.nonEmpty && beyond == below)
+    // the fixture's adversary is real: family members are ambiguous
+    // across the whole family (n_candidates == |family|)
+    val famSize = fam.filter(col("c_custkey") % 50 === 0).count()
+    assert(famSize >= 10, s"fixture family too small: $famSize")
+    val famRows = below.filter(_.getLong(0) % 50 == 0)
+    assert(famRows.nonEmpty && famRows.forall(_.getLong(2) == famSize),
+      s"expected n_candidates == $famSize for family members")
+  }
+
   test("q51 decontamination flags only non-benchmark docs, with real overlap") {
     import org.apache.spark.sql.functions.col
     val hits = TextOps.q51Decontaminate(spark, sf).collect()

@@ -1924,24 +1924,63 @@ object TextOps {
     * shipping 25 bytes once. */
   def q99SubstringDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Byte-derived width for the TEXT pin (r11, measured at synthetic
-    // sf10 via StageClock per-stage spill): the explode below turns
-    // each character position into a ~64 B in-memory gram row, so a
-    // session-width (32) pin hands every map task corpus/32 characters
-    // and the gram exchange's SHUFFLE WRITER spills by construction
-    // once that slice outgrows a task's execution-memory grant — at
-    // sf10 the 32-task explode stage carried ALL 16.3 GB of the
-    // query's spill (10.2 mem / 6.1 disk) while the 448-wide window
-    // stages spilled zero. Bound the per-task explode payload to
-    // ~256 MB of gram rows instead: width = chars × 64 B / 256 MB
-    // (chars ≈ docsEstBytes/3, the memoized corpus scan). On a real
-    // cluster the scan's maxPartitionBytes does this automatically —
-    // the pin must not UNDO it as the corpus grows. Below the
-    // threshold the session default wins and bench-SF plans are
-    // untouched.
+    // Byte-derived width for the gram-keyed exchange (r11, the
+    // verifySide treatment): the count window SORTS each partition's
+    // gram slice, and at the session's pinned 32 partitions that
+    // reduce-side sort grows with the corpus. The inventory ships
+    // ~32 B per character position (measured 6.85 GB / 214M grams at
+    // sf10), so width = est-chars × 32 B / 16 MB keeps each window
+    // sort memory-resident at any corpus scale — the 448-wide window
+    // stage measured ZERO spill at sf10 (StageClock per-stage rows;
+    // the query's remaining spill was the MAP side, fixed by the text
+    // pin in [[q99Grams]]). docsEstBytes/3 ≈ total chars (one memoized
+    // scan shared with the verify joins). Below the threshold the width
+    // equals the session default and the explicit repartition is
+    // withheld entirely, so bench-SF plans (and their AQE coalescing)
+    // are byte-identical to before.
+    //
+    // HOT-GRAM CHARACTERISTIC of this shape (r12, SKEW_r12): a gram
+    // with document frequency df lands WHOLE in one window partition —
+    // one task sorts/streams df extra rows. Linear in df (never
+    // quadratic: the window emits its input rows), measured at
+    // df ≈ 150k on the synthetic-sf10 hot corpus as one 7.0 s task
+    // against a 1.3 s stage median (+2.7% query wall, zero spill).
+    // For corpora whose hot grams grow with the corpus (crawl
+    // boilerplate at df = 0.3·N), [[q99SubstringDedupTwoPass]] bounds
+    // the per-task term by map-side-combined counting at a measured
+    // byte premium — see BASELINE.md r12 for the adjudication.
     val q99Chars = docsEstBytes(s, d) / 3L
-    val textWidth = byteDerivedWidth(s, q99Chars * 64L, 256L << 20)
-    val g = documents(s, d).select(col("doc_id"), col("text"))
+    val g = q99Grams(s, d)
+    val gramWidth = byteDerivedWidth(s, q99Chars * 32L, 16L << 20)
+    val gPinned =
+      if (gramWidth > s.sessionState.conf.numShufflePartitions)
+        g.repartition(gramWidth, col("gram"))
+      else g
+    val hits = gPinned
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("cnt") >= 2)
+      .select(col("doc_id"), col("pos"))
+    q99Islands(s, d, hits)
+  }
+
+  /** The text-pinned gram explode shared by both q99 forms. Byte-derived
+    * width for the TEXT pin (r11, measured at synthetic sf10 via
+    * StageClock per-stage spill): the explode turns each character
+    * position into a ~64 B in-memory gram row, so a session-width (32)
+    * pin hands every map task corpus/32 characters and the gram
+    * exchange's SHUFFLE WRITER spills by construction once that slice
+    * outgrows a task's execution-memory grant — at sf10 the 32-task
+    * explode stage carried ALL 16.3 GB of the query's spill (10.2 mem /
+    * 6.1 disk) while the 448-wide window stages spilled zero. Bound the
+    * per-task explode payload to ~256 MB of gram rows instead: width =
+    * chars × 64 B / 256 MB (chars ≈ docsEstBytes/3, the memoized corpus
+    * scan). On a real cluster the scan's maxPartitionBytes does this
+    * automatically — the pin must not UNDO it as the corpus grows.
+    * Below the threshold the session default wins and bench-SF plans
+    * are untouched. */
+  private def q99Grams(s: SparkSession, d: String): DataFrame = {
+    val textWidth = byteDerivedWidth(s, (docsEstBytes(s, d) / 3L) * 64L, 256L << 20)
+    documents(s, d).select(col("doc_id"), col("text"))
       .repartition(textWidth, col("doc_id"))
       .select(col("doc_id"),
         explode(expr(
@@ -1953,38 +1992,20 @@ object TextOps {
              |              substring(text, i + 1, $SubstrL) AS gram))"""
             .stripMargin)).as("x"))
       .select(col("doc_id"), col("x.pos").as("pos"), col("x.gram").as("gram"))
-    // Byte-derived width for the gram-keyed exchange (r11, the
-    // verifySide treatment): the count window SORTS each partition's
-    // gram slice, and at the session's pinned 32 partitions that
-    // reduce-side sort grows with the corpus. The inventory ships
-    // ~32 B per character position (measured 6.85 GB / 214M grams at
-    // sf10), so width = est-chars × 32 B / 16 MB keeps each window
-    // sort memory-resident at any corpus scale — the 448-wide window
-    // stage measured ZERO spill at sf10 (StageClock per-stage rows;
-    // the query's remaining spill was the MAP side, fixed by the text
-    // pin above). docsEstBytes/3 ≈ total chars (one memoized scan
-    // shared with the verify joins). Below the threshold the width
-    // equals the session default and the explicit repartition is
-    // withheld entirely, so bench-SF plans (and their AQE coalescing)
-    // are byte-identical to before.
-    val gramWidth = byteDerivedWidth(s, q99Chars * 32L, 16L << 20)
-    val gPinned =
-      if (gramWidth > s.sessionState.conf.numShufflePartitions)
-        g.repartition(gramWidth, col("gram"))
-      else g
-    val hits = gPinned
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("gram"))))
-      .filter(col("cnt") >= 2)
-      .select(col("doc_id"), col("pos"))
-    // ...and the DOC-side exchange (the islands windows + final agg all
-    // inherit it): hits ≤ one ~10 B (doc_id, pos) wire row per char
-    // position (measured 4.43 GB / 459M grams at sf20, where the
-    // 32-wide doc window was the query's LAST spiller — 13.3 GB,
-    // StageClock stage 21 — after the other two exchanges were sized).
-    // Worst-case bound (every gram duplicated), so uniform corpora get
-    // near-empty extra tasks at ~ms each; below threshold the session
-    // default wins, bench plans untouched.
-    val docWidth = byteDerivedWidth(s, q99Chars * 10L, 16L << 20)
+  }
+
+  /** The doc-side islands/spans tail shared by both q99 forms.
+    * Byte-derived width for the DOC-side exchange (the islands windows
+    * + final agg all inherit it): hits ≤ one ~10 B (doc_id, pos) wire
+    * row per char position (measured 4.43 GB / 459M grams at sf20,
+    * where the 32-wide doc window was the query's LAST spiller —
+    * 13.3 GB, StageClock stage 21 — after the other two exchanges were
+    * sized). Worst-case bound (every gram duplicated), so uniform
+    * corpora get near-empty extra tasks at ~ms each; below threshold
+    * the session default wins, bench plans untouched. */
+  private def q99Islands(s: SparkSession, d: String, hits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docWidth = byteDerivedWidth(s, (docsEstBytes(s, d) / 3L) * 10L, 16L << 20)
     val hitsPinned =
       if (docWidth > s.sessionState.conf.numShufflePartitions)
         hits.repartition(docWidth, col("doc_id"))
@@ -2004,6 +2025,41 @@ object TextOps {
       .select(col("doc_id"), col("island").as("span_idx"), col("span_start"),
         col("span_end"), col("span_len"), col("n_grams"))
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Dev variant (r12, the hash-order/hybrid adjudication pattern):
+    * exact TWO-PASS duplicated-gram test — pass 1 derives the
+    * duplicated-gram set with a map-side-combined groupBy-count over a
+    * fresh explode (partial aggregation reduces a hot gram to ONE row
+    * per map task BEFORE any exchange — the counting step cannot
+    * funnel), pass 2 semi-joins the inventory against that set at the
+    * byte-derived width (AQE's skew split can divide a hot PROBE
+    * partition across tasks; the window form's hot partition cannot be
+    * split — a window partition is atomic). Same exact semantics: a
+    * position survives iff its gram's corpus count ≥ 2, keys are the
+    * 25-char gram text in both passes (no hash shortcut — exactness is
+    * the operator's contract). Price: the corpus is exploded twice
+    * (column pruning specializes the two subtrees, so the explode is
+    * not reusable — the r11 explain finding) and the count exchange
+    * ships map-combined (gram, cnt) partials. Output pinned identical
+    * to the default in TextOpsSpec; the hot/base A/B numbers live in
+    * SKEW_r12.json and the adjudication in BASELINE.md r12. */
+  private[graft] def q99SubstringDedupTwoPass(s: SparkSession, d: String): DataFrame = {
+    val q99Chars = docsEstBytes(s, d) / 3L
+    val gramWidth = byteDerivedWidth(s, q99Chars * 32L, 16L << 20)
+    val dup = q99Grams(s, d)
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("gram"))
+    val g = q99Grams(s, d)
+    val (probe, build) =
+      if (gramWidth > s.sessionState.conf.numShufflePartitions)
+        (g.repartition(gramWidth, col("gram")),
+          dup.repartition(gramWidth, col("gram")).hint("shuffle_hash"))
+      else (g, dup)
+    val hits = probe.join(build, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    q99Islands(s, d, hits)
   }
 
   /** q100: BPE tokenizer induction — three unrolled merge rounds of

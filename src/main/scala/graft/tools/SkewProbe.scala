@@ -54,7 +54,10 @@ object SkewProbe {
       Map("q33_hashorder" -> (graft.queries.TextOps.q33NgramJaccardHashOrdered _),
         "q33_hybrid" -> (graft.queries.TextOps.q33NgramJaccardHybridOrdered _),
         "q33_nopref" -> (graft.queries.TextOps.q33NgramJaccardNoPrefilter _),
-        "q88_nopref" -> (graft.queries.TextOps.q88ContainmentJoinNoPrefilter _))
+        "q88_nopref" -> (graft.queries.TextOps.q88ContainmentJoinNoPrefilter _),
+        // r12: the hot-gram-safe two-pass q99 (map-combined count +
+        // semi join) — the A/B against the count-window default
+        "q99_twopass" -> (graft.queries.TextOps.q99SubstringDedupTwoPass _))
 
     val spark = SparkSession.builder()
       .master("local[32]")

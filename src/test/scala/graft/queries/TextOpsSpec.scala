@@ -62,6 +62,15 @@ class TextOpsSpec extends SparkSuite {
       .collect().toSeq == a33)
     assert(TextOps.q88ContainmentJoinNoPrefilter(spark, dir)
       .collect().toSeq == a88)
+    // q99's two-pass (map-combined count + semi join) dev variant must
+    // match the count-window default in BOTH regimes — it is the
+    // recorded hot-gram mitigation (SKEW_r12/BASELINE r12), and a
+    // silent divergence would invalidate its A/B rows the same way
+    val a99 = TextOps.q99SubstringDedup(spark, sf).collect().toSeq
+    assert(a99.nonEmpty)
+    assert(TextOps.q99SubstringDedupTwoPass(spark, sf).collect().toSeq == a99)
+    assert(TextOps.q99SubstringDedup(spark, dir).collect().toSeq == a99)
+    assert(TextOps.q99SubstringDedupTwoPass(spark, dir).collect().toSeq == a99)
   }
 
   test("beyond-cap q84 name-collapsed variant join equals the broadcast regime on a dup family") {

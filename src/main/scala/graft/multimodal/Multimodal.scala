@@ -32,9 +32,21 @@ object Multimodal {
 
   /** Synthesize a media table from `documents`: UTF-8 bytes stand in for
     * the blob; type assigned round-robin. Real pipelines read
-    * `spark.read.format("binaryFile")` or parquet with a binary column. */
+    * `spark.read.format("binaryFile")` or parquet with a binary column.
+    *
+    * Pinned to the session width (r12, StageClock): the decode work
+    * downstream is CPU-dense per-row map work, and it must not inherit
+    * the SCAN's byte-based partitioning — a bench-SF documents parquet
+    * is one ~0.5 MB file, i.e. ONE input partition, and q40's whole
+    * codec pipeline ran as a single task at 3% core utilization (twice:
+    * its sort's sample pass re-executes the child). The same r5 lesson
+    * the text family's `shingled` pin encodes. One narrow exchange of
+    * the text bytes; at real scale the terminal sort forces an exchange
+    * of comparable width anyway. */
   def mediaTable(documents: DataFrame): DataFrame =
-    documents.select(
+    documents.repartition(
+      documents.sparkSession.sessionState.conf.numShufflePartitions,
+      col("doc_id")).select(
       col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("media"),
       element_at(array(lit("image"), lit("audio"), lit("video")),

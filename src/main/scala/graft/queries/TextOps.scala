@@ -1893,7 +1893,7 @@ object TextOps {
   /** Character-gram width for q99 — long enough that a duplicated gram
     * is training-relevant verbatim reuse, short enough that partial
     * phrase reuse (not just whole-doc copies) still surfaces at test SF. */
-  private val SubstrL = 25
+  private[graft] val SubstrL = 25 // shared with tools.GramCensus — the census must count the same grams q99 windows over
 
   /** q99: exact duplicated-substring spans — the Lee et al.
     * "Deduplicating Training Data Makes Language Models Better"

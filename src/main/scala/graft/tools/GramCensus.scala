@@ -26,7 +26,7 @@ object GramCensus {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val L = 25 // TextOps.SubstrL — q99's gram length
+    val L = graft.queries.TextOps.SubstrL // the census must track q99's gram length
     for (d <- args) {
       val grams = spark.read.parquet(s"$d/documents.parquet")
         .select(explode(expr(
@@ -37,11 +37,11 @@ object GramCensus {
       // one wide gram agg (the window's partition structure), then a
       // four-way census over it — map-side combinable, no windows
       val r = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
-        .agg(
-          sum(col("cnt")).as("positions"),
+        .agg( // coalesce: sum() over ZERO groups is null (empty corpus / all-short texts) — print zeros, don't NPE
+          coalesce(sum(col("cnt")), lit(0L)).as("positions"),
           count(lit(1)).as("distinct_grams"),
-          sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("hits"),
-          sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+          coalesce(sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)), lit(0L)).as("hits"),
+          coalesce(sum(when(col("cnt") >= 2, 1L).otherwise(0L)), lit(0L)).as("dup_grams"))
         .head()
       println(s"""{"sf":"${d.split('/').filter(_.nonEmpty).last}",""" +
         s""""positions":${r.getLong(0)},"distinct_grams":${r.getLong(1)},""" +

@@ -236,7 +236,11 @@ object SkewProbe {
     // image. The collect is safe: outputs are tiny pair lists.
     if (sys.env.get("SKEW_AB").contains("1")) {
       val twin = Map("q33_nopref" -> "q33_ngram_jaccard",
-        "q88_nopref" -> "q88_containment_join")
+        "q88_nopref" -> "q88_containment_join",
+        // r12: the two-pass q99 must match the count-window default on
+        // the hot corpus too (TextOpsSpec pins fixtures; this pins the
+        // corpus the A/B rows are actually recorded on)
+        "q99_twopass" -> "q99_substring_dedup")
       for (q <- queries; base <- twin.get(q)) {
         val a = lookup(q).get.apply(spark, skewDir)
           .collect().map(_.toString).sorted.toSeq

@@ -287,6 +287,17 @@ class PlanSpec extends SparkSuite {
     for (width <- Seq(textWidth, gramWidth, docWidth))
       assert(s", $width\\)".r.findFirstIn(p).isDefined,
         s"expected an exchange at width $width:\n$p")
+    // the r12 two-pass variant (the recorded hot-gram mitigation) must
+    // keep ITS beyond-cap shape too: a shuffled-hash LEFT SEMI join at
+    // the gram width on both children (a sort-merge semi would sort
+    // the full inventory — the exact failure the width machinery
+    // exists to prevent), plus the same text/doc pins
+    val p2 = plan(TextOps.q99SubstringDedupTwoPass(spark, dir))
+    assert(p2.contains("ShuffledHashJoin") && p2.contains("LeftSemi"), p2)
+    assert(!p2.contains("SortMergeJoin"), p2)
+    for (width <- Seq(textWidth, gramWidth, docWidth))
+      assert(s", $width\\)".r.findFirstIn(p2).isDefined,
+        s"expected an exchange at width $width:\n$p2")
   }
 
   test("beyond-cap q84 variant join is shuffled-hash with BOTH sides at the byte-derived width") {

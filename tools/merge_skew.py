@@ -8,7 +8,7 @@ out = sys.argv[1]
 rows = []
 for spec in sys.argv[2:]:
     # spec: path:sf_label:adversary
-    path, sf, adv = spec.split(":")
+    path, sf, adv = spec.rsplit(":", 2)  # rsplit: paths may contain colons
     for r in json.load(open(path)):
         rows.append({"sf": sf, "adversary": adv, **r})
 json.dump(rows, open(out, "w"), indent=1)

@@ -90,6 +90,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Split small parquet files across the cores (r12 StageClock
+      // audit): the default openCostInBytes (4 MB) clamps every
+      // bench-SF table (0.3-11 MB single files) to ONE scan partition,
+      // so CPU-dense map queries (codec sign/verify over 100k events,
+      // media decode) ran single-task at 3% utilization — and the
+      // terminal sort's sample pass re-executed that single task. At
+      // the 100 TB target files dwarf maxPartitionBytes and these two
+      // knobs are inert; locally they are exactly the "size partitions
+      // to the SF" dial. No new exchanges — byte metrics unchanged.
+      .config("spark.sql.files.openCostInBytes", 16384)
+      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -10,6 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // small-file scan splitting, the Bench treatment (r12): inert at
+      // real scale, parallelizes CPU-dense map queries at test SFs
+      .config("spark.sql.files.openCostInBytes", 16384)
+      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

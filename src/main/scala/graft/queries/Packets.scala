@@ -29,7 +29,16 @@ object Packets {
     * emit the decoded fields (C1/C10, lorawanWrapper.go:533-567 +
     * jsonUnmarshaler.go). */
   def q20CodecRoundtrip(s: SparkSession, d: String): DataFrame = {
+    // CPU-density width pin (r12, the mediaTable treatment): the codec
+    // work below is ~28 µs/row of AES/bit-twiddling, and a bench-SF
+    // events parquet is ONE row group — parquet hands a row group to
+    // one scan task no matter how the file splits, so the decode ran
+    // single-task (twice: the terminal sort's sample pass re-executes
+    // the child; StageClock r12). One narrow round-robin exchange of
+    // the 2-column projection spreads it; at 100 TB multi-row-group
+    // files parallelize the scan naturally and the exchange is noise.
     val e = events(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
     val bytes = synthJoinRequest(
       mic = lpad(lower(hex(col("event_id") % 100000)), 8, "0"))
     val phy = PhyFunctions.phy_decode(bytes)
@@ -47,7 +56,8 @@ object Packets {
   /** q21: the scalar projection zoo (P2 b64pad, P5 datr parse, P6 topic
     * dev_eui, P10 CRC map) on synthesized inputs. */
   def q21ScalarOps(s: SparkSession, d: String): DataFrame = {
-    val e = events(s, d)
+    val e = events(s, d) // width pin: the q20 rationale
+      .repartition(s.sessionState.conf.numShufflePartitions)
     val sf = (col("event_id") % 6 + 7).cast("string")
     val bw = (when(col("event_id") % 2 === 0, 125).otherwise(250)).cast("string")
     val datr = concat(lit("SF"), sf, lit("BW"), bw)
@@ -150,7 +160,8 @@ object Packets {
     * garbage payloads; decode must tag exactly the garbage rows with an
     * error and leave their fields null. */
   def q26DecodeErrors(s: SparkSession, d: String): DataFrame = {
-    val e = events(s, d)
+    val e = events(s, d) // width pin: the q20 rationale
+      .repartition(s.sessionState.conf.numShufflePartitions)
     val valid = synthJoinRequest(lit("00000000"))
     val payload = when(col("event_id") % 3 === 0,
       base64(valid)).otherwise(concat(lit("!garbage!"), col("event_id")))

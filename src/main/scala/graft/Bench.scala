@@ -81,6 +81,22 @@ object BenchPolicy {
     * (spec-pinned). */
   def nextFloor(chosen: Option[Double], stored: Option[Double]): Option[Double] =
     (chosen.toSeq ++ stored.toSeq).minOption
+
+  /** Whether a SPARK_GRAFT_BENCH_OUT redirect aimed AT the committed
+    * record may actually land there (r12 ADVICE): admitted when the
+    * write can carry a floor (the run's own gated ratio, or the stored
+    * floor it inherits), or when the run has no measured ratio at all
+    * (drift_median_ratio lands as null — floor-neutral to any future
+    * fallback read). Refused exactly in the remaining shape: NO floor
+    * source AND a measured-but-ungated ratio — a wrong-SF redirect onto
+    * an absent/unreadable record would write drift_median_ratio ≈ 0.1
+    * with no record_floor_ratio, and the NEXT run's legacy fallback
+    * would adopt that 0.1 as the floor, after which the monotone rule
+    * refuses every legitimate ~0.9 run (the exact lock-out the gated
+    * floor exists to prevent, re-entering through the fallback path). */
+  def redirectWritable(gatedRatio: Option[Double], storedFloor: Option[Double],
+                       measuredRatio: Option[Double]): Boolean =
+    nextFloor(gatedRatio, storedFloor).isDefined || measuredRatio.isEmpty
 }
 
 object Bench {
@@ -557,9 +573,6 @@ object Bench {
         java.nio.file.Paths.get("BENCH_SELF.json").toAbsolutePath.normalize
       catch { case _: Throwable => outTarget == "BENCH_SELF.json" }
     if (redirectIsRecord) {
-      System.err.println("[bench] SPARK_GRAFT_BENCH_OUT targets the committed " +
-        "record BENCH_SELF.json — writing it WITH the carried record floor " +
-        "(the monotone rule survives the redirect)")
       // the carried floor only admits THIS run's ratio through the same
       // positive-verdict gate the normal record path uses (r12 review:
       // an ungated nextFloor(chosenRatio, …) let a wrong-SF redirect
@@ -570,8 +583,24 @@ object Bench {
         if (BenchPolicy.selfRecordable(chosenRatio, refQueries.isEmpty,
           failed.nonEmpty, driftBar, storedRatio = None)) chosenRatio
         else None
-      record(outTarget, BenchPolicy.nextFloor(gatedRatio, storedFloor)
-        .fold("")(f => s""""record_floor_ratio":${num("%.3f", f)}"""))
+      if (BenchPolicy.redirectWritable(gatedRatio, storedFloor, chosenRatio)) {
+        System.err.println("[bench] SPARK_GRAFT_BENCH_OUT targets the committed " +
+          "record BENCH_SELF.json — writing it WITH the carried record floor " +
+          "(the monotone rule survives the redirect)")
+        record(outTarget, BenchPolicy.nextFloor(gatedRatio, storedFloor)
+          .fold("")(f => s""""record_floor_ratio":${num("%.3f", f)}"""))
+      } else {
+        // r12 ADVICE: no stored floor + an ungated measured ratio —
+        // writing would leave drift_median_ratio as the only number a
+        // future storedFloor fallback can read, poisoning the monotone
+        // gate with a non-comparable value. Land in BENCH_LAST.json.
+        System.err.println("[bench] SPARK_GRAFT_BENCH_OUT targets " +
+          "BENCH_SELF.json, but no record floor exists and this run's " +
+          s"ratio (${chosenRatio.fold("n/a")(r => f"$r%.3f")}) failed the " +
+          "record gate — refusing the record write (its drift_median_ratio " +
+          "would become the next run's floor); landing in BENCH_LAST.json")
+        record("BENCH_LAST.json")
+      }
     } else record(outTarget)
     // BENCH_SELF.json demands a POSITIVE verdict, not merely the absence
     // of a drift flag: a run at the wrong SF reads median ratios ~0.1

@@ -157,6 +157,20 @@ object SkewProbe {
           when(col("c_custkey") % familyMod === 0, lit("Customer#HOTFAMILY0000"))
             .otherwise(col("c_name")))
         .write.mode("overwrite").parquet(s"$skewDir/customer.parquet")
+    else {
+      // r12 ADVICE: a rebuild against a customer-less base must also
+      // REMOVE any customer.parquet a previous build left here — the
+      // provenance stamp records base_customers=0 (so reuse is blocked
+      // correctly), but a q84 probe pointed at this dir would silently
+      // read the stale cross-base table alongside the fresh documents
+      val stale = java.nio.file.Paths.get(s"$skewDir/customer.parquet")
+      if (java.nio.file.Files.exists(stale)) {
+        System.err.println(s"[skewprobe] removing stale $stale (base has no customer table)")
+        java.nio.file.Files.walk(stale)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
     java.nio.file.Files.write(provPath, (provenance + "\n").getBytes("UTF-8"))
     }
 

@@ -108,4 +108,23 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(BenchPolicy.nextFloor(Some(1.0), None) == Some(1.0))
     assert(BenchPolicy.nextFloor(None, None).isEmpty)
   }
+
+  test("a record-targeted redirect with no floor source refuses rather than poison the fallback (r12 advice)") {
+    // the hole: BENCH_SELF.json absent (storedFloor None), the redirect
+    // run gated out (wrong-SF ratio ~0.1 → gatedRatio None) — a write
+    // would carry drift_median_ratio 0.1 with no record_floor_ratio,
+    // and the NEXT run's legacy fallback would read 0.1 as the floor,
+    // locking out every legitimate ~0.9 run forever
+    assert(!BenchPolicy.redirectWritable(gatedRatio = None,
+      storedFloor = None, measuredRatio = Some(0.1)))
+    // same shape with a drifted ratio: equally refused
+    assert(!BenchPolicy.redirectWritable(None, None, Some(1.4)))
+    // ratio-less run (no reference): drift_median_ratio lands as null —
+    // floor-neutral, nothing for a fallback to misread — admitted
+    assert(BenchPolicy.redirectWritable(None, None, None))
+    // a stored floor carries through regardless of this run's verdict
+    assert(BenchPolicy.redirectWritable(None, Some(0.864), Some(0.1)))
+    // an in-band gated ratio is its own floor source (redirect bootstrap)
+    assert(BenchPolicy.redirectWritable(Some(0.95), None, Some(0.95)))
+  }
 }

@@ -208,4 +208,71 @@ object Tables {
 
   private def fail(msg: String): Nothing =
     throw new IllegalStateException(s"testdata schema changed: $msg")
+
+  /** Fallback row-group estimate when a footer is unreadable: parquet
+    * writers roll row groups at ~`parquet.block.size` (128 MB default),
+    * and a smaller writer block size only UNDERestimates the count —
+    * the safe direction: the pin below is a narrow exchange, so erring
+    * toward applying it costs noise while erring toward withholding it
+    * re-opens the single-task funnel. */
+  private val RowGroupBytes = 128L << 20
+
+  private val rowGroupMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]
+
+  /** Whether the files feeding `df` carry at least `width` ROW GROUPS
+    * — the unit parquet hands to ONE scan task no matter how a file is
+    * split (r12 StageClock: every bench-SF table is one row group, and
+    * the CPU-dense map families ran entire pipelines on one core at 3%
+    * utilization), so the unit that decides whether the scan
+    * parallelizes on its own. Counted from the parquet FOOTERS (exact;
+    * a byte estimate misreads precisely the single-row-group-despite-
+    * splitting case this gate exists for). Short-circuits keep the
+    * at-scale cost bounded: ≥width files is a proof without any footer
+    * read (every file holds ≥1 row group), and the footer walk stops
+    * at the first `width` row groups — at most `width` footer reads,
+    * once per (session, file set). */
+  private def scanSelfParallel(df: DataFrame, width: Int): Boolean = {
+    val s = df.sparkSession
+    rowGroupMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    val files = df.inputFiles
+    if (files.length >= width) return true
+    val key = (s, files.sorted.mkString(" ") + s"#$width")
+    rowGroupMemo.computeIfAbsent(key, _ => {
+      val conf = s.sessionState.newHadoopConf()
+      var rg = 0L
+      val it = files.iterator
+      while (it.hasNext && rg < width) {
+        val p = new org.apache.hadoop.fs.Path(it.next())
+        rg += (try {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+          try r.getRowGroups.size.toLong finally r.close()
+        } catch { case scala.util.control.NonFatal(_) =>
+          val len = p.getFileSystem(conf).getFileStatus(p).getLen
+          math.max(1L, (len + RowGroupBytes - 1) / RowGroupBytes)
+        })
+      }
+      rg >= width
+    })
+  }
+
+  /** Width pin for CPU-dense map pipelines, GATED on scan parallelism
+    * (r12 ADVICE): repartition to session width only when the table's
+    * estimated row groups cannot feed that many scan tasks — the
+    * single-row-group regime where the r12 audit caught q40/q20/q21/q26
+    * running whole codec pipelines as ONE task. Once the table carries
+    * ≥width row groups (any real deployment: multi-row-group files,
+    * many files) the scan parallelizes naturally and the pin withholds
+    * itself — the plan is byte-identical to the unpinned one, so the
+    * 100 TB path never pays the full-width exchange of the projection
+    * (nor its sortBeforeRepartition local sort) that the r12
+    * unconditional pin charged on an untested "stays noise" assumption.
+    * `partitionExprs` empty → round-robin; otherwise hash on them. */
+  def cpuWidthPin(df: DataFrame, partitionExprs: org.apache.spark.sql.Column*): DataFrame = {
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (scanSelfParallel(df, width)) df
+    else if (partitionExprs.isEmpty) df.repartition(width)
+    else df.repartition(width, partitionExprs: _*)
+  }
 }

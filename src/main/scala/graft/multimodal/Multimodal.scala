@@ -41,12 +41,12 @@ object Multimodal {
     * codec pipeline ran as a single task at 3% core utilization (twice:
     * its sort's sample pass re-executes the child). The same r5 lesson
     * the text family's `shingled` pin encodes. One narrow exchange of
-    * the text bytes; at real scale the terminal sort forces an exchange
-    * of comparable width anyway. */
+    * the text bytes; GATED since r13 (Tables.cpuWidthPin): once the
+    * table's estimated row groups reach session width the scan
+    * parallelizes naturally and the pin withholds itself — the 100 TB
+    * plan never pays the exchange at all. */
   def mediaTable(documents: DataFrame): DataFrame =
-    documents.repartition(
-      documents.sparkSession.sessionState.conf.numShufflePartitions,
-      col("doc_id")).select(
+    graft.Tables.cpuWidthPin(documents, col("doc_id")).select(
       col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("media"),
       element_at(array(lit("image"), lit("audio"), lit("video")),

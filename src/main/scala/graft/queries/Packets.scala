@@ -35,10 +35,11 @@ object Packets {
     // one scan task no matter how the file splits, so the decode ran
     // single-task (twice: the terminal sort's sample pass re-executes
     // the child; StageClock r12). One narrow round-robin exchange of
-    // the 2-column projection spreads it; at 100 TB multi-row-group
-    // files parallelize the scan naturally and the exchange is noise.
-    val e = events(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    // the 2-column projection spreads it; GATED since r13 on the
+    // table's estimated row groups (cpuWidthPin), so at 100 TB —
+    // where multi-row-group files parallelize the scan naturally —
+    // the exchange is withheld entirely instead of assumed "noise".
+    val e = cpuWidthPin(events(s, d))
     val bytes = synthJoinRequest(
       mic = lpad(lower(hex(col("event_id") % 100000)), 8, "0"))
     val phy = PhyFunctions.phy_decode(bytes)
@@ -56,8 +57,7 @@ object Packets {
   /** q21: the scalar projection zoo (P2 b64pad, P5 datr parse, P6 topic
     * dev_eui, P10 CRC map) on synthesized inputs. */
   def q21ScalarOps(s: SparkSession, d: String): DataFrame = {
-    val e = events(s, d) // width pin: the q20 rationale
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    val e = cpuWidthPin(events(s, d)) // width pin: the q20 rationale
     val sf = (col("event_id") % 6 + 7).cast("string")
     val bw = (when(col("event_id") % 2 === 0, 125).otherwise(250)).cast("string")
     val datr = concat(lit("SF"), sf, lit("BW"), bw)
@@ -160,8 +160,7 @@ object Packets {
     * garbage payloads; decode must tag exactly the garbage rows with an
     * error and leave their fields null. */
   def q26DecodeErrors(s: SparkSession, d: String): DataFrame = {
-    val e = events(s, d) // width pin: the q20 rationale
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    val e = cpuWidthPin(events(s, d)) // width pin: the q20 rationale
     val valid = synthJoinRequest(lit("00000000"))
     val payload = when(col("event_id") % 3 === 0,
       base64(valid)).otherwise(concat(lit("!garbage!"), col("event_id")))

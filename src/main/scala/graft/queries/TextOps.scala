@@ -1753,7 +1753,17 @@ object TextOps {
     * able at ANY corpus size (K-bounded), which q93's full-model joins
     * are not. The fold is the q93 order-pinned sum. */
   def q103LmScorePruned(s: SparkSession, d: String): DataFrame = {
-    val w = documents(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+    // Gated width pin (r13, the q20 adjudication — SURVEY §7.11's
+    // declared pin-vs-pin residual): the bigram explode + scoring map
+    // stage runs at SCAN parallelism, and a bench-SF documents parquet
+    // is one row group → one task (measured 2.1 s warm; 1.0 s pinned,
+    // BASELINE.md r13). cpuWidthPin withholds itself once the table's
+    // row groups reach session width, so the minimal-exchange doctrine
+    // this query's plan pin encodes still holds verbatim AT SCALE —
+    // the narrow raw-text exchange exists only in the small-corpus
+    // regime where it is the difference between 1 and 32 cores.
+    val w = cpuWidthPin(documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
     val bg = lmBigrams(w)
     val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val kept = cnt
@@ -1895,6 +1905,62 @@ object TextOps {
     * phrase reuse (not just whole-doc copies) still surfaces at test SF. */
   private[graft] val SubstrL = 25 // shared with tools.GramCensus — the census must count the same grams q99 windows over
 
+  /** The character-gram explode both q99 forms AND the hot-df estimator
+    * run — one definition so the estimator can never count different
+    * grams than the window it protects. */
+  private def gramExplodeSql: String =
+    s"""transform(
+       |  CASE WHEN length(text) >= $SubstrL
+       |       THEN sequence(0, length(text) - $SubstrL)
+       |       ELSE array() END,
+       |  i -> struct(CAST(i AS BIGINT) AS pos,
+       |              substring(text, i + 1, $SubstrL) AS gram))"""
+      .stripMargin
+
+  /** 1-in-61 deterministic doc sample for the hot-df estimate. Prime
+    * and coprime to every generator periodicity in play (the corpus
+    * builders' 10/250/300 family mods), so the sample cannot alias
+    * against an adversary's duplication pattern. */
+  private[graft] val HotGramSampleMod = 61L
+
+  /** Max window rows ONE task may owe to a single hot gram before q99
+    * switches to the two-pass form. Calibrated from SKEW_r12: the
+    * measured hazard sat at df ≈ 150k (7.0 s on one task vs a 1.3 s
+    * stage median), while uniform corpora — bench SF through the sf20
+    * synthetic decade — show max-df in the hundreds (replica × small
+    * dup-family counts). 2^16 sits two orders above the uniform signal
+    * and safely below the measured hazard, and errs toward the exact
+    * two-pass (a false switch costs its measured ~1.9× wall premium,
+    * never correctness — outputs are pinned identical). */
+  private[graft] val HotGramTaskRowBudget = 1L << 16
+
+  private val hotDfMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+
+  /** Sampled estimate of the corpus's maximum gram document frequency
+    * (POSITION count, intra-doc repeats included — the unit the window
+    * task actually carries): count grams over the 1-in-61 doc sample,
+    * scale the max back by 61. One memoized aggregate per (session,
+    * sfDir), the docsEstBytes treatment — and only ever computed in
+    * the byte-width regime (the gate short-circuits below it), so
+    * bench-SF plan construction pays nothing. The doc-level sample
+    * sees exactly the crawl hazard (a hot gram spread across a
+    * CONSTANT FRACTION of docs — boilerplate); a gram concentrated in
+    * fewer than ~61 docs has df bounded by those docs' total length,
+    * which the per-task explode width already bounds. */
+  private def estMaxGramDf(s: SparkSession, d: String): Long = {
+    hotDfMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    hotDfMemo.computeIfAbsent((s, d), _ => {
+      val mx = documents(s, d)
+        .filter(col("doc_id") % HotGramSampleMod === 0)
+        .select(explode(expr(gramExplodeSql)).as("x"))
+        .groupBy(col("x.gram")).agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(max(col("cnt")), lit(0L)).as("mx"))
+        .head().getLong(0)
+      mx * HotGramSampleMod
+    })
+  }
+
   /** q99: exact duplicated-substring spans — the Lee et al.
     * "Deduplicating Training Data Makes Language Models Better"
     * ExactSubstr operator, restated for a shared-nothing engine: the
@@ -1923,6 +1989,35 @@ object TextOps {
     * verify pass that reads the texts again — strictly worse than
     * shipping 25 bytes once. */
   def q99SubstringDedup(s: SparkSession, d: String): DataFrame = {
+    // REGIME GATE (r13, verdict task 1 — the broadcast-cap/byte-width
+    // switch pattern applied to q99's one remaining manual decision):
+    // the window form's hot-gram term is LINEAR IN df WITH NO UPPER
+    // BOUND — a gram at document frequency df lands WHOLE in one window
+    // partition (a window partition is atomic; AQE cannot split it), so
+    // crawl boilerplate at df = c·N puts c·N rows on ONE task forever.
+    // Measured: 7.0 s on one task at df ≈ 150k against a 1.3 s stage
+    // median (SKEW_r12). The two-pass form bounds that term by
+    // map-side-combined counting (a hot gram reduces to one row per map
+    // task before any exchange) at a measured ~1.9× wall / +52% byte
+    // premium — worth paying exactly when the hot term is unbounded.
+    // The gate estimates max-df from a deterministic 1-in-61 doc sample
+    // (estMaxGramDf) and switches past HotGramTaskRowBudget; below the
+    // byte-width threshold the estimate is not even computed (the whole
+    // gram inventory fits a session-width window pass, and bench-SF
+    // plan construction stays job-free). Outputs are pinned identical
+    // across the gate in TextOpsSpec; the gated plan shape in PlanSpec.
+    val q99Chars = docsEstBytes(s, d) / 3L
+    val gramWidth = byteDerivedWidth(s, q99Chars * 32L, 16L << 20)
+    if (gramWidth > s.sessionState.conf.numShufflePartitions &&
+        estMaxGramDf(s, d) > HotGramTaskRowBudget)
+      q99SubstringDedupTwoPass(s, d)
+    else q99SubstringDedupWindow(s, d)
+  }
+
+  /** The default (uniform-corpus) q99 form: duplicated-gram test as one
+    * count window — single corpus scan, no join (see the q99 scaladoc
+    * above for the full 100 TB shape rationale). */
+  private[graft] def q99SubstringDedupWindow(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Byte-derived width for the gram-keyed exchange (r11, the
     // verifySide treatment): the count window SORTS each partition's
@@ -1982,15 +2077,7 @@ object TextOps {
     val textWidth = byteDerivedWidth(s, (docsEstBytes(s, d) / 3L) * 64L, 256L << 20)
     documents(s, d).select(col("doc_id"), col("text"))
       .repartition(textWidth, col("doc_id"))
-      .select(col("doc_id"),
-        explode(expr(
-          s"""transform(
-             |  CASE WHEN length(text) >= $SubstrL
-             |       THEN sequence(0, length(text) - $SubstrL)
-             |       ELSE array() END,
-             |  i -> struct(CAST(i AS BIGINT) AS pos,
-             |              substring(text, i + 1, $SubstrL) AS gram))"""
-            .stripMargin)).as("x"))
+      .select(col("doc_id"), explode(expr(gramExplodeSql)).as("x"))
       .select(col("doc_id"), col("x.pos").as("pos"), col("x.gram").as("gram"))
   }
 
@@ -2027,8 +2114,9 @@ object TextOps {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
-  /** Dev variant (r12, the hash-order/hybrid adjudication pattern):
-    * exact TWO-PASS duplicated-gram test — pass 1 derives the
+  /** The hot-corpus q99 form, AUTO-SELECTED by [[q99SubstringDedup]]'s
+    * regime gate since r13 (built r12 as the adjudicated manual
+    * mitigation): exact TWO-PASS duplicated-gram test — pass 1 derives the
     * duplicated-gram set with a map-side-combined groupBy-count over a
     * fresh explode (partial aggregation reduces a hot gram to ONE row
     * per map task BEFORE any exchange — the counting step cannot
@@ -2169,7 +2257,10 @@ object TextOps {
     * JIT'd UDF or native Expression computing the identical integer
     * fold, bit-compatible with this oracle by construction. */
   def q101QualityClassifier(s: SparkSession, d: String): DataFrame =
-    classifierScored(documents(s, d))
+    // gated width pin (r13): see q103 — same single-row-group residual,
+    // same at-scale self-withholding; the zero-exchange inference plan
+    // is intact wherever the scan parallelizes on its own
+    classifierScored(cpuWidthPin(documents(s, d)))
       .select(col("doc_id"), col("n_tokens"), col("score"),
         col("mean_weight"), col("keep"))
       .orderBy(col("doc_id"))

@@ -298,6 +298,37 @@ class PlanSpec extends SparkSuite {
     for (width <- Seq(textWidth, gramWidth, docWidth))
       assert(s", $width\\)".r.findFirstIn(p2).isDefined,
         s"expected an exchange at width $width:\n$p2")
+    // the r13 REGIME GATE must stay OFF here: this fixture is
+    // beyond-cap but UNIFORM (its hottest gram is the 100-doc shared
+    // prefix — est df ~100·61 ≪ the 2^16 budget), so the auto-selected
+    // plan is still the count-window: no join anywhere
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q99 regime gate auto-selects the two-pass shape on a hot-gram corpus (r13)") {
+    // beyond-cap AND hot: one sampled doc is a 70k period-1 run, so
+    // the estimator reads ~70k positions of ONE gram in the sample
+    // (est ≈ 4.3M ≫ the 2^16 per-task budget) and q99SubstringDedup
+    // must plan the two-pass — shuffled-hash LEFT SEMI at the
+    // byte-derived gram width — with no operator involvement. The
+    // output equality across the gate is pinned in TextOpsSpec.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate99").toString
+    (0 until 100).map(i => (i.toLong,
+        if (i == 0) "a" * 70000
+        else s"alpha bravo charlie delta echo f$i g$i", "en", "syn", 2000000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = plan(TextOps.q99SubstringDedup(spark, dir))
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // same width discipline as the manual two-pass pin above
+    val chars = (100L * 48L + 100L * 2000000L * 3L) / 3L
+    val session = spark.sessionState.conf.numShufflePartitions
+    val gramWidth = math.min(1 << 16,
+      math.max(session, (chars * 32L / (16L << 20)).toInt + 1))
+    assert(s", $gramWidth\\)".r.findFirstIn(p).isDefined,
+      s"expected the gram exchange at width $gramWidth:\n$p")
   }
 
   test("beyond-cap q84 variant join is shuffled-hash with BOTH sides at the byte-derived width") {
@@ -471,15 +502,22 @@ class PlanSpec extends SparkSuite {
 
   test("q101 classifier inference is one map over one scan — zero joins/aggs") {
     // classifier inference runs at full corpus width: the model is a
-    // formula/literal, never a join, and scoring is row-local — the only
-    // exchange allowed is the output sort's range partitioning
+    // formula/literal, never a join, and scoring is row-local. The r13
+    // pin-vs-pin adjudication (SURVEY §7.11 residual, BASELINE.md r13):
+    // the minimal-exchange doctrine now admits ONE gated round-robin
+    // width pin below the multi-row-group threshold (test SF is a
+    // single row group, so it appears here); cpuWidthPin withholds it
+    // once the scan parallelizes on its own (ScanWidthSpec measures
+    // that), so the AT-SCALE plan keeps the original bound: the output
+    // sort's range partitioning is the only exchange.
     val p = plan(TextOps.q101QualityClassifier(spark, sf))
     assert(p.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet\\b.*")) == 1, p)
     assert(!p.contains("Join"), p)
     assert(!p.contains("HashAggregate"), p)
     assert(!p.contains("Window"), p)
+    assert(p.contains("RoundRobinPartitioning"), p) // the gated pin, live at test SF
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
-    assert(exchanges <= 1, s"$exchanges exchanges:\n$p")
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
   }
 
   test("q102 targets broadcast onto the corpus; one window exchange") {

@@ -73,6 +73,41 @@ class TextOpsSpec extends SparkSuite {
     assert(TextOps.q99SubstringDedupTwoPass(spark, dir).collect().toSeq == a99)
   }
 
+  test("q99 regime gate fires on a hot-gram corpus and the two sides agree there (r13)") {
+    // The r13 auto-switch: a corpus whose hottest gram exceeds
+    // HotGramTaskRowBudget window rows must select the two-pass form
+    // WITHOUT operator intervention — and the decision must be
+    // output-invisible, ON THE VERY CORPUS WHERE IT FIRES. The hot doc
+    // is a period-1 run: every position carries the same 25-gram, so
+    // one sampled doc (doc_id 0 ≡ 0 mod 61) puts ~70k positions of one
+    // gram in the estimator's sample — est ≈ 4.3M ≫ 2^16. n_chars is
+    // inflated (the stats-column fixture trick) so the byte-width
+    // regime — the gate's outer condition — is active at test width.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hot99").toString
+    (0 until 100).map(i => (i.toLong,
+        if (i == 0) "a" * 70000
+        else s"alpha bravo charlie delta echo foxtrot golf hotel i$i j$i",
+        "en", "syn", 2000000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val auto = TextOps.q99SubstringDedup(spark, dir)
+    // the gate selected the two-pass: its plan carries the semi join
+    // the window form provably lacks (PlanSpec pins the full shape)
+    assert(auto.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      auto.queryExecution.executedPlan.toString)
+    // both sides of the gate, identical rows, on the hot corpus itself
+    val rows = auto.collect().toSeq
+    assert(rows.nonEmpty)
+    assert(TextOps.q99SubstringDedupWindow(spark, dir).collect().toSeq == rows)
+    // and the hot doc's single maximal span is what dedup must find:
+    // positions 0..69975 merge into one island covering the whole run
+    val hotSpans = rows.filter(_.getLong(0) == 0L)
+    assert(hotSpans.size == 1 && hotSpans.head.getLong(3) == 70000L,
+      hotSpans.mkString(", "))
+  }
+
   test("beyond-cap q84 name-collapsed variant join equals the broadcast regime on a dup family") {
     // The r12 hot-family probe measured a 23.8× straggler in the
     // shuffle-regime variant join (one canonical name mass-duplicated —

@@ -32,4 +32,28 @@ class MeasureSpec extends SparkSuite {
     val m = Measure.run(df)
     assert(m.exchanges == 0 && m.shuffleBytes == 0, m.toString)
   }
+
+  test("forcing-honesty tripwire: forceOwnPlan executes q76's OWN plan, terminal join included (r12 protocol)") {
+    // The r12 finding this spec permanently pins: `df.count()` wraps
+    // the plan in a NEW QueryExecution whose optimizer prunes terminal
+    // projections, ORDER BYs, and (the exposing case) q76's entire
+    // unique-keyed terminal left join — every measurement tool had been
+    // timing a 4-stage skeleton where the query moves GBs. The shared
+    // forcing helper must therefore run THIS df's QueryExecution. If a
+    // future refactor reintroduces a plan-replacing action, the df's
+    // own executed plan stays unexecuted and its metrics read zero —
+    // exactly what this test refuses.
+    val df = graft.queries.TextOps.q76IncrementalDedup(spark, "/root/testdata/sf0.001")
+    val rows = org.apache.spark.sql.GraftColumnBridge.forceOwnPlan(df)
+    assert(rows > 0)
+    // the metrics live on df's OWN executed plan — nonzero only if the
+    // forcing ran that very plan
+    val m = Measure.of(df).copy(rows = rows)
+    assert(m.exchanges > 0, s"own plan not executed (exchange metrics empty): $m")
+    assert(m.shuffleBytes > 0 && m.shuffleRecords > 0, m.toString)
+    // and the executed plan still CONTAINS the dedup tail: the terminal
+    // join an over-eager forcing path would have optimized away
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("Join"), executed)
+  }
 }

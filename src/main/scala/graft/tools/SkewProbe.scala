@@ -57,7 +57,12 @@ object SkewProbe {
         "q88_nopref" -> (graft.queries.TextOps.q88ContainmentJoinNoPrefilter _),
         // r12: the hot-gram-safe two-pass q99 (map-combined count +
         // semi join) — the A/B against the count-window default
-        "q99_twopass" -> (graft.queries.TextOps.q99SubstringDedupTwoPass _))
+        "q99_twopass" -> (graft.queries.TextOps.q99SubstringDedupTwoPass _),
+        // r13: the count-window form under a dev name — since the r13
+        // regime gate, `q99_substring_dedup` on a hot corpus probes the
+        // AUTO-selected two-pass, so the window-on-hot A/B needs this
+        // explicit handle (the q33_hashorder pattern)
+        "q99_window" -> (graft.queries.TextOps.q99SubstringDedupWindow _))
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -254,7 +259,11 @@ object SkewProbe {
         // r12: the two-pass q99 must match the count-window default on
         // the hot corpus too (TextOpsSpec pins fixtures; this pins the
         // corpus the A/B rows are actually recorded on)
-        "q99_twopass" -> "q99_substring_dedup")
+        "q99_twopass" -> "q99_substring_dedup",
+        // r13: with the regime gate live, `q99_substring_dedup` on a
+        // hot corpus IS the two-pass — the window dev twin keeps the
+        // across-the-gate equality checkable on the probe corpus itself
+        "q99_window" -> "q99_substring_dedup")
       for (q <- queries; base <- twin.get(q)) {
         val a = lookup(q).get.apply(spark, skewDir)
           .collect().map(_.toString).sorted.toSeq

@@ -520,6 +520,15 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
   }
 
+  test("q20 codec pipeline carries the gated width pin below the row-group threshold") {
+    // test SF is one row group, so the r12 single-task funnel is live
+    // and cpuWidthPin must fire (the withheld branch is measured in
+    // ScanWidthSpec on a multi-row-group fixture)
+    val p = plan(Packets.q20CodecRoundtrip(spark, sf))
+    assert(p.contains("RoundRobinPartitioning") ||
+      p.contains("REPARTITION_BY_NUM"), p)
+  }
+
   test("q102 targets broadcast onto the corpus; one window exchange") {
     // the histogram/denominator side is #sources rows — it must come
     // back as a broadcast, never shuffle the corpus against it; the

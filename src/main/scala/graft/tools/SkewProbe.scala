@@ -171,9 +171,12 @@ object SkewProbe {
       val stale = java.nio.file.Paths.get(s"$skewDir/customer.parquet")
       if (java.nio.file.Files.exists(stale)) {
         System.err.println(s"[skewprobe] removing stale $stale (base has no customer table)")
-        java.nio.file.Files.walk(stale)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        val walk = java.nio.file.Files.walk(stale)
+        // sorted() materializes the walk before iteration, so deleting
+        // during the forEach cannot invalidate the traversal
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
       }
     }
     java.nio.file.Files.write(provPath, (provenance + "\n").getBytes("UTF-8"))

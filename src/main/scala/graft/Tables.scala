@@ -209,51 +209,82 @@ object Tables {
   private def fail(msg: String): Nothing =
     throw new IllegalStateException(s"testdata schema changed: $msg")
 
-  /** Fallback row-group estimate when a footer is unreadable: parquet
-    * writers roll row groups at ~`parquet.block.size` (128 MB default),
-    * and a smaller writer block size only UNDERestimates the count —
-    * the safe direction: the pin below is a narrow exchange, so erring
-    * toward applying it costs noise while erring toward withholding it
-    * re-opens the single-task funnel. */
-  private val RowGroupBytes = 128L << 20
-
   private val rowGroupMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]
 
-  /** Whether the files feeding `df` carry at least `width` ROW GROUPS
-    * — the unit parquet hands to ONE scan task no matter how a file is
-    * split (r12 StageClock: every bench-SF table is one row group, and
-    * the CPU-dense map families ran entire pipelines on one core at 3%
-    * utilization), so the unit that decides whether the scan
-    * parallelizes on its own. Counted from the parquet FOOTERS (exact;
-    * a byte estimate misreads precisely the single-row-group-despite-
-    * splitting case this gate exists for). Short-circuits keep the
-    * at-scale cost bounded: ≥width files is a proof without any footer
-    * read (every file holds ≥1 row group), and the footer walk stops
-    * at the first `width` row groups — at most `width` footer reads,
-    * once per (session, file set). */
+  /** Whether the scan feeding `df` parallelizes to `width` NON-EMPTY
+    * tasks on its own. TWO granularities must both suffice, and the
+    * r13 review caught the gate checking only the first:
+    *
+    *  1. ROW GROUPS — the unit parquet hands to ONE task no matter how
+    *     a file is split (r12 StageClock: every bench-SF table is one
+    *     row group and the CPU-dense map families ran single-task at 3%
+    *     utilization). Counted from the FOOTERS (exact; a byte estimate
+    *     misreads precisely the single-row-group-despite-splitting
+    *     case), short-circuited: ≥width files proves it without reads,
+    *     and the walk stops at the first `width` row groups.
+    *  2. BYTE PACKING — Spark packs files into scan partitions by
+    *     `maxPartitionBytes` (+ openCostInBytes padding, ignored here —
+    *     ignoring it only UNDERcounts partitions, the safe direction),
+    *     so 32 × 2 MB files are ≥width row groups yet land in 1-2
+    *     FilePartitions under the 128 MB default: total bytes must
+    *     reach width × maxPartitionBytes before the packing can
+    *     produce width partitions. The size walk stops once the bytes
+    *     threshold is met.
+    *
+    * Both walks are memoized per (session, file set) and bounded (at
+    * most `width` footer reads; file sizes come one listStatus per
+    * parent directory, not one RPC per file). Any I/O failure counts
+    * the file as ONE row group / zero bytes — plan construction never
+    * dies on a vanished file (the scan itself will report it), and the
+    * error lands on the err-toward-pinning side. */
   private def scanSelfParallel(df: DataFrame, width: Int): Boolean = {
     val s = df.sparkSession
     rowGroupMemo.keySet.removeIf(_._1.sparkContext.isStopped)
     val files = df.inputFiles
-    if (files.length >= width) return true
-    val key = (s, files.sorted.mkString(" ") + s"#$width")
+    if (files.isEmpty) return false
+    // maxPartitionBytes is part of the decision, so it keys the memo —
+    // a session that retunes it (tests; an operator mid-session) must
+    // not read a verdict computed under the old packing
+    val maxPartBytes = s.sessionState.conf.filesMaxPartitionBytes
+    val key = (s, files.sorted.mkString(" ") + s"#$width#$maxPartBytes")
     rowGroupMemo.computeIfAbsent(key, _ => {
       val conf = s.sessionState.newHadoopConf()
-      var rg = 0L
-      val it = files.iterator
-      while (it.hasNext && rg < width) {
-        val p = new org.apache.hadoop.fs.Path(it.next())
-        rg += (try {
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-          try r.getRowGroups.size.toLong finally r.close()
-        } catch { case scala.util.control.NonFatal(_) =>
-          val len = p.getFileSystem(conf).getFileStatus(p).getLen
-          math.max(1L, (len + RowGroupBytes - 1) / RowGroupBytes)
-        })
+      val bytesNeeded = width.toLong * maxPartBytes
+      // file sizes: one listStatus per parent dir (Spark's own listing
+      // pattern), filtered to the scan's files — partition-pruned scans
+      // must not count pruned siblings. Both sides normalize through
+      // hadoop Path: inputFiles renders file:///x where FileStatus
+      // renders file:/x, and a raw string set would match nothing
+      val wanted = files.map(f =>
+        new org.apache.hadoop.fs.Path(f).toString).toSet
+      var totalBytes = 0L
+      val parents = files.map(f =>
+        new org.apache.hadoop.fs.Path(f).getParent).distinct
+      val pit = parents.iterator
+      while (pit.hasNext && totalBytes < bytesNeeded) {
+        val dir = pit.next()
+        try {
+          val fs = dir.getFileSystem(conf)
+          fs.listStatus(dir).foreach { st =>
+            if (wanted.contains(st.getPath.toString)) totalBytes += st.getLen
+          }
+        } catch { case scala.util.control.NonFatal(_) => /* counts 0 */ }
       }
-      rg >= width
+      totalBytes >= bytesNeeded && {
+        var rg = 0L
+        if (files.length >= width) rg = width.toLong
+        val it = files.iterator
+        while (it.hasNext && rg < width) {
+          val p = new org.apache.hadoop.fs.Path(it.next())
+          rg += (try {
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+            try r.getRowGroups.size.toLong finally r.close()
+          } catch { case scala.util.control.NonFatal(_) => 1L })
+        }
+        rg >= width
+      }
     })
   }
 

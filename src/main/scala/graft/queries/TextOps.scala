@@ -1917,10 +1917,13 @@ object TextOps {
        |              substring(text, i + 1, $SubstrL) AS gram))"""
       .stripMargin
 
-  /** 1-in-61 deterministic doc sample for the hot-df estimate. Prime
-    * and coprime to every generator periodicity in play (the corpus
-    * builders' 10/250/300 family mods), so the sample cannot alias
-    * against an adversary's duplication pattern. */
+  /** 1-in-61 deterministic doc sample for the hot-df estimate —
+    * selected on xxhash64(doc_id) (r13 review), not raw doc_id mod:
+    * the hash makes the sample uniform for ANY id structure, so
+    * neither a generator periodicity (the corpus builders' 10/250/300
+    * family mods) nor an id assignment that simply never lands on
+    * multiples of 61 can systematically dodge it. 61 is prime and
+    * comfortably under the budget/signal gap (see the budget note). */
   private[graft] val HotGramSampleMod = 61L
 
   /** Max window rows ONE task may owe to a single hot gram before q99
@@ -1937,27 +1940,46 @@ object TextOps {
   private val hotDfMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
 
-  /** Sampled estimate of the corpus's maximum gram document frequency
+  /** Estimate of the corpus's maximum gram document frequency
     * (POSITION count, intra-doc repeats included — the unit the window
-    * task actually carries): count grams over the 1-in-61 doc sample,
-    * scale the max back by 61. One memoized aggregate per (session,
-    * sfDir), the docsEstBytes treatment — and only ever computed in
-    * the byte-width regime (the gate short-circuits below it), so
-    * bench-SF plan construction pays nothing. The doc-level sample
-    * sees exactly the crawl hazard (a hot gram spread across a
-    * CONSTANT FRACTION of docs — boilerplate); a gram concentrated in
-    * fewer than ~61 docs has df bounded by those docs' total length,
-    * which the per-task explode width already bounds. */
+    * task actually carries), from ONE scan over two deterministic doc
+    * subsets (r13 review hardened both):
+    *
+    *  - the 1-in-61 hash sample: per-gram counts scale back by 61 —
+    *    this sees the crawl hazard (a hot gram spread over a constant
+    *    FRACTION of docs, the only shape whose df grows with the
+    *    corpus) with vanishing miss probability, since any gram in
+    *    k docs dodges a uniform hash sample with odds (60/61)^k;
+    *  - the big-doc census: every doc with declared n_chars >
+    *    budget/4 is counted EXACTLY (no scaling) — a single
+    *    pathological doc (a period-1 run, crawl junk) can put its
+    *    whole length on one window task and a doc sample may miss it,
+    *    but such a doc is visible in the stats column by definition.
+    *
+    * est = max(sample·61, census). The residual blind spot is a hot
+    * gram confined to few SMALL docs that all dodge the hash: its df
+    * is bounded by (docs carrying it) × budget/4 and CANNOT grow with
+    * the corpus — and the gate fails SOFT there (the window form, the
+    * r12 status quo: linear, never quadratic). One memoized aggregate
+    * per (session, sfDir), computed only in the byte-width regime (the
+    * gate short-circuits below it), so bench-SF plan construction pays
+    * nothing. */
   private def estMaxGramDf(s: SparkSession, d: String): Long = {
     hotDfMemo.keySet.removeIf(_._1.sparkContext.isStopped)
     hotDfMemo.computeIfAbsent((s, d), _ => {
-      val mx = documents(s, d)
-        .filter(col("doc_id") % HotGramSampleMod === 0)
-        .select(explode(expr(gramExplodeSql)).as("x"))
-        .groupBy(col("x.gram")).agg(count(lit(1)).as("cnt"))
-        .agg(coalesce(max(col("cnt")), lit(0L)).as("mx"))
-        .head().getLong(0)
-      mx * HotGramSampleMod
+      val sampled = pmod(xxhash64(col("doc_id")), lit(HotGramSampleMod)) === 0
+      val big = col("n_chars") > HotGramTaskRowBudget / 4
+      val r = documents(s, d)
+        .filter(sampled || big)
+        .select(explode(expr(gramExplodeSql)).as("x"),
+          sampled.as("s"), big.as("b"))
+        .groupBy(col("x.gram"))
+        .agg(sum(when(col("s"), 1L).otherwise(0L)).as("cs"),
+          sum(when(col("b"), 1L).otherwise(0L)).as("cb"))
+        .agg(coalesce(max(col("cs")), lit(0L)).as("ms"),
+          coalesce(max(col("cb")), lit(0L)).as("mb"))
+        .head()
+      math.max(r.getLong(0) * HotGramSampleMod, r.getLong(1))
     })
   }
 

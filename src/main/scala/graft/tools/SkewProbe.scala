@@ -259,13 +259,15 @@ object SkewProbe {
     if (sys.env.get("SKEW_AB").contains("1")) {
       val twin = Map("q33_nopref" -> "q33_ngram_jaccard",
         "q88_nopref" -> "q88_containment_join",
-        // r12: the two-pass q99 must match the count-window default on
-        // the hot corpus too (TextOpsSpec pins fixtures; this pins the
-        // corpus the A/B rows are actually recorded on)
-        "q99_twopass" -> "q99_substring_dedup",
-        // r13: with the regime gate live, `q99_substring_dedup` on a
-        // hot corpus IS the two-pass — the window dev twin keeps the
-        // across-the-gate equality checkable on the probe corpus itself
+        // r12/r13: the two q99 FORMS must agree on the hot corpus
+        // (TextOpsSpec pins fixtures; this pins the corpus the A/B
+        // rows are actually recorded on). Twinned form-vs-form, NOT
+        // against the gated default — on a hot corpus the r13 regime
+        // gate selects the two-pass, so "q99_twopass ==
+        // q99_substring_dedup" would compare the two-pass with itself
+        // and pass vacuously (r13 review). The gate-vs-window pair
+        // below keeps the gated default itself covered.
+        "q99_twopass" -> "q99_window",
         "q99_window" -> "q99_substring_dedup")
       for (q <- queries; base <- twin.get(q)) {
         val a = lookup(q).get.apply(spark, skewDir)

@@ -86,24 +86,51 @@ class ScanWidthSpec extends SparkSuite {
       val df = spark.read.parquet(dir)
       // natural parallelism, no pin anywhere: multiple NON-EMPTY tasks
       val width = spark.sessionState.conf.numShufflePartitions
-      assert(nonEmptyParts(df) >= width,
-        s"expected >=$width non-empty scan tasks from a multi-row-group file, " +
-          s"got ${nonEmptyParts(df)}")
+      val parts = nonEmptyParts(df)
+      assert(parts >= width,
+        s"expected >=$width non-empty scan tasks from a multi-row-group file, got $parts")
       // and the gate sees the footers and withholds the pin — the
       // returned frame IS the input frame (plan-neutral by construction)
       assert(Tables.cpuWidthPin(df) eq df)
     }
   }
 
-  test("many files short-circuit: >=width files withhold the pin without footer reads") {
+  test("many SMALL files still pin while bytes cannot guarantee the width (r13 review)") {
+    // >=width files is >=width row groups, but how Spark PACKS files
+    // into scan partitions depends on byte heuristics that vary with
+    // the session's core count (bytesPerCore, openCostInBytes) — a
+    // handful of multi-MB single-row-group files on a 32-core session
+    // packs to well under session width. The gate therefore demands
+    // total bytes >= width x maxPartitionBytes (the deployment-
+    // independent bound) before trusting the file count, and a
+    // tiny-file table keeps the pin even though its file count alone
+    // looks parallel.
     import spark.implicits._
-    val dir = tmpDir("manyfiles")
+    val dir = tmpDir("manytiny")
     (0 until 4000).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
       .repartition(8)
       .write.mode("overwrite").parquet(dir)
     val df = spark.read.parquet(dir)
     assert(df.inputFiles.length >= spark.sessionState.conf.numShufflePartitions)
-    assert(Tables.cpuWidthPin(df) eq df)
+    val pinned = Tables.cpuWidthPin(df)
+    assert(!(pinned eq df), "pin withheld on a byte-packed tiny-file table")
+    assert(pinned.rdd.getNumPartitions ==
+      spark.sessionState.conf.numShufflePartitions)
+  }
+
+  test("many files withhold the pin once bytes can feed the width (no footer reads needed)") {
+    import spark.implicits._
+    val dir = tmpDir("manyfiles")
+    (0 until 40000).map(i => (i.toLong, s"payload_$i" * 8)).toDF("id", "payload")
+      .repartition(8)
+      .write.mode("overwrite").parquet(dir)
+    withSmallPartitions {
+      val df = spark.read.parquet(dir)
+      assert(df.inputFiles.length >= spark.sessionState.conf.numShufflePartitions)
+      val parts = nonEmptyParts(df)
+      assert(parts >= spark.sessionState.conf.numShufflePartitions, s"got $parts")
+      assert(Tables.cpuWidthPin(df) eq df)
+    }
   }
 
   test("a non-file-backed frame gets the pin (no evidence of parallelism, err toward pinning)") {

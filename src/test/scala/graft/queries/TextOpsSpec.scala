@@ -78,11 +78,11 @@ class TextOpsSpec extends SparkSuite {
     // HotGramTaskRowBudget window rows must select the two-pass form
     // WITHOUT operator intervention — and the decision must be
     // output-invisible, ON THE VERY CORPUS WHERE IT FIRES. The hot doc
-    // is a period-1 run: every position carries the same 25-gram, so
-    // one sampled doc (doc_id 0 ≡ 0 mod 61) puts ~70k positions of one
-    // gram in the estimator's sample — est ≈ 4.3M ≫ 2^16. n_chars is
-    // inflated (the stats-column fixture trick) so the byte-width
-    // regime — the gate's outer condition — is active at test width.
+    // is a period-1 run: every position carries the same 25-gram, and
+    // since every fixture doc DECLARES n_chars = 2M (the stats-column
+    // trick that also activates the byte-width regime, the gate's
+    // outer condition), the estimator's big-doc census counts it
+    // EXACTLY — ~70k positions of one gram > the 2^16 budget.
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hot99").toString

@@ -290,6 +290,80 @@ case class HashedShingles(child: Expression)
     copy(child = newChild)
 }
 
+/** All fixed-width character grams of a string with their 0-based
+  * codepoint positions, in ONE forward byte walk — O(n·L) output
+  * bytes, O(n) scanning. The declarative twin
+  * (`transform(sequence(0, length(text)-L), i -> struct(i,
+  * substring(text, i+1, L)))`) is QUADRATIC per document:
+  * `UTF8String.substring` locates codepoint i by scanning from byte 0,
+  * so a 1 M-char document costs ~n²/2 byte steps — measured LIVE on
+  * the r13 rundoc probe as ~25 minutes of one core for one document
+  * (jstack caught the interpreted ArrayTransform mid-quadratic). This
+  * kernel walks the codepoint start offsets once and byte-slices each
+  * window zero-copy (`UTF8String.fromBytes` wraps the shared byte
+  * array; the shuffle writer copies only each 25-byte slice).
+  * Codepoint semantics are IDENTICAL to the SQL form — positions are
+  * codepoint indices and windows are codepoint windows, multibyte
+  * text included (property-pinned against the SQL twin). */
+object CharGramsKernel {
+  def eval(s: UTF8String, l: Int): ArrayData = {
+    val bytes = s.getBytes // one copy of the doc; all grams slice it
+    val nBytes = bytes.length
+    // codepoint start offsets (one extra slot = end-of-string)
+    var nChars = 0
+    var off = 0
+    val starts = new Array[Int](nBytes + 1)
+    while (off < nBytes) {
+      starts(nChars) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      nChars += 1
+    }
+    starts(nChars) = nBytes
+    val n = nChars - l + 1
+    if (n <= 0)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i.toLong,
+            UTF8String.fromBytes(bytes, starts(i), starts(i + l) - starts(i))))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}
+
+/** [[CharGramsKernel.eval]] as a codegen'd unary expression; the gram
+  * width is a construction-time constant (every caller passes
+  * TextOps.SubstrL). */
+case class CharGrams(child: Expression, l: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("gram", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_char_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING, got ${child.dataType.sql}")
+    else if (l < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires width >= 1, got $l")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(a: Any): Any =
+    CharGramsKernel.eval(a.asInstanceOf[UTF8String], l)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.CharGramsKernel.eval($a, $l)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class PrefixHashes(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

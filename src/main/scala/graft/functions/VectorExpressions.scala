@@ -174,6 +174,12 @@ object GraftFunctions {
   def minhashSig(sh: Column): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(sh)))
 
+  /** All width-`l` character grams with codepoint positions
+    * (SetSimExpressions.CharGrams) — the linear-time replacement for
+    * the quadratic-per-document substring transform (r13). */
+  def charGrams(text: Column, l: Int): Column =
+    GraftColumnBridge.column(CharGrams(GraftColumnBridge.expression(text), l))
+
   /** Native 8-bit SRP-LSH signature ([[SrpSig]]). */
   def srpSig(v: Column): Column =
     GraftColumnBridge.column(SrpSig(GraftColumnBridge.expression(v)))

@@ -1905,17 +1905,19 @@ object TextOps {
     * phrase reuse (not just whole-doc copies) still surfaces at test SF. */
   private[graft] val SubstrL = 25 // shared with tools.GramCensus — the census must count the same grams q99 windows over
 
-  /** The character-gram explode both q99 forms AND the hot-df estimator
-    * run — one definition so the estimator can never count different
-    * grams than the window it protects. */
-  private def gramExplodeSql: String =
-    s"""transform(
-       |  CASE WHEN length(text) >= $SubstrL
-       |       THEN sequence(0, length(text) - $SubstrL)
-       |       ELSE array() END,
-       |  i -> struct(CAST(i AS BIGINT) AS pos,
-       |              substring(text, i + 1, $SubstrL) AS gram))"""
-      .stripMargin
+  /** The character-gram inventory both q99 forms AND the hot-df
+    * estimator run — one definition so the estimator can never count
+    * different grams than the window it protects. NATIVE since the r13
+    * rundoc probe: the SQL form (`transform(sequence(...), i ->
+    * substring(text, i+1, L))`) is QUADRATIC per document —
+    * UTF8String.substring locates codepoint i by scanning from byte 0,
+    * and a single 1 M-char crawl-junk document was caught live costing
+    * ~25 minutes of one core mid-transform. [[graft.functions
+    * .CharGramsKernel]] emits the identical (pos, gram) structs in one
+    * O(n·L) byte walk (codepoint semantics property-pinned against the
+    * SQL twin in SetSimExpressionsSpec). */
+  private def gramStructs: org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.charGrams(col("text"), SubstrL)
 
   /** 1-in-61 deterministic doc sample for the hot-df estimate —
     * selected on xxhash64(doc_id) (r13 review), not raw doc_id mod:
@@ -1971,7 +1973,7 @@ object TextOps {
       val big = col("n_chars") > HotGramTaskRowBudget / 4
       val r = documents(s, d)
         .filter(sampled || big)
-        .select(explode(expr(gramExplodeSql)).as("x"),
+        .select(explode(gramStructs).as("x"),
           sampled.as("s"), big.as("b"))
         .groupBy(col("x.gram"))
         .agg(sum(when(col("s"), 1L).otherwise(0L)).as("cs"),
@@ -2099,7 +2101,7 @@ object TextOps {
     val textWidth = byteDerivedWidth(s, (docsEstBytes(s, d) / 3L) * 64L, 256L << 20)
     documents(s, d).select(col("doc_id"), col("text"))
       .repartition(textWidth, col("doc_id"))
-      .select(col("doc_id"), explode(expr(gramExplodeSql)).as("x"))
+      .select(col("doc_id"), explode(gramStructs).as("x"))
       .select(col("doc_id"), col("x.pos").as("pos"), col("x.gram").as("gram"))
   }
 

@@ -28,12 +28,14 @@ object GramCensus {
     spark.sparkContext.setLogLevel("WARN")
     val L = graft.queries.TextOps.SubstrL // the census must track q99's gram length
     for (d <- args) {
+      // native kernel (r13): the SQL substring transform is quadratic
+      // per document — the census must use the same linear inventory
+      // q99 runs, or a long doc stalls the census exactly like the
+      // query it measures
       val grams = spark.read.parquet(s"$d/documents.parquet")
-        .select(explode(expr(
-          s"""CASE WHEN length(text) >= $L
-             |     THEN transform(sequence(0, length(text) - $L),
-             |                    i -> substring(text, i + 1, $L))
-             |     ELSE array() END""".stripMargin)).as("gram"))
+        .select(explode(
+          graft.functions.GraftFunctions.charGrams(col("text"), L)).as("x"))
+        .select(col("x.gram").as("gram"))
       // one wide gram agg (the window's partition structure), then a
       // four-way census over it — map-side combinable, no windows
       val r = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))

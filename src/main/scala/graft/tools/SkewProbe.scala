@@ -106,11 +106,20 @@ object SkewProbe {
     // IDEMPOTENT (reused if already populated): the r10 per-JVM
     // measurement protocol runs one query per JVM, and rebuilding a
     // 500k-doc corpus in every JVM would dominate the probe.
+    // r13 third adversary, "rundoc": ONE document (doc_id 1) replaced
+    // by a period-1 character run of SKEW_RUNDOC_CHARS chars — every
+    // position is the SAME 25-gram, so its whole length lands on one
+    // atomic window partition in q99's window form. This is the
+    // intra-doc monster the review-hardened estimator catches through
+    // its exact big-doc census (n_chars > budget/4), where a doc
+    // SAMPLE can miss a single doc entirely — the scale twin of the
+    // fixture pins in TextOpsSpec/PlanSpec.
     val adversary = sys.env.getOrElse("SKEW_ADVERSARY", "boilerplate")
-    require(Set("boilerplate", "dupfam")(adversary),
-      s"SKEW_ADVERSARY must be boilerplate|dupfam, got $adversary")
+    require(Set("boilerplate", "dupfam", "rundoc")(adversary),
+      s"SKEW_ADVERSARY must be boilerplate|dupfam|rundoc, got $adversary")
     val dupEvery = sys.env.getOrElse("SKEW_DUPFAM_EVERY", "250").toLong
     val familyMod = sys.env.getOrElse("SKEW_FAMILY_MOD", "300").toLong
+    val runChars = sys.env.getOrElse("SKEW_RUNDOC_CHARS", "1000000").toInt
     val skewDir = sys.env.getOrElse("SKEW_HOT_DIR", "/tmp/skewdata/sf0.1")
     val hasCustomer = new java.io.File(s"$baseSf/customer.parquet").exists
     // Reuse demands BOTH existence and provenance (r11 ADVICE low 3):
@@ -126,6 +135,7 @@ object SkewProbe {
         spark.read.parquet(s"$baseSf/customer.parquet").count() else 0L
       s"""{"base":"$baseSf","adversary":"$adversary",""" +
         s""""dupfam_every":$dupEvery,"family_mod":$familyMod,""" +
+        (if (adversary == "rundoc") s""""rundoc_chars":$runChars,""" else "") +
         s""""base_docs":$nDocs,"base_customers":$nCust}"""
     }
     val provPath = java.nio.file.Paths.get(s"$skewDir/_provenance.json")
@@ -146,6 +156,9 @@ object SkewProbe {
         text => when(col("doc_id") % dupEvery === 1,
           lit("the quick brown fox jumps over the lazy dog while the " +
             "patient grey owl watches from the old oak tree"))
+          .otherwise(text)
+      else if (adversary == "rundoc")
+        text => when(col("doc_id") === 1, lit("a" * runChars))
           .otherwise(text)
       else
         text => when(col("doc_id") % 10 < 3,

@@ -186,4 +186,41 @@ class SetSimExpressionsSpec extends SparkSuite {
     // k counts raw length but only non-null shingles are hashed
     assert(r.getSeq[Long](4).toSet.subsetOf(r.getSeq[Long](3).toSet))
   }
+
+  test("native CharGrams matches the quadratic SQL twin row-for-row, multibyte included (r13)") {
+    // The kernel replaced the transform+substring form because that
+    // form is O(n²) per document (UTF8String.substring scans from byte
+    // 0 to find codepoint i — caught live at ~25 min/core for one
+    // 1 M-char doc on the rundoc probe). Semantics must be IDENTICAL:
+    // positions are codepoint indices, windows are codepoint windows —
+    // multibyte text is where a byte-sliced reimplementation would
+    // diverge first, so the fixture leans on it.
+    val L = 5
+    val docs = Seq(
+      "abcdefghij",                      // plain ascii
+      "abcd",                            // shorter than L → empty
+      "abcde",                           // exactly L → one gram
+      "",                                // empty
+      "héllo wörld ünïcode tëxt",        // 2-byte codepoints mixed in
+      "日本語のテキストです、これはテスト", // 3-byte codepoints
+      "a😀b😀c😀d😀e😀f😀",              // 4-byte (surrogate-pair) codepoints
+      "aaaaaaaaaaaaaaaaaaaa")            // the period-1 run shape
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    import spark.implicits._
+    val df = docs.toDF("id", "text")
+    val sqlTwin = expr(
+      s"""CASE WHEN length(text) >= $L
+         |     THEN transform(sequence(0, length(text) - $L),
+         |                    i -> struct(CAST(i AS BIGINT) AS pos,
+         |                                substring(text, i + 1, $L) AS gram))
+         |     ELSE array() END""".stripMargin)
+    val rows = df.select(col("id"),
+        GraftFunctions.charGrams(col("text"), L).as("k"), sqlTwin.as("s"))
+      .collect()
+    rows.foreach { r =>
+      val k = r.getSeq[org.apache.spark.sql.Row](1)
+      val s = r.getSeq[org.apache.spark.sql.Row](2)
+      assert(k == s, s"id=${r.getLong(0)}: kernel $k vs sql $s")
+    }
+  }
 }

@@ -306,6 +306,14 @@ case class HashedShingles(child: Expression)
   * codepoint indices and windows are codepoint windows, multibyte
   * text included (property-pinned against the SQL twin). */
 object CharGramsKernel {
+  /** Shared empty result — also what NULL text maps to, matching the
+    * SQL twin exactly (its CASE guard evaluates the ELSE array() on a
+    * null condition; plain null-propagation would instead return NULL
+    * and silently diverge on any non-explode consumer — r13 review). */
+  private val EmptyResult =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+  def empty(): ArrayData = EmptyResult
+
   def eval(s: UTF8String, l: Int): ArrayData = {
     val bytes = s.getBytes // one copy of the doc; all grams slice it
     val nBytes = bytes.length
@@ -354,11 +362,33 @@ case class CharGrams(child: Expression, l: Int)
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires width >= 1, got $l")
     else TypeCheckResult.TypeCheckSuccess
 
-  override def nullSafeEval(a: Any): Any =
-    CharGramsKernel.eval(a.asInstanceOf[UTF8String], l)
+  // NULL text yields the EMPTY gram array, not NULL — the SQL twin's
+  // CASE guard evaluates its ELSE array() on a null condition, and the
+  // pinned contract is row-for-row identity with that twin (r13
+  // review: plain null-propagation was benign under explode() but
+  // would diverge on any future non-explode consumer)
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.CharGramsKernel.eval($a, $l)")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) CharGramsKernel.empty()
+    else CharGramsKernel.eval(v.asInstanceOf[UTF8String], l)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    val width = l.toString // the interpolator takes strings, not ints
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $javaType ${ev.value} = ${childGen.isNull}
+          ? graft.functions.CharGramsKernel.empty()
+          : graft.functions.CharGramsKernel.eval(${childGen.value}, $width);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

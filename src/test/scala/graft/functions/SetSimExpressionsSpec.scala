@@ -204,7 +204,8 @@ class SetSimExpressionsSpec extends SparkSuite {
       "héllo wörld ünïcode tëxt",        // 2-byte codepoints mixed in
       "日本語のテキストです、これはテスト", // 3-byte codepoints
       "a😀b😀c😀d😀e😀f😀",              // 4-byte (surrogate-pair) codepoints
-      "aaaaaaaaaaaaaaaaaaaa")            // the period-1 run shape
+      "aaaaaaaaaaaaaaaaaaaa",            // the period-1 run shape
+      null.asInstanceOf[String])         // NULL text → [] on BOTH sides
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
     import spark.implicits._
     val df = docs.toDF("id", "text")

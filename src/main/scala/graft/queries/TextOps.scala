@@ -2018,12 +2018,22 @@ object TextOps {
     // the window form's hot-gram term is LINEAR IN df WITH NO UPPER
     // BOUND — a gram at document frequency df lands WHOLE in one window
     // partition (a window partition is atomic; AQE cannot split it), so
-    // crawl boilerplate at df = c·N puts c·N rows on ONE task forever.
-    // Measured: 7.0 s on one task at df ≈ 150k against a 1.3 s stage
-    // median (SKEW_r12). The two-pass form bounds that term by
+    // crawl boilerplate at df = c·N puts c·N rows on ONE task forever,
+    // and a single period-1 run document puts its whole LENGTH there
+    // (the rundoc adversary). The two-pass form bounds both terms by
     // map-side-combined counting (a hot gram reduces to one row per map
-    // task before any exchange) at a measured ~1.9× wall / +52% byte
-    // premium — worth paying exactly when the hot term is unbounded.
+    // task before any exchange; the semi-join probe partition is
+    // AQE-splittable) at a measured +52% byte / ~14% wall premium
+    // (post-CharGrams numbers, SKEW_r13) — cheap insurance against an
+    // unbounded term. NOTE the premise history: the r12-era 5.4-loaded
+    // funnel at df ≈ 150k was mostly the quadratic SQL gram kernel's
+    // per-row tax; post-kernel the window-on-hot is near-flat at that
+    // df (loaded ≤1.66) and the gate rests on the structural argument
+    // above. HotGramTaskRowBudget = 2^16 was calibrated pre-kernel and
+    // is therefore conservative — re-calibration against post-kernel
+    // constants is the recorded r14 candidate (BASELINE.md r13 A/B
+    // row); a premature switch costs only the measured premium, never
+    // correctness.
     // The gate estimates max-df from a deterministic 1-in-61 doc sample
     // (estMaxGramDf) and switches past HotGramTaskRowBudget; below the
     // byte-width threshold the estimate is not even computed (the whole

@@ -1929,15 +1929,33 @@ object TextOps {
   private[graft] val HotGramSampleMod = 61L
 
   /** Max window rows ONE task may owe to a single hot gram before q99
-    * switches to the two-pass form. Calibrated from SKEW_r12: the
-    * measured hazard sat at df ≈ 150k (7.0 s on one task vs a 1.3 s
-    * stage median), while uniform corpora — bench SF through the sf20
-    * synthetic decade — show max-df in the hundreds (replica × small
-    * dup-family counts). 2^16 sits two orders above the uniform signal
-    * and safely below the measured hazard, and errs toward the exact
-    * two-pass (a false switch costs its measured ~1.9× wall premium,
-    * never correctness — outputs are pinned identical). */
-  private[graft] val HotGramTaskRowBudget = 1L << 16
+    * switches to the two-pass form.
+    *
+    * RE-CALIBRATED post-CharGrams (the recorded r14 candidate, pulled
+    * into r13): the original 2^16 was set against the QUADRATIC-era
+    * per-row constant (SKEW_r12's 7.0 s task at df ≈ 150k); the linear
+    * kernel removed most of that tax, and the isolated df-sweep
+    * (tools.DfSweep, DFSWEEP_r13.json) measured the post-kernel
+    * marginal at ~0.6-1.0 µs per hot-window row — so the old budget
+    * switched to the two-pass (+52% bytes / ~14% wall on the WHOLE
+    * query) to avoid a ≲ 60 ms straggler term.
+    *
+    * The budget is now DERIVED from the width machinery's own slice
+    * target instead of being a free constant: the gram exchange sizes
+    * every window slice at 16 MB ≈ 2^19 of the ~32 B wired gram rows
+    * ([[q99SubstringDedupWindow]]), so a hot gram within this budget
+    * adds at most ONE normal slice's row mass to one task — hot task
+    * ≤ 2× its peers by row mass (the bounded-straggler class the q62 /
+    * q84 probes accept), measured ≤ ~1.5× by the sweep's per-row
+    * constants. Past it, the atomic window partition grows without
+    * bound relative to its peers and the AQE-splittable two-pass is
+    * the better plan. Uniform corpora (bench SF through the sf20
+    * decade) show max-df in the hundreds — three orders under the
+    * budget; the rundoc monster (1 M-char period-1 doc) sits above it
+    * and still auto-switches. A false switch in the gap costs only the
+    * measured two-pass premium, never correctness — outputs are pinned
+    * identical across the gate. */
+  private[graft] val HotGramTaskRowBudget = (16L << 20) / 32L // = 2^19 rows, the 16 MB gram-slice target
 
   private val hotDfMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
@@ -2029,11 +2047,13 @@ object TextOps {
     // funnel at df ≈ 150k was mostly the quadratic SQL gram kernel's
     // per-row tax; post-kernel the window-on-hot is near-flat at that
     // df (loaded ≤1.66) and the gate rests on the structural argument
-    // above. HotGramTaskRowBudget = 2^16 was calibrated pre-kernel and
-    // is therefore conservative — re-calibration against post-kernel
-    // constants is the recorded r14 candidate (BASELINE.md r13 A/B
-    // row); a premature switch costs only the measured premium, never
-    // correctness.
+    // above. The budget was re-calibrated against post-kernel
+    // constants same-round (the DfSweep artifact; see the
+    // HotGramTaskRowBudget scaladoc): it now equals the width
+    // machinery's 16 MB slice-row target, so boilerplate-class hot
+    // corpora (df ≈ 150k: a bounded ≤1.7× straggler, 14% faster than
+    // the two-pass) stay on the window form while the unbounded cases
+    // (crawl df = c·N past 2^19, the rundoc monster) still switch.
     // The gate estimates max-df from a deterministic 1-in-61 doc sample
     // (estMaxGramDf) and switches past HotGramTaskRowBudget; below the
     // byte-width threshold the estimate is not even computed (the whole

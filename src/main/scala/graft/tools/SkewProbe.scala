@@ -275,11 +275,13 @@ object SkewProbe {
         // r12/r13: the two q99 FORMS must agree on the hot corpus
         // (TextOpsSpec pins fixtures; this pins the corpus the A/B
         // rows are actually recorded on). Twinned form-vs-form, NOT
-        // against the gated default — on a hot corpus the r13 regime
-        // gate selects the two-pass, so "q99_twopass ==
-        // q99_substring_dedup" would compare the two-pass with itself
-        // and pass vacuously (r13 review). The gate-vs-window pair
-        // below keeps the gated default itself covered.
+        // against the gated default — whichever side the regime gate
+        // picks for this corpus (post-recalibration: window for the
+        // boilerplate adversary, two-pass for rundoc), one of these
+        // pairs would compare the default with itself and pass
+        // vacuously; together the form-vs-form pair plus the
+        // gate-vs-window pair keep both forms AND the gate's own
+        // choice covered on either side (r13 review).
         "q99_twopass" -> "q99_window",
         "q99_window" -> "q99_substring_dedup")
       for (q <- queries; base <- twin.get(q)) {

@@ -300,24 +300,25 @@ class PlanSpec extends SparkSuite {
         s"expected an exchange at width $width:\n$p2")
     // the r13 REGIME GATE must stay OFF here: this fixture is
     // beyond-cap but UNIFORM (its hottest gram is the 100-doc shared
-    // prefix — census-exact df ≈ 700 ≪ the 2^16 budget; the declared
+    // prefix — census-exact df ≈ 700 ≪ the 2^19 budget; the declared
     // 2M n_chars puts every doc in the big-doc census), so the
     // auto-selected plan is still the count-window: no join anywhere
     assert(!p.contains("Join"), p)
   }
 
   test("q99 regime gate auto-selects the two-pass shape on a hot-gram corpus (r13)") {
-    // beyond-cap AND hot: one doc is a 70k period-1 run, every fixture
+    // beyond-cap AND hot: one doc is a 600k period-1 run, every fixture
     // doc declares n_chars = 2M, so the estimator's big-doc census
-    // counts the hot doc exactly (~70k positions of ONE gram > the
-    // 2^16 per-task budget) and q99SubstringDedup must plan the
-    // two-pass — shuffled-hash LEFT SEMI at the byte-derived gram
-    // width — with no operator involvement. The output equality across
-    // the gate is pinned in TextOpsSpec.
+    // counts the hot doc exactly (~600k positions of ONE gram > the
+    // 2^19 per-task budget — the post-kernel recalibrated value) and
+    // q99SubstringDedup must plan the two-pass — shuffled-hash LEFT
+    // SEMI at the byte-derived gram width — with no operator
+    // involvement. The output equality across the gate is pinned in
+    // TextOpsSpec.
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_gate99").toString
     (0 until 100).map(i => (i.toLong,
-        if (i == 0) "a" * 70000
+        if (i == 0) "a" * 600000
         else s"alpha bravo charlie delta echo f$i g$i", "en", "syn", 2000000L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")

@@ -82,12 +82,13 @@ class TextOpsSpec extends SparkSuite {
     // since every fixture doc DECLARES n_chars = 2M (the stats-column
     // trick that also activates the byte-width regime, the gate's
     // outer condition), the estimator's big-doc census counts it
-    // EXACTLY — ~70k positions of one gram > the 2^16 budget.
+    // EXACTLY — ~600k positions of one gram > the 2^19 budget (the
+    // post-kernel recalibrated value: one 16 MB gram-slice's row mass).
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hot99").toString
     (0 until 100).map(i => (i.toLong,
-        if (i == 0) "a" * 70000
+        if (i == 0) "a" * 600000
         else s"alpha bravo charlie delta echo foxtrot golf hotel i$i j$i",
         "en", "syn", 2000000L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -102,9 +103,9 @@ class TextOpsSpec extends SparkSuite {
     assert(rows.nonEmpty)
     assert(TextOps.q99SubstringDedupWindow(spark, dir).collect().toSeq == rows)
     // and the hot doc's single maximal span is what dedup must find:
-    // positions 0..69975 merge into one island covering the whole run
+    // positions 0..599975 merge into one island covering the whole run
     val hotSpans = rows.filter(_.getLong(0) == 0L)
-    assert(hotSpans.size == 1 && hotSpans.head.getLong(3) == 70000L,
+    assert(hotSpans.size == 1 && hotSpans.head.getLong(3) == 600000L,
       hotSpans.mkString(", "))
   }
 

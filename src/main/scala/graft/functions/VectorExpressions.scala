@@ -184,6 +184,17 @@ object GraftFunctions {
   def srpSig(v: Column): Column =
     GraftColumnBridge.column(SrpSig(GraftColumnBridge.expression(v)))
 
+  /** Per-word 64-bucket char-fold hash ([[WordBucket]]) — the
+    * classifier feature kernel (r13; replaces the interpreted
+    * aggregate-over-substring fold). */
+  def wordBucket(w: Column): Column =
+    GraftColumnBridge.column(WordBucket(GraftColumnBridge.expression(w)))
+
+  /** Whole-text stand-in classifier score + token count in one pass
+    * ([[ClassifierScore]]) — struct(score, n_tokens). */
+  def classifierScore(text: Column): Column =
+    GraftColumnBridge.column(ClassifierScore(GraftColumnBridge.expression(text)))
+
   /** HLL distinct sketch aggregate ([[HllDistinct]]); input must be a
     * string column (cast first — the hash is over the utf8 text). */
   def hllDistinct(c: Column): Column =
@@ -204,7 +215,9 @@ object GraftFunctions {
     "graft_prefix_hashes" -> (exprs => PrefixHashes(exprs.head,
       org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), DoubleType))),
     "graft_minhash_sig" -> (exprs => MinHashSig(exprs.head)),
-    "graft_srp_sig" -> (exprs => SrpSig(exprs.head)))
+    "graft_srp_sig" -> (exprs => SrpSig(exprs.head)),
+    "graft_word_bucket" -> (exprs => WordBucket(exprs.head)),
+    "graft_classifier_score" -> (exprs => ClassifierScore(exprs.head)))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     nativeBuilders.foreach { case (name, builder) =>

@@ -2304,12 +2304,12 @@ object TextOps {
     * a production filter keeps rows in place). The model rides as a
     * literal/broadcast, never a join: this is the embarrassingly-
     * parallel filter every corpus build runs at full width, so it must
-    * not shuffle — and it doesn't. The scoring fold is a nested
-    * higher-order `aggregate` (interpreted, not codegen'd — the known
-    * HOF caveat); measured 0.3 s warm over sf0.1, so the hot-kernel
-    * upgrade at real scale is the same one the shingle kernel took: a
-    * JIT'd UDF or native Expression computing the identical integer
-    * fold, bit-compatible with this oracle by construction. */
+    * not shuffle — and it doesn't. The scoring fold is NATIVE since
+    * r13 ([[graft.functions.ClassifierScore]] — the hot-kernel upgrade
+    * this scaladoc promised): the interpreted nested-`aggregate` form
+    * is kept as [[classifierScoredSql]] and the kernel is pinned
+    * bit-compatible with it (and hence with the oracle) in
+    * ClassifierExpressionsSpec, multibyte included. */
   def q101QualityClassifier(s: SparkSession, d: String): DataFrame =
     // gated width pin (r13): see q103 — same single-row-group residual,
     // same at-scale self-withholding; the zero-exchange inference plan
@@ -2324,6 +2324,31 @@ object TextOps {
     * by construction. Row-local: adds n_tokens/score/mean_weight/keep
     * to whatever columns `docs` carries. */
   private[graft] def classifierScored(docs: DataFrame): DataFrame = {
+    // NATIVE since r13 (the CharGrams treatment applied to the
+    // classifier): the SQL form ([[classifierScoredSql]], kept as the
+    // property-pinned twin) is a nested interpreted `aggregate` whose
+    // inner substring fold re-scans each word per character — and the
+    // interpretation tax does not even parallelize (32 concurrently
+    // interpreting tasks measured 26 CPU-s + GC for 1.1 s of one-core
+    // work, StageClock r13). One codegen'd pass computes score and
+    // n_tokens together, bit-compatible by the kernel's range argument
+    // + the spec's multibyte property pin.
+    docs
+      .withColumn("sc", graft.functions.GraftFunctions.classifierScore(col("text")))
+      .withColumn("n_tokens", col("sc.n_tokens"))
+      .withColumn("score", col("sc.score"))
+      .drop("sc")
+      .withColumn("mean_weight",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("score").cast("double") / col("n_tokens")))
+      .withColumn("keep", col("score") >= 0)
+  }
+
+  /** The retired SQL column program, kept ONLY as the oracle-shaped
+    * twin for ClassifierExpressionsSpec's equivalence pin (it mirrors
+    * the DuckDB oracle's fold verbatim — the native kernel must match
+    * it row-for-row, multibyte included). */
+  private[graft] def classifierScoredSql(docs: DataFrame): DataFrame = {
     val words = "filter(split(text, ' '), w -> w <> '')"
     val score = expr(
       s"""aggregate(
@@ -2369,10 +2394,11 @@ object TextOps {
   private def classifierFeatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
-      .withColumn("b", expr(
-        """pmod(aggregate(sequence(1, length(w)), CAST(7 AS BIGINT),
-          |  (a, i) -> pmod(a * 31 + ascii(substring(w, i, 1)), 1048573)), 64)"""
-          .stripMargin))
+      // native per-word fold (r13, see classifierScored) — replaces
+      // `pmod(aggregate(sequence(1, length(w)), 7, (a, i) ->
+      //   pmod(a*31 + ascii(substring(w, i, 1)), 1048573)), 64)`,
+      // which ClassifierExpressionsSpec pins it equal to
+      .withColumn("b", graft.functions.GraftFunctions.wordBucket(col("w")))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("x"))
       .unionByName(docs.select(col("doc_id"), lit(64L).as("b"), lit(1L).as("x")))
 

@@ -1,0 +1,83 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The native classifier kernels (WordBucket / ClassifierScore) must be
+  * bit-compatible with the SQL column program they replaced — that SQL
+  * form mirrors the DuckDB oracle fold verbatim, so these pins are what
+  * lets the q101/q104/q105 oracles keep hash-matching after the swap
+  * (the CharGrams precedent: kernel == SQL twin, multibyte included). */
+class ClassifierExpressionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // adversarial word set: ascii, 2/3/4-byte codepoints, the fold's
+  // modulus edges (long runs), and the empty string (the SQL fold over
+  // an empty sequence returns its seed 7 → bucket 7 % 64)
+  private val words = Seq(
+    "", "a", "the", "supercalifragilisticexpialidocious",
+    "héllo", "wörld", "日本語", "テスト", "😀", "a😀b", "€uro",
+    "x" * 500, "aé𝄞b", "ASCII-with-punct!?", "123456789")
+
+  test("WordBucket equals the SQL aggregate fold, multibyte included") {
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "w")
+    val sqlTwin = expr(
+      """pmod(aggregate(sequence(1, length(w)), CAST(7 AS BIGINT),
+        |  (a, i) -> pmod(a * 31 + ascii(substring(w, i, 1)), 1048573)), 64)"""
+        .stripMargin)
+    val rows = df.select(col("id"),
+        GraftFunctions.wordBucket(col("w")).as("k"), sqlTwin.as("s"))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getLong(1) == r.getLong(2), s"word id=${r.getLong(0)}"))
+  }
+
+  test("ClassifierScore equals the SQL column program row-for-row (incl. NULL and empty)") {
+    val texts = Seq(
+      "",                         // no words → score 0, n_tokens 0
+      "   ",                      // only spaces → same
+      "one two three",
+      "  leading and   multiple    spaces  ",
+      "héllo wörld ünïcode tëxt",
+      "日本語の テキスト です",
+      "a😀b 😀 c😀d",
+      ("lorem ipsum " * 200).trim, // many words
+      null.asInstanceOf[String])   // NULL propagates on BOTH sides
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val native = graft.queries.TextOps.classifierScored(df)
+      .select("doc_id", "n_tokens", "score", "mean_weight", "keep")
+      .collect().sortBy(_.getLong(0)).toSeq
+    val sql = graft.queries.TextOps.classifierScoredSql(df)
+      .select("doc_id", "n_tokens", "score", "mean_weight", "keep")
+      .collect().sortBy(_.getLong(0)).toSeq
+    assert(native == sql)
+  }
+
+  test("q101 output is unchanged by the native kernel at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val a = graft.queries.TextOps.q101QualityClassifier(spark, sf)
+      .collect().toSeq
+    assert(a.nonEmpty)
+    val b = graft.queries.TextOps.classifierScoredSql(
+        graft.Tables.documents(spark, sf))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        col("mean_weight"), col("keep"))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(a == b)
+  }
+
+  test("registered in SQL as graft_word_bucket / graft_classifier_score") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT graft_word_bucket('hello'), graft_classifier_score('a b c').score")
+      .collect().head
+    val expected = spark.sql(
+      """SELECT pmod(aggregate(sequence(1, length('hello')), CAST(7 AS BIGINT),
+        |  (a, i) -> pmod(a * 31 + ascii(substring('hello', i, 1)), 1048573)), 64)"""
+        .stripMargin).collect().head.getLong(0)
+    assert(r.getLong(0) == expected)
+    assert(!r.isNullAt(1))
+  }
+}

@@ -2228,7 +2228,13 @@ object TextOps {
     * is touched once more at the end: a map-only tokenize via the
     * broadcast final vocabulary. */
   def q100BpeMerges(s: SparkSession, d: String): DataFrame = {
-    val dw = documents(s, d)
+    // gated width pin (r13): the two corpus touches (vocab build scan,
+    // final tokenize join) each ran as ONE task on a single-row-group
+    // table (~0.9 s + 0.6 s, StageClock). Unlike the classifier fold
+    // (whose interpreted HOF hit a parallelization ceiling and went
+    // native instead), these stages are pure codegen'd ops — split /
+    // explode / hash-agg / broadcast join — so spreading them works.
+    val dw = cpuWidthPin(documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
     // persisted (q98's pattern): each unrolled round re-derives its

@@ -13,11 +13,33 @@ class ClassifierExpressionsSpec extends SparkSuite {
 
   // adversarial word set: ascii, 2/3/4-byte codepoints, the fold's
   // modulus edges (long runs), and the empty string (the SQL fold over
-  // an empty sequence returns its seed 7 → bucket 7 % 64)
-  private val words = Seq(
-    "", "a", "the", "supercalifragilisticexpialidocious",
-    "héllo", "wörld", "日本語", "テスト", "😀", "a😀b", "€uro",
-    "x" * 500, "aé𝄞b", "ASCII-with-punct!?", "123456789")
+  // an empty sequence returns its seed 7 → bucket 7 % 64) — plus a
+  // seeded-random batch over the full assignable codepoint range
+  // (surrogate-pair codepoints included), so the pin does not depend
+  // on anyone's imagination of which codepoint breaks first
+  private val words: Seq[String] = {
+    val fixed = Seq(
+      "", "a", "the", "supercalifragilisticexpialidocious",
+      "héllo", "wörld", "日本語", "テスト", "😀", "a😀b", "€uro",
+      "x" * 500, "aé𝄞b", "ASCII-with-punct!?", "123456789")
+    val rnd = new scala.util.Random(0x5eed)
+    def randCp(): Int = {
+      // assignable, non-surrogate codepoints across all widths
+      val r = rnd.nextInt(4) match {
+        case 0 => 0x21 + rnd.nextInt(0x5e)          // 1-byte printable
+        case 1 => 0x80 + rnd.nextInt(0x780)          // 2-byte
+        case 2 => 0x800 + rnd.nextInt(0xF800)        // 3-byte
+        case _ => 0x10000 + rnd.nextInt(0x10000)     // 4-byte
+      }
+      if (r >= 0xD800 && r <= 0xDFFF) 0x3042 else r  // skip surrogates
+    }
+    val random = (1 to 300).map { _ =>
+      val sb = new java.lang.StringBuilder
+      (0 until 1 + rnd.nextInt(12)).foreach(_ => sb.appendCodePoint(randCp()))
+      sb.toString
+    }
+    fixed ++ random
+  }
 
   test("WordBucket equals the SQL aggregate fold, multibyte included") {
     val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
@@ -34,7 +56,14 @@ class ClassifierExpressionsSpec extends SparkSuite {
   }
 
   test("ClassifierScore equals the SQL column program row-for-row (incl. NULL and empty)") {
-    val texts = Seq(
+    // fixed shapes + seeded-random texts assembled from the word pool
+    // (space-joined, sometimes with runs of spaces)
+    val rnd = new scala.util.Random(0xd0c5)
+    val randomTexts = (1 to 100).map { _ =>
+      (0 until rnd.nextInt(8)).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(if (rnd.nextBoolean()) " " else "  ")
+    }
+    val texts = (Seq(
       "",                         // no words → score 0, n_tokens 0
       "   ",                      // only spaces → same
       "one two three",
@@ -44,6 +73,7 @@ class ClassifierExpressionsSpec extends SparkSuite {
       "a😀b 😀 c😀d",
       ("lorem ipsum " * 200).trim, // many words
       null.asInstanceOf[String])   // NULL propagates on BOTH sides
+      ++ randomTexts)
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val df = texts.toDF("doc_id", "text")
     val native = graft.queries.TextOps.classifierScored(df)

@@ -32,31 +32,63 @@ import org.apache.spark.unsafe.types.UTF8String
   * ClassifierExpressionsSpec, multibyte included): `length`/`substring`
   * are codepoint-indexed and `ascii` yields the full Unicode codepoint
   * (verified against Spark: ascii('€') = 8364, ascii('𝄞') = 119070),
-  * so the kernels walk Java codepoints; words are maximal runs between
-  * U+0020 spaces exactly as `filter(split(text, ' '), w -> w <> '')`
-  * produces them. All arithmetic stays in the SQL form's nonneg ranges
-  * (a < 2^20, a*31+cp < 2^25, bucket*2654435761 < 2^38), so plain `%`
-  * equals `pmod`. */
+  * so the kernels decode codepoints straight off the UTF-8 bytes (the
+  * CharGramsKernel zero-copy discipline — no per-row String decode);
+  * words are maximal runs between U+0020 spaces exactly as
+  * `filter(split(text, ' '), w -> w <> '')` produces them. All
+  * arithmetic stays in the SQL form's nonneg ranges (a < 2^20,
+  * a*31 + cp ≤ 31·(2^20−5) + 0x10FFFF < 2^26, bucket·2654435761
+  * < 2^38), so plain `%` equals `pmod`. */
 object ClassifierFoldKernel {
   private final val FoldSeed = 7L
   private final val FoldMod = 1048573L
   private final val Buckets = 64L
   private final val Mix = 2654435761L
+  /** What the SQL fold computes on the EMPTY string — NOT the seed:
+    * `sequence(1, length(w))` is `sequence(1, 0)` = [1, 0] (Spark's
+    * default step is −1 when start > stop), and `ascii('')` is 0, so
+    * the fold runs twice over cp = 0: ((7·31) % M · 31) % M = 6727.
+    * Replicated literally so the kernel matches the SQL twin for ANY
+    * bucket modulus — at Buckets = 64 the two happen to agree even
+    * without this (31² = 961 ≡ 1 mod 64), which is exactly the kind of
+    * coincidence a modulus change would silently break (r13 review). */
+  private final val EmptySqlFold = ((FoldSeed * 31L) % FoldMod * 31L) % FoldMod
+
+  /** One codepoint-at-a-time fold over UTF-8 bytes [start, end) —
+    * decodes each codepoint from its lead/continuation bytes directly
+    * (bit-identical to String.codePointAt on valid UTF-8, which is
+    * what Spark's ascii/substring assume too). */
+  private def foldCodepoints(bytes: Array[Byte], start: Int, end: Int): Long = {
+    var a = FoldSeed
+    var i = start
+    while (i < end) {
+      val b0 = bytes(i) & 0xFF
+      var cp = b0
+      var n = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xE0) == 0xC0) { n = 2; cp = b0 & 0x1F }
+        else if ((b0 & 0xF0) == 0xE0) { n = 3; cp = b0 & 0x0F }
+        else { n = 4; cp = b0 & 0x07 }
+        var k = 1
+        while (k < n && i + k < end) {
+          cp = (cp << 6) | (bytes(i + k) & 0x3F)
+          k += 1
+        }
+      }
+      a = (a * 31L + cp) % FoldMod
+      i += n
+    }
+    a
+  }
 
   /** The per-word 64-bucket char fold — `classifierFeatures`' bucket
     * column. Input is one word (no spaces); spaces, if present, are
     * folded like any other codepoint, matching the SQL twin applied to
     * the same string. */
   def bucket(w: UTF8String): Long = {
-    val str = w.toString
-    val n = str.length
-    var a = FoldSeed
-    var i = 0
-    while (i < n) {
-      val cp = str.codePointAt(i)
-      a = (a * 31L + cp) % FoldMod
-      i += Character.charCount(cp)
-    }
+    val bytes = w.getBytes
+    val a = if (bytes.length == 0) EmptySqlFold
+      else foldCodepoints(bytes, 0, bytes.length)
     a % Buckets
   }
 
@@ -71,22 +103,21 @@ object ClassifierFoldKernel {
     * returns). Empty text → (0, 0), matching `aggregate` over an empty
     * array returning its seed. */
   def score(s: UTF8String): InternalRow = {
-    val str = s.toString
-    val n = str.length
+    // byte-level word scan: U+0020 is a single byte in UTF-8 and can
+    // never appear inside a multibyte sequence (continuation bytes all
+    // have the high bit set), so splitting on the 0x20 byte is exact
+    val bytes = s.getBytes
+    val n = bytes.length
     var score = 0L
     var nTok = 0L
     var i = 0
     while (i < n) {
-      if (str.charAt(i) == ' ') i += 1
+      if (bytes(i) == 0x20) i += 1
       else {
-        var a = FoldSeed
-        while (i < n && str.charAt(i) != ' ') {
-          val cp = str.codePointAt(i)
-          a = (a * 31L + cp) % FoldMod
-          i += Character.charCount(cp)
-        }
+        val start = i
+        while (i < n && bytes(i) != 0x20) i += 1
         nTok += 1L
-        score += ((a % Buckets) * Mix) % 17L - 8L
+        score += (foldCodepoints(bytes, start, i) % Buckets) * Mix % 17L - 8L
       }
     }
     new GenericInternalRow(Array[Any](score, nTok))

@@ -115,11 +115,11 @@ object DfSweep {
     }
 
     // the byte-derived gram width the real query would choose for this
-    // inventory: rows × 32 B / 16 MB slices (TextOps' q99 constant)
+    // inventory: rows × 32 B through the SAME width function q99 uses
+    // (r13 review: a re-implementation here could silently drift from
+    // the gate's real width and mis-calibrate the budget)
     def widthFor(rows: Long): Int =
-      math.min(1 << 16,
-        math.max(spark.sessionState.conf.numShufflePartitions,
-          (rows * 32L / (16L << 20)).toInt + 1))
+      graft.queries.TextOps.byteDerivedWidth(spark, rows * 32L, 16L << 20)
 
     def windowForm(df: Long): DataFrame = {
       import org.apache.spark.sql.expressions.Window

@@ -12,8 +12,12 @@ class ClassifierExpressionsSpec extends SparkSuite {
   import spark.implicits._
 
   // adversarial word set: ascii, 2/3/4-byte codepoints, the fold's
-  // modulus edges (long runs), and the empty string (the SQL fold over
-  // an empty sequence returns its seed 7 → bucket 7 % 64) — plus a
+  // modulus edges (long runs), and the empty string — which is NOT the
+  // seed case: sequence(1, 0) is [1, 0] (Spark steps −1 when start >
+  // stop) and ascii('') is 0, so the SQL fold of '' is 6727, which the
+  // kernel replicates literally (ClassifierFoldKernel.EmptySqlFold;
+  // at 64 buckets 6727 and 7 coincide because 31² ≡ 1 mod 64, but the
+  // kernel must not depend on that) — plus a
   // seeded-random batch over the full assignable codepoint range
   // (surrogate-pair codepoints included), so the pin does not depend
   // on anyone's imagination of which codepoint breaks first

@@ -55,25 +55,34 @@ object ClassifierFoldKernel {
   private final val EmptySqlFold = ((FoldSeed * 31L) % FoldMod * 31L) % FoldMod
 
   /** One codepoint-at-a-time fold over UTF-8 bytes [start, end) —
-    * decodes each codepoint from its lead/continuation bytes directly
-    * (bit-identical to String.codePointAt on valid UTF-8, which is
-    * what Spark's ascii/substring assume too). */
+    * stride and decode mirror `UTF8String.codePointFrom`
+    * (`numBytesForFirstByte` picks the width; the lead byte is masked
+    * by width and continuation bytes OR in 6 bits each), so on valid
+    * UTF-8 this is bit-identical to Spark's ascii/substring walk, and
+    * on MALFORMED bytes it strides the same way Spark does: a stray
+    * continuation or invalid lead byte (0x80-0xBF, 0xF8-0xFF) is a
+    * width-1 step decoded as `b & 0x7F` — NOT a 4-byte sequence lead
+    * (r13 ADVICE: the hand-rolled stride diverged from the SQL twin
+    * there; the sibling CharGrams kernel already used the canonical
+    * stride). Residual precondition, stated for the contract: a
+    * multibyte sequence TRUNCATED by the end of the word is decoded
+    * from the bytes present (Spark would read past the slice), which
+    * valid UTF-8 cannot produce — split(' ') cuts on whole codepoints. */
   private def foldCodepoints(bytes: Array[Byte], start: Int, end: Int): Long = {
     var a = FoldSeed
     var i = start
     while (i < end) {
       val b0 = bytes(i) & 0xFF
-      var cp = b0
-      var n = 1
-      if (b0 >= 0x80) {
-        if ((b0 & 0xE0) == 0xC0) { n = 2; cp = b0 & 0x1F }
-        else if ((b0 & 0xF0) == 0xE0) { n = 3; cp = b0 & 0x0F }
-        else { n = 4; cp = b0 & 0x07 }
-        var k = 1
-        while (k < n && i + k < end) {
-          cp = (cp << 6) | (bytes(i + k) & 0x3F)
-          k += 1
-        }
+      val n = UTF8String.numBytesForFirstByte(bytes(i))
+      var cp =
+        if (n == 1) b0 & 0x7F
+        else if (n == 2) b0 & 0x1F
+        else if (n == 3) b0 & 0x0F
+        else b0 & 0x07
+      var k = 1
+      while (k < n && i + k < end) {
+        cp = (cp << 6) | (bytes(i + k) & 0x3F)
+        k += 1
       }
       a = (a * 31L + cp) % FoldMod
       i += n

@@ -102,6 +102,42 @@ class ClassifierExpressionsSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("fold strides MALFORMED UTF-8 the way UTF8String does (r14 ADVICE)") {
+    // A stray continuation byte (0x80-0xBF) or invalid lead (0xF8-0xFF)
+    // must be a width-1 step decoded as b & 0x7F — what
+    // UTF8String.numBytesForFirstByte + codePointFrom produce — not a
+    // 4-byte sequence lead swallowing the following characters. Pinned
+    // against a codePointFrom-based reference walk, since malformed
+    // bytes cannot be produced through a DataFrame string literal.
+    // (The one stated precondition stays: no multibyte sequence
+    // TRUNCATED by the end of the slice — codePointFrom itself reads
+    // out of bounds there, so there is no canonical answer to pin.)
+    import org.apache.spark.unsafe.types.UTF8String
+    def refBucket(bytes: Array[Byte]): Long = {
+      val u = UTF8String.fromBytes(bytes)
+      var a = 7L
+      var i = 0
+      while (i < bytes.length) {
+        a = (a * 31L + u.codePointFrom(i)) % 1048573L
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+      }
+      a % 64L
+    }
+    val vectors: Seq[Array[Byte]] = Seq(
+      Array(0x80, 'a', 'b', 'c'),             // stray continuation, lead pos
+      Array('a', 0xBF, 'b'),                  // stray continuation, mid
+      Array(0xFF, 0xFE, 'x'),                 // invalid leads
+      Array(0xF8, 'a', 'b', 'c', 'd'),        // 5-byte-lead byte (invalid)
+      Array('a', 0x80, 0x80, 'b'),            // continuation run
+      Array(0xC3, 0xA9, 0x80, 'z'),           // valid é then stray cont
+      Array(0xE2, 'a', 'b', 'c')              // 3-byte lead, non-cont follow
+    ).map(_.map(_.toByte))
+    vectors.zipWithIndex.foreach { case (bs, i) =>
+      assert(ClassifierFoldKernel.bucket(UTF8String.fromBytes(bs)) == refBucket(bs),
+        s"vector $i: ${bs.map(b => f"${b & 0xFF}%02x").mkString(" ")}")
+    }
+  }
+
   test("registered in SQL as graft_word_bucket / graft_classifier_score") {
     GraftFunctions.ensureRegistered(spark)
     val r = spark.sql(

@@ -1928,6 +1928,15 @@ object TextOps {
     * comfortably under the budget/signal gap (see the budget note). */
   private[graft] val HotGramSampleMod = 61L
 
+  /** The gram-exchange slice target: every q99 width call sizes the
+    * gram-keyed exchange so each task's slice carries ~this many wire
+    * bytes, and [[HotGramTaskRowBudget]] is DERIVED from the same pair
+    * — one knob, two consumers, no silent desync (r13 ADVICE). */
+  private[graft] val GramSliceBytes = 16L << 20
+  /** Measured wire bytes per (gram, doc_id, pos) inventory row (~32 B:
+    * 6.85 GB / 214M grams at sf10, the r11 sizing). */
+  private[graft] val WiredGramRowBytes = 32L
+
   /** Max window rows ONE task may owe to a single hot gram before q99
     * switches to the two-pass form.
     *
@@ -1954,8 +1963,15 @@ object TextOps {
     * budget; the rundoc monster (1 M-char period-1 doc) sits above it
     * and still auto-switches. A false switch in the gap costs only the
     * measured two-pass premium, never correctness — outputs are pinned
-    * identical across the gate. */
-  private[graft] val HotGramTaskRowBudget = (16L << 20) / 32L // = 2^19 rows, the 16 MB gram-slice target
+    * identical across the gate.
+    *
+    * The derivation is expressed through the SAME named pair the q99
+    * width calls use ([[GramSliceBytes]] / [[WiredGramRowBytes]]) —
+    * retuning the slice target at the width sites retunes this budget
+    * with it, by construction (r13 ADVICE: the repeated `16L << 20`
+    * literals were the same desync class the r11 review fixed for the
+    * width formula itself). */
+  private[graft] val HotGramTaskRowBudget = GramSliceBytes / WiredGramRowBytes // = 2^19 rows, the 16 MB gram-slice target
 
   private val hotDfMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
@@ -2061,7 +2077,7 @@ object TextOps {
     // plan construction stays job-free). Outputs are pinned identical
     // across the gate in TextOpsSpec; the gated plan shape in PlanSpec.
     val q99Chars = docsEstBytes(s, d) / 3L
-    val gramWidth = byteDerivedWidth(s, q99Chars * 32L, 16L << 20)
+    val gramWidth = byteDerivedWidth(s, q99Chars * WiredGramRowBytes, GramSliceBytes)
     if (gramWidth > s.sessionState.conf.numShufflePartitions &&
         estMaxGramDf(s, d) > HotGramTaskRowBudget)
       q99SubstringDedupTwoPass(s, d)
@@ -2100,7 +2116,7 @@ object TextOps {
     // byte premium — see BASELINE.md r12 for the adjudication.
     val q99Chars = docsEstBytes(s, d) / 3L
     val g = q99Grams(s, d)
-    val gramWidth = byteDerivedWidth(s, q99Chars * 32L, 16L << 20)
+    val gramWidth = byteDerivedWidth(s, q99Chars * WiredGramRowBytes, GramSliceBytes)
     val gPinned =
       if (gramWidth > s.sessionState.conf.numShufflePartitions)
         g.repartition(gramWidth, col("gram"))
@@ -2188,7 +2204,7 @@ object TextOps {
     * SKEW_r12.json and the adjudication in BASELINE.md r12. */
   private[graft] def q99SubstringDedupTwoPass(s: SparkSession, d: String): DataFrame = {
     val q99Chars = docsEstBytes(s, d) / 3L
-    val gramWidth = byteDerivedWidth(s, q99Chars * 32L, 16L << 20)
+    val gramWidth = byteDerivedWidth(s, q99Chars * WiredGramRowBytes, GramSliceBytes)
     val dup = q99Grams(s, d)
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
@@ -2228,6 +2244,37 @@ object TextOps {
     * is touched once more at the end: a map-only tokenize via the
     * broadcast final vocabulary. */
   def q100BpeMerges(s: SparkSession, d: String): DataFrame = {
+    val ind = bpeInduction(s, d)
+    val vt = ind.v3.select(col("word"),
+      length(col("word")).cast("long").as("n_base"),
+      size(split(trim(col("seq")), "  ")).cast("long").as("n_toks"))
+    def mcol(m: DataFrame, name: String): DataFrame =
+      m.select(concat(col("s1"), col("s2")).as(name))
+    ind.dw.join(broadcast(vt), Seq("word"))
+      .crossJoin(broadcast(mcol(ind.m1, "m1")))
+      .crossJoin(broadcast(mcol(ind.m2, "m2")))
+      .crossJoin(broadcast(mcol(ind.m3, "m3")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_base")).as("n_char_tokens"),
+        sum(col("n_toks")).as("n_bpe_tokens"),
+        (sum(col("n_base")) - sum(col("n_toks"))).as("n_saved"),
+        min(col("m1")).as("merge1"), min(col("m2")).as("merge2"),
+        min(col("m3")).as("merge3"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q100/q106 shared induction state: the pinned (doc_id, word)
+    * stream, the final vocabulary state after three merges (word, c,
+    * seq — seq in the per-symbol-wrapped encoding), and the three
+    * learned merge rows (s1, s2). */
+  private case class BpeState(dw: DataFrame, v3: DataFrame,
+      m1: DataFrame, m2: DataFrame, m3: DataFrame)
+
+  /** The three unrolled BPE merge rounds q100's scaladoc describes,
+    * extracted verbatim (r14) so q106's encode applies the SAME learned
+    * table the induction reports — plan shape unchanged (a pure
+    * construction refactor; PlanSpec's q100 pin is the witness). */
+  private def bpeInduction(s: SparkSession, d: String): BpeState = {
     // gated width pin (r13): the two corpus touches (vocab build scan,
     // final tokenize join) each ran as ONE task on a single-row-group
     // table (~0.9 s + 0.6 s, StageClock). Unlike the classifier fold
@@ -2274,21 +2321,50 @@ object TextOps {
     val v2 = applyMerge(v1, m2)
     val m3 = argmax(pairCounts(v2))
     val v3 = applyMerge(v2, m3)
-    val vt = v3.select(col("word"),
-      length(col("word")).cast("long").as("n_base"),
+    BpeState(dw, v3, m1, m2, m3)
+  }
+
+  /** q106: BPE tokenizer APPLICATION — ENCODE the corpus with the merge
+    * table q100's induction learns (the post-induction step a real
+    * training pipeline runs over every document; the suite exercised it
+    * only implicitly through q100's token counts until r14). Applying a
+    * pair rule is an iterated merge to fixpoint over the bounded merge
+    * list, in learned order — and in the per-symbol-wrapped `seq`
+    * encoding ONE greedy left-to-right `replace` pass per rule IS that
+    * fixpoint: the splice consumes both symbols, so no occurrence of
+    * (s1, s2) survives a pass, and any new adjacency involves the
+    * merged symbol s1s2, which is strictly longer than either operand
+    * and therefore never re-forms the pair ([[q100BpeMerges]] scaladoc
+    * has the wrapper-encoding cases). Output per document: the encoded
+    * token sequence itself (space-joined, words in document order),
+    * its word and token counts.
+    *
+    * 100 TB shape: q100's exactly — the merge table is applied to the
+    * VOCABULARY (per distinct word, corpus-size-independent after the
+    * hash-agg), and the corpus is touched twice, both scans pruned to
+    * (doc_id, text): once partial-aggregable for the vocab, once
+    * map-side through the broadcast word→tokens table. Per-doc
+    * reassembly sorts each doc's word slots inside the hash aggregate
+    * (sort_array + GetArrayStructFields — codegen'd, no interpreted
+    * lambda); nothing about the encode joins corpus-to-corpus or
+    * shuffles more than the one doc_id agg exchange. */
+  def q106BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val ind = bpeInduction(s, d)
+    // word → (its encoded token string, token count): the learned
+    // table applied once per DISTINCT word, then broadcast
+    val enc = ind.v3.select(col("word"),
+      array_join(split(trim(col("seq")), "  "), " ").as("toks"),
       size(split(trim(col("seq")), "  ")).cast("long").as("n_toks"))
-    def mcol(m: DataFrame, name: String): DataFrame =
-      m.select(concat(col("s1"), col("s2")).as(name))
-    dw.join(broadcast(vt), Seq("word"))
-      .crossJoin(broadcast(mcol(m1, "m1")))
-      .crossJoin(broadcast(mcol(m2, "m2")))
-      .crossJoin(broadcast(mcol(m3, "m3")))
+    val wp = cpuWidthPin(documents(s, d))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    wp.join(broadcast(enc), Seq("word"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("n_base")).as("n_char_tokens"),
-        sum(col("n_toks")).as("n_bpe_tokens"),
-        (sum(col("n_base")) - sum(col("n_toks"))).as("n_saved"),
-        min(col("m1")).as("merge1"), min(col("m2")).as("merge2"),
-        min(col("m3")).as("merge3"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_tokens"),
+        array_join(sort_array(collect_list(struct(col("pos"), col("toks"))))
+          .getField("toks"), " ").as("tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -2695,6 +2771,7 @@ object TextOps {
     "q102_temperature_mix" -> (q102TemperatureMix _),
     "q101_quality_classifier" -> (q101QualityClassifier _),
     "q100_bpe_merges"      -> (q100BpeMerges _),
+    "q106_bpe_encode"      -> (q106BpeEncode _),
     "q99_substring_dedup"  -> (q99SubstringDedup _),
     "q96_boilerplate_grams" -> (q96BoilerplateGrams _),
     "q97_token_budget"      -> (q97TokenBudget _),
@@ -2900,6 +2977,64 @@ object TextOps {
         |FROM w JOIN vt USING (word)
         |  CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3
         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+    // q106 restates q100's induction CTEs verbatim, then ENCODES: the
+    // final vocab state maps each word to its token string, and each
+    // document re-assembles its words' tokens in document order
+    // (string_agg ORDER BY the word's split position — the Spark side
+    // sorts (pos, toks) structs inside the agg, same order)
+    "q106_bpe_encode" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
+        |  FROM documents),
+        |vocab AS (SELECT word, CAST(count(*) AS BIGINT) c FROM w
+        |  WHERE word <> '' GROUP BY 1),
+        |v0 AS (SELECT word, c,
+        |  ' ' || array_to_string(regexp_split_to_array(word,''), '  ') || ' '
+        |    AS seq FROM vocab),
+        |pc1 AS (SELECT u.p.s1 AS s1, u.p.s2 AS s2,
+        |    CAST(sum(c) AS BIGINT) cnt
+        |  FROM (SELECT c, string_split(trim(seq),'  ') s FROM v0) t,
+        |    unnest([{'s1': t.s[i], 's2': t.s[i+1]}
+        |      for i in range(1, len(t.s))]) u(p)
+        |  GROUP BY 1, 2),
+        |m1 AS (SELECT s1, s2 FROM pc1 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+        |v1 AS (SELECT word, c,
+        |  replace(seq, ' '||m.s1||'  '||m.s2||' ', ' '||m.s1||m.s2||' ') seq
+        |  FROM v0 CROSS JOIN m1 m),
+        |pc2 AS (SELECT u.p.s1 AS s1, u.p.s2 AS s2,
+        |    CAST(sum(c) AS BIGINT) cnt
+        |  FROM (SELECT c, string_split(trim(seq),'  ') s FROM v1) t,
+        |    unnest([{'s1': t.s[i], 's2': t.s[i+1]}
+        |      for i in range(1, len(t.s))]) u(p)
+        |  GROUP BY 1, 2),
+        |m2 AS (SELECT s1, s2 FROM pc2 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+        |v2 AS (SELECT word, c,
+        |  replace(seq, ' '||m.s1||'  '||m.s2||' ', ' '||m.s1||m.s2||' ') seq
+        |  FROM v1 CROSS JOIN m2 m),
+        |pc3 AS (SELECT u.p.s1 AS s1, u.p.s2 AS s2,
+        |    CAST(sum(c) AS BIGINT) cnt
+        |  FROM (SELECT c, string_split(trim(seq),'  ') s FROM v2) t,
+        |    unnest([{'s1': t.s[i], 's2': t.s[i+1]}
+        |      for i in range(1, len(t.s))]) u(p)
+        |  GROUP BY 1, 2),
+        |m3 AS (SELECT s1, s2 FROM pc3 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+        |v3 AS (SELECT word, c,
+        |  replace(seq, ' '||m.s1||'  '||m.s2||' ', ' '||m.s1||m.s2||' ') seq
+        |  FROM v2 CROSS JOIN m3 m),
+        |enc AS (SELECT word,
+        |  array_to_string(string_split(trim(seq),'  '), ' ') AS toks,
+        |  CAST(len(string_split(trim(seq),'  ')) AS BIGINT) AS n_toks
+        |  FROM v3),
+        |wp AS (SELECT doc_id, u.x.w AS word, u.x.p AS pos
+        |  FROM (SELECT doc_id, string_split(text,' ') s FROM documents) t,
+        |    unnest([{'w': t.s[i], 'p': i}
+        |      for i in range(1, len(t.s) + 1)]) u(x)
+        |  WHERE u.x.w <> '')
+        |SELECT wp.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(enc.n_toks) AS BIGINT) AS n_tokens,
+        |  string_agg(enc.toks, ' ' ORDER BY wp.pos) AS tokens
+        |FROM wp JOIN enc USING (word)
+        |GROUP BY wp.doc_id ORDER BY wp.doc_id""".stripMargin,
     "q99_substring_dedup" ->
       s"""WITH g AS (
          |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,

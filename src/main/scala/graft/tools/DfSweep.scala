@@ -119,7 +119,9 @@ object DfSweep {
     // (r13 review: a re-implementation here could silently drift from
     // the gate's real width and mis-calibrate the budget)
     def widthFor(rows: Long): Int =
-      graft.queries.TextOps.byteDerivedWidth(spark, rows * 32L, 16L << 20)
+      graft.queries.TextOps.byteDerivedWidth(spark,
+        rows * graft.queries.TextOps.WiredGramRowBytes,
+        graft.queries.TextOps.GramSliceBytes)
 
     def windowForm(df: Long): DataFrame = {
       import org.apache.spark.sql.expressions.Window

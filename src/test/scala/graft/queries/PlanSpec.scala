@@ -488,6 +488,18 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet\\b.*")) <= 2, p)
   }
 
+  test("q106 BPE encode touches parquet twice; the merge table is broadcast") {
+    val p = plan(TextOps.q106BpeEncode(spark, sf))
+    // same discipline as q100: the induction runs over the CACHED
+    // vocabulary; the corpus is scanned only for the vocab build and
+    // the final map-side encode join — and the word→tokens table rides
+    // a broadcast, never a shuffled corpus join
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet\\b.*")) <= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q99 dup-gram test is one count-window: single scan, no join") {
     val p = plan(TextOps.q99SubstringDedup(spark, sf))
     // the aggregate-then-semi-join shape scans + gram-generates the

@@ -684,6 +684,36 @@ class TextOpsSpec extends SparkSuite {
     assert(expected.forall(e => e._4 > 0))
   }
 
+  test("q106 encode agrees with q100's counts and round-trips the text (r14)") {
+    import org.apache.spark.sql.functions.col
+    val enc = TextOps.q106BpeEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // cross-query consistency: the encode's per-doc token count IS the
+    // induction's reported post-merge count (same learned table)
+    val q100 = TextOps.q100BpeMerges(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(enc.keySet == q100.keySet)
+    enc.foreach { case (id, (_, nTok, _)) => assert(nTok == q100(id), s"doc $id") }
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    enc.foreach { case (id, (nWords, nTok, toks)) =>
+      val tokens = toks.split(" ").filter(_.nonEmpty)
+      // the token stream is the doc: tokenization must be LOSSLESS —
+      // concatenating the tokens recovers the text minus its spaces
+      assert(tokens.mkString == docs(id).split(" ").filter(_.nonEmpty).mkString,
+        s"doc $id round-trip")
+      assert(tokens.length.toLong == nTok, s"doc $id token count")
+      assert(nWords == docs(id).split(" ").count(_.nonEmpty).toLong, s"doc $id words")
+      // the merges actually fired somewhere: some token longer than 1 char
+      assert(nTok <= docs(id).split(" ").filter(_.nonEmpty).map(_.length).sum)
+    }
+    // compression is real on this corpus, not vacuous
+    assert(enc.exists { case (id, (_, nTok, _)) =>
+      nTok < docs(id).split(" ").filter(_.nonEmpty).map(_.length).sum })
+  }
+
   test("q99 spans match a by-hand suffix-scan recomputation") {
     import org.apache.spark.sql.functions.col
     val L = 25

@@ -394,6 +394,100 @@ case class CharGrams(child: Expression, l: Int)
     copy(child = newChild)
 }
 
+/** Overlapping fixed-stride chunks of a string, for spreading one
+  * document's gram GENERATION across tasks (r14): chunk i covers
+  * codepoints [i·c, min(i·c + c + l − 1, nChars)), so width-`l` grams
+  * of chunk i at local positions 0..c−1 are exactly the document's
+  * grams at global positions i·c + local — each global gram position
+  * lands in exactly ONE chunk, and the l−1-codepoint overlap is the
+  * only duplicated text. A doc with ≤ c+l−1 codepoints yields one
+  * chunk that IS the text (zero-copy slice of the same byte array,
+  * the CharGrams discipline). Chunk count = max(1, ⌈(nChars−l+1)/c⌉);
+  * the degenerate nChars < l case yields one chunk whose gram set is
+  * empty, matching CharGrams on the whole text. One O(n) codepoint
+  * walk — a substring() chunker would pay O(chunks·n) per document
+  * (the same byte-0-scan class the CharGrams kernel exists to avoid). */
+object CharChunksKernel {
+  private val Empty =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+  def empty(): ArrayData = Empty
+
+  def eval(s: UTF8String, c: Int, l: Int): ArrayData = {
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    var nChars = 0
+    var off = 0
+    val starts = new Array[Int](nBytes + 1)
+    while (off < nBytes) {
+      starts(nChars) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      nChars += 1
+    }
+    starts(nChars) = nBytes
+    val nGrams = nChars - l + 1
+    val nChunks = if (nGrams <= 0) 1 else (nGrams + c - 1) / c
+    val out = new Array[Any](nChunks)
+    var i = 0
+    while (i < nChunks) {
+      val cs = i * c
+      val ce = math.min(cs.toLong + c + l - 1, nChars.toLong).toInt
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](cs.toLong,
+          UTF8String.fromBytes(bytes, starts(cs), starts(ce) - starts(cs))))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** [[CharChunksKernel.eval]] as a codegen'd unary expression; chunk
+  * stride and gram width are construction-time constants. NULL text →
+  * empty array (no chunks → no grams), consistent with [[CharGrams]]'
+  * pinned NULL contract. */
+case class CharChunks(child: Expression, c: Int, l: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", LongType, nullable = false),
+    StructField("chunk", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_char_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING, got ${child.dataType.sql}")
+    else if (c < 1 || l < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires positive chunk stride and gram width, got ($c, $l)")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) CharChunksKernel.empty()
+    else CharChunksKernel.eval(v.asInstanceOf[UTF8String], c, l)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    val stride = c.toString
+    val width = l.toString
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $javaType ${ev.value} = ${childGen.isNull}
+          ? graft.functions.CharChunksKernel.empty()
+          : graft.functions.CharChunksKernel.eval(${childGen.value}, $stride, $width);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class PrefixHashes(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -180,6 +180,13 @@ object GraftFunctions {
   def charGrams(text: Column, l: Int): Column =
     GraftColumnBridge.column(CharGrams(GraftColumnBridge.expression(text), l))
 
+  /** Overlapping fixed-stride chunks with codepoint start offsets
+    * (SetSimExpressions.CharChunks) — splits one document's gram
+    * generation across exchange partitions (r14). */
+  def charChunks(text: Column, c: Int, l: Int): Column =
+    GraftColumnBridge.column(
+      CharChunks(GraftColumnBridge.expression(text), c, l))
+
   /** Native 8-bit SRP-LSH signature ([[SrpSig]]). */
   def srpSig(v: Column): Column =
     GraftColumnBridge.column(SrpSig(GraftColumnBridge.expression(v)))

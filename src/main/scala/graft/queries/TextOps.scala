@@ -1905,6 +1905,17 @@ object TextOps {
     * phrase reuse (not just whole-doc copies) still surfaces at test SF. */
   private[graft] val SubstrL = 25 // shared with tools.GramCensus — the census must count the same grams q99 windows over
 
+  /** Codepoints per generation chunk in [[q99Grams]]' big-corpus path:
+    * one document contributes at most this many gram rows (~64 B
+    * in-memory each → ~16 MB, a 1/16 fraction of the 256 MB per-task
+    * explode budget) to any single map task, so no document — whatever
+    * its size — can overflow one task's shuffle-write grant or turn
+    * the generation stage into a doc-sized straggler. 2^18 splits the
+    * 1 M-char rundoc monster into 4 chunks; a ≤262k-char doc stays one
+    * chunk (the overwhelmingly common case — only the chunk overlap of
+    * l−1 codepoints is ever duplicated text). */
+  private[graft] val ChunkChars = 1 << 18
+
   /** The character-gram inventory both q99 forms AND the hot-df
     * estimator run — one definition so the estimator can never count
     * different grams than the window it protects. NATIVE since the r13
@@ -2145,10 +2156,44 @@ object TextOps {
     * are untouched. */
   private def q99Grams(s: SparkSession, d: String): DataFrame = {
     val textWidth = byteDerivedWidth(s, (docsEstBytes(s, d) / 3L) * 64L, 256L << 20)
-    documents(s, d).select(col("doc_id"), col("text"))
-      .repartition(textWidth, col("doc_id"))
-      .select(col("doc_id"), explode(gramStructs).as("x"))
-      .select(col("doc_id"), col("x.pos").as("pos"), col("x.gram").as("gram"))
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    if (textWidth > s.sessionState.conf.numShufflePartitions) {
+      // CHUNKED generation (r14): keying the text exchange on doc_id
+      // alone leaves one task generating ALL of a single document's
+      // gram rows — the rundoc monster (1 M-char period-1 doc) put its
+      // whole ~1M-row inventory on one map task, which was both the
+      // family's only spill (0.32/0.11 GB, StageClock stage-level
+      // attribution: the probe explode's shuffle-write buffer) and a
+      // doc-size-bounded straggler. Splitting each doc into
+      // [[graft.functions.CharChunks]] chunks BEFORE the exchange and
+      // keying on (doc_id, chunk start) spreads one doc's generation
+      // across tasks: any single doc now adds ≤ ChunkChars gram rows
+      // (~16 MB in-memory at ~64 B each — a small fraction of the
+      // 256 MB slice) to any one task, restoring the family's
+      // zero-spill invariant with NO new exchange (the text exchange
+      // already existed; the only added bytes are the l−1-codepoint
+      // chunk overlaps). The inventory is row-identical by the kernel's
+      // partition property (each global gram position lands in exactly
+      // one chunk — property-pinned in SetSimExpressionsSpec; the
+      // beyond-cap PlanSpec/TextOpsSpec fixtures run this path and pin
+      // output equality). Below the byte-width regime the plain path
+      // keeps bench-SF plans byte-identical to r13.
+      docs
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.charChunks(
+            col("text"), ChunkChars, SubstrL)).as("ch"))
+        .repartition(textWidth, col("doc_id"), col("ch.start"))
+        .select(col("doc_id"), col("ch.start").as("cs"),
+          explode(graft.functions.GraftFunctions.charGrams(
+            col("ch.chunk"), SubstrL)).as("x"))
+        .select(col("doc_id"), (col("cs") + col("x.pos")).as("pos"),
+          col("x.gram").as("gram"))
+    } else {
+      docs
+        .repartition(textWidth, col("doc_id"))
+        .select(col("doc_id"), explode(gramStructs).as("x"))
+        .select(col("doc_id"), col("x.pos").as("pos"), col("x.gram").as("gram"))
+    }
   }
 
   /** The doc-side islands/spans tail shared by both q99 forms.

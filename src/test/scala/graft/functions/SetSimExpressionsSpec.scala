@@ -224,4 +224,72 @@ class SetSimExpressionsSpec extends SparkSuite {
       assert(k == s, s"id=${r.getLong(0)}: kernel $k vs sql $s")
     }
   }
+
+  test("CharChunks partitions the gram stream exactly: chunked == direct, multibyte included (r14)") {
+    // q99Grams' big-corpus path explodes chunks first and grams inside
+    // each chunk at global position chunkStart + localPos; the whole
+    // point is that this is ROW-IDENTICAL to CharGrams over the full
+    // text (each global gram position lands in exactly one chunk).
+    // Strides are chosen to hit every boundary class: stride < L,
+    // stride == L, stride larger than most docs, and a stride that
+    // divides/doesn't divide the doc length. Multibyte text pins the
+    // codepoint (not byte) chunk arithmetic.
+    val L = 5
+    val rnd = new scala.util.Random(0xc4a9)
+    def randDoc(n: Int): String = {
+      val sb = new java.lang.StringBuilder
+      (0 until n).foreach { _ =>
+        sb.appendCodePoint(rnd.nextInt(4) match {
+          case 0 => 'a' + rnd.nextInt(26)
+          case 1 => 0xE9                     // é (2-byte)
+          case 2 => 0x65E5                   // 日 (3-byte)
+          case _ => 0x1F600                  // 😀 (4-byte)
+        })
+      }
+      sb.toString
+    }
+    val docs = (Seq("", "abc", "abcde", "a" * 100, randDoc(1), randDoc(4),
+        randDoc(5), randDoc(63), randDoc(64), randDoc(65), randDoc(997),
+        null.asInstanceOf[String]) ++ (1 to 20).map(_ => randDoc(1 + rnd.nextInt(300))))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    import spark.implicits._
+    val df = docs.toDF("id", "text")
+    for (stride <- Seq(3, 5, 64, 256)) {
+      val chunked = df
+        .select(col("id"),
+          explode(GraftFunctions.charChunks(col("text"), stride, L)).as("ch"))
+        .select(col("id"),
+          col("ch.start").as("cs"),
+          explode(GraftFunctions.charGrams(col("ch.chunk"), L)).as("x"))
+        .select(col("id"), (col("cs") + col("x.pos")).as("pos"),
+          col("x.gram").as("gram"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val direct = df
+        .select(col("id"), explode(GraftFunctions.charGrams(col("text"), L)).as("x"))
+        .select(col("id"), col("x.pos").as("pos"), col("x.gram").as("gram"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(chunked == direct, s"stride=$stride")
+      // exactly-once: no duplicated (id, pos) across chunk boundaries
+      assert(chunked.map(t => (t._1, t._2)).distinct.size == chunked.size,
+        s"stride=$stride duplicated positions")
+    }
+    // chunk count + coverage arithmetic, pinned directly on the kernel
+    import org.apache.spark.unsafe.types.UTF8String
+    def chunksOf(t: String, c: Int): Seq[(Long, String)] = {
+      val a = graft.functions.CharChunksKernel
+        .eval(UTF8String.fromString(t), c, L)
+      (0 until a.numElements()).map { i =>
+        val row = a.getStruct(i, 2)
+        (row.getLong(0), row.getUTF8String(1).toString)
+      }
+    }
+    assert(chunksOf("", 4) == Seq((0L, "")))            // degenerate: 1 empty chunk
+    assert(chunksOf("abc", 4) == Seq((0L, "abc")))      // < L: 1 chunk, no grams
+    assert(chunksOf("abcdefghij", 4) ==                  // nGrams=6 → 2 chunks, L−1 overlap
+      Seq((0L, "abcdefgh"), (4L, "efghij")))
+    assert(chunksOf("abcdefghi", 4) ==                   // nGrams=5 → 2 chunks, short tail
+      Seq((0L, "abcdefgh"), (4L, "efghi")))
+  }
 }

@@ -305,6 +305,29 @@ case class HashedShingles(child: Expression)
   * Codepoint semantics are IDENTICAL to the SQL form — positions are
   * codepoint indices and windows are codepoint windows, multibyte
   * text included (property-pinned against the SQL twin). */
+/** The codepoint start-offset walk shared by [[CharGramsKernel]] and
+  * [[CharChunksKernel]] — ONE definition so the stride discipline can
+  * never diverge between the two kernels (the exact desync class the
+  * r13/r14 ADVICE items fixed for ClassifierFoldKernel). */
+private[functions] object CodepointIndex {
+  /** (starts, nChars): starts(i) = byte offset of codepoint i;
+    * starts(nChars) = nBytes — the end slot that makes the last
+    * slice's byte length exact for multibyte tails. One O(n) walk. */
+  def starts(bytes: Array[Byte]): (Array[Int], Int) = {
+    val nBytes = bytes.length
+    var nChars = 0
+    var off = 0
+    val st = new Array[Int](nBytes + 1)
+    while (off < nBytes) {
+      st(nChars) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      nChars += 1
+    }
+    st(nChars) = nBytes
+    (st, nChars)
+  }
+}
+
 object CharGramsKernel {
   /** Shared empty result — also what NULL text maps to, matching the
     * SQL twin exactly (its CASE guard evaluates the ELSE array() on a
@@ -316,17 +339,7 @@ object CharGramsKernel {
 
   def eval(s: UTF8String, l: Int): ArrayData = {
     val bytes = s.getBytes // one copy of the doc; all grams slice it
-    val nBytes = bytes.length
-    // codepoint start offsets (one extra slot = end-of-string)
-    var nChars = 0
-    var off = 0
-    val starts = new Array[Int](nBytes + 1)
-    while (off < nBytes) {
-      starts(nChars) = off
-      off += UTF8String.numBytesForFirstByte(bytes(off))
-      nChars += 1
-    }
-    starts(nChars) = nBytes
+    val (starts, nChars) = CodepointIndex.starts(bytes)
     val n = nChars - l + 1
     if (n <= 0)
       new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
@@ -413,19 +426,21 @@ object CharChunksKernel {
   def empty(): ArrayData = Empty
 
   def eval(s: UTF8String, c: Int, l: Int): ArrayData = {
+    // fast path for the overwhelmingly common single-chunk case:
+    // nChars <= nBytes, so nBytes <= c guarantees one chunk that IS
+    // the text — no byte copy, no offset walk, no transient index
+    // array on the per-document hot path (r14 review)
+    if (s.numBytes <= c)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](0L, s))))
     val bytes = s.getBytes
-    val nBytes = bytes.length
-    var nChars = 0
-    var off = 0
-    val starts = new Array[Int](nBytes + 1)
-    while (off < nBytes) {
-      starts(nChars) = off
-      off += UTF8String.numBytesForFirstByte(bytes(off))
-      nChars += 1
-    }
-    starts(nChars) = nBytes
+    val (starts, nChars) = CodepointIndex.starts(bytes)
     val nGrams = nChars - l + 1
-    val nChunks = if (nGrams <= 0) 1 else (nGrams + c - 1) / c
+    // long-widened: nGrams + c - 1 wraps negative for near-2GiB docs —
+    // the exact giant-doc regime this kernel exists for (r14 review)
+    val nChunks = if (nGrams <= 0) 1 else ((nGrams.toLong + c - 1) / c).toInt
     val out = new Array[Any](nChunks)
     var i = 0
     while (i < nChunks) {

@@ -1916,9 +1916,11 @@ object TextOps {
     * l−1 codepoints is ever duplicated text). */
   private[graft] val ChunkChars = 1 << 18
 
-  /** The character-gram inventory both q99 forms AND the hot-df
-    * estimator run — one definition so the estimator can never count
-    * different grams than the window it protects. NATIVE since the r13
+  /** The character-gram inventory of q99's PLAIN (below-regime)
+    * generation path. The chunked path and the hot-df estimator emit
+    * the same grams through charChunks ∘ charGrams at the same
+    * [[SubstrL]] (row-identity property-pinned), so no consumer can
+    * count different grams than the window it protects. NATIVE since the r13
     * rundoc probe: the SQL form (`transform(sequence(...), i ->
     * substring(text, i+1, L))`) is QUADRATIC per document —
     * UTF8String.substring locates codepoint i by scanning from byte 0,
@@ -2016,10 +2018,21 @@ object TextOps {
     hotDfMemo.computeIfAbsent((s, d), _ => {
       val sampled = pmod(xxhash64(col("doc_id")), lit(HotGramSampleMod)) === 0
       val big = col("n_chars") > HotGramTaskRowBudget / 4
+      // chunked generation here too (r14 review): the big-doc census
+      // FORCE-INCLUDES every doc declaring n_chars > budget/4, so a
+      // giant doc's whole gram array would otherwise materialize at
+      // once inside one explode task (~64 B x nChars) — the same
+      // per-doc concentration q99Grams' chunked path removed. The
+      // gram MULTISET is identical by the CharChunks partition
+      // property, which is all the df estimate reads.
       val r = documents(s, d)
         .filter(sampled || big)
-        .select(explode(gramStructs).as("x"),
-          sampled.as("s"), big.as("b"))
+        .select(sampled.as("s"), big.as("b"),
+          explode(graft.functions.GraftFunctions.charChunks(
+            col("text"), ChunkChars, SubstrL)).as("ch"))
+        .select(col("s"), col("b"),
+          explode(graft.functions.GraftFunctions.charGrams(
+            col("ch.chunk"), SubstrL)).as("x"))
         .groupBy(col("x.gram"))
         .agg(sum(when(col("s"), 1L).otherwise(0L)).as("cs"),
           sum(when(col("b"), 1L).otherwise(0L)).as("cb"))

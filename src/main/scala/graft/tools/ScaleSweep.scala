@@ -43,7 +43,8 @@ object ScaleSweep {
       "q51_decontaminate", "q60_decontaminate_bloom",
       // corpus statistics / tokenizer
       "q56_vocabulary", "q92_tfidf_keywords", "q93_lm_score",
-      "q97_token_budget", "q100_bpe_merges", "q101_quality_classifier",
+      "q97_token_budget", "q100_bpe_merges", "q106_bpe_encode",
+      "q101_quality_classifier",
       "q102_temperature_mix",
       // r8: bounded-model LM scoring + the classifier training loop
       "q103_lm_score_pruned", "q104_classifier_train",

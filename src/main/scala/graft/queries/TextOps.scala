@@ -2308,7 +2308,7 @@ object TextOps {
       size(split(trim(col("seq")), "  ")).cast("long").as("n_toks"))
     def mcol(m: DataFrame, name: String): DataFrame =
       m.select(concat(col("s1"), col("s2")).as(name))
-    ind.dw.join(broadcast(vt), Seq("word"))
+    joinVocab(s, d, ind.dw, vt)
       .crossJoin(broadcast(mcol(ind.m1, "m1")))
       .crossJoin(broadcast(mcol(ind.m2, "m2")))
       .crossJoin(broadcast(mcol(ind.m3, "m3")))
@@ -2327,6 +2327,62 @@ object TextOps {
     * learned merge rows (s1, s2). */
   private case class BpeState(dw: DataFrame, v3: DataFrame,
       m1: DataFrame, m2: DataFrame, m3: DataFrame)
+
+  private val vocabStatsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+
+  /** Memoized VOCABULARY byte estimate (distinct words × per-row
+    * payload bytes): the word→tokens build side of the q100/q106
+    * tokenize joins is vocabulary-sized, NOT corpus-sized — Heaps'
+    * law keeps natural-language vocab orders under the corpus — but
+    * its WORST case (crawl junk, binary-ish text: every word unique)
+    * IS the corpus, so the broadcast decision needs the build side's
+    * own estimate, not a corpus proxy that would flip mid-size
+    * replicated corpora to the exchange plan for nothing. One
+    * approx_count_distinct + avg(length) scan per (session, sfDir),
+    * computed ONLY past the corpus-bytes bound (vocab ≤ corpus, so
+    * below the cap the answer is already known and bench-SF plan
+    * construction stays job-free — the [[estMaxGramDf]] discipline).
+    * Payload ≈ avgLen × 4 (the encoded token string runs up to ~2×
+    * the word plus separators) + 48 B of counts/row overhead. */
+  private def vocabEstBytes(s: SparkSession, d: String): Long = {
+    vocabStatsMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    vocabStatsMemo.computeIfAbsent((s, d), _ => {
+      val st = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .agg(approx_count_distinct(col("word")).as("n"),
+          coalesce(avg(length(col("word"))), lit(0.0)).as("l"))
+        .head()
+      (st.getLong(0) * (st.getDouble(1) * 4.0 + 48.0)).toLong
+    })
+  }
+
+  /** The word→payload tokenize join shared by q100 and q106 (r14):
+    * broadcast while the vocabulary-derived build side fits the verify
+    * cap; beyond it both children repartition to the byte-derived
+    * width and the join plans shuffled-hash (a sort-merge would sort
+    * the corpus-scale word stream — the exact failure the width
+    * machinery exists to prevent; an unconditional broadcast is the
+    * executor-memory hazard [[verifySide]] closed for the shingle
+    * builds). Gate order: the corpus bound decides for free below the
+    * cap (vocab ≤ corpus — every bench SF, plan byte-identical to
+    * r13); past it the memoized [[vocabEstBytes]] decides, so a big
+    * REPLICATED corpus with a small vocabulary keeps the broadcast. */
+  private def joinVocab(s: SparkSession, d: String,
+      words: DataFrame, payload: DataFrame): DataFrame = {
+    val vb =
+      if (docsEstBytes(s, d) <= VerifyBroadcastBytes) 0L
+      else vocabEstBytes(s, d)
+    if (vb <= VerifyBroadcastBytes)
+      words.join(broadcast(payload), Seq("word"))
+    else {
+      val w = byteDerivedWidth(s, vb, VerifyBuildSliceBytes)
+      words.repartition(w, col("word"))
+        .join(payload.repartition(w, col("word")).hint("shuffle_hash"),
+          Seq("word"))
+    }
+  }
 
   /** The three unrolled BPE merge rounds q100's scaladoc describes,
     * extracted verbatim (r14) so q106's encode applies the SAME learned
@@ -2417,7 +2473,7 @@ object TextOps {
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .filter(col("word") =!= "")
-    wp.join(broadcast(enc), Seq("word"))
+    joinVocab(s, d, wp, enc)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_toks")).as("n_tokens"),

@@ -500,6 +500,39 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q100/q106 tokenize join gates on VOCAB bytes: replicated corpora keep the broadcast, adversarial vocab plans shuffled-hash (r14)") {
+    import spark.implicits._
+    // big CLAIMED corpus, tiny actual vocabulary: the corpus bound
+    // alone would flip to the exchange plan; the two-level gate's
+    // vocab estimate must keep the broadcast (a replicated/boilerplate
+    // corpus at scale has a bounded vocab — Heaps' law)
+    val rep = java.nio.file.Files.createTempDirectory("graft_vocab_rep").toString
+    (0 until 100).map(i => (i.toLong,
+        "alpha bravo charlie delta echo foxtrot", "en", "syn", 2000000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$rep/documents.parquet")
+    val p1 = plan(TextOps.q106BpeEncode(spark, rep))
+    assert(p1.contains("BroadcastHashJoin"), p1)
+    assert(!p1.contains("ShuffledHashJoin"), p1)
+    // adversarial vocabulary (every word unique: ~1.2M distinct words
+    // ≈ 96 MB estimated build side > the 64 MB cap): the tokenize join
+    // must plan shuffled-hash on BOTH children, never sort-merge (a
+    // sort-merge would sort the corpus-scale word stream)
+    val adv = java.nio.file.Files.createTempDirectory("graft_vocab_adv").toString
+    (0 until 200).map(i => (i.toLong,
+        (0 until 6000).map(j => f"w${i * 6000 + j}%07d").mkString(" "),
+        "en", "syn", 2000000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$adv/documents.parquet")
+    val p2 = plan(TextOps.q106BpeEncode(spark, adv))
+    assert(p2.contains("ShuffledHashJoin"), p2)
+    assert(!p2.contains("SortMergeJoin"), p2)
+    // q100's tokenize join rides the same helper
+    val p3 = plan(TextOps.q100BpeMerges(spark, adv))
+    assert(p3.contains("ShuffledHashJoin"), p3)
+    assert(!p3.contains("SortMergeJoin"), p3)
+  }
+
   test("q99 dup-gram test is one count-window: single scan, no join") {
     val p = plan(TextOps.q99SubstringDedup(spark, sf))
     // the aggregate-then-semi-join shape scans + gram-generates the

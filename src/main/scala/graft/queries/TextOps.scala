@@ -1907,7 +1907,7 @@ object TextOps {
 
   /** Codepoints per generation chunk in [[q99Grams]]' big-corpus path:
     * one document contributes at most this many gram rows (~64 B
-    * in-memory each → ~16 MB, a 1/16 fraction of the 256 MB per-task
+    * in-memory each → ~16 MB, a 1/8 fraction of the 128 MB per-task
     * explode budget) to any single map task, so no document — whatever
     * its size — can overflow one task's shuffle-write grant or turn
     * the generation stage into a doc-sized straggler. 2^18 splits the
@@ -2161,14 +2161,25 @@ object TextOps {
     * outgrows a task's execution-memory grant — at sf10 the 32-task
     * explode stage carried ALL 16.3 GB of the query's spill (10.2 mem /
     * 6.1 disk) while the 448-wide window stages spilled zero. Bound the
-    * per-task explode payload to ~256 MB of gram rows instead: width =
-    * chars × 64 B / 256 MB (chars ≈ docsEstBytes/3, the memoized corpus
-    * scan). On a real cluster the scan's maxPartitionBytes does this
-    * automatically — the pin must not UNDO it as the corpus grows.
-    * Below the threshold the session default wins and bench-SF plans
-    * are untouched. */
+    * per-task explode payload instead: width = chars × 64 B / slice
+    * (chars ≈ docsEstBytes/3, the memoized corpus scan). On a real
+    * cluster the scan's maxPartitionBytes does this automatically —
+    * the pin must not UNDO it as the corpus grows. Below the threshold
+    * the session default wins and bench-SF plans are untouched.
+    *
+    * Slice target 256 → 128 MB (r14, measured A/B at the 10× rundoc
+    * probe, fresh JVMs): with 32 concurrent tasks sharing a unified
+    * pool, a task's guaranteed grant is pool/64 — a ~256 MB slice sits
+    * ABOVE it, so the shuffle writer spilled exactly when all lanes
+    * ran dense (1.59/0.54 GB at the 10× monster; the stage wrote only
+    * +60 MB over the zero-spill 1× run — a grant threshold, not data
+    * growth). At 128 MB the same stage reads ZERO spill with the
+    * generation task-time FASTER (328 vs 717 CPU-s warm) and the
+    * uniform sf10 base also zero-spill at its best reading yet
+    * (64.0 s warm rep); the only cost is 2× the map-task count on the
+    * one text exchange. */
   private def q99Grams(s: SparkSession, d: String): DataFrame = {
-    val textWidth = byteDerivedWidth(s, (docsEstBytes(s, d) / 3L) * 64L, 256L << 20)
+    val textWidth = byteDerivedWidth(s, (docsEstBytes(s, d) / 3L) * 64L, 128L << 20)
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     if (textWidth > s.sessionState.conf.numShufflePartitions) {
       // CHUNKED generation (r14): keying the text exchange on doc_id
@@ -2182,7 +2193,7 @@ object TextOps {
       // keying on (doc_id, chunk start) spreads one doc's generation
       // across tasks: any single doc now adds ≤ ChunkChars gram rows
       // (~16 MB in-memory at ~64 B each — a small fraction of the
-      // 256 MB slice) to any one task, restoring the family's
+      // 128 MB slice) to any one task, restoring the family's
       // zero-spill invariant with NO new exchange (the text exchange
       // already existed; the only added bytes are the l−1-codepoint
       // chunk overlaps). The inventory is row-identical by the kernel's

@@ -278,7 +278,7 @@ class PlanSpec extends SparkSuite {
     val session = spark.sessionState.conf.numShufflePartitions
     def w(est: Long, slice: Long) =
       math.min(1 << 16, math.max(session, (est / slice).toInt + 1))
-    val textWidth = w(chars * 64L, 256L << 20)
+    val textWidth = w(chars * 64L, 128L << 20)
     val gramWidth = w(chars * 32L, 16L << 20)
     val docWidth = w(chars * 10L, 16L << 20)
     assert(Set(textWidth, gramWidth, docWidth).forall(_ != session),

@@ -1949,6 +1949,11 @@ object TextOps {
   /** Measured wire bytes per (gram, doc_id, pos) inventory row (~32 B:
     * 6.85 GB / 214M grams at sf10, the r11 sizing). */
   private[graft] val WiredGramRowBytes = 32L
+  /** Per-task slice target for corpus-scale STREAMING exchanges (the
+    * q99 text pin and the tokenize join's probe side) — see the r14
+    * slice A/B in [[q99Grams]]'s scaladoc for why 128 MB (the 256 MB
+    * predecessor sat above a 32-lane task's guaranteed grant). */
+  private[graft] val TextSliceBytes = 128L << 20
 
   /** Max window rows ONE task may owe to a single hot gram before q99
     * switches to the two-pass form.
@@ -2179,7 +2184,7 @@ object TextOps {
     * (64.0 s warm rep); the only cost is 2× the map-task count on the
     * one text exchange. */
   private def q99Grams(s: SparkSession, d: String): DataFrame = {
-    val textWidth = byteDerivedWidth(s, (docsEstBytes(s, d) / 3L) * 64L, 128L << 20)
+    val textWidth = byteDerivedWidth(s, (docsEstBytes(s, d) / 3L) * 64L, TextSliceBytes)
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     if (textWidth > s.sessionState.conf.numShufflePartitions) {
       // CHUNKED generation (r14): keying the text exchange on doc_id
@@ -2339,6 +2344,14 @@ object TextOps {
   private case class BpeState(dw: DataFrame, v3: DataFrame,
       m1: DataFrame, m2: DataFrame, m3: DataFrame)
 
+  /** ONE definition of the whitespace word stream (the induction's
+    * `dw` and the vocab estimate both tokenize through it — a regex
+    * tweak applied to one site cannot silently skew the gate off the
+    * stream it protects; the r13/r14 ADVICE desync class). */
+  private def docWords(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    .filter(col("word") =!= "")
+
   private val vocabStatsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
 
@@ -2350,49 +2363,83 @@ object TextOps {
     * IS the corpus, so the broadcast decision needs the build side's
     * own estimate, not a corpus proxy that would flip mid-size
     * replicated corpora to the exchange plan for nothing. One
-    * approx_count_distinct + avg(length) scan per (session, sfDir),
-    * computed ONLY past the corpus-bytes bound (vocab ≤ corpus, so
-    * below the cap the answer is already known and bench-SF plan
-    * construction stays job-free — the [[estMaxGramDf]] discipline).
-    * Payload ≈ avgLen × 4 (the encoded token string runs up to ~2×
-    * the word plus separators) + 48 B of counts/row overhead. */
+    * distinct + count/avg(length) scan per (session, sfDir), computed
+    * ONLY past the certified corpus bound in [[joinVocab]] (the
+    * [[estMaxGramDf]] discipline: bench-SF plan construction stays
+    * job-free). The average is over DISTINCT words, not occurrences —
+    * frequent words are short, so an occurrence-weighted mean
+    * underestimates the per-row payload in exactly the Zipf regime
+    * the gate serves (r14 review). Payload ≈ avgLen × 4 (the encoded
+    * token string runs up to ~2× the word plus separators) + 48 B of
+    * counts/row overhead. */
   private def vocabEstBytes(s: SparkSession, d: String): Long = {
     vocabStatsMemo.keySet.removeIf(_._1.sparkContext.isStopped)
     vocabStatsMemo.computeIfAbsent((s, d), _ => {
-      val st = documents(s, d)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= "")
-        .agg(approx_count_distinct(col("word")).as("n"),
+      val st = docWords(documents(s, d))
+        .select(col("word")).distinct()
+        .agg(count(lit(1)).as("n"),
           coalesce(avg(length(col("word"))), lit(0.0)).as("l"))
         .head()
       (st.getLong(0) * (st.getDouble(1) * 4.0 + 48.0)).toLong
     })
   }
 
+  /** Salt fan-out of the shuffled tokenize join's build side: a Zipf
+    * corpus concentrates a hot word ('the' ≈ 3-5% of all occurrences)
+    * in ONE probe partition if the exchange keys on the word alone —
+    * the unbounded-straggler class the chunked gram generation just
+    * eliminated for documents, reintroduced on words (r14 review). The
+    * probe salts on xxhash64(doc_id) mod this and the build replicates
+    * across all salts, dividing any hot word's stream by the factor
+    * (residual: one word hot inside ONE giant doc shares that doc's
+    * salt — bounded by the doc's size, the accepted islands class). */
+  private[graft] val VocabSaltFactor = 16
+
+  /** The shuffle regime of [[joinVocab]], its own method so the
+    * branch-equality spec can execute it below the gate: both children
+    * repartition on (word, salt) at a width sized by BOTH sides — the
+    * build at the hash-build slice AND the corpus-scale probe stream
+    * at the text slice (the build estimate alone would funnel a huge
+    * corpus with a barely-over-cap vocab through session-width probe
+    * tasks; r14 review) — and the join plans shuffled-hash (a
+    * sort-merge would sort the corpus-scale word stream). */
+  private[graft] def joinVocabShuffled(s: SparkSession, d: String,
+      words: DataFrame, payload: DataFrame): DataFrame = {
+    val w = math.max(
+      byteDerivedWidth(s, vocabEstBytes(s, d), VerifyBuildSliceBytes),
+      byteDerivedWidth(s, docsEstBytes(s, d), TextSliceBytes))
+    val probe = words.withColumn("vsalt",
+      pmod(xxhash64(col("doc_id")), lit(VocabSaltFactor.toLong)))
+    val build = payload.withColumn("vsalt", explode(expr(
+      s"sequence(CAST(0 AS BIGINT), CAST(${VocabSaltFactor - 1} AS BIGINT))")))
+    probe.repartition(w, col("word"), col("vsalt"))
+      .join(build.repartition(w, col("word"), col("vsalt"))
+        .hint("shuffle_hash"), Seq("word", "vsalt"))
+      .drop("vsalt")
+  }
+
   /** The word→payload tokenize join shared by q100 and q106 (r14):
     * broadcast while the vocabulary-derived build side fits the verify
-    * cap; beyond it both children repartition to the byte-derived
-    * width and the join plans shuffled-hash (a sort-merge would sort
-    * the corpus-scale word stream — the exact failure the width
-    * machinery exists to prevent; an unconditional broadcast is the
-    * executor-memory hazard [[verifySide]] closed for the shingle
-    * builds). Gate order: the corpus bound decides for free below the
-    * cap (vocab ≤ corpus — every bench SF, plan byte-identical to
-    * r13); past it the memoized [[vocabEstBytes]] decides, so a big
-    * REPLICATED corpus with a small vocabulary keeps the broadcast. */
+    * cap; beyond it, [[joinVocabShuffled]] (an unconditional broadcast
+    * is the executor-memory hazard [[verifySide]] closed for the
+    * shingle builds). Gate order: the CERTIFIED corpus bound decides
+    * for free first — per distinct word the payload is 4·len + 48 and
+    * a text of W words carries ≥ 2W−1 chars, so vocab bytes ≤
+    * 4·chars + 48·(chars+1)/2 ≈ 28·chars ≤ 28/3 · docsEstBytes;
+    * docsEstBytes ≤ cap·3/28 therefore PROVES a sub-cap build with no
+    * job (every bench SF passes here — sf0.1 sits at 4.7 MB vs the
+    * 6.9 MB bound; the r14 review killed the earlier `vocab ≤ corpus`
+    * shortcut, which the 48 B/word overhead violates by up to ~5× on
+    * short-word corpora). Past the bound the memoized
+    * [[vocabEstBytes]] decides, so a big REPLICATED corpus with a
+    * small vocabulary keeps the broadcast. */
   private def joinVocab(s: SparkSession, d: String,
       words: DataFrame, payload: DataFrame): DataFrame = {
-    val vb =
-      if (docsEstBytes(s, d) <= VerifyBroadcastBytes) 0L
-      else vocabEstBytes(s, d)
-    if (vb <= VerifyBroadcastBytes)
+    val certifiedSubCap =
+      docsEstBytes(s, d) <= VerifyBroadcastBytes * 3L / 28L
+    if (certifiedSubCap || vocabEstBytes(s, d) <= VerifyBroadcastBytes)
       words.join(broadcast(payload), Seq("word"))
-    else {
-      val w = byteDerivedWidth(s, vb, VerifyBuildSliceBytes)
-      words.repartition(w, col("word"))
-        .join(payload.repartition(w, col("word")).hint("shuffle_hash"),
-          Seq("word"))
-    }
+    else joinVocabShuffled(s, d, words, payload)
   }
 
   /** The three unrolled BPE merge rounds q100's scaladoc describes,
@@ -2406,9 +2453,7 @@ object TextOps {
     // (whose interpreted HOF hit a parallelization ceiling and went
     // native instead), these stages are pure codegen'd ops — split /
     // explode / hash-agg / broadcast join — so spreading them works.
-    val dw = cpuWidthPin(documents(s, d))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
+    val dw = docWords(cpuWidthPin(documents(s, d)))
     // persisted (q98's pattern): each unrolled round re-derives its
     // inputs from the full lineage otherwise — with 3 rounds that is
     // 2^k parquet scans; cached, the corpus is scanned exactly twice

@@ -684,6 +684,29 @@ class TextOpsSpec extends SparkSuite {
     assert(expected.forall(e => e._4 > 0))
   }
 
+  test("joinVocab branches are row-identical: shuffled == broadcast on the real word stream (r14)") {
+    // the shuffle regime only ever EXECUTES beyond the vocab cap,
+    // where no oracle sweep runs — so the branch equality is pinned
+    // here by running the salted/replicated shuffled-hash branch
+    // directly on the real sf0.01 word stream against the broadcast
+    // join it must equal (the pinned-across-the-gate discipline every
+    // regime gate in this file carries)
+    import org.apache.spark.sql.functions._
+    val wp = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val payload = wp.groupBy(col("word"))
+      .agg(count(lit(1)).as("c"), max(length(col("word"))).as("len"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("word"), col("doc_id"), col("pos"), col("c"), col("len"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getInt(4))).sorted.toSeq
+    val shuffled = rows(TextOps.joinVocabShuffled(spark, sf, wp, payload))
+    val bcast = rows(wp.join(broadcast(payload), Seq("word")))
+    assert(shuffled.nonEmpty && shuffled == bcast)
+  }
+
   test("q106 encode agrees with q100's counts and round-trips the text (r14)") {
     import org.apache.spark.sql.functions.col
     val enc = TextOps.q106BpeEncode(spark, sf).collect()

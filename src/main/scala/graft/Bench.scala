@@ -97,6 +97,84 @@ object BenchPolicy {
   def redirectWritable(gatedRatio: Option[Double], storedFloor: Option[Double],
                        measuredRatio: Option[Double]): Boolean =
     nextFloor(gatedRatio, storedFloor).isDefined || measuredRatio.isEmpty
+
+  /** Host-speed verdict from the canary (r15): this run's canary wall
+    * over the committed quiet anchor (BASELINE.md §bench-protocol). On
+    * a clean-telemetry run, a slowdown ≥ ~1.05 says the MACHINE — not
+    * the code — explains an in-band-but-above-floor bench ratio; ≈ 1.0
+    * with a still-above-floor ratio points at the code. Pure so the
+    * spec pins the degenerate inputs (unmeasured/zero anchors carry no
+    * verdict). */
+  def hostSlowdown(canaryS: Double, anchorS: Double): Option[Double] =
+    if (canaryS > 0 && anchorS > 0) Some(canaryS / anchorS) else None
+}
+
+/** Deterministic host-speed canary (r15 — the record saga's
+  * instrumentation gap): a fixed pure-CPU workload timed immediately
+  * before each bench attempt, so every published line — recorded OR
+  * refused — carries machine-speed evidence independent of the engine's
+  * code. Three rounds of clean in-band runs read 3-14% above the
+  * committed record while steal/own-share/load1 could not distinguish
+  * "host durably slower" from "code slower"; the canary closes that gap:
+  * its wall time depends only on the host.
+  *
+  * Two readings per attempt: ONE lane (single-core speed — hypervisor
+  * frequency scaling and steal show directly, since the xorshift chain
+  * is a serial dependency chain with no ILP to hide behind) and
+  * [[Lanes]] concurrent lanes of the same workload (whole-machine
+  * throughput — a co-resident eater shows here even when its burst ends
+  * before /proc/stat deltas can see it). The kernel is JIT-warmed
+  * before timing and checksum-pinned in BenchPolicySpec (a miscompile
+  * or dead-code elimination is a test failure, not a silently-fast
+  * canary); results land in a volatile sink so the timed loops cannot
+  * be eliminated. */
+object HostCanary {
+  /** Lane counts / workload sizes: targets ~1-2 s per reading on this
+    * box's class so the canary costs a few seconds per attempt —
+    * negligible against a ~2 min suite, and OUTSIDE the attempt's
+    * telemetry window (it must not bill its own CPU burst to the
+    * suite's own-share/steal deltas). */
+  private[graft] val SingleIters = 800_000_000L
+  private[graft] val LaneIters = 400_000_000L
+  private[graft] val Lanes = 32
+
+  /** xorshift64 chain over `iters` steps: each step depends on the
+    * previous one, so the loop measures serial core speed, not SIMD or
+    * memory. Semantics pinned against an independent reimplementation
+    * (BenchPolicySpec). */
+  private[graft] def chain(iters: Long, seed: Long): Long = {
+    var x = seed
+    var i = 0L
+    while (i < iters) {
+      x ^= x << 13
+      x ^= x >>> 7
+      x ^= x << 17
+      i += 1
+    }
+    x
+  }
+
+  @volatile private[graft] var sink: Long = 0L
+
+  /** (canary_single_s, canary_mt_s). Warm → time one lane → time
+    * [[Lanes]] concurrent lanes (wall = slowest lane, the contention
+    * reading). */
+  def measure(): (Double, Double) = {
+    sink ^= chain(5_000_000L, 1L) // C2 warmup, untimed
+    val t0 = System.nanoTime()
+    sink ^= chain(SingleIters, 42L)
+    val singleS = (System.nanoTime() - t0) / 1e9
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ts = (0 until Lanes).map { l =>
+      new Thread(() => acc.getAndAdd(chain(LaneIters, l + 1L)))
+    }
+    val t1 = System.nanoTime()
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    val mtS = (System.nanoTime() - t1) / 1e9
+    sink ^= acc.get()
+    (singleS, mtS)
+  }
 }
 
 object Bench {
@@ -405,7 +483,8 @@ object Bench {
       waited
     }
 
-    final case class Rec(attempt: Attempt, ratio: Option[Double], waitedSec: Double)
+    final case class Rec(attempt: Attempt, ratio: Option[Double], waitedSec: Double,
+                         canarySingleS: Double, canaryMtS: Double)
 
     // Drifted attempts retake up to 3 times (4 total), each retake
     // preceded by a quiet-host wait from a shared ~4 min budget — the
@@ -418,8 +497,12 @@ object Bench {
     val maxAttempts = 4
     var waitBudget = 240.0
     var cachesReleasedTotal = 0
+    // host-speed canary per attempt (r15): timed BEFORE the attempt's
+    // telemetry window so its own CPU burst never contaminates the
+    // suite's own-share/steal deltas
+    val can0 = HostCanary.measure()
     val first = runAttempt()
-    var recs = Vector(Rec(first, medianRatio(first), 0.0))
+    var recs = Vector(Rec(first, medianRatio(first), 0.0, can0._1, can0._2))
     // Keep retaking while the BEST MEASURED ratio so far is still over
     // the bar (and budget remains): a retake whose own ratio is None
     // (mass query failures — the same co-resident burst that caused the
@@ -443,8 +526,9 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       graft.queries.TextOps.clearTrainMemo()
       System.gc()
+      val can = HostCanary.measure()
       val a = runAttempt()
-      recs = recs :+ Rec(a, medianRatio(a), waited)
+      recs = recs :+ Rec(a, medianRatio(a), waited, can._1, can._2)
     }
     // r10 verdict task 4: the dedup/ANN helpers persist their shared
     // intermediates through CacheRegistry (pair lists, normed-embedding
@@ -508,9 +592,11 @@ object Bench {
         s""""own_cpu_share_pct":${num("%.1f", r.attempt.ownSharePct)},""" +
         s""""load1_start":${num("%.1f", r.attempt.load1Start)},""" +
         s""""load1_end":${num("%.1f", r.attempt.load1End)},""" +
+        s""""canary_single_s":${num("%.3f", r.canarySingleS)},""" +
+        s""""canary_mt_s":${num("%.3f", r.canaryMtS)},""" +
         s""""waited_before_s":${num("%.0f", r.waitedSec)}}"""
     }.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":${num("%.1f", attempt.stealPct)},"own_cpu_share_pct":${num("%.1f", attempt.ownSharePct)},"load1_start":${num("%.1f", attempt.load1Start)},"load1_end":${num("%.1f", attempt.load1End)},"drift_median_ratio":$ratioJson,"drift_detected":$driftDetected,"caches_released":$cachesReleased,"cache_empty_after_release":$cacheEmptyAfterRelease,"bench_attempts":$attempts,"published_attempt":${pubIdx + 1},"attempt_history":$history,"sf":"$sfJson"}"""
+    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":${num("%.1f", attempt.stealPct)},"own_cpu_share_pct":${num("%.1f", attempt.ownSharePct)},"load1_start":${num("%.1f", attempt.load1Start)},"load1_end":${num("%.1f", attempt.load1End)},"canary_single_s":${num("%.3f", recs(pubIdx).canarySingleS)},"canary_mt_s":${num("%.3f", recs(pubIdx).canaryMtS)},"drift_median_ratio":$ratioJson,"drift_detected":$driftDetected,"caches_released":$cachesReleased,"cache_empty_after_release":$cacheEmptyAfterRelease,"bench_attempts":$attempts,"published_attempt":${pubIdx + 1},"attempt_history":$history,"sf":"$sfJson"}"""
     println(line)
     // Self-record: the one-line artifact also lands on disk, so a
     // console harvester that truncates the stdout capture (the r6 bench
@@ -539,13 +625,19 @@ object Bench {
     // defeated by an env var). record_floor_ratio is the minimum ratio
     // the record has ever held; legacy records without the field fall
     // back to their own drift_median_ratio.
-    val storedFloor: Option[Double] = try {
+    val (storedFloor: Option[Double], storedCanary: Option[Double]) = try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(new java.io.File("BENCH_SELF.json"))
       val node = Option(root.get("record_floor_ratio"))
         .filter(_.isNumber).orElse(Option(root.get("drift_median_ratio")))
-      node.filter(_.isNumber).map(_.asDouble())
-    } catch { case scala.util.control.NonFatal(_) => None }
+      // the record's own canary reading IS the host-speed anchor (r15):
+      // once a canary-stamped record lands, every later refused run can
+      // print a host-vs-record-era speed verdict instead of narrative.
+      // Pre-r15 records carry no canary — the anchor is then BASELINE's
+      // documented quiet value, compared by the operator.
+      (node.filter(_.isNumber).map(_.asDouble()),
+        Option(root.get("canary_single_s")).filter(_.isNumber).map(_.asDouble()))
+    } catch { case scala.util.control.NonFatal(_) => (None, None) }
     def record(path: String, extraField: String = ""): Unit =
       try {
         val out = java.nio.file.Paths.get(path)
@@ -641,10 +733,20 @@ object Bench {
       // must not .get it (the old interpolation threw
       // NoSuchElementException and killed the run before spark.stop()).
       val floorTxt = storedFloor.fold("n/a")(f => f"$f%.3f")
+      // canary verdict (r15): on a refusal, say what the machine-speed
+      // evidence shows — slowdown vs the record's stored anchor when
+      // one exists, else the raw reading for BASELINE's ledger
+      val canTxt = BenchPolicy.hostSlowdown(
+        recs(pubIdx).canarySingleS, storedCanary.getOrElse(0.0)) match {
+        case Some(s) => f"; canary ${recs(pubIdx).canarySingleS}%.3f s = " +
+          f"$s%.3f x record-era anchor"
+        case None => f"; canary ${recs(pubIdx).canarySingleS}%.3f s single / " +
+          f"${recs(pubIdx).canaryMtS}%.3f s mt (no stored anchor)"
+      }
       chosenRatio match {
         case Some(r) => System.err.println(f"[bench] in-band ($r%.3f) but" +
           s" does not beat the stored record floor ($floorTxt)" +
-          " — BENCH_SELF.json untouched (monotone rule)")
+          s" — BENCH_SELF.json untouched (monotone rule)$canTxt")
         case None => System.err.println("[bench] no reference ratio — " +
           s"bootstrap blocked by the existing record (floor $floorTxt); " +
           "BENCH_SELF.json untouched (a stored measured record outlives " +

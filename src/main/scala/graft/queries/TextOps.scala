@@ -2317,14 +2317,23 @@ object TextOps {
     * after round 0, the standard scalable BPE formulation. The corpus
     * is touched once more at the end: a map-only tokenize via the
     * broadcast final vocabulary. */
-  def q100BpeMerges(s: SparkSession, d: String): DataFrame = {
+  def q100BpeMerges(s: SparkSession, d: String): DataFrame =
+    q100BpeMergesWith(s, d, joinVocab(s, d, _, _))
+
+  /** Dev-only gate A/B twin (r15): q100 with its tokenize join forced
+    * to broadcast — the [[q106BpeEncodeBroadcast]] rationale. */
+  private[graft] def q100BpeMergesBroadcast(s: SparkSession, d: String): DataFrame =
+    q100BpeMergesWith(s, d, (w, p) => w.join(broadcast(p), Seq("word")))
+
+  private def q100BpeMergesWith(s: SparkSession, d: String,
+      tokJoin: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val ind = bpeInduction(s, d)
     val vt = ind.v3.select(col("word"),
       length(col("word")).cast("long").as("n_base"),
       size(split(trim(col("seq")), "  ")).cast("long").as("n_toks"))
     def mcol(m: DataFrame, name: String): DataFrame =
       m.select(concat(col("s1"), col("s2")).as(name))
-    joinVocab(s, d, ind.dw, vt)
+    tokJoin(ind.dw, vt)
       .crossJoin(broadcast(mcol(ind.m1, "m1")))
       .crossJoin(broadcast(mcol(ind.m2, "m2")))
       .crossJoin(broadcast(mcol(ind.m3, "m3")))
@@ -2395,6 +2404,18 @@ object TextOps {
     * salt — bounded by the doc's size, the accepted islands class). */
   private[graft] val VocabSaltFactor = 16
 
+  /** Exchange width of [[joinVocabShuffled]], pure in its byte inputs
+    * so the salt-replication term is unit-testable (plan-shape tests
+    * cannot see a width sized from the wrong estimate — the r14 ADVICE
+    * class). The build term scales vocabBytes by [[VocabSaltFactor]]
+    * because the explode replicates every build row across all salts
+    * INTO THE SAME EXCHANGE; the probe term keeps the corpus stream at
+    * the text slice. */
+  private[graft] def joinVocabWidth(s: SparkSession, vocabBytes: Long,
+      docsBytes: Long): Int = math.max(
+    byteDerivedWidth(s, vocabBytes * VocabSaltFactor, VerifyBuildSliceBytes),
+    byteDerivedWidth(s, docsBytes, TextSliceBytes))
+
   /** The shuffle regime of [[joinVocab]], its own method so the
     * branch-equality spec can execute it below the gate: both children
     * repartition on (word, salt) at a width sized by BOTH sides — the
@@ -2402,12 +2423,16 @@ object TextOps {
     * at the text slice (the build estimate alone would funnel a huge
     * corpus with a barely-over-cap vocab through session-width probe
     * tasks; r14 review) — and the join plans shuffled-hash (a
-    * sort-merge would sort the corpus-scale word stream). */
+    * sort-merge would sort the corpus-scale word stream). The build
+    * term sizes from the REPLICATED bytes, vocabEstBytes ×
+    * [[VocabSaltFactor]]: the explode lands every salt copy in the
+    * same exchange, so sizing from the unreplicated estimate would
+    * hand each task ~16 slices of non-spillable hash build — defeating
+    * the invariant in exactly the beyond-cap regime this helper exists
+    * for (r15, the r14 ADVICE finding). */
   private[graft] def joinVocabShuffled(s: SparkSession, d: String,
       words: DataFrame, payload: DataFrame): DataFrame = {
-    val w = math.max(
-      byteDerivedWidth(s, vocabEstBytes(s, d), VerifyBuildSliceBytes),
-      byteDerivedWidth(s, docsEstBytes(s, d), TextSliceBytes))
+    val w = joinVocabWidth(s, vocabEstBytes(s, d), docsEstBytes(s, d))
     val probe = words.withColumn("vsalt",
       pmod(xxhash64(col("doc_id")), lit(VocabSaltFactor.toLong)))
     val build = payload.withColumn("vsalt", explode(expr(
@@ -2432,7 +2457,17 @@ object TextOps {
     * shortcut, which the 48 B/word overhead violates by up to ~5× on
     * short-word corpora). Past the bound the memoized
     * [[vocabEstBytes]] decides, so a big REPLICATED corpus with a
-    * small vocabulary keeps the broadcast. */
+    * small vocabulary keeps the broadcast.
+    *
+    * PRECONDITION (r15, the r14 ADVICE note): the certified bound
+    * derives chars from [[docsEstBytes]], which trusts the `n_chars`
+    * metadata column — the same trust every byte-derived width in
+    * this file already rests on, but this is the one place the column
+    * gates an executor-memory decision. A corpus whose n_chars
+    * understates the real text could certify a >cap broadcast; a
+    * deployment ingesting untrusted metadata should recompute n_chars
+    * at ingest (length(text) is one map) rather than weaken the
+    * job-free gate here. */
   private def joinVocab(s: SparkSession, d: String,
       words: DataFrame, payload: DataFrame): DataFrame = {
     val certifiedSubCap =
@@ -2517,8 +2552,31 @@ object TextOps {
     * reassembly sorts each doc's word slots inside the hash aggregate
     * (sort_array + GetArrayStructFields — codegen'd, no interpreted
     * lambda); nothing about the encode joins corpus-to-corpus or
-    * shuffles more than the one doc_id agg exchange. */
-  def q106BpeEncode(s: SparkSession, d: String): DataFrame = {
+    * shuffles more than the one doc_id agg exchange.
+    *
+    * ACCEPTED PER-DOC ATOMIC TERM (r15, adjudicated): the reassembly
+    * collect_list materializes ONE document's (pos, toks) structs in
+    * one aggregation buffer — O(doc tokens) heap in a single group,
+    * the same class as the q99 islands windows' O(doc-hits) sort
+    * (BASELINE.md carries the family derivation). It is inherent to
+    * the output granularity: the encoded document IS one row, so no
+    * smaller assembly unit exists without changing the result schema.
+    * Bounded by the largest single document, not the corpus. */
+  def q106BpeEncode(s: SparkSession, d: String): DataFrame =
+    q106BpeEncodeWith(s, d, joinVocab(s, d, _, _))
+
+  /** Dev-only gate A/B twin (r15, the q33_hashorder pattern): q106 with
+    * the tokenize join FORCED to the broadcast regime, so SkewProbe can
+    * pin shuffled == broadcast on a corpus where the gate actually
+    * selects the shuffle — TextOpsSpec's branch equality runs below the
+    * gate (broadcast side trivially right there); this handle makes the
+    * across-the-gate check non-vacuous. Not part of the driver
+    * contract. */
+  private[graft] def q106BpeEncodeBroadcast(s: SparkSession, d: String): DataFrame =
+    q106BpeEncodeWith(s, d, (w, p) => w.join(broadcast(p), Seq("word")))
+
+  private def q106BpeEncodeWith(s: SparkSession, d: String,
+      tokJoin: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val ind = bpeInduction(s, d)
     // word → (its encoded token string, token count): the learned
     // table applied once per DISTINCT word, then broadcast
@@ -2529,7 +2587,7 @@ object TextOps {
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .filter(col("word") =!= "")
-    joinVocab(s, d, wp, enc)
+    tokJoin(wp, enc)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_toks")).as("n_tokens"),

@@ -62,7 +62,13 @@ object SkewProbe {
         // regime gate, `q99_substring_dedup` on a hot corpus probes the
         // AUTO-selected two-pass, so the window-on-hot A/B needs this
         // explicit handle (the q33_hashorder pattern)
-        "q99_window" -> (graft.queries.TextOps.q99SubstringDedupWindow _))
+        "q99_window" -> (graft.queries.TextOps.q99SubstringDedupWindow _),
+        // r15: tokenize-join gate twins — broadcast FORCED, so the
+        // shuffled-vs-broadcast equality can be pinned on a corpus
+        // where the vocab gate actually selects the shuffle (the
+        // uniqvocab adversary; below the gate the check is vacuous)
+        "q106_bcast" -> (graft.queries.TextOps.q106BpeEncodeBroadcast _),
+        "q100_bcast" -> (graft.queries.TextOps.q100BpeMergesBroadcast _))
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -114,12 +120,23 @@ object SkewProbe {
     // its exact big-doc census (n_chars > budget/4), where a doc
     // SAMPLE can miss a single doc entirely — the scale twin of the
     // fixture pins in TextOpsSpec/PlanSpec.
+    // r15 fourth adversary, "uniqvocab": every doc gains SKEW_UNIQ_WORDS
+    // doc-id-unique words (crawl junk — the vocabulary grows with the
+    // CORPUS, the tokenize join's worst case that defeats Heaps' law and
+    // forces joinVocab past the broadcast cap through vocabEstBytes)
+    // plus SKEW_HOT_WORDS copies of the fixed word "the" (a Zipf-hot
+    // word at ~4-5% of all occurrences layered on top — the probe-side
+    // funnel the xxhash64(doc_id)-salt exists to spread). This is the
+    // adversary pair the r14 verdict asked for: (a) forces the shuffle
+    // regime, (b) makes one word hot inside it.
     val adversary = sys.env.getOrElse("SKEW_ADVERSARY", "boilerplate")
-    require(Set("boilerplate", "dupfam", "rundoc")(adversary),
-      s"SKEW_ADVERSARY must be boilerplate|dupfam|rundoc, got $adversary")
+    require(Set("boilerplate", "dupfam", "rundoc", "uniqvocab")(adversary),
+      s"SKEW_ADVERSARY must be boilerplate|dupfam|rundoc|uniqvocab, got $adversary")
     val dupEvery = sys.env.getOrElse("SKEW_DUPFAM_EVERY", "250").toLong
     val familyMod = sys.env.getOrElse("SKEW_FAMILY_MOD", "300").toLong
     val runChars = sys.env.getOrElse("SKEW_RUNDOC_CHARS", "1000000").toInt
+    val uniqWords = sys.env.getOrElse("SKEW_UNIQ_WORDS", "8").toInt
+    val hotWords = sys.env.getOrElse("SKEW_HOT_WORDS", "3").toInt
     val skewDir = sys.env.getOrElse("SKEW_HOT_DIR", "/tmp/skewdata/sf0.1")
     val hasCustomer = new java.io.File(s"$baseSf/customer.parquet").exists
     // Reuse demands BOTH existence and provenance (r11 ADVICE low 3):
@@ -136,6 +153,8 @@ object SkewProbe {
       s"""{"base":"$baseSf","adversary":"$adversary",""" +
         s""""dupfam_every":$dupEvery,"family_mod":$familyMod,""" +
         (if (adversary == "rundoc") s""""rundoc_chars":$runChars,""" else "") +
+        (if (adversary == "uniqvocab")
+          s""""uniq_words":$uniqWords,"hot_words":$hotWords,""" else "") +
         s""""base_docs":$nDocs,"base_customers":$nCust}"""
     }
     val provPath = java.nio.file.Paths.get(s"$skewDir/_provenance.json")
@@ -160,6 +179,16 @@ object SkewProbe {
       else if (adversary == "rundoc")
         text => when(col("doc_id") === 1, lit("a" * runChars))
           .otherwise(text)
+      else if (adversary == "uniqvocab")
+        // " uq<doc_id>x0 uq<doc_id>x1 …" — unique across docs AND
+        // across synthetic-sf replicas (doc_id is globally unique), so
+        // the vocabulary grows linearly with the corpus; then the hot
+        // word, un-suffixed, hot across every doc
+        text => concat(text,
+          array_join(transform(sequence(lit(0), lit(uniqWords - 1)),
+            i => concat(lit(" uq"), col("doc_id").cast("string"),
+              lit("x"), i.cast("string"))), ""),
+          lit(" the" * hotWords))
       else
         text => when(col("doc_id") % 10 < 3,
           concat(text, lit(" lorem ipsum dolor sit amet footer")))
@@ -283,7 +312,12 @@ object SkewProbe {
         // gate-vs-window pair keep both forms AND the gate's own
         // choice covered on either side (r13 review).
         "q99_twopass" -> "q99_window",
-        "q99_window" -> "q99_substring_dedup")
+        "q99_window" -> "q99_substring_dedup",
+        // r15: broadcast-forced twins vs the gated defaults — on the
+        // uniqvocab corpus the gate selects the shuffle, so this pins
+        // shuffled == broadcast exactly where the regime switch fires
+        "q106_bcast" -> "q106_bpe_encode",
+        "q100_bcast" -> "q100_bpe_merges")
       for (q <- queries; base <- twin.get(q)) {
         val a = lookup(q).get.apply(spark, skewDir)
           .collect().map(_.toString).sorted.toSeq

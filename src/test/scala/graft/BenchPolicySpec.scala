@@ -127,4 +127,36 @@ class BenchPolicySpec extends AnyFunSuite {
     // an in-band gated ratio is its own floor source (redirect bootstrap)
     assert(BenchPolicy.redirectWritable(Some(0.95), None, Some(0.95)))
   }
+
+  test("host canary: kernel semantics pinned against an independent model (r15)") {
+    // the canary's evidentiary value rests on the kernel computing a
+    // FIXED workload — pin it against an out-of-band recomputation
+    // (python: x^=(x<<13)&M; x^=x>>7; x^=(x<<17)&M over 64-bit), so a
+    // miscompile or a dead-code-eliminated loop is a failure here, not
+    // a silently-fast canary
+    assert(HostCanary.chain(1000L, 42L) == 2260733264014075113L)
+    assert(HostCanary.chain(500L, 7L) == -614539209596869955L)
+    // determinism + the degenerate chain
+    assert(HostCanary.chain(1000L, 42L) == HostCanary.chain(1000L, 42L))
+    assert(HostCanary.chain(0L, 99L) == 99L)
+  }
+
+  test("host canary: measure() returns positive walls and feeds the sink (r15)") {
+    val before = HostCanary.sink
+    val (single, mt) = HostCanary.measure()
+    // positive, sane readings (a broken timer or an eliminated loop
+    // reads ~0); the upper bound is loose — this spec must pass on a
+    // loaded CI host, it pins shape not speed
+    assert(single > 0.05 && single < 120.0)
+    assert(mt > 0.05 && mt < 240.0)
+    // the sink changed: the workload's results are observably consumed,
+    // so the JIT cannot legally eliminate the timed loops
+    assert(HostCanary.sink != before || HostCanary.sink != 0L)
+  }
+
+  test("hostSlowdown carries a verdict only when both readings exist (r15)") {
+    assert(BenchPolicy.hostSlowdown(2.1, 2.0).exists(s => math.abs(s - 1.05) < 1e-12))
+    assert(BenchPolicy.hostSlowdown(0.0, 2.0).isEmpty)
+    assert(BenchPolicy.hostSlowdown(2.0, 0.0).isEmpty)
+  }
 }

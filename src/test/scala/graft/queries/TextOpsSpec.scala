@@ -707,6 +707,20 @@ class TextOpsSpec extends SparkSuite {
     assert(shuffled.nonEmpty && shuffled == bcast)
   }
 
+  test("joinVocabWidth sizes the build from the salt-REPLICATED bytes (r15)") {
+    // the r14 ADVICE finding: the build explodes across all
+    // VocabSaltFactor salts into the SAME exchange, so a width sized
+    // from the unreplicated vocab estimate hands each task ~16
+    // non-spillable build slices. Pin the replication term directly —
+    // a vocab of 8 raw slices must demand >= 8 x saltFactor partitions
+    val slice = 16L << 20
+    val w = TextOps.joinVocabWidth(spark, slice * 8, 0L)
+    assert(w >= 8 * TextOps.VocabSaltFactor)
+    // and the probe term still wins when the corpus stream dominates
+    val wp = TextOps.joinVocabWidth(spark, 0L, (128L << 20) * 100)
+    assert(wp >= 100)
+  }
+
   test("q106 encode agrees with q100's counts and round-trips the text (r14)") {
     import org.apache.spark.sql.functions.col
     val enc = TextOps.q106BpeEncode(spark, sf).collect()

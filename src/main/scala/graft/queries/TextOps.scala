@@ -2575,6 +2575,19 @@ object TextOps {
   private[graft] def q106BpeEncodeBroadcast(s: SparkSession, d: String): DataFrame =
     q106BpeEncodeWith(s, d, (w, p) => w.join(broadcast(p), Seq("word")))
 
+  /** The learned merge table as plain pairs — the broadcast payload of
+    * the STREAMING encode twin ([[graft.streaming.CorpusStream.encode]],
+    * r15): three single-row head()s off the persisted induction state
+    * (each argmax is a 1-row cached frame, so this costs three driver
+    * round-trips on already-materialized data, not re-induction). */
+  private[graft] def bpeLearnedMerges(s: SparkSession, d: String): Seq[(String, String)] = {
+    val ind = bpeInduction(s, d)
+    Seq(ind.m1, ind.m2, ind.m3).map { m =>
+      val r = m.select(col("s1"), col("s2")).head()
+      (r.getString(0), r.getString(1))
+    }
+  }
+
   private def q106BpeEncodeWith(s: SparkSession, d: String,
       tokJoin: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val ind = bpeInduction(s, d)

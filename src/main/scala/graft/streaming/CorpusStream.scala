@@ -358,6 +358,63 @@ object CorpusStream {
       .drop("s")
   }
 
+  /** Streaming BPE encode — the streaming twin of q106, in its natural
+    * deployment shape: the merge table is learned ONCE (q100's induction
+    * over a reference corpus at rest — [[graft.queries.TextOps]]'s
+    * `bpeLearnedMerges` hands it over as plain pairs) and every arriving
+    * document encodes ROW-LOCALLY: per word, wrap each codepoint as a
+    * symbol (the q100 wrapper encoding `' c1  c2  c3 '`) and apply the
+    * merges in learned order with the same greedy left-to-right
+    * non-overlapping replace the batch encode executes in SQL
+    * (`java.lang.String.replace` and Spark's `StringReplace` both scan
+    * from the end of the previous match, so the splice-consumes-both-
+    * symbols fixpoint argument in q106BpeEncode's scaladoc carries over
+    * verbatim) — a replay of the training corpus reproduces q106's rows
+    * bit-for-bit (CorpusStreamSpec, driven through a checkpoint restart
+    * cycle).
+    *
+    * Map-only: no shuffle, no state, no watermark needed — every input
+    * column (incl. the event-time column) passes through, so downstream
+    * stateful stages can still watermark. A wordless document emits
+    * (0, 0, "") rather than vanishing (the batch agg emits no row for
+    * it; a stream operator must not silently drop — the lmScore
+    * precedent).
+    *
+    * 100 TB shape: the model is the MERGE LIST, not the vocabulary —
+    * fixed-size closure state, never a join. The batch side's
+    * per-distinct-word tokenize join is an optimization for corpora at
+    * rest (words repeat across a corpus; a stream cannot see its future
+    * distinct set), so the stream twin pays the per-occurrence encode
+    * instead, embarrassingly parallel at full ingest width. */
+  def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val enc = udf { (text: String) =>
+      val words =
+        if (text == null) Array.empty[String]
+        else text.split(" ").filter(_.nonEmpty)
+      var nToks = 0L
+      val out = new java.lang.StringBuilder
+      words.foreach { w =>
+        val syms = w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp)))
+        var s = syms.mkString(" ", "  ", " ")
+        merges.foreach { case (a, b) =>
+          s = s.replace(" " + a + "  " + b + " ", " " + a + b + " ")
+        }
+        val toks = s.trim.split("  ")
+        nToks += toks.length
+        if (out.length() > 0) out.append(' ')
+        out.append(toks.mkString(" "))
+      }
+      (words.length.toLong, nToks, out.toString)
+    }
+    docs
+      .withColumn("e", enc(col("text")))
+      .withColumn("n_words", col("e._1"))
+      .withColumn("n_tokens", col("e._2"))
+      .withColumn("tokens", col("e._3"))
+      .drop("e", "text")
+  }
+
   final case class BudgetDoc(source: String, doc_id: Long, n_tokens: Long)
   final case class BudgetOut(source: String, doc_id: Long, n_tokens: Long,
                              tokens_before: Long, kept: Boolean)

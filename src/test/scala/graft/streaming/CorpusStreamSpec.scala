@@ -228,6 +228,51 @@ class CorpusStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming BPE encode: corpus replay == q106 bit-for-bit across a restart cycle (r15)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+
+    // the model learned ONCE from the corpus at rest — the stream twin
+    // carries only the merge list, never the vocabulary
+    val merges = graft.queries.TextOps.bpeLearnedMerges(spark, sf)
+    assert(merges.length == 3 && merges.distinct.length == 3)
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (ts(8, 0), r.getLong(0), r.getString(1)))
+
+    // file sink + checkpoint, stopped mid-corpus and restarted — the
+    // tokenBudget/dedup restart discipline applied to the encode twin
+    val ckpt = java.nio.file.Files.createTempDirectory("enc_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("enc_sink").toString
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def start() = CorpusStream.encode(
+        stream.toDS().toDF("ts", "doc_id", "text"), merges)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    val q1 = start()
+    stream.addData(docs.take(docs.length / 2): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // the second half arrives while the query is down; incarnation 2
+    // resumes from the checkpoint and must not lose or duplicate rows
+    stream.addData(docs.drop(docs.length / 2): _*)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("tokens"))).toSet
+    // the ts column must survive onto every encoded row (watermarkable)
+    assert(spark.read.parquet(outDir).columns.contains("ts"))
+    val batch = graft.queries.TextOps.q106BpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming token budget: admission in arrival order, state crosses batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

@@ -2393,16 +2393,54 @@ object TextOps {
     })
   }
 
-  /** Salt fan-out of the shuffled tokenize join's build side: a Zipf
-    * corpus concentrates a hot word ('the' ≈ 3-5% of all occurrences)
-    * in ONE probe partition if the exchange keys on the word alone —
-    * the unbounded-straggler class the chunked gram generation just
-    * eliminated for documents, reintroduced on words (r14 review). The
-    * probe salts on xxhash64(doc_id) mod this and the build replicates
-    * across all salts, dividing any hot word's stream by the factor
-    * (residual: one word hot inside ONE giant doc shares that doc's
-    * salt — bounded by the doc's size, the accepted islands class). */
+  /** Base salt fan-out of the shuffled tokenize join's build side: a
+    * Zipf corpus concentrates a hot word ('the' ≈ 3-5% of all
+    * occurrences) in ONE probe partition if the exchange keys on the
+    * word alone — the unbounded-straggler class the chunked gram
+    * generation eliminated for documents, reintroduced on words (r14
+    * review). The probe salts on xxhash64(doc_id) mod the word's salt
+    * and the build replicates across all its salts.
+    *
+    * This CONSTANT handles the moderate tail only (r15, measured at
+    * the sf10 uniqvocab probe): a fixed factor divides a hot word's
+    * CORPUS-PROPORTIONAL mass by 16, so its bucket still grows ∝
+    * corpus/16 while average tasks shrink ∝ 1/width — the straggler
+    * ratio (hotShare · width / 16) is unbounded in width (the probe
+    * read +36% rows → ~3× duration on the hot buckets at width 365).
+    * Words CERTIFIED hot (df ≥ 16·occ/width — at most width/16 of
+    * them by pigeonhole) therefore salt across the FULL exchange
+    * width instead ([[hotVocabWords]]): their build rows are
+    * per-distinct-word, so even total replication is ≤ width²/16
+    * ~50 B rows — noise next to the ×16 tail replication — and their
+    * probe streams spread bucket == task-average. Residual: one word
+    * hot inside ONE giant doc shares that doc's salt — bounded by the
+    * doc's size, the accepted islands class. */
   private[graft] val VocabSaltFactor = 16
+
+  private val hotVocabMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[String]]
+
+  /** The certified-hot vocabulary of (session, sfDir): words whose df
+    * reaches [[VocabSaltFactor]] × (total occurrences / width) — the
+    * mass at which a 16-salt bucket equals a whole average task.
+    * Pigeonhole-certified small BEFORE the collect (≤ width/16 rows,
+    * the q60-bloom adjudicated shape); memoized like the other
+    * plan-construction stats; computed only in the beyond-cap regime
+    * ([[joinVocabShuffled]] is its only caller). */
+  private def hotVocabWords(s: SparkSession, d: String, w: Int): Seq[String] = {
+    hotVocabMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    hotVocabMemo.computeIfAbsent((s, d), _ => {
+      val cnts = docWords(documents(s, d))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val occ = cnts.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+        val thr = math.max(1L, VocabSaltFactor.toLong * (occ / math.max(w, 1)))
+        cnts.filter(col("c") >= thr).select(col("word"))
+          .collect().map(_.getString(0)).toSeq
+      } finally { cnts.unpersist(); () }
+    })
+  }
 
   /** Exchange width of [[joinVocabShuffled]], pure in its byte inputs
     * so the salt-replication term is unit-testable (plan-shape tests
@@ -2433,10 +2471,21 @@ object TextOps {
   private[graft] def joinVocabShuffled(s: SparkSession, d: String,
       words: DataFrame, payload: DataFrame): DataFrame = {
     val w = joinVocabWidth(s, vocabEstBytes(s, d), docsEstBytes(s, d))
+    // adaptive per-word salt (r15): certified-hot words spread across
+    // the FULL width (scale-free — see VocabSaltFactor scaladoc), the
+    // tail keeps the 16-way spread. isin compiles to an O(1) InSet
+    // probe past 10 literals; both children compute the identical salt
+    // domain, so the (word, vsalt) equi-join partitions the key space
+    // exactly as the constant-salt form did.
+    val hot = hotVocabWords(s, d, w)
+    val saltOf: org.apache.spark.sql.Column =
+      if (hot.isEmpty) lit(VocabSaltFactor.toLong)
+      else when(col("word").isin(hot: _*), lit(w.toLong))
+        .otherwise(lit(VocabSaltFactor.toLong))
     val probe = words.withColumn("vsalt",
-      pmod(xxhash64(col("doc_id")), lit(VocabSaltFactor.toLong)))
-    val build = payload.withColumn("vsalt", explode(expr(
-      s"sequence(CAST(0 AS BIGINT), CAST(${VocabSaltFactor - 1} AS BIGINT))")))
+      pmod(xxhash64(col("doc_id")), saltOf))
+    val build = payload.withColumn("vsalt",
+      explode(sequence(lit(0L), saltOf - 1)))
     probe.repartition(w, col("word"), col("vsalt"))
       .join(build.repartition(w, col("word"), col("vsalt"))
         .hint("shuffle_hash"), Seq("word", "vsalt"))

@@ -228,16 +228,23 @@ object SkewProbe {
     // bytes/spill ride along (r10 verdict task 1: beyond-cap rows need
     // the no-spill proof IN the artifact — walls at those decades are
     // single-disk noise, bytes and spill are the recordable signals)
-    val stageTasks = mutable.Map.empty[Int, mutable.ArrayBuffer[Long]]
+    // (duration ms, shuffle-read records) per task: the ROWS ratio is
+    // the scale-stable skew signal (r15) — on this ambient-bursty host
+    // identical-row tasks have measured 17× duration spreads, so a
+    // duration ratio alone cannot distinguish a key funnel from a
+    // hypervisor burst; rows max/med can.
+    val stageTasks = mutable.Map.empty[Int, mutable.ArrayBuffer[(Long, Long)]]
     val bytes = new java.util.concurrent.atomic.AtomicLongArray(4) // sw, sr, memSpill, diskSpill
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
         if (e.taskInfo != null && e.taskInfo.successful) {
+          val m = e.taskMetrics
+          val recs = if (m != null) m.shuffleReadMetrics.recordsRead else 0L
           stageTasks.synchronized {
             stageTasks.getOrElseUpdate(e.stageId,
-              mutable.ArrayBuffer.empty[Long]) += e.taskInfo.duration
+              mutable.ArrayBuffer.empty[(Long, Long)]) +=
+              ((e.taskInfo.duration, recs))
           }
-          val m = e.taskMetrics
           if (m != null) {
             bytes.addAndGet(0, m.shuffleWriteMetrics.bytesWritten)
             bytes.addAndGet(1, m.shuffleReadMetrics.totalBytesRead)
@@ -345,7 +352,8 @@ object SkewProbe {
           // rep1 absorbs per-(dataset,query) first-execution codegen;
           // rep2 is recorded. Cold cache both reps (ScaleSweep recipe).
           var wall = 0.0; var n = 0L
-          var stats: Seq[(Int, Int, Long, Long)] = Nil // (stage, tasks, max, med)
+          // (stage, tasks, maxDur, medDur, maxRows, medRows)
+          var stats: Seq[(Int, Int, Long, Long, Long, Long)] = Nil
           for (rep <- 1 to 2) {
             org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
             spark.sharedState.cacheManager.clearCache()
@@ -361,8 +369,10 @@ object SkewProbe {
             org.apache.spark.sql.GraftColumnBridge.drainListenerBus(spark)
             if (rep == 2) stats = stageTasks.synchronized {
               stageTasks.toSeq.map { case (sid, ds) =>
-                val sorted = ds.sorted
-                (sid, ds.size, sorted.last, sorted(sorted.size / 2))
+                val durs = ds.map(_._1).sorted
+                val recs = ds.map(_._2).sorted
+                (sid, ds.size, durs.last, durs(durs.size / 2),
+                  recs.last, recs(recs.size / 2))
               }
             }
           }
@@ -390,9 +400,15 @@ object SkewProbe {
           val loaded = stats.filter(s => s._4 >= 200 && s._2 >= 8)
           val worstLoaded = if (loaded.isEmpty) 0.0
             else loaded.map(s => s._3.toDouble / math.max(s._4, 1L)).max
-          def stageJson(s: (Int, Int, Long, Long)) =
+          // the rows twin of worst_loaded (r15): max/med shuffle-read
+          // records over the same loaded stages — ambient-immune
+          val worstLoadedRows = if (loaded.isEmpty) 0.0
+            else loaded.map(s => s._5.toDouble / math.max(s._6, 1L)).max
+          def stageJson(s: (Int, Int, Long, Long, Long, Long)) =
             s"""{"tasks":${s._2},"max_ms":${s._3},"med_ms":${s._4},""" +
-              s""""ratio":${num("%.2f", s._3.toDouble / math.max(s._4, 1L))}}"""
+              s""""ratio":${num("%.2f", s._3.toDouble / math.max(s._4, 1L))},""" +
+              s""""rows_max":${s._5},"rows_med":${s._6},""" +
+              s""""rows_ratio":${num("%.2f", s._5.toDouble / math.max(s._6, 1L))}}"""
           val dominantJson =
             if (stats.isEmpty) "null" else stageJson(stats.maxBy(_._3))
           val top3Json = stats.sortBy(-_._3).take(3)
@@ -407,6 +423,7 @@ object SkewProbe {
               s""""dominant_stage":$dominantJson,""" +
               s""""worst_meaningful_ratio":${num("%.2f", worst)},""" +
               s""""worst_loaded_ratio":${num("%.2f", worstLoaded)},""" +
+              s""""worst_loaded_rows_ratio":${num("%.2f", worstLoadedRows)},""" +
               s""""stages_top3":$top3Json,""" +
               s""""shuffle_write_gb":${gb(0)},"shuffle_read_gb":${gb(1)},""" +
               s""""mem_spill_gb":${gb(2)},"disk_spill_gb":${gb(3)}}"""

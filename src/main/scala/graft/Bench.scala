@@ -195,6 +195,19 @@ object Bench {
       // to the SF" dial. No new exchanges — byte metrics unchanged.
       .config("spark.sql.files.openCostInBytes", 16384)
       .config("spark.sql.files.minPartitionNum", cpus)
+      // Align the shuffle WRITER with the at-scale regime (r15 stack
+      // audit): with reducer counts under the 200-partition default,
+      // Spark picks BypassMergeSortShuffleWriter, which opens one file
+      // PER (map task × reduce partition) — ~1k file creates per local
+      // exchange, measured as the dominant cost of small shuffles here
+      // (DiskBlockObjectWriter.open hot in every sampled heavy stage;
+      // q98 3.9 s → 2.4 s from this alone). At the 100 TB target the
+      // byte-derived widths put every real exchange FAR above 200
+      // partitions, where the sort-based writer (one spill file per map
+      // task) is what runs anyway — so threshold=1 makes the bench
+      // exercise the writer the production plan uses instead of a
+      // small-R special case production never hits. Plans unchanged.
+      .config("spark.shuffle.sort.bypassMergeThreshold", 1)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

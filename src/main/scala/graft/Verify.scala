@@ -14,6 +14,11 @@ object Verify {
       // real scale, parallelizes CPU-dense map queries at test SFs
       .config("spark.sql.files.openCostInBytes", 16384)
       .config("spark.sql.files.minPartitionNum", cpus)
+      // sort-based shuffle writer even at small reducer counts, the
+      // Bench treatment (r15): the bypass-merge writer's one-file-per-
+      // (map × reducer) is a small-R special case the byte-derived
+      // production widths never select; plans unchanged
+      .config("spark.shuffle.sort.bypassMergeThreshold", 1)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -176,21 +176,40 @@ object Vectors {
     val e = embNormed(s, d)
     val seeds = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("nv").as("nc"))
-    // argmax via max_by partial aggregation, not a window: no sort, the
-    // per-vector groups combine map-side. Ordering key (csim, -c_id)
-    // reproduces the window's deterministic tiebreak (highest sim, then
-    // LOWEST centroid id). ONE shape for both the seed and the refined
-    // assignment pass — structurally identical generated code, so the
-    // second pass reuses the first's compiled stage instead of paying
-    // Janino again (cold-start cost, not steady-state).
-    def assign(cents: DataFrame): DataFrame = e.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        dot_f(col("cv"), col("embedding")) / (col("nc") * col("nv")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("embedding"), col("nv"), col("c_id")),
-        struct(col("csim"), -col("c_id"))).as("w"))
-      .select(col("vec_id"), col("w.embedding").as("embedding"),
-        col("w.nv").as("nv"), col("w.c_id").as("bucket"))
+    // argmax as a K-column conditional aggregation (r15, the q98
+    // treatment): ONE codegen'd HashAggregate computes max(csim) per
+    // centroid id via 16 `max(when(c_id = i, csim))` columns — the id
+    // domain is static (seeds are `vec_id < 16`) — and a projection
+    // takes the greatest with first-match-ascending tie-break, exactly
+    // max_by's struct(csim, -c_id) order (highest sim, then LOWEST
+    // centroid id). max_by itself planned as SortAggregate (struct
+    // buffer → not UnsafeRow-mutable), whose per-row update is an
+    // interpreted MutableProjection. embedding/nv ride through as
+    // grouping KEYS (unique per vec_id, groups unchanged; keys may be
+    // variable-width, only the buffer may not). NaN csims (zero-norm
+    // vectors) keep their max_by behavior: Spark's max/greatest order
+    // NaN above all and its double equality is NaN-safe, so the
+    // first-match still lands on the lowest surviving id. ONE shape for
+    // both the seed and the refined pass — structurally identical
+    // generated code, so the second pass reuses the first's compiled
+    // stage instead of paying Janino again.
+    def assign(cents: DataFrame): DataFrame = {
+      val maxs = (0 until 16).map(i =>
+        max(when(col("c_id") === i, col("csim"))).as(s"_s$i"))
+      val agg = e.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          dot_f(col("cv"), col("embedding")) / (col("nc") * col("nv")))
+        .groupBy(col("vec_id"), col("embedding"), col("nv"))
+        .agg(maxs.head, maxs.tail: _*)
+      val bucket = (0 until 16).foldRight(lit(null).cast("long")) {
+        (i, rest) => when(col(s"_s$i") === col("_smax"), lit(i.toLong))
+          .otherwise(rest)
+      }
+      agg.withColumn("_smax",
+          greatest((0 until 16).map(i => col(s"_s$i")): _*))
+        .withColumn("bucket", bucket)
+        .select(col("vec_id"), col("embedding"), col("nv"), col("bucket"))
+    }
     val refined = assign(seeds)
       .select(col("bucket").as("c_id"), col("embedding"))
       .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -491,18 +510,51 @@ object Vectors {
       .withColumn("xx", dot_f(col("embedding"), col("embedding")))
       .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
       .transform(graft.CacheRegistry.trackPersist(_))
+    // cc = cv·cv hoisted onto the K-row centroid table (r15): the fold
+    // ran once per (vector, centroid) PAIR — K·N evaluations of a value
+    // that only depends on the centroid. Same kernel over the same
+    // floats, so d2 is bit-identical; the per-pair kernel halves.
     def d2c = col("xx") - lit(2.0) * dot_f(col("embedding"), col("cv")) +
-      dot_f(col("cv"), col("cv"))
-    // argmin via min_by partial aggregation (ties → lowest c_id), one
-    // shape for all three passes → one compiled stage
-    def assign(cents: DataFrame): DataFrame = e.crossJoin(broadcast(cents))
-      .withColumn("d2", d2c)
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("embedding"), col("xx"), col("c_id"), col("d2")),
-        struct(col("d2"), col("c_id"))).as("w"))
-      .select(col("vec_id"), col("w.embedding").as("embedding"),
-        col("w.xx").as("xx"), col("w.c_id").as("cluster"),
-        col("w.d2").as("d2"))
+      col("cc")
+    // Argmin as a K-column conditional aggregation (r15): ONE codegen'd
+    // HashAggregate computes min(d2) per (vector, centroid-id) via 16
+    // `min(when(c_id = i, d2))` columns — the centroid-id domain is
+    // STATIC (seeds are `vec_id < 16`, and means() only ever re-keys by
+    // those ids) — and a projection then takes the least of the 16 mins
+    // with first-match-ascending tie-break, which is exactly min_by's
+    // struct(d2, c_id) order. min_by itself is out: ANY struct-valued
+    // agg buffer plans as SortAggregate, whose per-row update runs
+    // through an interpreted MutableProjection (caseWhen + compareStruct
+    // per (vector, centroid) pair — measured as q98's dominant cost);
+    // a join-back alternative measured WORSE (joining on the double d2
+    // wraps the key in normalizenanandzero — a fresh two-key exchange —
+    // and baited a useless runtime bloom filter onto the corpus scan).
+    // The embedding/xx ride through as GROUPING KEYS (unique per
+    // vec_id, so groups are unchanged): keys may be variable-width —
+    // only the BUFFER forces the SortAggregate fallback — so the vector
+    // still never crosses a shuffle, sits in no agg buffer, and needs
+    // no re-attach join. least() skips the all-NULL columns of empty
+    // clusters, preserving the survivors-only semantics.
+    def assign(cents: DataFrame): DataFrame = {
+      val mins = (0 until 16).map(i =>
+        min(when(col("c_id") === i, col("d2"))).as(s"_d$i"))
+      val agg = e.crossJoin(broadcast(cents))
+        .withColumn("d2", d2c)
+        .groupBy(col("vec_id"), col("embedding"), col("xx"))
+        .agg(mins.head, mins.tail: _*)
+      val d2min = least((0 until 16).map(i => col(s"_d$i")): _*)
+      // first ascending id whose min equals the overall min — ties to
+      // the LOWEST c_id, as min_by's struct(d2, c_id) ordering did;
+      // NULL === x is NULL (not true), so empty clusters fall through
+      val cluster = (0 until 16).foldRight(lit(null).cast("long")) {
+        (i, rest) => when(col(s"_d$i") === col("d2"), lit(i.toLong))
+          .otherwise(rest)
+      }
+      agg.withColumn("d2", d2min)
+        .withColumn("cluster", cluster)
+        .select(col("vec_id"), col("embedding"), col("xx"),
+          col("cluster"), col("d2"))
+    }
     def means(assigned: DataFrame): DataFrame = assigned
       .select(col("cluster").as("c_id"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -511,9 +563,11 @@ object Vectors {
       .groupBy(col("c_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("c_id"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cv"))
+      .withColumn("cc", dot_f(col("cv"), col("cv")))
       .transform(graft.CacheRegistry.trackPersist(_))
     val seeds = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      .withColumn("cc", dot_f(col("cv"), col("cv")))
     val c1 = means(assign(seeds))
     val c2 = means(assign(c1))
     assign(c2)

@@ -174,6 +174,14 @@ object GraftFunctions {
   def minhashSig(sh: Column): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(sh)))
 
+  /** Byte-scan literal split (SetSimExpressions.LiteralSplit) —
+    * bit-identical to `split(c, sep)` for a regex-inert ASCII literal
+    * separator, at one byte walk + zero-copy token slices instead of
+    * the builtin's three corpus transcodings (r15). */
+  def litSplit(c: Column, sep: String): Column =
+    GraftColumnBridge.column(
+      LiteralSplit(GraftColumnBridge.expression(c), sep))
+
   /** All width-`l` character grams with codepoint positions
     * (SetSimExpressions.CharGrams) — the linear-time replacement for
     * the quadratic-per-document substring transform (r13). */

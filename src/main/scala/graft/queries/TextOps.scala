@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables._
+import graft.functions.GraftFunctions.litSplit
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -336,7 +337,7 @@ object TextOps {
 
   /** q30: token counting + quality scoring (length/stopword/alpha ratios). */
   def q30TextStats(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
+    val toks = litSplit(col("text"), " ")
     val nTokens = size(toks).cast("long")
     val stop = array(Seq("the", "a", "of", "is", "and", "to").map(lit): _*)
     val nStop = size(filter(toks, t => array_contains(stop, t))).cast("long")
@@ -380,7 +381,7 @@ object TextOps {
   /** q31: n-gram/marker-word language ID heuristic with a deterministic
     * argmax (ties break en > es > de > fr > zh). */
   def q31LangId(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
+    val toks = litSplit(col("text"), " ")
     def score(words: Seq[String]) = {
       val set = array(words.map(lit): _*)
       size(filter(toks, t => array_contains(set, t))).cast("long")
@@ -1207,7 +1208,7 @@ object TextOps {
     * padding. Integer-exact (token counts and pad counts), one
     * map-side-combinable aggregation. */
   def q78LengthBuckets(s: SparkSession, d: String): DataFrame = {
-    val nTok = size(split(col("text"), " ")).cast("long")
+    val nTok = size(litSplit(col("text"), " ")).cast("long")
     documents(s, d)
       .withColumn("n_tokens", nTok)
       // bucket ceiling = smallest power of two >= n_tokens, via INTEGER
@@ -1300,7 +1301,7 @@ object TextOps {
         |  THEN concat(' ', array_join(transform(sequence(1, 30),
         |       i -> concat('zq', doc_id, '_', i)), ' '))
         |  ELSE '' END)""".stripMargin).as("text"))
-    val tok = noisy.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val tok = noisy.select(col("doc_id"), explode(litSplit(col("text"), " ")).as("t"))
     val cnt = tok.groupBy(col("t"))
       .agg(least(count(lit(1)), lit(255L)).as("cc"))
     tok.join(cnt, Seq("t"))
@@ -1477,8 +1478,8 @@ object TextOps {
     import graft.functions.TextFunctions.ngramsAll
     val docs = documents(s, d)
     val base = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
+      size(litSplit(col("text"), " ")).cast("long").as("n_tokens"),
+      size(array_distinct(litSplit(col("text"), " "))).cast("long").as("n_distinct"))
     val top = docs
       .select(col("doc_id"), explode(ngramsAll(col("text"), lit(2))).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
@@ -1542,7 +1543,7 @@ object TextOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     documents(s, d)
       .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        size(litSplit(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("first_seq", expr("start_offset div 512"))
       .withColumn("last_seq", expr("(start_offset + n_tokens - 1) div 512"))
@@ -1560,7 +1561,7 @@ object TextOps {
     * (vocabulary-sized, corpus-size-independent) aggregate. */
   def q56Vocabulary(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), explode(litSplit(col("text"), " ")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("token"))
@@ -1619,7 +1620,7 @@ object TextOps {
     * over ≤|vocab| rows per doc — no corpus-sized sort anywhere. */
   def q92TfidfKeywords(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"), explode(litSplit(col("text"), " ")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tok.groupBy(col("term"))
       .agg(count_distinct(col("doc_id")).as("df"))
@@ -1666,7 +1667,7 @@ object TextOps {
     * CCNet treatment) is [[graft.streaming.CorpusStream.lmModel]],
     * scored by q103 with the pruned contract oracle-matched. */
   def q93LmScore(s: SparkSession, d: String): DataFrame = {
-    val w = documents(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+    val w = documents(s, d).select(col("doc_id"), litSplit(col("text"), " ").as("w"))
     val bg = lmBigrams(w)
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
@@ -1763,7 +1764,7 @@ object TextOps {
     // the narrow raw-text exchange exists only in the small-corpus
     // regime where it is the difference between 1 and 32 cores.
     val w = cpuWidthPin(documents(s, d))
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), litSplit(col("text"), " ").as("w"))
     val bg = lmBigrams(w)
     val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val kept = cnt
@@ -1819,7 +1820,7 @@ object TextOps {
     // must hold even when a caller's frame already has a column named
     // w/n/nc/toks — plain names would clobber-then-drop it
     docs
-      .withColumn("__chunk_w", split(col("text"), " "))
+      .withColumn("__chunk_w", litSplit(col("text"), " "))
       .withColumn("__chunk_n", size(col("__chunk_w")).cast("long"))
       .withColumn("__chunk_nc",
         when(col("__chunk_n") <= cw, lit(1L))
@@ -1892,7 +1893,7 @@ object TextOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     documents(s, d)
       .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        size(litSplit(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("kept", col("tokens_before") < budget)
       .select(col("source"), col("doc_id"), col("n_tokens"),
@@ -2330,7 +2331,7 @@ object TextOps {
     val ind = bpeInduction(s, d)
     val vt = ind.v3.select(col("word"),
       length(col("word")).cast("long").as("n_base"),
-      size(split(trim(col("seq")), "  ")).cast("long").as("n_toks"))
+      size(litSplit(trim(col("seq")), "  ")).cast("long").as("n_toks"))
     def mcol(m: DataFrame, name: String): DataFrame =
       m.select(concat(col("s1"), col("s2")).as(name))
     tokJoin(ind.dw, vt)
@@ -2358,7 +2359,7 @@ object TextOps {
     * tweak applied to one site cannot silently skew the gate off the
     * stream it protects; the r13/r14 ADVICE desync class). */
   private def docWords(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    .select(col("doc_id"), explode(litSplit(col("text"), " ")).as("word"))
     .filter(col("word") =!= "")
 
   private val vocabStatsMemo =
@@ -2553,7 +2554,7 @@ object TextOps {
       concat(lit(" "), rtrim(regexp_replace(col("word"), "(?s)(.)", "$1  ")),
         lit(" ")))
     def pairCounts(v: DataFrame): DataFrame = v
-      .select(col("c"), split(trim(col("seq")), "  ").as("sy"))
+      .select(col("c"), litSplit(trim(col("seq")), "  ").as("sy"))
       .select(col("c"), explode(expr(
         """transform(
           |  CASE WHEN size(sy) >= 2 THEN sequence(0, size(sy) - 2)
@@ -2643,11 +2644,11 @@ object TextOps {
     // word → (its encoded token string, token count): the learned
     // table applied once per DISTINCT word, then broadcast
     val enc = ind.v3.select(col("word"),
-      array_join(split(trim(col("seq")), "  "), " ").as("toks"),
-      size(split(trim(col("seq")), "  ")).cast("long").as("n_toks"))
+      array_join(litSplit(trim(col("seq")), "  "), " ").as("toks"),
+      size(litSplit(trim(col("seq")), "  ")).cast("long").as("n_toks"))
     val wp = cpuWidthPin(documents(s, d))
       .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        posexplode(litSplit(col("text"), " ")).as(Seq("pos", "word")))
       .filter(col("word") =!= "")
     tokJoin(wp, enc)
       .groupBy(col("doc_id"))

@@ -465,11 +465,16 @@ object Vectors {
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("label"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cv"))
+      // cc = cv·cv hoisted to the per-label table (r15, the q98
+      // treatment): the fold ran once per corpus ROW for a value that
+      // only depends on the label; same kernel, same floats, d2
+      // bit-identical
+      .withColumn("cc", dot_f(col("cv"), col("cv")))
     val j = e.join(broadcast(cent), Seq("label"))
       .withColumn("d2",
         dot_f(col("embedding"), col("embedding"))
           - lit(2.0) * dot_f(col("embedding"), col("cv"))
-          + dot_f(col("cv"), col("cv")))
+          + col("cc"))
       .select(col("vec_id"), col("label"), col("d2"))
     val st = j.groupBy(col("label"))
       .agg(avg(col("d2")).cast("float").as("a"))

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.litSplit
 
 /** Streaming twins of the training-corpus batch operators — documents
   * arriving as a stream (crawl output, ingestion queue) instead of a
@@ -286,7 +287,7 @@ object CorpusStream {
     * itself is pinned in LmModelSpec and oracle-matched by q103. */
   def lmModel(corpus: DataFrame, minCount: Long = 1L,
               maxEntries: Int = 1 << 20): LmModel = {
-    val w = corpus.select(split(col("text"), " ").as("w"))
+    val w = corpus.select(litSplit(col("text"), " ").as("w"))
     // persisted: three consumers below (kept's collect, c1's aggregate,
     // and kept's subtree inside c1's semi-join) would otherwise each
     // re-run the corpus-scale bigram explode+aggregate — the model
@@ -349,7 +350,7 @@ object CorpusStream {
       }
     }
     docs
-      .withColumn("s", score(split(col("text"), " ")))
+      .withColumn("s", score(litSplit(col("text"), " ")))
       .withColumn("n_bigrams", col("s._1"))
       .withColumn("sum_p", col("s._2"))
       .withColumn("avg_p", col("s._3"))

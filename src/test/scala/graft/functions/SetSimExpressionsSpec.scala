@@ -292,4 +292,28 @@ class SetSimExpressionsSpec extends SparkSuite {
     assert(chunksOf("abcdefghi", 4) ==                   // nGrams=5 → 2 chunks, short tail
       Seq((0L, "abcdefgh"), (4L, "efghi")))
   }
+
+  test("LiteralSplit matches builtin split(str, sep, -1) exactly (r15)") {
+    // randomized strings over a small alphabet rich in separators +
+    // multibyte chars; both the " " and "  " separators the engine uses
+    val rnd = new scala.util.Random(42)
+    val alphabet = "a b  cß€ \ud83d\ude00 "
+    val cases = Seq("", " ", "  ", "a", "a b", " a", "a ", "a  b", "   ") ++
+      (1 to 200).map(_ => (1 to rnd.nextInt(30)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    for (sep <- Seq(" ", "  ")) {
+      val df = cases.toDF("t")
+        .withColumn("b", split(col("t"), sep))
+        .withColumn("n", GraftFunctions.litSplit(col("t"), sep))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"sep='$sep' t='${r.getString(0)}'")
+      }
+    }
+    // null propagates like the builtin
+    val nr = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t")
+      .select(split(col("t"), " ").as("b"), GraftFunctions.litSplit(col("t"), " ").as("n"))
+      .head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
 }

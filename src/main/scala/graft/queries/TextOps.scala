@@ -773,9 +773,23 @@ object TextOps {
     * rounds at toy scale and wins everywhere else, and one code path
     * beats two guarded ones. The min-label propagator below is kept as
     * an independent implementation, spec-pinned label-identical. */
+  /** The CC label table is memoized per (session, sfDir) — the q104
+    * trainMemo treatment (r15): [[ccLabelsStar]] is a DRIVER-side loop
+    * (per round: two counts + an except-isEmpty + localCheckpoints), so
+    * the CacheManager's plan-matched reuse cannot skip it — q72 (and
+    * any family composition) re-drove the whole loop per call even with
+    * every frame cached. The memoized frame roots at the loop's final
+    * localCheckpointed RDD (data, not plans — the trainSteps contract);
+    * [[clearTrainMemo]] clears it at every isolation point (Verify
+    * per-query, Bench retakes, ScaleSweep/StageClock reps), so no
+    * measurement ever reads invisibly-warm labels. */
+  private val ccLabelsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
   def q62DupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = q33NgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
-    val labels = ccLabelsStar(pairs)
+    ccLabelsMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    val labels = ccLabelsMemo.computeIfAbsent((s, d), _ =>
+      ccLabelsStar(q33NgramJaccard(s, d).select(col("doc_a"), col("doc_b"))))
     documents(s, d).select(col("doc_id"))
       .join(labels.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -2849,7 +2863,13 @@ object TextOps {
     * the CacheManager — localCheckpointed RDDs are not CacheManager
     * entries, so clearCache() alone would leave training invisibly
     * warm and the q104 scaling row would lie). */
-  private[graft] def clearTrainMemo(): Unit = trainStepsMemo.clear()
+  private[graft] def clearTrainMemo(): Unit = {
+    trainStepsMemo.clear()
+    // the q62 CC-label memo rides the same isolation points (r15): its
+    // frame roots at localCheckpointed RDDs the CacheManager cannot
+    // see, exactly like the training trajectory above
+    ccLabelsMemo.clear()
+  }
 
   private def trainStepsUncached(s: SparkSession, d: String): TrainArtifacts = {
     val docs = documents(s, d)

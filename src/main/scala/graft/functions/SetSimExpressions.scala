@@ -704,3 +704,80 @@ case class LiteralSplit(child: Expression, sep: String)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Adjacent-word bigrams of a split-words array, with positions — the
+  * LM family's extraction (q93/q103 scoring + the streaming trainer)
+  * as ONE tight loop instead of the interpreted
+  * `transform(sequence(...), i -> struct(...))` HOF: higher-order
+  * lambdas never reach codegen (guide §4), so the SQL form paid a
+  * per-element interpreted MutableProjection (two GetArrayItem trees +
+  * CreateNamedStruct) plus a transient `sequence` index array per
+  * document — a full-pass per-token term on the corpus hot path.
+  * Output rows and TYPES are pinned bit-for-bit to the SQL twin
+  * (TextOps.lmBigramExpr) by a randomized spec, including the
+  * NULL-array → EMPTY (not NULL) contract the twin's CASE guard
+  * produces under ANSI size(NULL) = NULL semantics. */
+object WordBigramsKernel {
+  private val Empty =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+  def empty(): ArrayData = Empty
+
+  def eval(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n < 2) return Empty
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      val w1 = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      val w2 = if (a.isNullAt(i + 1)) null else a.getUTF8String(i + 1)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i, w1, w2))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** [[WordBigramsKernel.eval]] as a codegen'd unary expression. NULL
+  * words-array → EMPTY bigram array (the SQL twin's CASE-guard
+  * behavior), so `nullable = false` like [[CharGrams]]. */
+case class WordBigrams(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("w1", StringType, nullable = true),
+    StructField("w2", StringType, nullable = true))), containsNull = false)
+  override def prettyName: String = "graft_word_bigrams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<STRING>, got ${dt.sql}")
+    }
+
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) WordBigramsKernel.empty()
+    else WordBigramsKernel.eval(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $javaType ${ev.value} = ${childGen.isNull}
+          ? graft.functions.WordBigramsKernel.empty()
+          : graft.functions.WordBigramsKernel.eval(${childGen.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -182,6 +182,14 @@ object GraftFunctions {
     GraftColumnBridge.column(
       LiteralSplit(GraftColumnBridge.expression(c), sep))
 
+  /** Adjacent-word (pos, w1, w2) bigrams of a split-words array
+    * (SetSimExpressions.WordBigrams) — row- and type-identical to the
+    * interpreted `transform(sequence(...), ...)` HOF it replaces
+    * (TextOps.lmBigramExpr, spec-pinned), at one tight loop per doc
+    * (r15). */
+  def wordBigrams(w: Column): Column =
+    GraftColumnBridge.column(WordBigrams(GraftColumnBridge.expression(w)))
+
   /** All width-`l` character grams with codepoint positions
     * (SetSimExpressions.CharGrams) — the linear-time replacement for
     * the quadratic-per-document substring transform (r13). */

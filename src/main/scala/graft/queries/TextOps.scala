@@ -1696,11 +1696,23 @@ object TextOps {
     lmFold(p).orderBy(col("doc_id"))
   }
 
-  /** The bigram transform over a split-words column `w`, shared by
+  /** The bigram extraction over a split-words column `w`, shared by
     * [[lmBigrams]] (q93/q103) AND CorpusStream.lmModel's trainer — ONE
     * edit point so a tokenization/boundary fix cannot reach the queries
     * and their oracles but miss the streaming model, silently breaking
-    * lmScore's bit-for-bit equality with q93 on a replay. */
+    * lmScore's bit-for-bit equality with q93 on a replay. r15: the
+    * extraction is the native [[graft.functions.WordBigrams]] loop —
+    * the `transform(sequence(...), ...)` HOF it replaces is interpreted
+    * per element (lambdas never reach codegen) and allocated a
+    * transient index array per document, a per-token corpus-pass term.
+    * [[lmBigramExpr]] below stays as the SQL twin the spec pins the
+    * native rows AND types against. */
+  private[graft] def lmBigramCol(w: Column): Column =
+    graft.functions.GraftFunctions.wordBigrams(w)
+
+  /** The retired SQL form of [[lmBigramCol]] — kept ONLY as the
+    * reference twin for the WordBigrams equality spec (rows, schema,
+    * NULL-array behavior). Not referenced by any query path. */
   private[graft] val lmBigramExpr: String =
     """transform(
       |  CASE WHEN size(w) >= 2 THEN sequence(0, size(w) - 2)
@@ -1712,7 +1724,7 @@ object TextOps {
     * desynchronize on the extraction. */
   private def lmBigrams(w: DataFrame): DataFrame =
     w.select(col("doc_id"),
-        explode(expr(lmBigramExpr))
+        explode(lmBigramCol(col("w")))
           .as("b"))
       .select(col("doc_id"), col("b.pos").as("pos"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))

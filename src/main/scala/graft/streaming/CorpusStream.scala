@@ -293,11 +293,11 @@ object CorpusStream {
     // re-run the corpus-scale bigram explode+aggregate — the model
     // build's dominant cost at any real corpus size
     val counts = w
-      // the SAME extraction expression q93/q103 score with
-      // (TextOps.lmBigramExpr, the single edit point) — an inline copy
+      // the SAME extraction q93/q103 score with
+      // (TextOps.lmBigramCol, the single edit point) — an inline copy
       // here could silently train the model on differently-extracted
       // bigrams than the scorer reads; pos is unused and pruned
-      .select(explode(expr(graft.queries.TextOps.lmBigramExpr)).as("b"))
+      .select(explode(graft.queries.TextOps.lmBigramCol(col("w"))).as("b"))
       .groupBy(col("b.w1"), col("b.w2")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

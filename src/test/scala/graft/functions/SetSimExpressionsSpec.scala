@@ -316,4 +316,25 @@ class SetSimExpressionsSpec extends SparkSuite {
       .head()
     assert(nr.isNullAt(0) && nr.isNullAt(1))
   }
+
+  test("WordBigrams matches the transform/sequence SQL twin exactly (r15)") {
+    // rows AND schema pinned to TextOps.lmBigramExpr — including the
+    // NULL-array → EMPTY contract (ANSI size(NULL)=NULL falls through
+    // the twin's CASE to array()), null elements, multibyte words,
+    // empty tokens, and sizes 0/1/2
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "b", "ß€", "😀", "", "word")
+    val cases: Seq[Seq[String]] = Seq(
+      null, Seq(), Seq("a"), Seq("a", "b"), Seq(null, "a", null)) ++
+      (1 to 200).map(_ => (0 until rnd.nextInt(8)).map(_ =>
+        if (rnd.nextInt(10) == 0) null else vocab(rnd.nextInt(vocab.size))))
+    val df = cases.toDF("w")
+      .withColumn("b", expr(graft.queries.TextOps.lmBigramExpr))
+      .withColumn("n", GraftFunctions.wordBigrams(col("w")))
+    assert(df.schema("b").dataType == df.schema("n").dataType,
+      s"twin ${df.schema("b").dataType.sql} vs native ${df.schema("n").dataType.sql}")
+    df.collect().foreach { r =>
+      assert(r.get(1) == r.get(2), s"w=${r.get(0)}")
+    }
+  }
 }

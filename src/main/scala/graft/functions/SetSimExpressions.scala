@@ -781,3 +781,76 @@ case class WordBigrams(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Non-empty-token variant of [[LiteralSplitKernel]] (r15):
+  * `filter(split(str, sep, -1), w -> w <> '')` as the SAME single byte
+  * walk, skipping zero-length slices — the classifier feature builder's
+  * word stream (q104/q105 training) ran the builtin regex split's three
+  * transcodings AND an interpreted `filter` HOF per token. Emits only
+  * tokens with at least one byte; `"" → []`, all-separator input → [].
+  * Property-pinned against the SQL form in SetSimExpressionsSpec. */
+object LiteralSplitWordsKernel {
+  def eval(s: UTF8String, sep: Array[Byte]): ArrayData = {
+    val bytes = s.getBytes // one copy; every token slices it
+    val n = bytes.length
+    val m = sep.length
+    @inline def matchAt(i: Int): Boolean = {
+      var j = 0
+      while (j < m && bytes(i + j) == sep(j)) j += 1
+      j == m
+    }
+    var count = 0
+    var start = 0
+    var i = 0
+    while (i + m <= n) {
+      if (matchAt(i)) { if (i > start) count += 1; i += m; start = i }
+      else i += 1
+    }
+    if (n > start) count += 1
+    val out = new Array[Any](count)
+    var k = 0
+    start = 0
+    i = 0
+    while (i + m <= n) {
+      if (matchAt(i)) {
+        if (i > start) { out(k) = UTF8String.fromBytes(bytes, start, i - start); k += 1 }
+        i += m
+        start = i
+      } else i += 1
+    }
+    if (n > start) out(k) = UTF8String.fromBytes(bytes, start, n - start)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** [[LiteralSplitWordsKernel.eval]] as a codegen'd unary expression.
+  * NULL propagates like the SQL form (filter(NULL, ...) is NULL). */
+case class LiteralSplitWords(child: Expression, sep: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(sep.nonEmpty && sep.forall(c => c < 128 && !"\\[](){}*+?.^$|".contains(c)),
+    s"LiteralSplitWords separator must be non-empty, ASCII and regex-inert: '$sep'")
+
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "graft_literal_split_words"
+
+  @transient private lazy val sepBytes =
+    sep.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(a: Any): Any =
+    LiteralSplitWordsKernel.eval(a.asInstanceOf[UTF8String], sepBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sepBytes", sepBytes, "byte[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.LiteralSplitWordsKernel.eval($a, $sepRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

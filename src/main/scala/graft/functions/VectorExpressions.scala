@@ -182,6 +182,13 @@ object GraftFunctions {
     GraftColumnBridge.column(
       LiteralSplit(GraftColumnBridge.expression(c), sep))
 
+  /** Non-empty tokens only (SetSimExpressions.LiteralSplitWords) —
+    * bit-identical to `filter(split(c, sep), w -> w <> '')` at one
+    * byte walk, no interpreted filter HOF (r15). */
+  def litSplitWords(c: Column, sep: String): Column =
+    GraftColumnBridge.column(
+      LiteralSplitWords(GraftColumnBridge.expression(c), sep))
+
   /** Adjacent-word (pos, w1, w2) bigrams of a split-words array
     * (SetSimExpressions.WordBigrams) — row- and type-identical to the
     * interpreted `transform(sequence(...), ...)` HOF it replaces

@@ -2792,7 +2792,11 @@ object TextOps {
     * constant bias feature at bucket 64 on every document. */
   private def classifierFeatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+        // native drop-empty split (r15) — one byte walk instead of the
+        // builtin regex split + interpreted filter HOF; spec-pinned
+        // equal to `filter(split(text, ' '), w -> w <> '')`
+        explode(graft.functions.GraftFunctions.litSplitWords(col("text"), " "))
+          .as("w"))
       // native per-word fold (r13, see classifierScored) — replaces
       // `pmod(aggregate(sequence(1, length(w)), 7, (a, i) ->
       //   pmod(a*31 + ascii(substring(w, i, 1)), 1048573)), 64)`,

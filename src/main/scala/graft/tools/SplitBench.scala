@@ -52,6 +52,22 @@ object SplitBench {
       println(f"SPLITBENCH $label%-10s ${(System.nanoTime() - t0) / 1e9}%6.2f s rows=$n")
     }
     for (_ <- 1 to reps) { time("builtin", builtin); time("native", native) }
+
+    // r15 second contender: the classifier feature builder's non-empty
+    // word stream — builtin regex split + interpreted filter HOF vs the
+    // native drop-empty byte walk (LiteralSplitWords)
+    import graft.functions.GraftFunctions.litSplitWords
+    val wordsSql = docs.select(col("doc_id"),
+      posexplode(expr("filter(split(text, ' '), w -> w <> '')")))
+    val wordsNat = docs.select(col("doc_id"),
+      posexplode(litSplitWords(col("text"), " ")))
+    val wdiff = wordsSql.exceptAll(wordsNat).count() +
+      wordsNat.exceptAll(wordsSql).count()
+    println(s"SPLITBENCH word-stream (drop-empty) diff rows: $wdiff")
+    require(wdiff == 0, "LiteralSplitWords diverges from filter(split(...))!")
+    for (_ <- 1 to reps) {
+      time("filtsql", wordsSql); time("filtnat", wordsNat)
+    }
     spark.stop()
   }
 }

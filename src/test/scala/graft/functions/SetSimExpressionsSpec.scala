@@ -317,6 +317,29 @@ class SetSimExpressionsSpec extends SparkSuite {
     assert(nr.isNullAt(0) && nr.isNullAt(1))
   }
 
+  test("LiteralSplitWords matches filter(split(...), w -> w <> '') exactly (r15)") {
+    val rnd = new scala.util.Random(43)
+    val alphabet = "a b  cß€ 😀 "
+    val cases = Seq("", " ", "  ", "a", "a b", " a", "a ", "a  b", "   ") ++
+      (1 to 200).map(_ => (1 to rnd.nextInt(30)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    for (sep <- Seq(" ", "  ")) {
+      val df = cases.toDF("t")
+        .withColumn("b", expr(s"filter(split(t, '$sep'), w -> w <> '')"))
+        .withColumn("n", GraftFunctions.litSplitWords(col("t"), sep))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"sep='$sep' t='${r.getString(0)}'")
+      }
+    }
+    // null propagates like the SQL form
+    val nr = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t")
+      .select(expr("filter(split(t, ' '), w -> w <> '')").as("b"),
+        GraftFunctions.litSplitWords(col("t"), " ").as("n"))
+      .head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
   test("WordBigrams matches the transform/sequence SQL twin exactly (r15)") {
     // rows AND schema pinned to TextOps.lmBigramExpr — including the
     // NULL-array → EMPTY contract (ANSI size(NULL)=NULL falls through

@@ -854,3 +854,85 @@ case class LiteralSplitWords(child: Expression, sep: String)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Position-ordered double sum (r15): the lmFold reassembly
+  * `aggregate(array_sort(collect_list(struct(pos, p))), 0.0,
+  * (acc, x) -> acc + x.p)` as ONE native pass — both the array_sort
+  * comparator and the aggregate fold are higher-order LAMBDAS, i.e.
+  * interpreted per element, and they run over every scored bigram
+  * (the same O(corpus tokens) count as the extraction). The kernel
+  * sorts (pos, index) as packed primitive longs and folds the doubles
+  * left-to-right in pos order — bit-identical to the SQL twin because
+  * the fold ORDER is identical.
+  *
+  * CONTRACT (the lmFold shape): `pos` values are DISTINCT and
+  * NON-NEGATIVE within one array (bigram positions of one document) —
+  * with distinct primary keys the (pos, p) struct order and the
+  * (pos, index) packed order coincide, so ties never decide. NULL
+  * array → NULL; empty array → 0.0 (the aggregate seed); any NULL
+  * element or NULL p → NULL (the twin's acc turns NULL at that element
+  * and stays NULL). Spec-pinned bitwise against the SQL twin under
+  * shuffled input orders, NaN/-0.0/denormal p values included. */
+object PosOrderedSumKernel {
+  def eval(a: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n == 0) return java.lang.Double.valueOf(0.0)
+    val keys = new Array[Long](n)
+    val ps = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val row = a.getStruct(i, 2)
+      if (row.isNullAt(1)) return null
+      keys(i) = (row.getInt(0).toLong << 32) | i.toLong
+      ps(i) = row.getDouble(1)
+      i += 1
+    }
+    java.util.Arrays.sort(keys)
+    var acc = 0.0
+    i = 0
+    while (i < n) {
+      acc += ps((keys(i) & 0xffffffffL).toInt)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+/** [[PosOrderedSumKernel.eval]] as a codegen'd unary expression. */
+case class PosOrderedSum(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pos_ordered_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(Array(f0, f1)), _)
+          if f0.dataType == IntegerType && f1.dataType == DoubleType =>
+        TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<STRUCT<INT, DOUBLE>>, got ${dt.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    PosOrderedSumKernel.eval(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val r = ctx.freshName("posSum")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${childGen.isNull}) {
+        java.lang.Double $r =
+          graft.functions.PosOrderedSumKernel.eval(${childGen.value});
+        if ($r != null) { ${ev.isNull} = false; ${ev.value} = $r.doubleValue(); }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -189,6 +189,13 @@ object GraftFunctions {
     GraftColumnBridge.column(
       LiteralSplitWords(GraftColumnBridge.expression(c), sep))
 
+  /** Position-ordered double sum (SetSimExpressions.PosOrderedSum) —
+    * bit-identical to `aggregate(array_sort(pp), 0.0D,
+    * (acc, x) -> acc + x.p)` for distinct non-negative pos (the lmFold
+    * reassembly), at one primitive sort + fold (r15). */
+  def posOrderedSum(pp: Column): Column =
+    GraftColumnBridge.column(PosOrderedSum(GraftColumnBridge.expression(pp)))
+
   /** Adjacent-word (pos, w1, w2) bigrams of a split-words array
     * (SetSimExpressions.WordBigrams) — row- and type-identical to the
     * interpreted `transform(sequence(...), ...)` HOF it replaces

@@ -1730,19 +1730,24 @@ object TextOps {
         col("b.w1").as("w1"), col("b.w2").as("w2"))
 
   /** The per-doc reassembly shared by q93/q103: sum folded IN TOKEN
-    * ORDER (array_sort on pos — a fixed order makes the double sum
+    * ORDER (sorted on pos — a fixed order makes the double sum
     * bit-identical cross-engine), min order-free, keep at 0.034.
     * `extra` rides additional aggregates (column, name) through the
     * SAME doc_id aggregation — q103's n_oov lives here so the scoring
-    * pipeline is aggregated once, not once per output statistic. */
+    * pipeline is aggregated once, not once per output statistic.
+    * r15: the former `aggregate(array_sort(pp), ...)` pair — BOTH
+    * higher-order lambdas, interpreted per scored bigram — is the
+    * native [[graft.functions.PosOrderedSum]] (one primitive sort +
+    * fold, same pos-ascending order so the double sum is bit-exact;
+    * the retired SQL form stays as the spec's reference twin). */
   private def lmFold(p: DataFrame, extra: (Column, String)*): DataFrame = {
     val aggs = Seq(min(col("p")).as("min_p"), count(lit(1)).as("n_bigrams")) ++
       extra.map { case (c, name) => c.as(name) }
     p.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("p")))).as("pp"),
+      .agg(collect_list(struct(col("pos"), col("p"))).as("pp"),
         aggs: _*)
       .withColumn("sum_p",
-        expr("aggregate(pp, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)"))
+        graft.functions.GraftFunctions.posOrderedSum(col("pp")))
       .withColumn("avg_p", col("sum_p") / col("n_bigrams"))
       .withColumn("keep", col("avg_p") >= lit(0.034))
       .select((Seq("doc_id", "n_bigrams") ++ extra.map(_._2) ++

@@ -56,6 +56,25 @@ object BigramBench {
       println(f"BIGRAMBENCH $label%-10s ${(System.nanoTime() - t0) / 1e9}%6.2f s rows=$n")
     }
     for (_ <- 1 to reps) { time("twin", twin); time("native", native) }
+
+    // r15 second section: the lmFold per-doc reassembly — interpreted
+    // array_sort comparator + aggregate fold vs the native
+    // PosOrderedSum, over the same inflated bigram stream with a
+    // deterministic synthetic p
+    val scored = native.withColumn("p", lit(1.0) / (col("pos") + lit(1.0)))
+    val foldTwin = scored.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("p")))).as("pp"))
+      .select(col("doc_id"), expr(
+        "aggregate(pp, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)").as("s"))
+    val foldNat = scored.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("pos"), col("p"))).as("pp"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.posOrderedSum(col("pp")).as("s"))
+    val fdiff = foldTwin.exceptAll(foldNat).count() +
+      foldNat.exceptAll(foldTwin).count()
+    println(s"BIGRAMBENCH fold diff rows: $fdiff")
+    require(fdiff == 0, "PosOrderedSum diverges from the SQL fold!")
+    for (_ <- 1 to reps) { time("foldtwin", foldTwin); time("foldnat", foldNat) }
     spark.stop()
   }
 }

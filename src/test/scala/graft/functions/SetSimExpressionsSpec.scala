@@ -340,6 +340,47 @@ class SetSimExpressionsSpec extends SparkSuite {
     assert(nr.isNullAt(0) && nr.isNullAt(1))
   }
 
+  test("PosOrderedSum matches aggregate(array_sort(pp), ...) bitwise (r15)") {
+    // distinct pos per array (the lmFold contract); p spans the full
+    // double space — NaN, ±0.0, denormals, mixed magnitudes — under
+    // shuffled input orders, so the pin is on the fold ORDER, bitwise
+    val rnd = new scala.util.Random(11)
+    def randD(): Double = rnd.nextInt(6) match {
+      case 0 => java.lang.Double.longBitsToDouble(rnd.nextLong())
+      case 1 => -0.0
+      case 2 => 0.0
+      case _ => (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(8) - 4)
+    }
+    val cases: Seq[Seq[(Int, Double)]] = Seq(Seq(), Seq((0, 1.5))) ++
+      (1 to 200).map { _ =>
+        val n = rnd.nextInt(30)
+        rnd.shuffle((0 until 3 * (n + 1)).toList).take(n).map(p => (p, randD()))
+      }
+    val df = cases.toDF("pp0")
+      .select(expr("transform(pp0, x -> struct(x._1 AS pos, x._2 AS p))").as("pp"))
+      .withColumn("b", expr(
+        "aggregate(array_sort(pp), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)"))
+      .withColumn("n", GraftFunctions.posOrderedSum(col("pp")))
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"pp=${r.get(0)}")
+    }
+    // NULL array and NULL p both yield NULL, like the twin
+    val nulls = Seq("null", "array(struct(0, CAST(NULL AS DOUBLE)))",
+      "array(struct(1, 1.0D), struct(0, CAST(NULL AS DOUBLE)))")
+    nulls.foreach { lit =>
+      val r = spark.sql(
+        s"""SELECT aggregate(array_sort(pp), CAST(0.0 AS DOUBLE),
+           |         (acc, x) -> acc + x.p) b
+           |FROM (SELECT CAST($lit AS ARRAY<STRUCT<pos: INT, p: DOUBLE>>) pp)"""
+          .stripMargin)
+        .withColumn("n", GraftFunctions.posOrderedSum(
+          expr(s"CAST($lit AS ARRAY<STRUCT<pos: INT, p: DOUBLE>>)")))
+        .head()
+      assert(r.isNullAt(0) && r.isNullAt(1), s"case $lit")
+    }
+  }
+
   test("WordBigrams matches the transform/sequence SQL twin exactly (r15)") {
     // rows AND schema pinned to TextOps.lmBigramExpr — including the
     // NULL-array → EMPTY contract (ANSI size(NULL)=NULL falls through

@@ -107,6 +107,35 @@ object BenchPolicy {
     * verdict). */
   def hostSlowdown(canaryS: Double, anchorS: Double): Option[Double] =
     if (canaryS > 0 && anchorS > 0) Some(canaryS / anchorS) else None
+
+  /** JSON array of memo-consumer query names (r15 verdict task 6): the
+    * queries whose timed section RECALLED a session memo built by an
+    * earlier query in the same pass (q72 reading q62's CC labels, q105
+    * reading q104's training artifacts). Their per-query seconds are
+    * amortization, not cost-from-cold — the line must say so the same
+    * way `caches_released` discloses the registry. Sorted for a stable
+    * artifact; names are bench query names (no quotes/escapes needed). */
+  def memoHitsJson(names: Seq[String]): String =
+    names.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  /** The trailing COMPACT line (r15 verdict task 1): the full one-line
+    * artifact is ~3.4-4.5 KB with 106 queries, while the driver's
+    * harvester keeps only the last ~2000 chars of stdout — BENCH_r14
+    * and BENCH_r15 both truncated mid-`queries` and parsed as null,
+    * leaving PERF blind for two rounds. This second line carries the
+    * suite-level verdict in well under 500 bytes so ANY tail capture
+    * parses a valid JSON object; per-query seconds live in the full
+    * line (printed immediately before) and in BENCH_LAST.json /
+    * $SPARK_GRAFT_BENCH_OUT, which `queries_in` points at. Pure so the
+    * spec pins the format without running a suite. */
+  def compactLine(total: String, nQueries: Int, nErrors: Int,
+                  ratioJson: String, driftDetected: Boolean,
+                  memoHitsJson: String, queriesIn: String,
+                  sfJson: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nQueries,""" +
+      s""""n_errors":$nErrors,"drift_median_ratio":$ratioJson,""" +
+      s""""drift_detected":$driftDetected,"memo_hits":$memoHitsJson,""" +
+      s""""queries_in":"$queriesIn","sf":"$sfJson"}"""
 }
 
 /** Deterministic host-speed canary (r15 — the record saga's
@@ -367,12 +396,14 @@ object Bench {
       * evidence and the reading would describe different runs. */
     final case class Attempt(results: Seq[(String, Option[Double])],
                              stealPct: Double, ownSharePct: Double,
-                             load1Start: Double, load1End: Double)
+                             load1Start: Double, load1End: Double,
+                             memoHits: Seq[String])
 
     def runAttempt(): Attempt = {
       val (busy0, idle0, steal0) = cpuJiffies()
       val own0 = ownJiffies()
       val load1Start = load1()
+      val memoConsumers = Seq.newBuilder[String]
       val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         // isolate queries from each other's heap debt: collect garbage
         // OUTSIDE the timed section (measured: a heavy predecessor
@@ -389,6 +420,11 @@ object Bench {
         // 22% delta is the value of artifact reuse, not cache pollution.
         // Verify DOES clear per query: correctness runs want isolation.
         System.gc()
+        // memo disclosure (r15 verdict task 6): a query whose timed
+        // section RECALLS a session memo (q62's CC labels, q104's
+        // training artifacts) publishes an amortized number, not a
+        // cost-from-cold — record the delta so the line names it.
+        val memo0 = graft.queries.TextOps.memoRecalls
         val t0 = System.nanoTime()
         val ok = try {
           val df = fn(spark, sfDir)
@@ -409,6 +445,7 @@ object Bench {
           true
         } catch { case _: Throwable => false }
         val secs = (System.nanoTime() - t0) / 1e9
+        if (graft.queries.TextOps.memoRecalls > memo0) memoConsumers += name
         (name, if (ok) Some(secs) else None)
       }
       val (busy1, idle1, steal1) = cpuJiffies()
@@ -420,7 +457,8 @@ object Bench {
         if (totalJiff > 0) 100.0 * (steal1 - steal0) / totalJiff else 0.0
       val ownSharePct =
         if (busyJiff > 0) 100.0 * (own1 - own0) / busyJiff else 0.0
-      Attempt(results, stealPct, ownSharePct, load1Start, load1End)
+      Attempt(results, stealPct, ownSharePct, load1Start, load1End,
+        memoConsumers.result())
     }
 
     // Drift self-validation (mechanizing BASELINE.md's retaken-not-
@@ -609,7 +647,8 @@ object Bench {
         s""""canary_mt_s":${num("%.3f", r.canaryMtS)},""" +
         s""""waited_before_s":${num("%.0f", r.waitedSec)}}"""
     }.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":${num("%.1f", attempt.stealPct)},"own_cpu_share_pct":${num("%.1f", attempt.ownSharePct)},"load1_start":${num("%.1f", attempt.load1Start)},"load1_end":${num("%.1f", attempt.load1End)},"canary_single_s":${num("%.3f", recs(pubIdx).canarySingleS)},"canary_mt_s":${num("%.3f", recs(pubIdx).canaryMtS)},"drift_median_ratio":$ratioJson,"drift_detected":$driftDetected,"caches_released":$cachesReleased,"cache_empty_after_release":$cacheEmptyAfterRelease,"bench_attempts":$attempts,"published_attempt":${pubIdx + 1},"attempt_history":$history,"sf":"$sfJson"}"""
+    val memoHits = BenchPolicy.memoHitsJson(attempt.memoHits)
+    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"errors":$errs,"host_steal_pct":${num("%.1f", attempt.stealPct)},"own_cpu_share_pct":${num("%.1f", attempt.ownSharePct)},"load1_start":${num("%.1f", attempt.load1Start)},"load1_end":${num("%.1f", attempt.load1End)},"canary_single_s":${num("%.3f", recs(pubIdx).canarySingleS)},"canary_mt_s":${num("%.3f", recs(pubIdx).canaryMtS)},"drift_median_ratio":$ratioJson,"drift_detected":$driftDetected,"memo_hits":$memoHits,"caches_released":$cachesReleased,"cache_empty_after_release":$cacheEmptyAfterRelease,"bench_attempts":$attempts,"published_attempt":${pubIdx + 1},"attempt_history":$history,"sf":"$sfJson"}"""
     println(line)
     // Self-record: the one-line artifact also lands on disk, so a
     // console harvester that truncates the stdout capture (the r6 bench
@@ -673,6 +712,9 @@ object Bench {
     // Explicit operator intent still wins — the write happens — but it
     // carries the min-ever floor forward and says so loudly.
     val outTarget = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    // where the full line actually lands (the refused-redirect branch
+    // falls back to BENCH_LAST.json) — named on the compact line below
+    var landedIn = outTarget
     val redirectIsRecord =
       try java.nio.file.Paths.get(outTarget).toAbsolutePath.normalize ==
         java.nio.file.Paths.get("BENCH_SELF.json").toAbsolutePath.normalize
@@ -694,6 +736,7 @@ object Bench {
           "(the monotone rule survives the redirect)")
         record(outTarget, BenchPolicy.nextFloor(gatedRatio, storedFloor)
           .fold("")(f => s""""record_floor_ratio":${num("%.3f", f)}"""))
+        landedIn = outTarget
       } else {
         // r12 ADVICE: no stored floor + an ungated measured ratio —
         // writing would leave drift_median_ratio as the only number a
@@ -705,6 +748,7 @@ object Bench {
           "record gate — refusing the record write (its drift_median_ratio " +
           "would become the next run's floor); landing in BENCH_LAST.json")
         record("BENCH_LAST.json")
+        landedIn = "BENCH_LAST.json"
       }
     } else record(outTarget)
     // BENCH_SELF.json demands a POSITIVE verdict, not merely the absence
@@ -766,6 +810,17 @@ object Bench {
           "a lost reference; delete BENCH_SELF.json to re-seed deliberately)")
       }
     }
+    // Trailing COMPACT line, printed LAST on stdout (r15 verdict task
+    // 1): the full line above exceeds the driver harvester's ~2000-char
+    // tail capture with 106 queries (BENCH_r14/r15 both truncated
+    // mid-`queries`, parsed null, PERF blind two rounds). This < 500-
+    // byte twin repeats the suite-level fields so any tail capture
+    // still parses; per-query seconds live in the full line and in the
+    // always-written file `queries_in` names. The full line is NOT
+    // removed — both print, full first.
+    println(BenchPolicy.compactLine(num("%.4f", total), results.size,
+      failed.size, ratioJson, driftDetected, memoHits,
+      landedIn.replace("\\", "\\\\").replace("\"", "\\\""), sfJson))
     spark.stop()
   }
 }

@@ -892,6 +892,18 @@ object PosOrderedSumKernel {
     var acc = 0.0
     i = 0
     while (i < n) {
+      // contract tripwire (r15 ADVICE): with DUPLICATE pos values the
+      // SQL twin's array_sort breaks ties on p (full-struct compare)
+      // while this packed sort breaks them on input index — a caller
+      // violating the distinct-pos contract would silently diverge
+      // bitwise from the twin. Make the violation LOUD instead: every
+      // current caller (bigram positions of one document) guarantees
+      // distinctness, so this branch never fires on query paths.
+      if (i > 0 && (keys(i) >>> 32) == (keys(i - 1) >>> 32))
+        throw new IllegalArgumentException(
+          "graft_pos_ordered_sum: duplicate pos " + (keys(i) >>> 32) +
+            " violates the distinct-pos contract (tie order would " +
+            "diverge from the array_sort twin)")
       acc += ps((keys(i) & 0xffffffffL).toInt)
       i += 1
     }

@@ -786,10 +786,39 @@ object TextOps {
   private val ccLabelsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
+  /** Memo RECALLS (a call served by an entry an earlier call built) —
+    * Bench reads the delta around each timed query to disclose
+    * memo-consumer queries on the published line (`memo_hits`, r15
+    * verdict: q72's per-query second is amortization, not cost-from-
+    * cold, and the artifact should say so itself). Builds don't count. */
+  private val memoRecallCount = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def memoRecalls: Long = memoRecallCount.get
+
   def q62DupClusters(s: SparkSession, d: String): DataFrame = {
     ccLabelsMemo.keySet.removeIf(_._1.sparkContext.isStopped)
-    val labels = ccLabelsMemo.computeIfAbsent((s, d), _ =>
-      ccLabelsStar(q33NgramJaccard(s, d).select(col("doc_a"), col("doc_b"))))
+    val key = (s, d)
+    // get-then-putIfAbsent, NOT computeIfAbsent (r15 ADVICE): the CC
+    // loop is a multi-round driver-side Spark job and must not run
+    // while holding the CHM bin lock — a concurrent caller on a
+    // same-bin key would block for the loop's whole duration and a
+    // reentrant call would deadlock/throw. A lost race costs one
+    // duplicate build (the loser's blocks are released), never
+    // wrongness.
+    var labels = ccLabelsMemo.get(key)
+    if (labels != null) memoRecallCount.incrementAndGet()
+    else {
+      // checkpoint the LABEL frame itself, not just the loop's edge
+      // set (r15 ADVICE): ccLabelsStar returns the union+distinct
+      // projection PLAN over the checkpointed edges, so a memo of that
+      // plan re-executed two distinct shuffles on every warm recall —
+      // materialized labels make recalls pure data reads.
+      val built = ccLabelsStar(
+        q33NgramJaccard(s, d).select(col("doc_a"), col("doc_b")))
+        .localCheckpoint(true)
+      val prev = ccLabelsMemo.putIfAbsent(key, built)
+      if (prev != null) { unpersistCheckpointed(built); labels = prev }
+      else labels = built
+    }
     documents(s, d).select(col("doc_id"))
       .join(labels.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -911,15 +940,34 @@ object TextOps {
     * decision). */
   def q72CanonicalDocs(s: SparkSession, d: String): DataFrame = {
     val cl = q62DupClusters(s, d)
+    // argmax WITHOUT the struct-buffer SortAggregate (r16, the last of
+    // the q98/q39 family): ANY struct-valued aggregate buffer falls off
+    // HashAggregate (not UnsafeRow-mutable), so the old
+    // max_by(struct(doc_id, n_chars), struct(n_chars, -doc_id)) planned
+    // as SortAggregate — a per-partition sort whose cost scales with
+    // the cluster-assignment frame. Two-stage equivalent on fixed-width
+    // buffers only: (1) collapse the tie-break per (cluster, n_chars) —
+    // min(doc_id) is exactly max_by's -doc_id order among equal lengths;
+    // (2) per cluster the surviving n_chars are DISTINCT, so
+    // max_by(min_doc, n_chars) is deterministic and its (long, long)
+    // buffer is HashAggregate-able, as are sum/max. Both stages
+    // partial-aggregate map-side; the added second exchange carries one
+    // row per (cluster, distinct length) — bounded by the first stage's
+    // output, a sliver of the corpus. Ordering keys here are non-null
+    // by construction (documents.n_chars is a generated column), which
+    // is the only case where max_by-over-struct and this two-stage form
+    // could diverge.
     documents(s, d).select(col("doc_id"), col("n_chars"))
       .join(cl, Seq("doc_id"))
+      .groupBy(col("cluster_id"), col("n_chars"))
+      .agg(count(lit(1)).as("nc"), min(col("doc_id")).as("min_doc"))
       .groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_members"),
-        max_by(struct(col("doc_id"), col("n_chars")),
-          struct(col("n_chars"), -col("doc_id"))).as("k"))
+      .agg(sum(col("nc")).as("n_members"),
+        max(col("n_chars")).as("keep_chars"),
+        max_by(col("min_doc"), col("n_chars")).as("keep_doc_id"))
       .filter(col("n_members") >= 2)
       .select(col("cluster_id"), col("n_members"),
-        col("k.doc_id").as("keep_doc_id"), col("k.n_chars").as("keep_chars"))
+        col("keep_doc_id"), col("keep_chars"))
       .orderBy(col("cluster_id"))
   }
 
@@ -1278,11 +1326,23 @@ object TextOps {
         (i, na, nb) => i.cast("double") / (na + nb - i), 0.8)
       .withColumn("jaccard", jaccardSim(col("sha"), col("shb")))
       .filter(col("jaccard") >= 0.8)
+      // argmax without the struct-buffer SortAggregate (r16, same
+      // two-stage treatment as q72): (1) collapse jaccard ties per
+      // (inc_id, jaccard) to the smallest corpus_id — max_by's
+      // -corpus_id order — on a fixed-width HashAggregate (the double
+      // grouping key is exact-bit equality, the same comparison the
+      // struct order made); (2) per inc_id the surviving jaccards are
+      // DISTINCT (and NaN-free: the ≥ 0.8 filter rejects NaN), so
+      // max_by(cid, jaccard) is deterministic on a (long, double)
+      // fixed-width buffer and max(jaccard) is the winner's own value.
+      // The added exchange carries one row per (inc doc, distinct
+      // score) of the post-verify dup list — vanishing vs the corpus.
+      .groupBy(col("inc_id"), col("jaccard"))
+      .agg(min(col("corpus_id")).as("cid"))
       .groupBy(col("inc_id"))
-      .agg(max_by(struct(col("corpus_id"), col("jaccard")),
-        struct(col("jaccard"), -col("corpus_id"))).as("best"))
-      .select(col("inc_id"), col("best.corpus_id").as("best_match"),
-        col("best.jaccard").as("best_jaccard"))
+      .agg(max_by(col("cid"), col("jaccard")).as("best_match"),
+        max(col("jaccard")).as("best_jaccard"))
+      .select(col("inc_id"), col("best_match"), col("best_jaccard"))
     inc.select(col("doc_id").as("inc_id"))
       .join(verified, Seq("inc_id"), "left")
       .withColumn("is_dup", col("best_match").isNotNull)
@@ -2873,8 +2933,35 @@ object TextOps {
     // RDDs of dead sessions forever, and a reuse would surface as an
     // opaque "SparkContext has been shut down" instead of a retrain
     trainStepsMemo.keySet.removeIf(_._1.sparkContext.isStopped)
-    trainStepsMemo.computeIfAbsent((s, d), _ => trainStepsUncached(s, d))
+    val key = (s, d)
+    // get-then-putIfAbsent (r15 ADVICE, the ccLabelsMemo treatment):
+    // the 12-epoch training loop must not run under the CHM bin lock.
+    var a = trainStepsMemo.get(key)
+    if (a != null) memoRecallCount.incrementAndGet()
+    else {
+      val built = trainStepsUncached(s, d)
+      val prev = trainStepsMemo.putIfAbsent(key, built)
+      if (prev != null) {
+        unpersistCheckpointed(built.feats); unpersistCheckpointed(built.labels)
+        a = prev
+      } else a = built
+    }
+    a
   }
+
+  /** Release the localCheckpointed blocks rooting a memoized frame —
+    * the CacheManager cannot see them (they are RDD persists, not
+    * relation caches), so without this every isolation-point clear
+    * (Verify per-query, Bench retakes, ScaleSweep reps) left orphaned
+    * blocks in the BlockManager until GC + ContextCleaner got around
+    * to them (r15 ADVICE). Unpersisting a localCheckpointed RDD makes
+    * it unrecomputable, which is exactly the contract here: the memo
+    * entry is dropped in the same breath. */
+  private def unpersistCheckpointed(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private[graft] def classifierTrainSteps(s: SparkSession, d: String): DataFrame =
     trainArtifacts(s, d).steps
@@ -2885,10 +2972,16 @@ object TextOps {
     * entries, so clearCache() alone would leave training invisibly
     * warm and the q104 scaling row would lie). */
   private[graft] def clearTrainMemo(): Unit = {
+    // unpersist the checkpointed blocks BEFORE dropping the entries
+    // (r15 ADVICE): clear() alone orphaned them in the BlockManager
+    trainStepsMemo.values.forEach { a =>
+      unpersistCheckpointed(a.feats); unpersistCheckpointed(a.labels)
+    }
     trainStepsMemo.clear()
     // the q62 CC-label memo rides the same isolation points (r15): its
     // frame roots at localCheckpointed RDDs the CacheManager cannot
     // see, exactly like the training trajectory above
+    ccLabelsMemo.values.forEach(unpersistCheckpointed(_))
     ccLabelsMemo.clear()
   }
 

@@ -159,4 +159,38 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(BenchPolicy.hostSlowdown(0.0, 2.0).isEmpty)
     assert(BenchPolicy.hostSlowdown(2.0, 0.0).isEmpty)
   }
+
+  test("memo_hits field: sorted, deduped, valid JSON array (r16)") {
+    assert(BenchPolicy.memoHitsJson(Nil) == "[]")
+    assert(BenchPolicy.memoHitsJson(Seq("q72_canonical_docs")) ==
+      """["q72_canonical_docs"]""")
+    // sorted + deduped so the artifact is stable across attempt orders
+    assert(BenchPolicy.memoHitsJson(
+      Seq("q105_classifier_learned", "q72_canonical_docs",
+        "q105_classifier_learned")) ==
+      """["q105_classifier_learned","q72_canonical_docs"]""")
+  }
+
+  test("compact trailing line: parses as JSON and stays under 500 bytes (r16)") {
+    // worst plausible shape: several memo hits, a drifted ratio, a long
+    // sf path — the whole point is surviving a ~2000-char tail capture
+    val line = BenchPolicy.compactLine("123.4567", 106, 2, "1.161", true,
+      BenchPolicy.memoHitsJson(Seq("q72_canonical_docs",
+        "q105_classifier_learned")),
+      "BENCH_LAST.json", "/root/testdata/sf0.1")
+    assert(line.length < 500, s"compact line too long: ${line.length}")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("metric").asText() == "total")
+    assert(math.abs(node.get("value").asDouble() - 123.4567) < 1e-9)
+    assert(node.get("unit").asText() == "sec")
+    assert(node.get("n_queries").asInt() == 106)
+    assert(node.get("n_errors").asInt() == 2)
+    assert(node.get("drift_detected").asBoolean())
+    assert(node.get("memo_hits").size() == 2)
+    assert(node.get("queries_in").asText() == "BENCH_LAST.json")
+    assert(node.get("sf").asText() == "/root/testdata/sf0.1")
+    // the full line's queries map is NOT here — that is the contract:
+    // this line must fit any tail capture whole
+    assert(node.get("queries") == null)
+  }
 }

@@ -381,6 +381,29 @@ class SetSimExpressionsSpec extends SparkSuite {
     }
   }
 
+  test("PosOrderedSum rejects duplicate pos LOUDLY (r16: contract tripwire)") {
+    // with duplicate pos the SQL twin breaks ties on p while the packed
+    // kernel would break them on input index — the kernel must throw
+    // instead of silently diverging bitwise (r15 ADVICE)
+    val ex = intercept[Exception] {
+      Seq(Seq((3, 1.0), (3, 2.0), (1, 0.5))).toDF("pp0")
+        .select(expr("transform(pp0, x -> struct(x._1 AS pos, x._2 AS p))").as("pp"))
+        .withColumn("n", GraftFunctions.posOrderedSum(col("pp")))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(t => Option(t.getMessage).exists(
+        _.contains("distinct-pos contract"))), ex.toString)
+    // distinct pos (any order) still evaluates fine next to the tripwire
+    val ok = Seq(Seq((3, 1.0), (2, 2.0), (1, 0.5))).toDF("pp0")
+      .select(expr("transform(pp0, x -> struct(x._1 AS pos, x._2 AS p))").as("pp"))
+      .withColumn("n", GraftFunctions.posOrderedSum(col("pp")))
+      .head().getDouble(1)
+    assert(ok == 0.5 + 2.0 + 1.0)
+  }
+
   test("WordBigrams matches the transform/sequence SQL twin exactly (r15)") {
     // rows AND schema pinned to TextOps.lmBigramExpr — including the
     // NULL-array → EMPTY contract (ANSI size(NULL)=NULL falls through

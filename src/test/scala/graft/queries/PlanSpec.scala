@@ -152,6 +152,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q72/q76 argmax runs on HashAggregate only — no struct-buffer SortAggregate (r16)") {
+    // the two-stage argmax (collapse ties, then max_by over fixed-width
+    // columns) exists exactly to keep these two plans off SortAggregate
+    // (a per-partition sort at any scale); a refactor that reintroduces
+    // a struct-valued aggregate buffer fails here, not on the cluster
+    assert(!plan(TextOps.q72CanonicalDocs(spark, sf)).contains("SortAggregate"))
+    assert(!plan(TextOps.q76IncrementalDedup(spark, sf)).contains("SortAggregate"))
+  }
+
   test("q79 semantic decon pairs benchmark x corpus via the bucket equi-join") {
     val p = plan(Vectors.q79SemanticDecon(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

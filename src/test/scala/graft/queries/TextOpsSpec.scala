@@ -876,4 +876,37 @@ class TextOpsSpec extends SparkSuite {
         assert(rate(minSrc) > rate(maxSrc), s"$minSrc vs $maxSrc")
     }
   }
+
+  test("two-stage argmax equals max_by(struct) through every tie shape (r16 q72/q76)") {
+    import org.apache.spark.sql.functions._
+    // adversarial group shapes: score ties broken by id, id ties
+    // impossible (distinct rows), single-row groups, a group whose max
+    // score appears first/last, negative ids excluded (the queries' ids
+    // are non-negative; -id negation is the max_by twin's own device).
+    // Long scores stand in for q72's n_chars; doubles for q76's jaccard
+    // (bit-equal grouping is the same comparison the struct order made).
+    val rows = Seq(
+      (1L, 10L, 100.0), (1L, 11L, 100.0), (1L, 12L, 99.5),   // tie on max
+      (2L, 20L, 50.0),                                       // singleton
+      (3L, 31L, 7.25), (3L, 30L, 7.25), (3L, 32L, 7.25),     // all tied
+      (4L, 40L, 1.0), (4L, 41L, 2.0), (4L, 42L, 3.0),        // max last
+      (5L, 52L, 9.0), (5L, 50L, 8.0), (5L, 51L, 8.0))        // max first
+    val df = spark.createDataFrame(rows).toDF("g", "id", "score")
+    val viaMaxBy = df.groupBy(col("g"))
+      .agg(max_by(struct(col("id"), col("score")),
+        struct(col("score"), -col("id"))).as("k"))
+      .select(col("g"), col("k.id").as("id"), col("k.score").as("score"))
+    val viaTwoStage = df.groupBy(col("g"), col("score"))
+      .agg(min(col("id")).as("mid"))
+      .groupBy(col("g"))
+      .agg(max_by(col("mid"), col("score")).as("id"),
+        max(col("score")).as("score"))
+      .select(col("g"), col("id"), col("score"))
+    assert(viaTwoStage.exceptAll(viaMaxBy).isEmpty &&
+      viaMaxBy.exceptAll(viaTwoStage).isEmpty)
+    // and the two-stage plan is sort-free while max_by(struct) is not —
+    // the whole reason the rewrite exists
+    assert(!viaTwoStage.queryExecution.executedPlan.toString.contains("SortAggregate"))
+    assert(viaMaxBy.queryExecution.executedPlan.toString.contains("SortAggregate"))
+  }
 }

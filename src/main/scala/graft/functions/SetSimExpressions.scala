@@ -50,10 +50,64 @@ object SetSimKernels {
     * (jaccard(['x','x'],['x']) read 2.0 instead of the twins' 0.5 —
     * similarity > 1 passes every threshold), and the dedup callers'
     * shingle sets are near-equal-sized anyway. */
+  /** Per-TASK scratch hash table for the set side (r16 GC audit):
+    * the old per-PAIR `java.util.HashSet[UTF8String]` allocated a table
+    * plus one Node per element for every candidate pair — StageClock
+    * read 5-15% of the verify stages' task time as GC on q33/q88.
+    * Open addressing over a generation-stamped slot array reuses the
+    * same memory across every pair a task verifies: occupancy is
+    * "stamp == current generation", so reset is one increment, not a
+    * clear. Equality/hash are UTF8String.equals/hashCode — byte
+    * equality, exactly what HashSet used — so the count is unchanged,
+    * collisions included. ThreadLocal because codegen'd call sites
+    * share this object across ALL tasks in the JVM; capacity is
+    * bounded by the largest shingle set a task sees (doc-bounded),
+    * and load factor stays ≤ 0.5. */
+  private final class SetScratch {
+    var cap = 1 << 10
+    var mask = cap - 1
+    var keys = new Array[UTF8String](cap)
+    var stamps = new Array[Int](cap)
+    var gen = 0
+    def next(ns: Int): Unit = {
+      if (ns * 2 > cap) {
+        while (ns * 2 > cap) cap <<= 1
+        mask = cap - 1
+        keys = new Array[UTF8String](cap)
+        stamps = new Array[Int](cap)
+        gen = 0
+      }
+      if (gen == Int.MaxValue) { java.util.Arrays.fill(stamps, 0); gen = 0 }
+      gen += 1
+      // drop stale refs periodically: a slot not overwritten since an
+      // old row would otherwise pin that row's underlying buffer (the
+      // UTF8Strings are zero-copy views) for the task's lifetime
+      if ((gen & 0x3ff) == 0) java.util.Arrays.fill(
+        keys.asInstanceOf[Array[AnyRef]], null)
+    }
+    def add(s: UTF8String): Unit = {
+      var idx = s.hashCode & mask
+      while (stamps(idx) == gen && !keys(idx).equals(s)) idx = (idx + 1) & mask
+      if (stamps(idx) != gen) { stamps(idx) = gen; keys(idx) = s }
+    }
+    def contains(s: UTF8String): Boolean = {
+      var idx = s.hashCode & mask
+      while (stamps(idx) == gen) {
+        if (keys(idx).equals(s)) return true
+        idx = (idx + 1) & mask
+      }
+      false
+    }
+  }
+  private val scratch = new ThreadLocal[SetScratch] {
+    override def initialValue(): SetScratch = new SetScratch
+  }
+
   def commonCount(probe: ArrayData, setSide: ArrayData): Int = {
     val ns = setSide.numElements()
     val np = probe.numElements()
-    val set = new java.util.HashSet[UTF8String](ns * 2)
+    val set = scratch.get()
+    set.next(ns)
     var i = 0
     while (i < ns) { set.add(setSide.getUTF8String(i)); i += 1 }
     var common = 0
@@ -680,7 +734,17 @@ case class LiteralSplit(child: Expression, sep: String)
   require(sep.nonEmpty && sep.forall(c => c < 128 && !"\\[](){}*+?.^$|".contains(c)),
     s"LiteralSplit separator must be non-empty, ASCII and regex-inert: '$sep'")
 
-  override def dataType: DataType = ArrayType(StringType)
+  /** containsNull = false (r16): the kernel emits zero-copy byte
+    * slices — never a null element — and SAYING so is load-bearing:
+    * a nullable element type lets each consumer push a DIFFERENT
+    * `isnotnull` set into its copy of a shared subtree (q93's c2 fed
+    * both the (w1,w2) join — isnotnull(w1)∧isnotnull(w2) — and c1's
+    * rollup — isnotnull(w1) only), so the canonicalized exchanges
+    * stopped matching and exchange reuse could NEVER fire: the corpus
+    * paid a duplicate full bigram-extraction pass in q93/q103 at
+    * every scale. Non-null elements fold those filters to true and
+    * the duplicate subtrees collapse into one ReusedExchange. */
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_literal_split"
 
   @transient private lazy val sepBytes =
@@ -743,10 +807,25 @@ object WordBigramsKernel {
   * behavior), so `nullable = false` like [[CharGrams]]. */
 case class WordBigrams(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("pos", IntegerType, nullable = false),
-    StructField("w1", StringType, nullable = true),
-    StructField("w2", StringType, nullable = true))), containsNull = false)
+  /** w1/w2 nullability DERIVES from the input's element nullability
+    * (r16): the kernel copies input elements verbatim, so over a
+    * containsNull=false array (litSplit's output — the only query
+    * call site) the bigram words are provably non-null and the
+    * downstream join-key `isnotnull` pushdowns fold away — which is
+    * what lets q93/q103's duplicated c2 subtrees canonicalize equal
+    * and share ONE exchange (see LiteralSplit.dataType). Over a
+    * nullable-element array (the spec's twin pin) the schema stays
+    * byte-identical to the SQL transform twin. */
+  override def dataType: DataType = {
+    val elemNullable = child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+    ArrayType(StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("w1", StringType, nullable = elemNullable),
+      StructField("w2", StringType, nullable = elemNullable))), containsNull = false)
+  }
   override def prettyName: String = "graft_word_bigrams"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -830,7 +909,9 @@ case class LiteralSplitWords(child: Expression, sep: String)
   require(sep.nonEmpty && sep.forall(c => c < 128 && !"\\[](){}*+?.^$|".contains(c)),
     s"LiteralSplitWords separator must be non-empty, ASCII and regex-inert: '$sep'")
 
-  override def dataType: DataType = ArrayType(StringType)
+  // containsNull = false: same contract and same reuse-enabling
+  // rationale as LiteralSplit above — the kernel never emits nulls
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_literal_split_words"
 
   @transient private lazy val sepBytes =

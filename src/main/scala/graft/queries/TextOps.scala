@@ -1862,8 +1862,17 @@ object TextOps {
       .filter(col("c2") >= LmMinCount)
       .orderBy(col("c2").desc, col("w1"), col("w2"))
       .limit(LmMaxEntries)
+    // INNER join against the distinct kept-word set, not left_semi
+    // (r16): semantically identical (the key set is unique and carries
+    // no payload columns), but PushDownLeftSemiAntiJoin pushed the semi
+    // through BOTH aggregates into c1's copy of the bigram stream — a
+    // second full corpus extraction pass that also made the two cnt
+    // subtrees canonically different, so the cnt exchange could never
+    // be reused. No rule pushes an inner join below an Aggregate, so
+    // this form keeps c1 ABOVE the shared (w1,w2) exchange: one corpus
+    // bigram pass feeds kept, c1 and the probe join via ReusedExchange.
     val c1 = cnt.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-      .join(kept.select(col("w1")).distinct(), Seq("w1"), "left_semi")
+      .join(kept.select(col("w1")).distinct(), Seq("w1"))
     val v = w.select(explode(col("w")).as("t"))
       .agg(count_distinct(col("t")).as("v"))
     val p = bg
@@ -1944,8 +1953,20 @@ object TextOps {
     * the df table (gram-vocabulary-sized input, one row out) that
     * broadcasts; per-doc reassembly is one hash-agg keyed doc_id. */
   def q96BoilerplateGrams(s: SparkSession, d: String): DataFrame = {
+    // explicit isNotNull on the exploded gram (r16): a NO-OP — the
+    // shingles UDF never emits null elements, but its Array[String]
+    // encoder cannot say so (containsNull stays true, and unlike
+    // litSplit there is no element-level asNonNullable). Without it
+    // the g→df join pushed isnotnull(gram) into ITS copy of the
+    // gram→df aggregation subtree while the mean-df scalar's copy had
+    // none, the canonicalized exchanges stopped matching, and the
+    // corpus paid the full explode+aggregate pass TWICE (found by the
+    // CanonCheck all-query sweep). With the filter stated once here,
+    // both consumers inherit the same constraint, the subtrees
+    // canonicalize equal, and the second pass becomes a ReusedExchange.
     val g = shingled(documents(s, d))
       .select(col("doc_id"), explode(col("sh")).as("gram"))
+      .filter(col("gram").isNotNull)
     val df = g.groupBy(col("gram"))
       .agg(count_distinct(col("doc_id")).as("gram_df"))
     val m = df.agg(

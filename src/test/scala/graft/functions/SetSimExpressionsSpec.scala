@@ -424,4 +424,45 @@ class SetSimExpressionsSpec extends SparkSuite {
       assert(r.get(1) == r.get(2), s"w=${r.get(0)}")
     }
   }
+
+  test("per-task scratch table: generation reuse, growth, and post-growth reads (r16)") {
+    // SetSimKernels.commonCount reuses ONE open-addressed table per
+    // thread across every pair it verifies (the r16 GC-churn fix) —
+    // the risks a reference HashSet can't have are (a) a stale element
+    // from an EARLIER pair surviving the generation bump and counting
+    // against a later probe, (b) a mid-stream capacity grow losing or
+    // duplicating occupancy, (c) sizes straddling the 0.5 load bound.
+    // Drive thousands of sequential pairs of swinging sizes on this
+    // one thread and pin every count against a fresh HashSet oracle.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ss: Seq[String]): GenericArrayData =
+      new GenericArrayData(ss.map(UTF8String.fromString).toArray[Any])
+    def oracle(probe: Seq[String], set: Seq[String]): Int = {
+      val hs = new java.util.HashSet[String]()
+      set.foreach(hs.add)
+      probe.count(hs.contains)
+    }
+    val rnd = new scala.util.Random(42)
+    // sizes swing from tiny to past the initial 1 << 10 capacity and
+    // back, so growth happens mid-stream and later SMALL pairs reuse
+    // the grown table; overlapping windows of a shared vocab make the
+    // previous pair's elements near-misses for the current one
+    val vocab = (0 until 4000).map(i => s"sh$i")
+    for (trial <- 0 until 300) {
+      val ns = trial match {
+        case t if t % 50 == 49 => 1500 + rnd.nextInt(1500) // force grows
+        case _ => rnd.nextInt(40)
+      }
+      val np = rnd.nextInt(60)
+      val base = rnd.nextInt(vocab.size - 3100)
+      val set = (0 until ns).map(_ => vocab(base + rnd.nextInt(3000)))
+      val probe = (0 until np).map(_ => vocab(base + rnd.nextInt(3100)))
+      val got = SetSimKernels.commonCount(arr(probe), arr(set))
+      assert(got == oracle(probe, set), s"trial=$trial ns=$ns np=$np")
+    }
+    // empty set side and empty probe side, immediately after heavy reuse
+    assert(SetSimKernels.commonCount(arr(Seq("a")), arr(Seq())) == 0)
+    assert(SetSimKernels.commonCount(arr(Seq()), arr(Seq("a"))) == 0)
+  }
 }
